@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship feature pipeline on sf0.001;
+``queries``/``oracle_sql`` expose the operator catalog
+(marketdatapipeline_spark/catalog.py) for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
@@ -12,27 +10,40 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    # events.ts is parquet TIMESTAMP(NANOS); see sources/tables.py
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 50-feature pipeline + targets on sf0.001 bars."""
+    _configure(spark)
+    from marketdatapipeline_spark.features import compute_all_features, generate_targets
+    from marketdatapipeline_spark.sources import bars_from_events
+
+    bars = bars_from_events(spark, "/root/testdata/sf0.001")
+    feats = compute_all_features(bars, order_cols=("datetime", "bar_id"))
+    return generate_targets(feats, order_cols=("datetime", "bar_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from marketdatapipeline_spark.catalog import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_configure(spark), sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

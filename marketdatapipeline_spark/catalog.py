@@ -1,0 +1,645 @@
+"""Query catalog: the driver-contract registry.
+
+Each entry pairs a PySpark query (``fn(spark, sf_dir) -> DataFrame``)
+with the equivalent ANSI SQL for the DuckDB oracle. The driver
+hash-compares both at sf=0.01 (row count + schema + order-insensitive
+value hash), so every query here obeys two disciplines:
+
+1. **Name discipline** — every computed column is aliased identically
+   in the Spark plan and the SQL text.
+2. **Value discipline** — arithmetic is written so both engines produce
+   bit-identical doubles (same operation order on identical inputs).
+   Where an engine is free to associate differently (window aggregates:
+   Spark accumulates sequentially, DuckDB uses segment trees) or
+   where libm may differ by an ulp (sin/cos/stddev/EWMA), both sides
+   round to 6 decimals — the oracle defines truth at that precision.
+
+Feature queries run over the ``bars`` view derived from ``events``
+(sources/tables.py) because the driver ships no native OHLCV table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.features import (
+    compute_all_features,
+    generate_targets,
+)
+from marketdatapipeline_spark.features.engineering import (
+    EPS,
+    momentum_expressions,
+    temporal_expressions,
+    volatility_expressions,
+)
+from marketdatapipeline_spark.features.windows import rolling_mean, rolling_std, rolling_sum
+from marketdatapipeline_spark.sources.tables import bars_from_events, bars_oracle_cte, load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible; driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+ORDER = ("datetime", "bar_id")  # deterministic within-symbol ordering
+_ORD_SQL = "datetime, bar_id"
+
+
+def _w():
+    return Window.partitionBy("symbol").orderBy("datetime", "bar_id")
+
+
+def _bars_sql(body: str) -> str:
+    return f"WITH {bars_oracle_cte()} {body}"
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# sources / row-op queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bars_source",
+    _bars_sql("SELECT symbol, datetime, bar_id, open, high, low, close, volume FROM bars"),
+)
+def q_bars_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source derivation sanity: scan + projection + exact ns->us time
+    conversion (S9/P1 in SURVEY.md §2)."""
+    return bars_from_events(spark, sf_dir)
+
+
+@register(
+    "filter_cast_project",
+    _bars_sql(
+        """
+        SELECT symbol, bar_id, CAST(close AS DOUBLE) AS close,
+               CAST(volume AS BIGINT) AS volume_int
+        FROM bars WHERE close > 100.0 AND symbol IN ('1','3','5')
+        """
+    ),
+)
+def q_filter_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate filter + cast + projection (P1/P4/P5). Filters push to
+    the parquet scan; only referenced columns are read."""
+    return (
+        bars_from_events(spark, sf_dir)
+        .filter((F.col("close") > 100.0) & F.col("symbol").isin("1", "3", "5"))
+        .select(
+            "symbol",
+            "bar_id",
+            F.col("close").cast("double").alias("close"),
+            F.col("volume").cast("bigint").alias("volume_int"),
+        )
+    )
+
+
+@register(
+    "union_align",
+    _bars_sql(
+        """
+        SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE) AS sum_close
+        FROM (
+            SELECT symbol, close FROM bars WHERE bar_id % 2 = 0
+            UNION ALL
+            SELECT symbol, close FROM bars WHERE bar_id % 2 = 1
+        ) GROUP BY symbol
+        """
+    ),
+)
+def q_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL after schema alignment (P9/P10, reference
+    src/main.py:98-125), aggregated to be order-insensitive. The sum
+    runs over DECIMAL — exact, so no cross-engine rounding slack."""
+    from marketdatapipeline_spark.data.schema import align_and_union
+
+    bars = bars_from_events(spark, sf_dir)
+    even = bars.filter(F.col("bar_id") % 2 == 0).select("symbol", "close")
+    odd = bars.filter(F.col("bar_id") % 2 == 1).select(
+        "close", "symbol"  # wrong column order on purpose; align fixes it
+    )
+    return (
+        align_and_union([even, odd])
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("close").cast("decimal(18,2)")).cast("double").alias("sum_close"),
+        )
+    )
+
+
+@register(
+    "value_counts",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events "
+    "GROUP BY event_type",
+)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts (P11, reference model_training.ipynb cell 5)."""
+    return load_table(spark, sf_dir, "events").groupBy("event_type").count()
+
+
+@register(
+    "topk_deterministic",
+    _bars_sql(
+        """
+        SELECT symbol, bar_id, close FROM bars
+        ORDER BY close DESC, bar_id LIMIT 100
+        """
+    ),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort desc + head (P8, reference src/ml/evaluation.py:102-111).
+    bar_id tie-break keeps top-k deterministic across engines. At scale
+    this is a TakeOrdered (per-partition top-k then merge), no global sort."""
+    return (
+        bars_from_events(spark, sf_dir)
+        .orderBy(F.col("close").desc(), "bar_id")
+        .limit(100)
+        .select("symbol", "bar_id", "close")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / time-series operators (SURVEY.md §2.3) over bars
+# ---------------------------------------------------------------------------
+
+_SHIFT_SQL = _bars_sql(
+    f"""
+    SELECT symbol, bar_id,
+           close - lag(close, 1) OVER w AS diff_1,
+           lag(close, 5) OVER w AS lag_5,
+           lead(close, 1) OVER w AS lead_1,
+           (close - lag(close, 1) OVER w) / lag(close, 1) OVER w AS pct_change
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+    """
+)
+
+
+@register("window_shift", _SHIFT_SQL)
+def q_window_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff / shift(p) / shift(-h) / pct_change (W1-W4). Pure lag/lead
+    arithmetic — bit-identical across engines, no rounding needed."""
+    w = _w()
+    close = F.col("close")
+    prev = F.lag(close, 1).over(w)
+    return bars_from_events(spark, sf_dir).select(
+        "symbol",
+        "bar_id",
+        (close - prev).alias("diff_1"),
+        F.lag(close, 5).over(w).alias("lag_5"),
+        F.lead(close, 1).over(w).alias("lead_1"),
+        ((close - prev) / prev).alias("pct_change"),
+    )
+
+
+_ROLLING_SQL = _bars_sql(
+    f"""
+    SELECT symbol, bar_id,
+           round(CASE WHEN count(close) OVER w20 >= 20
+                 THEN avg(close) OVER w20 END, 6) AS roll_mean_20,
+           round(CASE WHEN count(close) OVER w20 >= 20
+                 THEN stddev_samp(close) OVER w20 END, 6) AS roll_std_20,
+           round(CASE WHEN count(volume) OVER w10 >= 10
+                 THEN sum(volume) OVER w10 END, 6) AS roll_sum_10
+    FROM bars
+    WINDOW
+      w20 AS (PARTITION BY symbol ORDER BY {_ORD_SQL}
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      w10 AS (PARTITION BY symbol ORDER BY {_ORD_SQL}
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """
+)
+
+
+@register("rolling_min_periods", _ROLLING_SQL)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_mean/std/sum with Polars min_periods semantics (W5-W7 +
+    trap T1): NULL until the frame holds n values. Rounded to 6dp —
+    the engines associate window sums differently."""
+    w = _w()
+    close, vol = F.col("close"), F.col("volume")
+    return bars_from_events(spark, sf_dir).select(
+        "symbol",
+        "bar_id",
+        _r6(rolling_mean(close, 20, w)).alias("roll_mean_20"),
+        _r6(rolling_std(close, 20, w)).alias("roll_std_20"),
+        _r6(rolling_sum(vol, 10, w)).alias("roll_sum_10"),
+    )
+
+
+_BOLLINGER_SQL = _bars_sql(
+    f"""
+    SELECT symbol, bar_id,
+           round(sma, 6) AS bb_middle,
+           round(sma + sd * 2.0, 6) AS bb_upper,
+           round(sma - sd * 2.0, 6) AS bb_lower,
+           round(((sma + sd * 2.0) - (sma - sd * 2.0)) / sma, 6) AS bb_width
+    FROM (
+        SELECT symbol, bar_id,
+               CASE WHEN count(close) OVER w20 >= 20
+                    THEN avg(close) OVER w20 END AS sma,
+               CASE WHEN count(close) OVER w20 >= 20
+                    THEN stddev_samp(close) OVER w20 END AS sd
+        FROM bars
+        WINDOW w20 AS (PARTITION BY symbol ORDER BY {_ORD_SQL}
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    """
+)
+
+
+@register("bollinger_bands", _BOLLINGER_SQL)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (reference src/features/engineering.py:59-68):
+    composition of T1-masked rolling mean/std."""
+    w = _w()
+    close = F.col("close")
+    sma = rolling_mean(close, 20, w)
+    sd = rolling_std(close, 20, w)
+    upper = sma + sd * 2.0
+    lower = sma - sd * 2.0
+    return bars_from_events(spark, sf_dir).select(
+        "symbol",
+        "bar_id",
+        _r6(sma).alias("bb_middle"),
+        _r6(upper).alias("bb_upper"),
+        _r6(lower).alias("bb_lower"),
+        _r6((upper - lower) / sma).alias("bb_width"),
+    )
+
+
+def _momentum_sql() -> str:
+    cols = []
+    for p in (5, 10, 20, 50):
+        cols.append(
+            f"(close - lag(close, {p}) OVER w) / (lag(close, {p}) OVER w + 1e-10)"
+            f" AS return_{p}"
+        )
+        cols.append(f"close - lag(close, {p}) OVER w AS momentum_{p}")
+        cols.append(
+            f"(close - lag(close, {p}) OVER w) / (lag(close, {p}) OVER w + 1e-10)"
+            f" * 100 AS roc_{p}"
+        )
+        cols.append(
+            f"round(CASE WHEN count(close) OVER w{p} >= {p} "
+            f"THEN avg(close) OVER w{p} END, 6) AS sma_{p}"
+        )
+        cols.append(
+            f"round((close - (CASE WHEN count(close) OVER w{p} >= {p} "
+            f"THEN avg(close) OVER w{p} END)) / ((CASE WHEN count(close) OVER w{p} >= {p} "
+            f"THEN avg(close) OVER w{p} END) + 1e-10) * 100, 6) AS distance_sma_{p}"
+        )
+    windows = [f"w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})"]
+    for p in (5, 10, 20, 50):
+        windows.append(
+            f"w{p} AS (PARTITION BY symbol ORDER BY {_ORD_SQL} "
+            f"ROWS BETWEEN {p - 1} PRECEDING AND CURRENT ROW)"
+        )
+    return _bars_sql(
+        "SELECT symbol, bar_id, "
+        + ", ".join(cols)
+        + " FROM bars WINDOW "
+        + ", ".join(windows)
+    )
+
+
+@register("momentum_features", _momentum_sql())
+def q_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """return/momentum/roc/sma/distance_sma for p in {5,10,20,50}
+    (reference engineering.py:73-117). Epsilon-guarded divisions use
+    the literal 1e-10. sma/distance rounded (window-agg association)."""
+    w = _w()
+    exprs = momentum_expressions((5, 10, 20, 50), w)
+    bars = bars_from_events(spark, sf_dir)
+    sel = ["symbol", "bar_id"]
+    for name, col in exprs.items():
+        if name.startswith(("sma_", "distance_sma_")):
+            sel.append(_r6(col).alias(name))
+        else:
+            sel.append(col.alias(name))
+    return bars.select(*sel)
+
+
+def _volatility_sql() -> str:
+    cols = ["returns"]
+    for n in (10, 20, 60):
+        cols.append(
+            f"round(CASE WHEN count(returns) OVER w{n} >= {n} "
+            f"THEN stddev_samp(returns) OVER w{n} END, 6) AS volatility_{n}"
+        )
+        cols.append(
+            f"round(CASE WHEN count(returns) OVER w{n} >= {n} "
+            f"THEN sum(returns * returns) OVER w{n} END, 6) AS realized_vol_{n}"
+        )
+        cols.append(
+            f"round(CASE WHEN count(hl) OVER w{n} >= {n} "
+            f"THEN avg(hl) OVER w{n} END, 6) AS hl_range_{n}"
+        )
+    windows = ", ".join(
+        f"w{n} AS (PARTITION BY symbol ORDER BY {_ORD_SQL} "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        for n in (10, 20, 60)
+    )
+    return _bars_sql(
+        f"""
+        SELECT symbol, bar_id, {', '.join(cols)}
+        FROM (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close, 1) OVER wb) / lag(close, 1) OVER wb AS returns,
+                   (high - low) / close AS hl
+            FROM bars
+            WINDOW wb AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+        )
+        WINDOW {windows}
+        """
+    )
+
+
+@register("volatility_features", _volatility_sql())
+def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """returns + volatility/realized_vol/hl_range for w in {10,20,60}
+    (reference engineering.py:120-157). The returns column is NULL on
+    each symbol's first row and the T1 mask counts non-nulls, exactly
+    like Polars min_periods."""
+    w = _w()
+    exprs = volatility_expressions((10, 20, 60), w, has_hl=True)
+    bars = bars_from_events(spark, sf_dir)
+    sel = ["symbol", "bar_id"]
+    for name, col in exprs.items():
+        sel.append(col.alias(name) if name == "returns" else _r6(col).alias(name))
+    return bars.select(*sel)
+
+
+_TEMPORAL_SQL = _bars_sql(
+    """
+    SELECT symbol, bar_id,
+           CAST(hour(datetime) AS INTEGER) AS hour,
+           CAST(minute(datetime) AS INTEGER) AS minute,
+           CAST(isodow(datetime) AS INTEGER) AS day_of_week,
+           CAST(day(datetime) AS INTEGER) AS day,
+           CAST(month(datetime) AS INTEGER) AS month,
+           round(sin(hour(datetime) * 6.28318 / 24), 6) AS hour_sin,
+           round(cos(hour(datetime) * 6.28318 / 24), 6) AS hour_cos,
+           round(sin(isodow(datetime) * 6.28318 / 7), 6) AS day_of_week_sin,
+           round(cos(isodow(datetime) * 6.28318 / 7), 6) AS day_of_week_cos,
+           round(sin(month(datetime) * 6.28318 / 12), 6) AS month_sin,
+           round(cos(month(datetime) * 6.28318 / 12), 6) AS month_cos
+    FROM bars
+    """
+)
+
+
+@register("temporal_features", _TEMPORAL_SQL)
+def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar + cyclic features (reference engineering.py:160-195).
+    Traps: the literal 3.14159 (2*pi = 6.28318), and Polars weekday
+    Mon=1..Sun=7 == DuckDB isodow. Rounded: libm sin/cos may differ
+    by an ulp between JVM and C."""
+    exprs = temporal_expressions("datetime")
+    bars = bars_from_events(spark, sf_dir)
+    sel = ["symbol", "bar_id"]
+    for name, col in exprs.items():
+        if name.endswith(("_sin", "_cos")):
+            sel.append(_r6(col).alias(name))
+        else:
+            sel.append(col.cast("int").alias(name))
+    return bars.select(*sel)
+
+
+_TARGET_CLS_SQL = _bars_sql(
+    f"""
+    SELECT symbol, bar_id, target FROM (
+        SELECT symbol, bar_id,
+               CAST(((lead(close, 1) OVER w - close) / close) > 0 AS TINYINT) AS target
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+    ) WHERE target IS NOT NULL
+    """
+)
+
+
+@register("target_classification", _TARGET_CLS_SQL)
+def q_target_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary up/down target + NULL-tail filter (reference
+    src/features/targets.py:30-43, horizon=1)."""
+    bars = bars_from_events(spark, sf_dir)
+    return generate_targets(bars, 1, "classification", order_cols=ORDER).select(
+        "symbol", "bar_id", "target"
+    )
+
+
+_TARGET_REG_SQL = _bars_sql(
+    f"""
+    SELECT symbol, bar_id, target FROM (
+        SELECT symbol, bar_id,
+               (lead(close, 3) OVER w - close) / close AS target
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+    ) WHERE target IS NOT NULL
+    """
+)
+
+
+@register("target_regression", _TARGET_REG_SQL)
+def q_target_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-return regression target, horizon=3 (reference
+    targets.py:36-37). Pure lag arithmetic — no rounding."""
+    bars = bars_from_events(spark, sf_dir)
+    return generate_targets(bars, 3, "regression", order_cols=ORDER).select(
+        "symbol", "bar_id", "target"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational demonstrations on the TPC-H-ish tables (Spark-native
+# capabilities the reference lacks entirely — SURVEY.md §2.2 "Joins: none")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash
+    aggregate with map-side partials. Money columns are cent-exact
+    doubles, so aggregation runs over DECIMAL: exact regardless of
+    partition/association order in either engine, then one identical
+    decimal->double conversion. Averages divide the exact sum by the
+    count, so they are bit-identical too."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    qty = F.col("l_quantity").cast("bigint")
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(ep).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape). Dimension tables
+    (customer/nation/region) are broadcast — zero shuffle for the
+    joins; only the final aggregation shuffles, and the orders join
+    is the lone big-side exchange at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS kind, CAST(count(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS kind, CAST(count(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins — both
+    broadcast at this scale, both shuffle-free."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without_o = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return with_o.agg(
+        F.lit("with_orders").alias("kind"), F.count("*").alias("n")
+    ).unionByName(
+        without_o.agg(F.lit("without_orders").alias("kind"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "chronological_split",
+    """
+    WITH ranked AS (
+        SELECT user_id,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS total
+        FROM events
+    )
+    SELECT CASE WHEN rn <= CAST(floor(total * 0.8) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_chronological_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological 80/20 train/test split (M1, reference
+    src/ml/training.py:60-62: train_test_split(shuffle=False))
+    as a row_number cut — no driver-side collect."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.select(
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.select(
+            F.when(
+                F.col("rn") <= F.floor(F.col("total") * 0.8).cast("bigint"),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("test"))
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,109 @@
+"""Storage: parquet/CSV IO + path conventions + latest-file cache.
+
+Re-expresses reference src/data/storage.py (save/load at 60-111, path
+conventions at 11-57, cache lookup at 114-152) for Spark writers.
+Single-file semantics of Polars become directory-per-dataset semantics
+of Spark; at scale, datasets are partitioned by ``symbol`` so that
+per-symbol reads prune partitions at the source.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_dataframe(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = "symbol",
+) -> None:
+    """Write a dataset (reference src/data/storage.py:60-83).
+
+    Partitioning by symbol mirrors the reference's file-per-symbol
+    layout and gives partition pruning on per-symbol queries.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        present = [c for c in cols if c in df.columns]
+        if present:
+            writer = writer.partitionBy(*present)
+    if format == "parquet":
+        writer.parquet(path)
+    elif format == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        raise ValueError(f"Unsupported format: {format}")
+
+
+def load_dataframe(
+    spark: SparkSession,
+    path: str,
+    format: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Read a dataset; format inferred from suffix when omitted
+    (reference src/data/storage.py:86-111)."""
+    if format is None:
+        format = "csv" if path.rstrip("/").endswith(".csv") else "parquet"
+    if format == "parquet":
+        return spark.read.parquet(path)
+    if format == "csv":
+        reader = spark.read.option("header", True)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(path)
+    raise ValueError(f"Unsupported format: {format}")
+
+
+def get_raw_data_path(
+    base_dir: str,
+    symbol: str,
+    interval: str,
+    format: str = "parquet",
+    timestamp: datetime | None = None,
+) -> str:
+    """``{base}/data/raw/{symbol}_{interval}_{YYYYMMDD_HHMMSS}.{fmt}``
+    (reference src/data/storage.py:11-34)."""
+    ts = (timestamp or datetime.now(timezone.utc)).strftime("%Y%m%d_%H%M%S")
+    return os.path.join(base_dir, "data", "raw", f"{symbol}_{interval}_{ts}.{format}")
+
+
+def get_processed_data_path(
+    base_dir: str,
+    symbol: str,
+    interval: str,
+    format: str = "parquet",
+    suffix: str = "",
+) -> str:
+    """``{base}/data/processed/{symbol}_{interval}{_suffix}.{fmt}``
+    (reference src/data/storage.py:37-57)."""
+    sfx = f"_{suffix}" if suffix else ""
+    return os.path.join(
+        base_dir, "data", "processed", f"{symbol}_{interval}{sfx}.{format}"
+    )
+
+
+def find_latest_data_file(
+    base_dir: str, symbol: str, interval: str, format: str = "parquet"
+) -> str | None:
+    """Newest cached raw dataset by mtime, or None
+    (reference src/data/storage.py:114-137)."""
+    pattern = os.path.join(base_dir, "data", "raw", f"{symbol}_{interval}_*.{format}")
+    matches = glob.glob(pattern)
+    if not matches:
+        return None
+    return max(matches, key=os.path.getmtime)
+
+
+def data_exists(base_dir: str, symbol: str, interval: str, format: str = "parquet") -> bool:
+    """Cache existence check (reference src/data/storage.py:140-152)."""
+    return find_latest_data_file(base_dir, symbol, interval, format) is not None

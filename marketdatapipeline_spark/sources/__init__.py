@@ -1,0 +1,3 @@
+from marketdatapipeline_spark.sources.tables import TABLES, bars_from_events, load_table
+
+__all__ = ["TABLES", "load_table", "bars_from_events"]
