@@ -74,7 +74,9 @@ def _bars_sql(body: str) -> str:
 
 
 def _r6(col):
-    return F.round(col, 6)
+    # + 0.0 collapses IEEE -0.0 (DuckDB round can emit it, Spark's
+    # BigDecimal-based round cannot) so value hashes agree.
+    return F.round(col, 6) + F.lit(0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -221,11 +223,11 @@ _ROLLING_SQL = _bars_sql(
     f"""
     SELECT symbol, bar_id,
            round(CASE WHEN count(close) OVER w20 >= 20
-                 THEN avg(close) OVER w20 END, 6) AS roll_mean_20,
+                 THEN avg(close) OVER w20 END, 6) + 0.0 AS roll_mean_20,
            round(CASE WHEN count(close) OVER w20 >= 20
-                 THEN stddev_samp(close) OVER w20 END, 6) AS roll_std_20,
+                 THEN stddev_samp(close) OVER w20 END, 6) + 0.0 AS roll_std_20,
            round(CASE WHEN count(volume) OVER w10 >= 10
-                 THEN sum(volume) OVER w10 END, 6) AS roll_sum_10
+                 THEN sum(volume) OVER w10 END, 6) + 0.0 AS roll_sum_10
     FROM bars
     WINDOW
       w20 AS (PARTITION BY symbol ORDER BY {_ORD_SQL}
@@ -255,10 +257,10 @@ def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOLLINGER_SQL = _bars_sql(
     f"""
     SELECT symbol, bar_id,
-           round(sma, 6) AS bb_middle,
-           round(sma + sd * 2.0, 6) AS bb_upper,
-           round(sma - sd * 2.0, 6) AS bb_lower,
-           round(((sma + sd * 2.0) - (sma - sd * 2.0)) / sma, 6) AS bb_width
+           round(sma, 6) + 0.0 AS bb_middle,
+           round(sma + sd * 2.0, 6) + 0.0 AS bb_upper,
+           round(sma - sd * 2.0, 6) + 0.0 AS bb_lower,
+           round(((sma + sd * 2.0) - (sma - sd * 2.0)) / sma, 6) + 0.0 AS bb_width
     FROM (
         SELECT symbol, bar_id,
                CASE WHEN count(close) OVER w20 >= 20
@@ -307,12 +309,12 @@ def _momentum_sql() -> str:
         )
         cols.append(
             f"round(CASE WHEN count(close) OVER w{p} >= {p} "
-            f"THEN avg(close) OVER w{p} END, 6) AS sma_{p}"
+            f"THEN avg(close) OVER w{p} END, 6) + 0.0 AS sma_{p}"
         )
         cols.append(
             f"round((close - (CASE WHEN count(close) OVER w{p} >= {p} "
             f"THEN avg(close) OVER w{p} END)) / ((CASE WHEN count(close) OVER w{p} >= {p} "
-            f"THEN avg(close) OVER w{p} END) + 1e-10) * 100, 6) AS distance_sma_{p}"
+            f"THEN avg(close) OVER w{p} END) + 1e-10) * 100, 6) + 0.0 AS distance_sma_{p}"
         )
     windows = [f"w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})"]
     for p in (5, 10, 20, 50):
@@ -350,15 +352,15 @@ def _volatility_sql() -> str:
     for n in (10, 20, 60):
         cols.append(
             f"round(CASE WHEN count(returns) OVER w{n} >= {n} "
-            f"THEN stddev_samp(returns) OVER w{n} END, 6) AS volatility_{n}"
+            f"THEN stddev_samp(returns) OVER w{n} END, 6) + 0.0 AS volatility_{n}"
         )
         cols.append(
             f"round(CASE WHEN count(returns) OVER w{n} >= {n} "
-            f"THEN sum(returns * returns) OVER w{n} END, 6) AS realized_vol_{n}"
+            f"THEN sum(returns * returns) OVER w{n} END, 6) + 0.0 AS realized_vol_{n}"
         )
         cols.append(
             f"round(CASE WHEN count(hl) OVER w{n} >= {n} "
-            f"THEN avg(hl) OVER w{n} END, 6) AS hl_range_{n}"
+            f"THEN avg(hl) OVER w{n} END, 6) + 0.0 AS hl_range_{n}"
         )
     windows = ", ".join(
         f"w{n} AS (PARTITION BY symbol ORDER BY {_ORD_SQL} "
@@ -403,12 +405,12 @@ _TEMPORAL_SQL = _bars_sql(
            CAST(isodow(datetime) AS INTEGER) AS day_of_week,
            CAST(day(datetime) AS INTEGER) AS day,
            CAST(month(datetime) AS INTEGER) AS month,
-           round(sin(hour(datetime) * 6.28318 / 24), 6) AS hour_sin,
-           round(cos(hour(datetime) * 6.28318 / 24), 6) AS hour_cos,
-           round(sin(isodow(datetime) * 6.28318 / 7), 6) AS day_of_week_sin,
-           round(cos(isodow(datetime) * 6.28318 / 7), 6) AS day_of_week_cos,
-           round(sin(month(datetime) * 6.28318 / 12), 6) AS month_sin,
-           round(cos(month(datetime) * 6.28318 / 12), 6) AS month_cos
+           round(sin(hour(datetime) * 6.28318 / 24), 6) + 0.0 AS hour_sin,
+           round(cos(hour(datetime) * 6.28318 / 24), 6) + 0.0 AS hour_cos,
+           round(sin(isodow(datetime) * 6.28318 / 7), 6) + 0.0 AS day_of_week_sin,
+           round(cos(isodow(datetime) * 6.28318 / 7), 6) + 0.0 AS day_of_week_cos,
+           round(sin(month(datetime) * 6.28318 / 12), 6) + 0.0 AS month_sin,
+           round(cos(month(datetime) * 6.28318 / 12), 6) + 0.0 AS month_cos
     FROM bars
     """
 )
@@ -472,6 +474,91 @@ def q_target_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = bars_from_events(spark, sf_dir)
     return generate_targets(bars, 3, "regression", order_cols=ORDER).select(
         "symbol", "bar_id", "target"
+    )
+
+
+_EWM_SQL = f"""
+WITH RECURSIVE bars AS MATERIALIZED (
+    SELECT CAST(user_id % 10 AS VARCHAR) AS symbol, ts AS datetime,
+           event_id AS bar_id, value + 100.0 AS close
+    FROM events
+),
+ob AS MATERIALIZED (
+    SELECT symbol, bar_id, close,
+           close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY datetime, bar_id)
+               AS delta,
+           row_number() OVER (PARTITION BY symbol ORDER BY datetime, bar_id) AS rn
+    FROM bars
+),
+gl AS MATERIALIZED (
+    SELECT symbol, rn, bar_id, close,
+           (CASE WHEN delta > 0 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END) * delta AS gain,
+           (CASE WHEN delta < 0 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END) * (-delta) AS loss
+    FROM ob
+),
+ema AS (
+    SELECT symbol, rn, close,
+           close AS n12, CAST(1.0 AS DOUBLE) AS d12,
+           close AS n26, CAST(1.0 AS DOUBLE) AS d26
+    FROM ob WHERE rn = 1
+    UNION ALL
+    SELECT o.symbol, o.rn, o.close,
+           o.close + (CAST(11.0 AS DOUBLE)/13.0) * e.n12,
+           1.0 + (CAST(11.0 AS DOUBLE)/13.0) * e.d12,
+           o.close + (CAST(25.0 AS DOUBLE)/27.0) * e.n26,
+           1.0 + (CAST(25.0 AS DOUBLE)/27.0) * e.d26
+    FROM ob o JOIN ema e ON o.symbol = e.symbol AND o.rn = e.rn + 1
+),
+m AS MATERIALIZED (SELECT symbol, rn, n12/d12 - n26/d26 AS macd FROM ema),
+sig AS (
+    SELECT symbol, rn, macd, macd AS n9, CAST(1.0 AS DOUBLE) AS d9
+    FROM m WHERE rn = 1
+    UNION ALL
+    SELECT mm.symbol, mm.rn, mm.macd,
+           mm.macd + CAST(0.8 AS DOUBLE) * s.n9, 1.0 + CAST(0.8 AS DOUBLE) * s.d9
+    FROM m mm JOIN sig s ON mm.symbol = s.symbol AND mm.rn = s.rn + 1
+),
+wilder AS (
+    SELECT symbol, rn, gain AS ag, loss AS al FROM gl WHERE rn = 2
+    UNION ALL
+    SELECT g.symbol, g.rn,
+           (CAST(13.0 AS DOUBLE)/15.0) * w.ag + (CAST(2.0 AS DOUBLE)/15.0) * g.gain,
+           (CAST(13.0 AS DOUBLE)/15.0) * w.al + (CAST(2.0 AS DOUBLE)/15.0) * g.loss
+    FROM gl g JOIN wilder w ON g.symbol = w.symbol AND g.rn = w.rn + 1
+)
+SELECT o.symbol, o.bar_id,
+       round(100 - 100 / (1 + w.ag / (w.al + 1e-10)), 6) + 0.0 AS rsi,
+       round(s.macd, 6) + 0.0 AS macd,
+       round(s.n9 / s.d9, 6) + 0.0 AS macd_signal,
+       round(s.macd - s.n9 / s.d9, 6) + 0.0 AS macd_histogram
+FROM ob o
+JOIN sig s ON o.symbol = s.symbol AND o.rn = s.rn
+LEFT JOIN wilder w ON o.symbol = w.symbol AND o.rn = w.rn
+"""
+
+
+@register("ewm_indicators", _EWM_SQL)
+def q_ewm_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI (Wilder smoothing, adjust=False) + MACD line/signal/histogram
+    (adjust=True EMAs) — the reference's only non-window-expressible
+    operators (W8-W10, reference src/features/engineering.py:36-57).
+    Spark side is one applyInPandas scan per symbol; the oracle is a
+    per-symbol recursive CTE over the same numerator/denominator
+    recurrences. Rounded to 6dp: the recursion association orders
+    differ between pandas internals and SQL."""
+    from marketdatapipeline_spark.features.ewm import add_technical_ewm_features
+
+    bars = bars_from_events(spark, sf_dir).select(
+        "symbol", "datetime", "bar_id", "close"
+    )
+    out = add_technical_ewm_features(bars, order_cols=("datetime", "bar_id"))
+    return out.select(
+        "symbol",
+        "bar_id",
+        _r6(F.col("rsi")).alias("rsi"),
+        _r6(F.col("macd")).alias("macd"),
+        _r6(F.col("macd_signal")).alias("macd_signal"),
+        _r6(F.col("macd_histogram")).alias("macd_histogram"),
     )
 
 
