@@ -1,0 +1,81 @@
+"""EWMA exactness: pandas path (oracle-exact) and blocked scale path.
+
+Reference semantics (src/features/engineering.py:36-57): RSI uses
+``ewm(span=14, adjust=False)``; MACD EMAs use ``adjust=True`` (default).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from marketdatapipeline_spark.features.ewm import (
+    add_technical_ewm_features,
+    ewm_mean_blocked,
+)
+
+EPS = 1e-10
+
+
+def _exp(pdf: pd.DataFrame) -> pd.DataFrame:
+    outs = []
+    for _, g in pdf.sort_values(["symbol", "datetime"]).groupby("symbol", sort=True):
+        g = g.copy()
+        close = g["close"]
+        delta = close.diff()
+        gain = (delta > 0).astype("float64") * delta
+        loss = (delta < 0).astype("float64") * (-delta)
+        rs = gain.ewm(span=14, adjust=False).mean() / (
+            loss.ewm(span=14, adjust=False).mean() + EPS
+        )
+        g["rsi"] = 100.0 - 100.0 / (1.0 + rs)
+        macd = close.ewm(span=12).mean() - close.ewm(span=26).mean()
+        g["macd"] = macd
+        g["macd_signal"] = macd.ewm(span=9).mean()
+        g["macd_histogram"] = macd - g["macd_signal"]
+        outs.append(g)
+    return pd.concat(outs, ignore_index=True)
+
+
+def test_technical_ewm_matches_pandas(spark, bars_df, bars_pdf):
+    got = (
+        add_technical_ewm_features(bars_df)
+        .orderBy("symbol", "datetime")
+        .toPandas()
+    )
+    exp = _exp(bars_pdf)
+    for c in ("rsi", "macd", "macd_signal", "macd_histogram"):
+        assert np.allclose(got[c].to_numpy("float64"), exp[c], equal_nan=True), c
+    # first row per symbol: delta is NULL -> rsi NULL (Polars propagation)
+    firsts = got.groupby("symbol").head(1)
+    assert firsts["rsi"].isna().all()
+    # macd is defined from the first row (EMA seeds on x0)
+    assert firsts["macd"].notna().all()
+
+
+def test_blocked_ewm_adjust_true_matches_pandas(spark, bars_df, bars_pdf):
+    out = ewm_mean_blocked(
+        bars_df, "close", span=12, out_col="e", adjust=True, block_size=17
+    )
+    got = out.orderBy("symbol", "datetime").toPandas()["e"].to_numpy("float64")
+    exp = (
+        bars_pdf.sort_values(["symbol", "datetime"])
+        .groupby("symbol", sort=True)["close"]
+        .apply(lambda s: s.ewm(span=12).mean())
+        .to_numpy()
+    )
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_ewm_adjust_false_matches_pandas(spark, bars_df, bars_pdf):
+    out = ewm_mean_blocked(
+        bars_df, "close", span=14, out_col="e", adjust=False, block_size=13
+    )
+    got = out.orderBy("symbol", "datetime").toPandas()["e"].to_numpy("float64")
+    exp = (
+        bars_pdf.sort_values(["symbol", "datetime"])
+        .groupby("symbol", sort=True)["close"]
+        .apply(lambda s: s.ewm(span=14, adjust=False).mean())
+        .to_numpy()
+    )
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-12)

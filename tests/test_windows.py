@@ -1,0 +1,86 @@
+"""Rolling helpers: Polars min_periods semantics (SURVEY.md trap T1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.features.windows import (
+    rolling_mean,
+    rolling_std,
+    rolling_sum,
+)
+
+
+def _w():
+    return Window.partitionBy("symbol").orderBy("datetime")
+
+
+def _collect(df, col):
+    out = df.orderBy("symbol", "datetime").select(col).toPandas().iloc[:, 0]
+    return out.to_numpy(dtype="float64")
+
+
+def test_rolling_mean_masks_warmup(spark, bars_df, bars_pdf):
+    got = _collect(
+        bars_df.select("symbol", "datetime", rolling_mean(F.col("close"), 5, _w()).alias("m")),
+        "m",
+    )
+    exp = (
+        bars_pdf.sort_values(["symbol", "datetime"])
+        .groupby("symbol")["close"]
+        .rolling(5, min_periods=5)
+        .mean()
+        .to_numpy()
+    )
+    assert np.allclose(got, exp, equal_nan=True)
+    # warm-up rows are NULL, not partial aggregates
+    assert np.isnan(got[:4]).all() and not np.isnan(got[4])
+
+
+def test_rolling_std_is_sample_std(spark, bars_df, bars_pdf):
+    got = _collect(
+        bars_df.select("symbol", "datetime", rolling_std(F.col("close"), 10, _w()).alias("s")),
+        "s",
+    )
+    exp = (
+        bars_pdf.sort_values(["symbol", "datetime"])
+        .groupby("symbol")["close"]
+        .rolling(10, min_periods=10)
+        .std(ddof=1)  # Polars default ddof=1
+        .to_numpy()
+    )
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_rolling_sum(spark, bars_df, bars_pdf):
+    got = _collect(
+        bars_df.select("symbol", "datetime", rolling_sum(F.col("volume"), 7, _w()).alias("s")),
+        "s",
+    )
+    exp = (
+        bars_pdf.sort_values(["symbol", "datetime"])
+        .groupby("symbol")["volume"]
+        .rolling(7, min_periods=7)
+        .sum()
+        .to_numpy()
+    )
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+def test_min_periods_counts_non_null_values(spark):
+    """A NULL inside the frame delays emission — count() counts non-nulls."""
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * 6,
+            "datetime": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "v": [1.0, None, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = _collect(df.select("symbol", "datetime", rolling_mean(F.col("v"), 3, _w()).alias("m")), "m")
+    # frames: [1],[1,N],[1,N,3],[N,3,4],[3,4,5],[4,5,6] -> non-null counts 1,1,2,2,3,3
+    assert np.isnan(got[:4]).all()
+    assert got[4] == (3 + 4 + 5) / 3 and got[5] == 5.0
