@@ -54,12 +54,27 @@ def replicated_bars(spark, sf_dir: str, copies: int, multi_symbol: bool):
     ).drop("_rep")
 
 
-def run_feature_pipeline(spark, bars) -> float:
-    from marketdatapipeline_spark.features import compute_all_features, generate_targets
+def feature_pipeline(bars):
+    from marketdatapipeline_spark.features import compute_all_features
 
-    feats = compute_all_features(bars, order_cols=("datetime", "bar_id"))
-    out = generate_targets(feats, order_cols=("datetime", "bar_id"))
-    return materialize(out)
+    # target_horizon=1 fuses target generation into the narrow window
+    # stage (see compute_all_features docstring).
+    return compute_all_features(
+        bars, order_cols=("datetime", "bar_id"), target_horizon=1
+    )
+
+
+def run_feature_pipeline(spark, bars, repeats: int = 1) -> float:
+    """Median-of-N noop-write time for the full 56-column pipeline.
+
+    The reference's numbers (BASELINE.md) are steady-state in-process
+    Polars timings; repeats>1 reports the same steady state for the
+    JVM (first run pays codegen + JIT compilation of the generated
+    stages, which a long-running cluster amortizes away).
+    """
+    out = feature_pipeline(bars)
+    times = sorted(materialize(out) for _ in range(repeats))
+    return times[len(times) // 2]
 
 
 def main() -> None:
@@ -74,14 +89,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warmup: JVM/codegen/Arrow paths on the tiny tier
+    # warmup: codegen + JIT of the exact plan shape at the small tier
     run_feature_pipeline(spark, bars_from_events(spark, "/root/testdata/sf0.001"))
 
-    # headline: 1M-row feature pipeline (vs BASELINE.md 1.79 s @ 1M)
+    # headline: 1M-row feature pipeline (vs BASELINE.md 1.79 s @ 1M),
+    # median of 3 steady-state runs
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     copies = max(1, round(1_000_000 / n_events))
     bars_multi = replicated_bars(spark, sf_dir, copies, multi_symbol=True)
-    timings["feature_pipeline_1m"] = run_feature_pipeline(spark, bars_multi)
+    timings["feature_pipeline_1m"] = run_feature_pipeline(spark, bars_multi, repeats=3)
 
     # faithful-to-reference single-symbol replication (serializes one
     # symbol's scan onto one task — reported for transparency)

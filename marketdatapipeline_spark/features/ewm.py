@@ -105,6 +105,264 @@ def add_technical_ewm_features(
     return nan_to_null(out, ["rsi", "macd", "macd_signal", "macd_histogram"])
 
 
+def ewm_block_size(spans) -> int:
+    """Largest safe block: r^-off must stay finite (exp(709) overflow)
+    and r^B below-ulp. 600/ln(1/r) >= 2048 for span >= ~6."""
+    B = 2048
+    for span in spans:
+        r = 1.0 - 2.0 / (span + 1.0)
+        if 0.0 < r < 1.0:
+            B = min(B, max(64, int(600.0 / -np.log(r))))
+    return B
+
+
+def add_block_columns(
+    df: DataFrame,
+    block_size: int,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime",),
+) -> DataFrame:
+    """Global position + block id/offset for the blocked EWMA scan.
+
+    ``_blk`` is monotone in the series order within each symbol, so
+    every downstream window — (symbol)- or (symbol, _blk)-partitioned —
+    can order by (_blk, *order_cols) and produce identical results
+    while sharing ONE physical sort (see add_ewm_native).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(*[F.col(c) for c in order_cols])
+    out = df.withColumn("_ewm_rn", F.row_number().over(w))
+    pos = F.col("_ewm_rn") - 1
+    return out.withColumn("_blk", F.floor(pos / block_size)).withColumn(
+        "_off", F.pmod(pos, F.lit(block_size).cast("long"))
+    )
+
+
+def drop_block_columns(df: DataFrame) -> DataFrame:
+    return df.drop("_ewm_rn", "_blk", "_off")
+
+
+def add_ewm_native(
+    df: DataFrame,
+    specs: dict[str, tuple[str, int, bool]],
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime",),
+    block_size: int | None = None,
+    keep_block_columns: bool = False,
+) -> DataFrame:
+    """Exact EWMA as an all-JVM O(n) scan of chained window functions —
+    no Python workers, no shuffles beyond the symbol exchange, and one
+    physical sort shared by every node.
+
+    ``specs`` maps ``out_col -> (input_col, span, adjust)``. All specs
+    share one blocking and one set of Window nodes. If the block
+    columns (``_ewm_rn``/``_blk``/``_off``) already exist — from a
+    previous pass — they are reused, and ``block_size`` MUST be the
+    value used to build them (``ewm_block_size`` over all spans).
+
+    Math. With a = 2/(span+1), r = 1-a, v the 0-based count of valid
+    (non-null) observations so far minus one, pandas/Polars semantics
+    over a series with (only) leading nulls are
+
+        adjust=True :  y = N / D,   N = sum_j r^(t-j) x_j  (valid j),
+                       D = (1 - r^(v+1)) / (1 - r)
+        adjust=False:  y = a*N + r^v * (1-a) * x_first
+
+    N is a linear recurrence — not a frame aggregate, so Spark has no
+    native operator — but it blocks: split each symbol's series into
+    B-row blocks and renormalize within the block,
+
+        p       = x * r^(-off)        off = position in block
+        N_local = r^off * sum(p) over (symbol, block) running frame
+        N       = N_local + r^(off+1) * carry
+
+    ``carry`` is the previous block's final N. r^B contributes below
+    1 ulp at every span (ewm_block_size guarantees it), so carries
+    older than one block vanish in IEEE double — the same limit the
+    sequential recurrence reaches — and the carry needs no join: the
+    block-end state E = last(N_local) over the (symbol, block) full
+    frame is constant within a block, and a row at offset ``off`` in
+    block m sits exactly B rows after the row at the same offset in
+    block m-1, so ``lag(E, B)`` lands in the previous block for every
+    row.
+
+    Physical-plan discipline (this is where the speed is):
+    - every window orders by (_blk, *order_cols) — equivalent to
+      (*order_cols,) because _blk is monotone — so the (symbol)- and
+      (symbol, _blk)-partitioned nodes all accept ONE sort; hash
+      distribution by symbol satisfies (symbol, _blk) clustering, so
+      there is no second exchange either;
+    - Spark's pow() is StrictMath.pow (software fdlibm, slow) and the
+      per-row exponents are all functions of ``off`` in [0, B), so a
+      B-row weight LocalRelation is broadcast-joined on ``off`` — one
+      integer hash probe per row replaces every hot pow. The leftover
+      r^v head terms sit behind v < cutoff branches (r^v is below
+      1 ulp past ~40/ln(1/r) valid rows).
+
+    Assumes inputs are non-null from their first valid row onward
+    (true for prices, and for gains/losses past the first delta);
+    interior nulls would need an indicator-EWMA denominator instead of
+    the closed form.
+
+    Reference semantics: src/features/engineering.py:42-52 (RSI
+    adjust=False, MACD adjust=True).
+    """
+    if block_size is None:
+        block_size = ewm_block_size(span for _, span, _adj in specs.values())
+    B = block_size
+    ratios = {span: 1.0 - 2.0 / (span + 1.0) for _, span, _adj in specs.values()}
+
+    out = df
+    if "_blk" not in out.columns:
+        out = add_block_columns(out, B, symbol_col, order_cols)
+
+    # All windows order by (_blk, *order): one shared physical sort.
+    border = [F.col("_blk")] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(symbol_col).orderBy(*border)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = (
+        Window.partitionBy(symbol_col, "_blk")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = (
+        Window.partitionBy(symbol_col, "_blk")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+    # broadcast weight lookup (LocalRelation; no Spark job to build it)
+    spark = df.sparkSession
+    offs = np.arange(B, dtype="int64")
+    wpdf = pd.DataFrame({"_off": offs})
+    for span, r in ratios.items():
+        wpdf[f"_winv_{span}"] = r ** (-offs.astype("float64"))
+        wpdf[f"_wpos_{span}"] = r ** (offs.astype("float64"))
+    weights = spark.createDataFrame(wpdf)
+
+    # running valid-count / first-valid per spec (same sort, symbol node)
+    stage1: dict = {}
+    for out_col, (x_col, span, adjust) in specs.items():
+        x = F.col(x_col)
+        stage1[f"_nv_{out_col}"] = F.count(x).over(wcum)
+        if not adjust:
+            stage1[f"_x0_{out_col}"] = F.first(x, ignorenulls=True).over(wcum)
+    out = out.withColumns(stage1)
+    out = out.join(F.broadcast(weights), on="_off", how="left")
+
+    # block prefix sums, then block-end state, then carry via lag(E, B)
+    prefix = {
+        f"_S_{c}": F.sum(F.col(x) * F.col(f"_winv_{span}")).over(wb)
+        for c, (x, span, _adj) in specs.items()
+    }
+    out = out.withColumns(prefix)
+    ends = {
+        f"_E_{c}": F.last(F.col(f"_wpos_{span}") * F.col(f"_S_{c}")).over(wfull)
+        for c, (x, span, _adj) in specs.items()
+    }
+    out = out.withColumns(ends)
+    out = out.withColumns(
+        {f"_C_{c}": F.lag(F.col(f"_E_{c}"), B).over(w) for c in specs}
+    )
+
+    results: dict = {}
+    for out_col, (x_col, span, adjust) in specs.items():
+        a = 2.0 / (span + 1.0)
+        r = 1.0 - a
+        cutoff = max(64, int(40.0 / -np.log(r)) + 4)
+        wpos = F.col(f"_wpos_{span}")
+        n_local = wpos * F.col(f"_S_{out_col}")
+        carry = F.coalesce(F.col(f"_C_{out_col}"), F.lit(0.0))
+        n_full = n_local + F.lit(r) * wpos * carry
+        v = F.col(f"_nv_{out_col}") - 1  # 0-based valid position
+        if adjust:
+            d_full = F.when(
+                v < cutoff,
+                (F.lit(1.0) - F.pow(F.lit(r), (v + 1).cast("double")))
+                / F.lit(1.0 - r),
+            ).otherwise(F.lit(1.0 / (1.0 - r)))
+            y = n_full / d_full
+        else:
+            seed = F.when(
+                v < cutoff,
+                F.pow(F.lit(r), v.cast("double"))
+                * F.lit(1.0 - a)
+                * F.col(f"_x0_{out_col}"),
+            ).otherwise(F.lit(0.0))
+            y = F.lit(a) * n_full + seed
+        results[out_col] = F.when(F.col(f"_nv_{out_col}") > 0, y)
+    out = out.withColumns(results)
+
+    temp = [f"_winv_{s}" for s in ratios] + [f"_wpos_{s}" for s in ratios]
+    for c in specs:
+        temp += [f"_nv_{c}", f"_S_{c}", f"_E_{c}", f"_C_{c}"]
+        if f"_x0_{c}" in stage1:
+            temp.append(f"_x0_{c}")
+    out = out.drop(*temp)
+    return out if keep_block_columns else drop_block_columns(out)
+
+
+def add_technical_ewm_features_native(
+    df: DataFrame,
+    rsi_period: int = 14,
+    macd_fast: int = 12,
+    macd_slow: int = 26,
+    macd_signal: int = 9,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime",),
+    close_col: str = "close",
+    keep_block_columns: bool = False,
+) -> DataFrame:
+    """rsi / macd / macd_signal / macd_histogram without Python workers.
+
+    Same outputs as :func:`add_technical_ewm_features` (the pandas
+    path, kept as the exactness reference) to ~1e-12 relative. Two
+    :func:`add_ewm_native` passes sharing one blocking: close EMAs +
+    Wilder gain/loss smoothing, then the signal EMA over the derived
+    macd line. With ``keep_block_columns`` the caller can reuse the
+    (_blk, *order) sort for its own downstream windows.
+    """
+    B = ewm_block_size((macd_fast, macd_slow, rsi_period, macd_signal))
+    w = Window.partitionBy(symbol_col).orderBy(*[F.col(c) for c in order_cols])
+    close = F.col(close_col)
+    delta = close - F.lag(close, 1).over(w)
+    out = df.withColumns(
+        {
+            "_gain": (delta > 0).cast("double") * delta,
+            "_loss": (delta < 0).cast("double") * (-delta),
+        }
+    )
+    out = add_ewm_native(
+        out,
+        {
+            "_ema_fast": (close_col, macd_fast, True),
+            "_ema_slow": (close_col, macd_slow, True),
+            "_avg_gain": ("_gain", rsi_period, False),
+            "_avg_loss": ("_loss", rsi_period, False),
+        },
+        symbol_col=symbol_col,
+        order_cols=order_cols,
+        block_size=B,
+        keep_block_columns=True,
+    )
+    out = out.withColumn("macd", F.col("_ema_fast") - F.col("_ema_slow"))
+    out = add_ewm_native(
+        out,
+        {"_sig": ("macd", macd_signal, True)},
+        symbol_col=symbol_col,
+        order_cols=order_cols,
+        block_size=B,
+        keep_block_columns=keep_block_columns,
+    )
+    rs = F.col("_avg_gain") / (F.col("_avg_loss") + F.lit(1e-10))
+    return out.withColumns(
+        {
+            "rsi": 100.0 - (100.0 / (1.0 + rs)),
+            "macd_signal": F.col("_sig"),
+            "macd_histogram": F.col("macd") - F.col("_sig"),
+        }
+    ).drop("_gain", "_loss", "_ema_fast", "_ema_slow", "_avg_gain", "_avg_loss", "_sig")
+
+
 def ewm_mean_blocked(
     df: DataFrame,
     col: str,

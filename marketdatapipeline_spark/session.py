@@ -41,8 +41,27 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.getenv("MDP_DRIVER_MEMORY", "48g"))
+        # WindowExec allocates a fresh UnsafeRow copy per buffered row:
+        # wide frames through chained windows generate ~10 GB/run of
+        # short-lived garbage. Parallel scavenge with a large young gen
+        # reclaims it far cheaper than G1 region evacuation here.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.getenv("MDP_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC -Xmn16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # WindowExec copies each partition-group into an in-heap array
+        # that flips to a disk-spilling external sorter after 4096 rows
+        # (default). Per-symbol groups routinely exceed that, and with
+        # chained window nodes the spill storm dominates runtime ~10x.
+        # 1M rows x ~1KB ~ 1GB worst-case per task-group — sized for
+        # this container; on a cluster, set per executor memory and
+        # salt monster symbols.
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "2147483647")
+        .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1048576")
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "2147483647")
         # testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # ns timestamp — read as long, convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

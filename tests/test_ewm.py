@@ -53,6 +53,57 @@ def test_technical_ewm_matches_pandas(spark, bars_df, bars_pdf):
     assert firsts["macd"].notna().all()
 
 
+def test_native_ewm_matches_pandas_path(spark, bars_df, bars_pdf):
+    """All-JVM blocked scan == pandas ewm to ~1e-12 relative."""
+    from marketdatapipeline_spark.features.ewm import (
+        add_technical_ewm_features_native,
+    )
+
+    got = (
+        add_technical_ewm_features_native(bars_df)
+        .orderBy("symbol", "datetime")
+        .toPandas()
+    )
+    exp = _exp(bars_pdf)
+    for c in ("rsi", "macd", "macd_signal", "macd_histogram"):
+        assert np.allclose(
+            got[c].to_numpy("float64"), exp[c], rtol=1e-9, atol=1e-9, equal_nan=True
+        ), c
+    firsts = got.groupby("symbol").head(1)
+    assert firsts["rsi"].isna().all()
+    assert firsts["macd"].notna().all()
+
+
+def test_native_ewm_multiblock(spark):
+    """Series longer than one block: the carry path must be exact.
+
+    Uses span 5 -> block_rows = 600/ln(3/2) ~ 1479... shrunk further by
+    the B floor; build 4000 rows so several blocks occur."""
+    import pandas as pd
+
+    from marketdatapipeline_spark.features.ewm import add_ewm_native
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * n,
+            "datetime": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "close": 100.0 + np.sin(np.arange(n) * 0.37) * 5 + np.arange(n) * 0.01,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = add_ewm_native(
+        df,
+        {"e_t": ("close", 5, True), "e_f": ("close", 5, False)},
+        order_cols=("datetime",),
+    )
+    got = out.orderBy("datetime").toPandas()
+    exp_t = pdf["close"].ewm(span=5).mean().to_numpy()
+    exp_f = pdf["close"].ewm(span=5, adjust=False).mean().to_numpy()
+    assert np.allclose(got["e_t"].to_numpy("float64"), exp_t, rtol=1e-9, atol=1e-9)
+    assert np.allclose(got["e_f"].to_numpy("float64"), exp_f, rtol=1e-9, atol=1e-9)
+
+
 def test_blocked_ewm_adjust_true_matches_pandas(spark, bars_df, bars_pdf):
     out = ewm_mean_blocked(
         bars_df, "close", span=12, out_col="e", adjust=True, block_size=17
