@@ -21,14 +21,15 @@ def _configure(spark: SparkSession) -> SparkSession:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full 50-feature pipeline + targets on sf0.001 bars."""
+    """Flagship: full 50-feature pipeline + fused target on sf0.001 bars."""
     _configure(spark)
-    from marketdatapipeline_spark.features import compute_all_features, generate_targets
+    from marketdatapipeline_spark.features import compute_all_features
     from marketdatapipeline_spark.sources import bars_from_events
 
     bars = bars_from_events(spark, "/root/testdata/sf0.001")
-    feats = compute_all_features(bars, order_cols=("datetime", "bar_id"))
-    return generate_targets(feats, order_cols=("datetime", "bar_id"))
+    return compute_all_features(
+        bars, order_cols=("datetime", "bar_id"), target_horizon=1
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -298,19 +298,52 @@ def compute_all_features(
     ewm_impl: str = "native",
     target_horizon: int | None = None,
     target_type: str = "classification",
+    engine: str = "arrow",
 ) -> DataFrame:
     """All feature families (reference engineering.py:198-226): 7 input
     columns (symbol + OHLCV + datetime) -> 55; generate_targets adds the
-    56th. One EWMA scan + one native Window stage.
+    56th (or pass ``target_horizon`` to fuse it).
+
+    ``engine="arrow"`` (default): one groupBy(symbol).applyInPandas
+    pass — single exchange, vectorized per-symbol kernels, the fastest
+    strategy for the full 56-column derivation (see
+    features/arrow_engine.py for the measured rationale).
+    ``engine="sql"``: pure window-operator plan — every feature as a
+    native Catalyst expression (prefix-sum rolling aggregates, blocked
+    EWMA scan). Composable with further relational ops and the choice
+    for monster single-symbol series, but the 10+ chained Window nodes
+    cost more for the full batch derivation.
 
     ``target_horizon`` fuses target generation (reference
-    targets.py:30-43) into the same window stage: the lead(close)
-    primitive computes while the frame is still narrow, so the wide
-    56-column result never passes through a window buffer — windows
-    copy every buffered row, so row width inside them is the dominant
-    cost at scale. Use :func:`generate_targets` only on frames that
-    did not come straight from this function.
+    targets.py:30-43) into the same stage; in the SQL engine the
+    lead(close) primitive computes while the frame is still narrow, so
+    the wide 56-column result never passes through a window buffer —
+    windows copy every buffered row, so row width inside them is the
+    dominant cost at scale.
     """
+    if engine == "arrow":
+        from marketdatapipeline_spark.features.arrow_engine import (
+            compute_all_features_arrow,
+        )
+
+        return compute_all_features_arrow(
+            df,
+            datetime_col=datetime_col,
+            momentum_periods=momentum_periods,
+            volatility_windows=volatility_windows,
+            symbol_col=symbol_col,
+            order_cols=order_cols,
+            rsi_period=rsi_period,
+            macd_fast=macd_fast,
+            macd_slow=macd_slow,
+            macd_signal=macd_signal,
+            bb_period=bb_period,
+            bb_std=bb_std,
+            target_horizon=target_horizon,
+            target_type=target_type,
+        )
+    if engine != "sql":
+        raise ValueError(f"Unknown engine: {engine}")
     momentum_periods = tuple(momentum_periods or (5, 10, 20, 50))
     volatility_windows = tuple(volatility_windows or (10, 20, 60))
     order_cols = tuple(order_cols or (datetime_col,))
