@@ -693,6 +693,129 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLS_METRICS_SQL = _bars_sql(
+    f"""
+    SELECT (tp + tn) / CAST(n AS DOUBLE) AS accuracy,
+           CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS precision,
+           CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS recall,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                THEN 2.0 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(tp + fn AS DOUBLE))
+                     / ((tp / CAST(tp + fp AS DOUBLE)) + (tp / CAST(tp + fn AS DOUBLE)))
+                ELSE 0.0 END AS f1,
+           tp, fp, fn, tn
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN target = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN target = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN target = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN target = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM (
+            SELECT CAST(((lead(close, 1) OVER w - close) / close) > 0 AS INT) AS target,
+                   CAST(close > lag(close, 1) OVER w AS INT) AS pred
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+        ) WHERE target IS NOT NULL AND pred IS NOT NULL
+    )
+    """
+)
+
+
+@register("ml_classification_metrics", _CLS_METRICS_SQL)
+def q_ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification metrics as one aggregation pass (M3, reference
+    src/ml/evaluation.py:25-63) over a deterministic momentum-rule
+    predictor (close > previous close), so both engines score identical
+    (label, pred) pairs. Ratios of exact integer counts —
+    bit-identical division."""
+    from marketdatapipeline_spark.features import generate_targets
+    from marketdatapipeline_spark.ml import classification_metrics
+
+    bars = bars_from_events(spark, sf_dir)
+    labeled = generate_targets(bars, 1, "classification", order_cols=ORDER)
+    scored = labeled.withColumn(
+        "prediction", (F.col("close") > F.lag("close", 1).over(_w())).cast("int")
+    ).filter(F.col("prediction").isNotNull())
+    return classification_metrics(scored)
+
+
+_REG_METRICS_SQL = _bars_sql(
+    f"""
+    SELECT round(mse, 6) + 0.0 AS mse,
+           round(sqrt(mse), 6) + 0.0 AS rmse,
+           round(mae, 6) + 0.0 AS mae,
+           round(1.0 - ss_res / (sum_y2 - sum_y * sum_y / n), 6) + 0.0 AS r2
+    FROM (
+        SELECT avg((target - pred) * (target - pred)) AS mse,
+               avg(abs(target - pred)) AS mae,
+               sum((target - pred) * (target - pred)) AS ss_res,
+               sum(target * target) AS sum_y2,
+               sum(target) AS sum_y,
+               count(*) AS n
+        FROM (
+            SELECT (lead(close, 1) OVER w - close) / close AS target,
+                   (close - lag(close, 1) OVER w) / lag(close, 1) OVER w AS pred
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+        ) WHERE target IS NOT NULL AND pred IS NOT NULL
+    )
+    """
+)
+
+
+@register("ml_regression_metrics", _REG_METRICS_SQL)
+def q_ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression metrics (M4, reference evaluation.py:65-77):
+    persistence forecast (last return predicts the next) scored with
+    MSE/RMSE/MAE/R2 in one aggregation. Rounded — FP sum association
+    differs between engines."""
+    from marketdatapipeline_spark.ml import regression_metrics
+
+    w = _w()
+    close = F.col("close")
+    prev = F.lag(close, 1).over(w)
+    bars = bars_from_events(spark, sf_dir)
+    scored = bars.select(
+        ((F.lead(close, 1).over(w) - close) / close).alias("target"),
+        ((close - prev) / prev).alias("prediction"),
+    ).filter(F.col("target").isNotNull() & F.col("prediction").isNotNull())
+    m = regression_metrics(scored)
+    return m.select(
+        _r6(F.col("mse")).alias("mse"),
+        _r6(F.col("rmse")).alias("rmse"),
+        _r6(F.col("mae")).alias("mae"),
+        _r6(F.col("r2")).alias("r2"),
+    )
+
+
+_CONFUSION_SQL = _bars_sql(
+    f"""
+    SELECT target, pred, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CAST(((lead(close, 1) OVER w - close) / close) > 0 AS TINYINT) AS target,
+               CAST(close > lag(close, 1) OVER w AS TINYINT) AS pred
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+    ) WHERE target IS NOT NULL AND pred IS NOT NULL
+    GROUP BY target, pred
+    """
+)
+
+
+@register("ml_confusion_matrix", _CONFUSION_SQL)
+def q_ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix = groupBy(label, pred).count() (reference
+    evaluation.py:56) — exact integer counts."""
+    from marketdatapipeline_spark.features import generate_targets
+    from marketdatapipeline_spark.ml import confusion_matrix
+
+    bars = bars_from_events(spark, sf_dir)
+    labeled = generate_targets(bars, 1, "classification", order_cols=ORDER)
+    scored = labeled.withColumn(
+        "pred", (F.col("close") > F.lag("close", 1).over(_w())).cast("tinyint")
+    ).filter(F.col("pred").isNotNull())
+    return confusion_matrix(scored, pred_col="pred")
+
+
 @register(
     "chronological_split",
     """
