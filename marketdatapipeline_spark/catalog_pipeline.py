@@ -1,0 +1,363 @@
+"""Catalog entries for the training-data pipeline operators
+(dedup / text analysis / similarity search) over the ``documents``
+and ``embeddings`` tables.
+
+Every SQL oracle reproduces the operator arithmetic exactly: the base
+hash (md5 first-8-hex as integer), the universal-hash MinHash family,
+SimHash bit votes, and cosine folds are all bit-identical across
+Spark and DuckDB (verified primitives), so these operators get full
+value-level checks, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.catalog import _r6, register
+from marketdatapipeline_spark.sources.tables import load_table
+from marketdatapipeline_spark.textops.dedup import (
+    MERSENNE_P,
+    exact_duplicate_groups,
+    hash_coeffs,
+    jaccard_similar_pairs,
+    minhash_signature,
+    simhash,
+)
+
+#: DuckDB equivalent of textops.dedup.md5_int
+_H_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, repartitioned: the parquet is a single small
+    file (one scan partition), which would serialize every per-token
+    expression onto one task. Hash-distributing by doc_id engages all
+    cores; at 100 TB the scan itself provides the partitions and this
+    becomes a no-op choice."""
+    return load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+
+#: DuckDB fragment: distinct word-1-gram (token) set per document
+#: Pairwise (quadratic) queries bound the corpus to doc_id < 1000 so the
+#: sf0.1 bench stays sane; at the sf0.01 oracle tier (500 docs) the bound
+#: is a no-op. Linear operators run unbounded.
+_TOKENS_CTE = r"""
+tokens AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS shingle
+    FROM documents WHERE doc_id < 1000
+)
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    WITH with_dups AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM with_dups GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary (hash-groupBy). The synthetic corpus has no
+    duplicate texts, so every tenth doc is re-injected under a new id:
+    the operator must collapse those groups to the original id."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicate_groups(docs.unionByName(dups))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_TOKENS_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM tokens a JOIN tokens b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs (n=1 shingles, tau=0.5):
+    explode -> equi-join on shingle -> count/union-size arithmetic.
+    Integer-ratio similarity — bit-identical, no rounding."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return jaccard_similar_pairs(docs, threshold=0.5, n=1)
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    h = _H_SQL.format(x="shingle")
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+    )
+    return f"WITH {_TOKENS_CTE} SELECT doc_id, {mins} FROM tokens GROUP BY doc_id"
+
+
+@register("dedup_minhash_signatures", _minhash_sql(16))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signatures over token sets: one aggregation with
+    map-side partial mins; the universal-hash family (a*H+b) mod p over
+    the md5-derived base hash is exactly reproduced in the oracle."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return minhash_signature(docs, num_hashes=16, n=1)
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    h = _H_SQL.format(x="shingle")
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, '{b}_' || {cols} AS band_key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_TOKENS_CTE},
+    sigs AS (SELECT doc_id, {mins} FROM tokens GROUP BY doc_id),
+    bands AS ({bands_sql}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
+    inter AS (
+        SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, count(*) AS inter
+        FROM tokens t1 JOIN tokens t2 ON t1.shingle = t2.shingle AND t1.doc_id < t2.doc_id
+        JOIN cands c ON c.id_a = t1.doc_id AND c.id_b = t2.doc_id
+        GROUP BY t1.doc_id, t2.doc_id
+    )
+    SELECT id_a, id_b,
+           inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded
+    candidate join -> exact Jaccard verification. The oracle replays
+    the identical pipeline in SQL, so band hashing, candidate
+    generation, and verification are all value-checked."""
+    from marketdatapipeline_spark.textops.dedup import minhash_near_duplicates
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=16, bands=4, n=1
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = _H_SQL.format(x="token")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", _simhash_sql(16))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (term-frequency sign votes per bit).
+    Pure integer arithmetic — bit-identical across engines."""
+    docs = _docs(spark, sf_dir)
+    return simhash(docs, bits=16)
+
+
+@register(
+    "text_token_quality",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_calc,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) + 0.0 AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], lower(w))))
+                 / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) + 0.0
+                 AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (length/punct/stopword ratios)
+    as scan-side expressions. Ratios of integer counts rounded only to
+    guard the double division."""
+    from marketdatapipeline_spark.textops import add_quality_signals, add_token_count
+
+    docs = _docs(spark, sf_dir)
+    out = add_quality_signals(add_token_count(docs))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars_calc").cast("int").alias("n_chars_calc"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+    )
+
+
+def _langid_sql() -> str:
+    from marketdatapipeline_spark.textops.analysis import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(words, w -> list_contains([{lst}], w))) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "CASE "
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        conds.append(f"score_{lang} > 0")
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return rf"""
+    WITH scored AS (
+        SELECT doc_id, text, {', '.join(score_exprs)}
+        FROM (
+            SELECT doc_id, text,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'), w -> lower(w)) AS words
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' ELSE {best} END AS lang_pred,
+           {', '.join(f'CAST(score_{lang} AS INT) AS score_{lang}' for lang in langs)}
+    FROM scored
+    """
+
+
+@register("text_language_id", _langid_sql())
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token voting language ID with deterministic argmax and a
+    CJK-codepoint route for Chinese."""
+    from marketdatapipeline_spark.textops import add_language_id
+    from marketdatapipeline_spark.textops.analysis import LANG_MARKERS
+
+    docs = _docs(spark, sf_dir)
+    out = add_language_id(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        *[F.col(f"score_{lang}").cast("int").alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+@register(
+    "text_fingerprints",
+    rf"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+           CAST(list_sum(list_transform(
+               regexp_split_to_array(trim(text), '\s+'),
+               (w, i) -> ({_H_SQL.format(x="w")} % {MERSENNE_P}) * CAST(i AS BIGINT)
+           )) % {MERSENNE_P} AS BIGINT) AS fp_roll
+    FROM documents
+    """,
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized-md5 and an order-sensitive
+    rolling hash (sum of H(token)*position mod p). The running-mod fold
+    equals the sum-then-mod oracle because 500 tokens x p x position
+    stays far below 2^63."""
+    from marketdatapipeline_spark.textops import add_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    return add_fingerprints(docs).select("doc_id", "fp_md5", "fp_roll")
+
+
+@register(
+    "similarity_cosine_pairs",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < 1000
+    )
+    SELECT id_a, id_b, round(cosine, 6) + 0.0 AS cosine
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def q_similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= 0.4 via zip_with/
+    aggregate folds (JVM higher-order functions, no UDF). Rounded:
+    float-array fold association may differ in the last ulp."""
+    from marketdatapipeline_spark.similarity import cosine_pairs_above
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    pairs = cosine_pairs_above(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
+@register("similarity_cosine_topk", None)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a 10-vector probe set.
+    Rows-only in the oracle (FP ties make cross-engine rank comparison
+    brittle); ranking correctness is pytest-verified against numpy."""
+    from marketdatapipeline_spark.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register("similarity_lsh_topk", None)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH variant of top-k: bucket equi-join +
+    exact rerank. Rows-only (approximate by construction); recall vs
+    brute force is pytest-checked."""
+    from marketdatapipeline_spark.similarity import hyperplane_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=8)

@@ -1,0 +1,15 @@
+"""Embedding similarity search over array<float> columns."""
+
+from marketdatapipeline_spark.similarity.search import (
+    add_vector_norm,
+    cosine_pairs_above,
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+
+__all__ = [
+    "add_vector_norm",
+    "cosine_pairs_above",
+    "cosine_topk",
+    "hyperplane_lsh_topk",
+]

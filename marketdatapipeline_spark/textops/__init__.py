@@ -1,0 +1,40 @@
+"""Training-data pipeline operators over document tables.
+
+Deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text
+analysis (language ID, quality scoring, token counting,
+fingerprinting). Every operator is built from JVM-side expressions —
+no Python UDFs — and is designed shuffle-light for 100 TB corpora:
+candidate generation via bucket joins (LSH bands), never all-pairs.
+"""
+
+from marketdatapipeline_spark.textops.analysis import (
+    add_fingerprints,
+    add_language_id,
+    add_quality_signals,
+    add_token_count,
+)
+from marketdatapipeline_spark.textops.dedup import (
+    deduplicate_exact,
+    exact_duplicate_groups,
+    jaccard_similar_pairs,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+
+__all__ = [
+    "add_fingerprints",
+    "add_language_id",
+    "add_quality_signals",
+    "add_token_count",
+    "deduplicate_exact",
+    "exact_duplicate_groups",
+    "jaccard_similar_pairs",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "minhash_signature",
+    "simhash",
+    "word_shingles",
+]

@@ -1,0 +1,133 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is built from JVM-side expressions (split / filter /
+regexp / md5) — no Python in the hot path — and each operator has an
+exact DuckDB-SQL equivalent for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.textops.dedup import MERSENNE_P, md5_int
+
+#: Marker tokens per language for the n-gram/stopword voting heuristic.
+#: Deterministic and tiny on purpose — the operator is the vote +
+#: argmax machinery; richer marker lists slot in without plan changes.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est"),
+    "es": ("el", "los", "las", "que", "una", "por", "con"),
+    "de": ("der", "die", "das", "und", "nicht", "mit", "ist"),
+}
+
+#: Stopwords for the quality signal (English-biased, as in common
+#: quality filters; ratio features stay meaningful on any corpus).
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a word-character count (BPE-ish proxy:
+    alnum runs), both as scan-side expressions."""
+    words = _tokens(text_col)
+    alnum_runs = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[^A-Za-z0-9]+"), lambda t: t != ""
+        )
+    )
+    return df.withColumns(
+        {"n_tokens": F.size(words), "n_words": alnum_runs}
+    )
+
+
+def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals
+    (the standard pre-training quality-filter features)."""
+    text = F.col(text_col)
+    words = _tokens(text_col)
+    n_tok = F.size(words)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    mean_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / n_tok.cast("double")
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "punct_ratio": n_punct / n_chars.cast("double"),
+            "stopword_ratio": n_stop / n_tok.cast("double"),
+            "mean_word_len": mean_word_len,
+        }
+    )
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token voting language ID.
+
+    Counts marker hits per language over lowercased tokens; predicts
+    the argmax with a deterministic tie-break (declaration order,
+    'und' = undetermined when nothing matched). A CJK-codepoint check
+    routes Chinese before the Latin vote.
+    """
+    words = F.transform(_tokens(text_col), F.lower)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+
+    langs = list(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        cond_better = F.lit(True)
+        for other in langs:
+            if other == lang:
+                continue
+            op = (
+                scores[lang] >= scores[other]
+                if langs.index(other) > langs.index(lang)
+                else scores[lang] > scores[other]
+            )
+            cond_better = cond_better & op
+        step = F.when(cond_better & (scores[lang] > 0), F.lit(lang))
+        best = step if best is None else best.when(
+            cond_better & (scores[lang] > 0), F.lit(lang)
+        )
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(F.coalesce(best, F.lit("und")))
+    out = df.withColumn("lang_pred", pred)
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out
+
+
+def add_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints:
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text — the
+      canonical exact-dup key under formatting noise;
+    - ``fp_roll``: order-sensitive rolling hash — sum over token
+      positions of H(token) * (pos + 1) mod p. Content AND order
+      sensitive, one narrow aggregate-free expression.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = _tokens(text_col)
+    roll = (
+        F.aggregate(
+            F.zip_with(
+                words,
+                F.sequence(F.lit(1), F.size(words)),
+                lambda w, i: (md5_int(w) % MERSENNE_P) * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc + x) % F.lit(MERSENNE_P).cast("bigint"),
+        )
+    )
+    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": roll})

@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All hashing is deterministic and cross-engine reproducible: the base
+string hash is the first 8 hex digits of md5 as an integer (identical
+in Spark and DuckDB, so every operator here is DuckDB-oracle-checkable),
+and the MinHash family is the standard universal-hash construction
+h_i(x) = (a_i * H(x) + b_i) mod p over that base hash.
+
+Scale design (100 TB corpora):
+- shingling explodes each doc into k-grams: shuffle-free (narrow);
+- exact dedup / signature building are single hash-aggregations with
+  map-side partial aggregation;
+- candidate generation is an equi-join on LSH band keys — only docs
+  sharing a band collide, never all-pairs;
+- the Jaccard verifier joins candidate pairs back to shingle sets,
+  so verification cost is proportional to candidates, not n^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 - 1 for the universal hash family.
+MERSENNE_P = 2_147_483_647
+
+
+def md5_int(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint — the cross-engine base hash.
+
+    DuckDB equivalent: ``CAST(('0x' || substr(md5(x),1,8)) AS UBIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for h_i = (a*H + b) mod p.
+
+    Knuth multiplicative constants — fixed arithmetic, no RNG state, so
+    the same integers can be embedded in oracle SQL text.
+    """
+    coeffs = []
+    for i in range(num_hashes):
+        a = ((i + 1) * 2_654_435_761) % MERSENNE_P | 1
+        b = ((i + 1) * 40_503) % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup summary: one row per distinct text with
+    its cardinality and the kept (minimum) id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def deduplicate_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the smallest-id row per distinct text. At scale this is one
+    shuffle on the 128-bit text hash; the min-id rule makes the result
+    deterministic under any partitioning."""
+    keep = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-grams per document: (id, shingle).
+
+    Tokens are whitespace-split; shingle i joins tokens [i, i+n) with a
+    single space. Exactly reproducible in SQL on both engines.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard >= threshold.
+
+    Without ``candidates`` this self-joins the exploded shingle table —
+    cost bounded by shared-shingle co-occurrence, not n^2, but still
+    the exact path. Pass LSH candidates (``lsh_candidate_pairs``) to
+    verify only colliding pairs — the 100 TB path.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: columns mh_0 .. mh_{k-1}.
+
+    One aggregation over the shingle table: mh_i = min over shingles of
+    (a_i * H(shingle) + b_i) mod p. Map-side partial mins make this a
+    single cheap shuffle at any scale.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    h = md5_int(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in >= 1 LSH band.
+
+    Signature columns are split into ``bands`` contiguous slices; the
+    band key is the concatenated slice. Docs sharing any band key
+    become a candidate pair — an equi-join per band, unioned and
+    deduplicated. Probability of collision ~ 1-(1-j^r)^b for Jaccard j.
+    """
+    mh_cols = sorted(
+        (c for c in signatures.columns if c.startswith("mh_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    rows_per_band = len(mh_cols) // bands
+    out = None
+    for b in range(bands):
+        cols = mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        keyed = signatures.select(
+            F.col(id_col),
+            F.concat_ws("_", F.lit(b), *[F.col(c) for c in cols]).alias("band_key"),
+        )
+        left = keyed.select(F.col(id_col).alias("id_a"), "band_key")
+        right = keyed.select(F.col(id_col).alias("id_b"), "band_key")
+        pairs = left.join(right, "band_key").filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b")
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> banded
+    candidates -> exact Jaccard verification >= threshold."""
+    sigs = minhash_signature(df, num_hashes, id_col, text_col, n)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    return jaccard_similar_pairs(
+        df, threshold, id_col, text_col, n, candidates=cands
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash over whitespace tokens (term-frequency weighted).
+
+    Bit b of the fingerprint is the sign of sum over tokens of
+    (+1 if bit b of H(token) else -1). One explode + one aggregation;
+    near-dup search then compares Hamming distance on the fingerprints.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
+    h = md5_int(F.col("token"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))

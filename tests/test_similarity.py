@@ -1,0 +1,82 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from marketdatapipeline_spark.similarity import (
+    cosine_pairs_above,
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+
+DIM = 16
+N = 60
+
+
+def _vectors() -> np.ndarray:
+    # deterministic anisotropic vectors with planted near-dup pairs
+    rng = np.random.RandomState(7)
+    v = rng.randn(N, DIM)
+    v[1] = v[0] + 0.01 * rng.randn(DIM)  # near-dup of 0
+    v[3] = v[2] + 0.01 * rng.randn(DIM)
+    return v.astype("float32")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    v = _vectors()
+    rows = [(i, v[i].tolist()) for i in range(N)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _numpy_topk(v: np.ndarray, qids: list[int], k: int):
+    v64 = v.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    out = {}
+    for q in qids:
+        sims = (v64 @ v64[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-sims[i], i)
+        )
+        out[q] = [(i, sims[i]) for i in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=4).collect()
+    exp = _numpy_topk(_vectors(), [0, 1, 2, 3, 4], 4)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.corpus_id, r.cosine))
+    for q in exp:
+        assert [i for i, _ in by_q[q]] == [i for i, _ in exp[q]], q
+        for (gi, gs), (_ei, es) in zip(by_q[q], exp[q]):
+            assert abs(gs - es) < 1e-9
+
+
+def test_cosine_pairs_above_finds_planted_dups(emb):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs_above(emb, 0.99).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(c >= 0.99 for c in pairs.values())
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = hyperplane_lsh_topk(emb, queries, k=3, n_planes=4, dim=DIM).collect()
+    exact_set = {(r.query_id, r.corpus_id) for r in exact}
+    approx_set = {(r.query_id, r.corpus_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # single-bucket LSH at 4 planes: modest recall
+    # planted near-dups share every hyperplane side -> always found
+    assert (0, 1) in approx_set and (1, 0) in approx_set

@@ -1,0 +1,143 @@
+"""Dedup + text analysis operators over a tiny hand-built corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.textops import (
+    add_fingerprints,
+    add_language_id,
+    add_quality_signals,
+    add_token_count,
+    deduplicate_exact,
+    exact_duplicate_groups,
+    jaccard_similar_pairs,
+    minhash_near_duplicates,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+from marketdatapipeline_spark.textops.dedup import MERSENNE_P, hash_coeffs
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different words entirely here now"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "le chat et le chien sont dans la maison et la cour"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicate_groups(docs).toPandas()
+    dup = groups[groups.n_docs > 1]
+    assert len(dup) == 1 and dup.iloc[0].keep_id == 0 and dup.iloc[0].n_docs == 2
+    kept = deduplicate_exact(docs)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 3).count() == 0  # loser dropped
+
+
+def test_word_shingles_exact_set(docs):
+    got = {
+        r.shingle
+        for r in word_shingles(docs.filter("doc_id = 2"), n=3).collect()
+    }
+    assert got == {
+        "completely different words",
+        "different words entirely",
+        "words entirely here",
+        "entirely here now",
+    }
+
+
+def test_jaccard_pairs_hand_computed(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similar_pairs(docs, threshold=0.2, n=1).collect()
+    }
+    # docs 0 and 1 share tokens {the,quick,brown,fox,jumps,over,lazy}=7
+    # of union 9 (dog|cat) -> 7/9; 0-3 identical -> 1.0
+    assert abs(pairs[(0, 1)] - 7 / 9) < 1e-12
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_signature_matches_pure_python(docs):
+    sigs = {r.doc_id: r for r in minhash_signature(docs, num_hashes=8, n=1).collect()}
+    for doc_id, text in DOCS:
+        shingles = set(text.split())
+        for i, (a, b) in enumerate(hash_coeffs(8)):
+            expected = min((a * _py_md5_int(s) + b) % MERSENNE_P for s in shingles)
+            assert sigs[doc_id][f"mh_{i}"] == expected, (doc_id, i)
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signature(docs, 16, n=1).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_lsh_pipeline_finds_near_dups(docs):
+    out = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, threshold=0.5, num_hashes=16, bands=8, n=1).collect()
+    }
+    assert (0, 3) in out  # exact dup always collides
+    assert (0, 2) not in out
+
+
+def test_simhash_properties(docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    assert fp[0] == fp[3]  # identical docs, identical fingerprints
+    ham_near = bin(fp[0] ^ fp[1]).count("1")
+    ham_far = bin(fp[0] ^ fp[2]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_token_count_and_quality(docs):
+    out = add_quality_signals(add_token_count(docs)).filter("doc_id = 0").first()
+    assert out.n_tokens == 9
+    assert out.stopword_ratio == pytest.approx(2 / 9)  # 'the' twice
+    assert out.punct_ratio == 0.0
+
+
+def test_language_id(docs, spark):
+    extra = spark.createDataFrame(
+        [(10, "der hund und die katze sind nicht mit der maus"),
+         (11, "el perro y los gatos que corren por la casa con una pelota"),
+         (12, "这是一个中文文档 with some latin")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in add_language_id(docs.unionByName(extra)).collect()}
+    assert out[0] == "en" and out[4] == "fr"
+    assert out[10] == "de" and out[11] == "es" and out[12] == "zh"
+    assert out[2] == "und"  # no markers at all
+
+
+def test_fingerprints(docs, spark):
+    out = {r.doc_id: (r.fp_md5, r.fp_roll) for r in add_fingerprints(docs).collect()}
+    assert out[0] == out[3]                      # identical text
+    assert out[0][0] != out[1][0]                # different text
+    # formatting noise does not change fp_md5
+    noisy = spark.createDataFrame(
+        [(99, "The  Quick   Brown Fox Jumps Over The Lazy Dog")], ["doc_id", "text"]
+    )
+    got = add_fingerprints(noisy).first()
+    assert got.fp_md5 == out[0][0]
+    # rolling hash is order-sensitive
+    swapped = spark.createDataFrame(
+        [(98, "quick the brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    assert add_fingerprints(swapped).first().fp_roll != out[0][1]
