@@ -1,0 +1,30 @@
+"""Structured Streaming extensions (no reference counterpart).
+
+The reference (ErwinGoneMad/MarketDataPipeline) is strictly batch —
+polling HTTP fetch with sleeps (src/data/ingestion.py:231-239) and no
+streaming operators of any kind (SURVEY.md §2.6). These modules are the
+Spark-native evolution of that ingestion path: a tick stream becomes
+watermarked event-time OHLCV bars, and the batch indicator pipeline
+gets an online, incremental counterpart with explicit state.
+
+Correctness is defined by batch parity: every streaming operator here
+is pinned by a test comparing its ``availableNow`` output against the
+equivalent batch computation on the same rows.
+"""
+
+from marketdatapipeline_spark.streaming.bars import bars_from_ticks_batch, ticks_to_bars
+from marketdatapipeline_spark.streaming.ingestion import (
+    TICK_SCHEMA,
+    rate_tick_stream,
+    read_tick_stream,
+)
+from marketdatapipeline_spark.streaming.stateful import online_indicators
+
+__all__ = [
+    "TICK_SCHEMA",
+    "read_tick_stream",
+    "rate_tick_stream",
+    "ticks_to_bars",
+    "bars_from_ticks_batch",
+    "online_indicators",
+]

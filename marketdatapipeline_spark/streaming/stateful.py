@@ -1,0 +1,196 @@
+"""Online (incremental) technical indicators with explicit state.
+
+Streaming counterpart of the batch EWM stage
+(features/ewm.py:add_technical_ewm_features — itself the Spark
+re-expression of reference src/features/engineering.py:36-57). Where
+the batch path needs each symbol's full history in hand, this operator
+carries a **12-double state vector per symbol** across micro-batches
+via ``applyInPandasWithState``, so an unbounded tick feed gets
+RSI/MACD continuously with O(symbols) state, not O(rows).
+
+State per symbol (all recurrences are linear scans, so constant
+per-row work):
+
+* ``last_close`` — to compute the next delta across the batch boundary;
+* Wilder gains/losses (``adjust=False``, span=rsi_period):
+  ``y ← (1-a)·y + a·x``, seeded ``y = x`` at the first valid delta;
+* MACD fast/slow and signal EMAs (``adjust=True``, pandas default):
+  numerator/denominator pairs ``N ← x + r·N``, ``D ← 1 + r·D``,
+  ``y = N/D`` — the normalized form, numerically stable (N, D are
+  bounded by x_max/(1-r) and 1/(1-r)).
+
+Batch parity: on an in-order feed this emits bit-identical values to
+``add_technical_ewm_features`` (pinned by tests/test_streaming.py).
+Rows inside a micro-batch are sorted by event time per symbol; ACROSS
+batches the source must deliver per-symbol in-order data (true for a
+file-drop feed of finalized bars, e.g. the output of ticks_to_bars) —
+the EWMA recurrence is order-defined, so out-of-order input changes
+the answer in ANY engine, including the reference's.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_rows", LongType()),
+        StructField("last_close", DoubleType()),
+        StructField("gain_ewm", DoubleType()),
+        StructField("loss_ewm", DoubleType()),
+        StructField("gain_seeded", LongType()),  # 0/1: Wilder EWMAs seeded yet
+        StructField("fast_n", DoubleType()),
+        StructField("fast_d", DoubleType()),
+        StructField("slow_n", DoubleType()),
+        StructField("slow_d", DoubleType()),
+        StructField("sig_n", DoubleType()),
+        StructField("sig_d", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("close", DoubleType()),
+        StructField("rsi", DoubleType()),
+        StructField("macd", DoubleType()),
+        StructField("macd_signal", DoubleType()),
+        StructField("macd_histogram", DoubleType()),
+    ]
+)
+
+_EPS = 1e-10  # reference's literal epsilon guard (engineering.py:45)
+
+
+def _indicator_func(
+    rsi_period: int, macd_fast: int, macd_slow: int, macd_signal: int
+):
+    a_rsi = 2.0 / (rsi_period + 1.0)
+    r_fast = 1.0 - 2.0 / (macd_fast + 1.0)
+    r_slow = 1.0 - 2.0 / (macd_slow + 1.0)
+    r_sig = 1.0 - 2.0 / (macd_signal + 1.0)
+
+    def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (
+                n_rows,
+                last_close,
+                gain_ewm,
+                loss_ewm,
+                gain_seeded,
+                fast_n,
+                fast_d,
+                slow_n,
+                slow_d,
+                sig_n,
+                sig_d,
+            ) = state.get
+        else:
+            n_rows, last_close = 0, float("nan")
+            gain_ewm, loss_ewm, gain_seeded = 0.0, 0.0, 0
+            fast_n = fast_d = slow_n = slow_d = sig_n = sig_d = 0.0
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts")
+            out_rows = []
+            for ts, close in zip(pdf["ts"], pdf["price" if "price" in pdf else "close"]):
+                close = float(close)
+                rsi = float("nan")
+                if n_rows > 0:
+                    delta = close - last_close
+                    gain = delta if delta > 0 else 0.0
+                    loss = -delta if delta < 0 else 0.0
+                    if gain_seeded:
+                        gain_ewm = (1.0 - a_rsi) * gain_ewm + a_rsi * gain
+                        loss_ewm = (1.0 - a_rsi) * loss_ewm + a_rsi * loss
+                    else:
+                        gain_ewm, loss_ewm, gain_seeded = gain, loss, 1
+                    rs = gain_ewm / (loss_ewm + _EPS)
+                    rsi = 100.0 - (100.0 / (1.0 + rs))
+                # adjust=True EMAs over close (never NaN)
+                fast_n = close + r_fast * fast_n
+                fast_d = 1.0 + r_fast * fast_d
+                slow_n = close + r_slow * slow_n
+                slow_d = 1.0 + r_slow * slow_d
+                macd = fast_n / fast_d - slow_n / slow_d
+                sig_n = macd + r_sig * sig_n
+                sig_d = 1.0 + r_sig * sig_d
+                signal = sig_n / sig_d
+                out_rows.append(
+                    (key[0], ts, close, rsi, macd, signal, macd - signal)
+                )
+                last_close = close
+                n_rows += 1
+            out = pd.DataFrame(
+                out_rows,
+                columns=[
+                    "symbol",
+                    "ts",
+                    "close",
+                    "rsi",
+                    "macd",
+                    "macd_signal",
+                    "macd_histogram",
+                ],
+            )
+            # nullable Float64 ⇒ NaN crosses Arrow as NULL, matching the
+            # batch path's nan_to_null (features/ewm.py:44).
+            out["rsi"] = out["rsi"].astype("Float64")
+            yield out
+
+        state.update(
+            (
+                n_rows,
+                last_close,
+                gain_ewm,
+                loss_ewm,
+                gain_seeded,
+                fast_n,
+                fast_d,
+                slow_n,
+                slow_d,
+                sig_n,
+                sig_d,
+            )
+        )
+
+    return func
+
+
+def online_indicators(
+    ticks: DataFrame,
+    rsi_period: int = 14,
+    macd_fast: int = 12,
+    macd_slow: int = 26,
+    macd_signal: int = 9,
+) -> DataFrame:
+    """Continuous RSI/MACD over a stream of per-symbol prices.
+
+    Input: streaming DataFrame with ``symbol, ts`` and ``price`` (tick
+    shape) or ``close`` (bar shape). Output: one row per input row with
+    the indicator columns, emitted in append mode. The groupBy(symbol)
+    is the only shuffle; state-store partitioning then pins each
+    symbol's scan to one task per micro-batch.
+    """
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        _indicator_func(rsi_period, macd_fast, macd_slow, macd_signal),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,151 @@
+"""Streaming operators pinned by batch parity (SURVEY.md §7 step 8a).
+
+Each test drives the stream with ``availableNow`` over static files and
+compares against the equivalent batch computation on the same rows —
+correctness of the streaming path is *defined* as batch equivalence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from marketdatapipeline_spark.streaming import (
+    TICK_SCHEMA,
+    bars_from_ticks_batch,
+    online_indicators,
+    read_tick_stream,
+    ticks_to_bars,
+)
+
+
+@pytest.fixture(scope="module")
+def tick_dir(spark, bars_pdf, tmp_path_factory):
+    """Tick-shaped files derived from the deterministic bar fixture:
+    each bar row becomes one tick (price=close, size=volume)."""
+    path = str(tmp_path_factory.mktemp("ticks"))
+    pdf = bars_pdf.rename(columns={"datetime": "ts", "close": "price", "volume": "size"})[
+        ["symbol", "ts", "price", "size"]
+    ]
+    sdf = spark.createDataFrame(pdf, schema=TICK_SCHEMA)
+    # two files so availableNow processes >1 input split
+    sdf.repartition(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_ticks_to_bars_matches_batch(spark, tick_dir):
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    ticks_batch = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+
+    got = _run_stream_to_memory(
+        spark, ticks_to_bars(ticks_stream, "1 minute", "0 seconds"), "bars_stream"
+    ).toPandas()
+    want = bars_from_ticks_batch(ticks_batch, "1 minute").toPandas()
+    # append mode only emits FINALIZED bars: each symbol's last window
+    # never passes the watermark, so it stays in state — drop it from
+    # the batch truth.
+    last = want.groupby("symbol")["datetime"].transform("max")
+    want = want[want["datetime"] != last]
+
+    key = ["symbol", "datetime"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # 1-minute fixture bars, one tick each: OHLC collapse to the tick price
+    assert (got["open"] == got["close"]).all()
+    assert (got["tick_count"] == 1).all()
+
+
+def test_ticks_to_bars_aggregates_within_window(spark, tick_dir):
+    ticks = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    bars5 = bars_from_ticks_batch(ticks, "5 minutes").toPandas()
+    assert (bars5["tick_count"] == 5).all()
+    assert (bars5["high"] >= bars5["low"]).all()
+    # open is the earliest tick's price, close the latest's
+    one = bars5.sort_values(["symbol", "datetime"]).iloc[0]
+    raw = ticks.toPandas().sort_values("ts")
+    sym_ticks = raw[(raw["symbol"] == one["symbol"])].head(5)
+    assert one["open"] == sym_ticks.iloc[0]["price"]
+    assert one["close"] == sym_ticks.iloc[-1]["price"]
+    assert one["volume"] == sym_ticks["size"].sum()
+
+
+def test_online_indicators_match_batch_ewm(spark, bars_df, tick_dir):
+    """Stateful streaming RSI/MACD == batch add_technical_ewm_features."""
+    from marketdatapipeline_spark.features.ewm import add_technical_ewm_features
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_indicators(ticks_stream), "online_ind"
+    ).toPandas()
+
+    want = (
+        add_technical_ewm_features(bars_df)
+        .select("symbol", "datetime", "close", "rsi", "macd", "macd_signal", "macd_histogram")
+        .toPandas()
+        .rename(columns={"datetime": "ts"})
+    )
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want)
+    for col in ("close", "rsi", "macd", "macd_signal", "macd_histogram"):
+        g, w = got[col].astype("float64"), want[col].astype("float64")
+        both_nan = g.isna() & w.isna()
+        assert (both_nan | (g == w) | ((g - w).abs() < 1e-12)).all(), col
+
+
+def test_online_indicators_state_carries_across_batches(spark, bars_pdf, tmp_path):
+    """Split the feed into two file-drops processed as separate
+    micro-batches; indicator values must continue, not restart."""
+    path = str(tmp_path / "ticks2")
+    pdf = bars_pdf.rename(columns={"datetime": "ts", "close": "price", "volume": "size"})[
+        ["symbol", "ts", "price", "size"]
+    ].sort_values(["ts"])
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half], TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/b1")
+    spark.createDataFrame(pdf.iloc[half:], TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/b2")
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b*")
+    )
+    got = _run_stream_to_memory(spark, online_indicators(stream), "online_two").toPandas()
+
+    # sequential single-pass truth
+    full = pdf.sort_values(["symbol", "ts"])
+    for sym, grp in full.groupby("symbol"):
+        close = grp["price"].reset_index(drop=True)
+        ema12 = close.ewm(span=12).mean()
+        ema26 = close.ewm(span=26).mean()
+        macd = ema12 - ema26
+        g = (
+            got[got["symbol"] == sym]
+            .sort_values("ts")["macd"]
+            .reset_index(drop=True)
+            .astype("float64")
+        )
+        assert len(g) == len(macd)
+        assert all(
+            math.isclose(a, b, rel_tol=0, abs_tol=1e-12) for a, b in zip(g, macd)
+        )
