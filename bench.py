@@ -81,6 +81,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import REGISTRY
     from marketdatapipeline_spark.session import get_spark

@@ -1,0 +1,205 @@
+"""Binary media columns: decode, features, resize, frame sampling.
+
+Design rules for 100 TB of media:
+
+* content is ONE opaque ``binary`` column — never exploded into rows
+  of pixels/samples; Spark shuffles and spills binary cheaply, and
+  parquet stores it with page-level compression;
+* per-item kernels run in ``mapInPandas`` so each Arrow batch moves
+  once across the Python boundary; batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory
+  is *independent of dataset size*;
+* metadata-only transforms (frame indexing, resize bookkeeping) stay
+  in native expressions — no Python, no content bytes touched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from marketdatapipeline_spark.sources.tables import load_table
+
+#: media row: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("width", IntegerType(), True),  # images/video
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),  # audio
+        StructField("n_frames", IntegerType(), True),  # video
+    ]
+)
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table over the driver's ``documents`` rows.
+
+    The container ships no real media, so each document's UTF-8 bytes
+    stand in as the payload; mime and metadata derive deterministically
+    from ``doc_id``/``n_chars``. All expression-level (encode/CASE/
+    modulo) — the synthesis itself is a native scan, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MIMES[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_MIMES[1]))
+        .otherwise(F.lit(_MIMES[2]))
+    )
+    is_visual = F.col("mime") != _MIMES[1]
+    return docs.select(
+        "doc_id",
+        mime.alias("mime"),
+        F.encode("text", "UTF-8").cast("binary").alias("content"),
+        F.col("n_chars"),
+    ).select(
+        "doc_id",
+        "mime",
+        "content",
+        F.when(is_visual, (F.col("n_chars") % 640 + 16).cast("int")).alias("width"),
+        F.when(is_visual, (F.col("n_chars") % 480 + 16).cast("int")).alias("height"),
+        F.when(F.col("mime") == _MIMES[1], F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(F.col("mime") == _MIMES[2], (F.col("n_chars") % 30 + 1).cast("int")).alias(
+            "n_frames"
+        ),
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("byte_mean", FloatType()),
+        StructField("byte_entropy", FloatType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode payloads to per-item stats via ``mapInPandas``.
+
+    ``decoder="real"`` is the production slot (PIL/librosa/ffmpeg) —
+    NotImplementedError here because the codecs aren't in this
+    container. ``decoder="fake"`` computes deterministic byte-level
+    stats (length, mean byte value, empirical byte entropy) with the
+    exact batch plumbing the real path would use: numpy over each
+    Arrow batch, output rows 1:1 with input rows.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decode requires PIL/librosa/ffmpeg, not present "
+            "in this environment; use decoder='fake'"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, mime, content in zip(pdf["doc_id"], pdf["mime"], pdf["content"]):
+                buf = np.frombuffer(content or b"", dtype=np.uint8)
+                if buf.size:
+                    counts = np.bincount(buf, minlength=256)
+                    p = counts[counts > 0] / buf.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    mean = float(buf.mean())
+                else:
+                    entropy, mean = 0.0, 0.0
+                out.append((doc_id, mime, int(buf.size), mean, entropy))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "mime", "byte_len", "byte_mean", "byte_entropy"]
+            )
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Fixed-size float feature vector per item (``array<float>``).
+
+    Production slot for a vision/audio encoder (model inference over
+    Arrow batches); the deterministic stand-in is an L2-normalized
+    byte histogram folded to ``dim`` buckets — same signature, same
+    schema (compatible with similarity.search), same batch shape.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("mime", StringType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, mime, content in zip(pdf["doc_id"], pdf["mime"], pdf["content"]):
+                buf = np.frombuffer(content or b"", dtype=np.uint8)
+                hist = np.bincount(buf % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                vec = (hist / norm if norm > 0 else hist).astype(np.float32)
+                rows.append((doc_id, mime, vec.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "feature"])
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
+    """Resize bookkeeping for image rows; passthrough for non-images.
+
+    The real path (decode → resample → re-encode bytes) needs PIL —
+    NotImplementedError. The fake path updates the metadata columns
+    and keeps the payload, which exercises everything Spark-side:
+    selective transform by mime, schema stability, partition
+    preservation (narrow op, no shuffle).
+    """
+    if decoder == "real":
+        raise NotImplementedError("real image resize requires PIL; use decoder='fake'")
+    is_img = F.col("mime").startswith("image/")
+    return df.withColumns(
+        {
+            "width": F.when(is_img, F.lit(width)).otherwise(F.col("width")).cast("int"),
+            "height": F.when(is_img, F.lit(height)).otherwise(F.col("height")).cast("int"),
+        }
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Explode video rows into sampled frame rows (frame_idx 0, n, 2n…).
+
+    Pure native expressions: ``sequence`` + ``explode`` — the 1:N row
+    explosion happens JVM-side with no Python and no shuffle; frame
+    payload decode would slot into a later ``mapInPandas`` stage.
+    Non-video rows are dropped (they have no frames).
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    return (
+        df.filter(F.col("n_frames").isNotNull())
+        .select(
+            "doc_id",
+            "mime",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+            "n_frames",
+        )
+    )

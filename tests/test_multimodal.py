@@ -1,0 +1,78 @@
+"""Multimodal binary-column plumbing: schemas, kernels, stubs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from marketdatapipeline_spark.multimodal import (
+    decode_media,
+    extract_media_features,
+    media_from_documents,
+    resize_images,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_from_documents(spark, SF).cache()
+
+
+def test_media_schema_and_metadata(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    pdf = media.toPandas()
+    assert set(pdf["mime"].unique()) <= {"image/png", "audio/wav", "video/mp4"}
+    audio = pdf[pdf["mime"] == "audio/wav"]
+    assert (audio["sample_rate"] == 16000).all()
+    assert audio["width"].isna().all()
+    video = pdf[pdf["mime"] == "video/mp4"]
+    assert video["n_frames"].between(1, 30).all()
+
+
+def test_decode_stats_match_numpy(media):
+    got = decode_media(media, decoder="fake").toPandas().set_index("doc_id")
+    raw = media.select("doc_id", "content").toPandas()
+    for _, row in raw.head(20).iterrows():
+        buf = np.frombuffer(row["content"], dtype=np.uint8)
+        g = got.loc[row["doc_id"]]
+        assert g["byte_len"] == buf.size
+        assert math.isclose(g["byte_mean"], buf.mean(), rel_tol=1e-6)
+        counts = np.bincount(buf, minlength=256)
+        p = counts[counts > 0] / buf.size
+        assert math.isclose(g["byte_entropy"], -(p * np.log2(p)).sum(), rel_tol=1e-5)
+
+
+def test_real_decoder_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decoder="real")
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 224, 224, decoder="real")
+
+
+def test_features_are_unit_norm_fixed_dim(media):
+    pdf = extract_media_features(media, dim=16).toPandas()
+    assert (pdf["feature"].map(len) == 16).all()
+    norms = pdf["feature"].map(lambda v: float(np.linalg.norm(v)))
+    assert ((norms - 1.0).abs() < 1e-5).all()
+
+
+def test_resize_fake_touches_only_images(media):
+    out = resize_images(media, 224, 224).toPandas()
+    img = out[out["mime"] == "image/png"]
+    assert (img["width"] == 224).all() and (img["height"] == 224).all()
+    aud = out[out["mime"] == "audio/wav"]
+    assert aud["width"].isna().all()
+
+
+def test_sample_frames_stride(media):
+    frames = sample_frames(media, every_n=3).toPandas()
+    assert (frames["mime"] == "video/mp4").all()
+    assert (frames["frame_idx"] % 3 == 0).all()
+    grp = frames.groupby("doc_id").agg(n=("frame_idx", "size"), nf=("n_frames", "first"))
+    expect = (grp["nf"] + 2) // 3  # ceil(n_frames / 3)
+    assert (grp["n"] == expect).all()

@@ -78,6 +78,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import REGISTRY
     from marketdatapipeline_spark.session import get_spark
