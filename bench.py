@@ -64,15 +64,18 @@ def feature_pipeline(bars):
     )
 
 
-def run_feature_pipeline(spark, bars, repeats: int = 1) -> float:
+def run_feature_pipeline(spark, bars, repeats: int = 1, warmups: int = 0) -> float:
     """Median-of-N noop-write time for the full 56-column pipeline.
 
     The reference's numbers (BASELINE.md) are steady-state in-process
-    Polars timings; repeats>1 reports the same steady state for the
-    JVM (first run pays codegen + JIT compilation of the generated
-    stages, which a long-running cluster amortizes away).
+    Polars timings; ``warmups`` full-scale untimed runs bring the JVM
+    to the same steady state (codegen + C2 JIT of the generated stages
+    + Python worker pool spin-up take ~3 runs; a long-running cluster
+    amortizes all of it away).
     """
     out = feature_pipeline(bars)
+    for _ in range(warmups):
+        materialize(out)
     times = sorted(materialize(out) for _ in range(repeats))
     return times[len(times) // 2]
 
@@ -99,7 +102,9 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     copies = max(1, round(1_000_000 / n_events))
     bars_multi = replicated_bars(spark, sf_dir, copies, multi_symbol=True)
-    timings["feature_pipeline_1m"] = run_feature_pipeline(spark, bars_multi, repeats=3)
+    timings["feature_pipeline_1m"] = run_feature_pipeline(
+        spark, bars_multi, repeats=3, warmups=3
+    )
 
     # faithful-to-reference single-symbol replication (serializes one
     # symbol's scan onto one task — reported for transparency)

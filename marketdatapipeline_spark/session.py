@@ -40,14 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.getenv("MDP_DRIVER_MEMORY", "48g"))
-        # WindowExec allocates a fresh UnsafeRow copy per buffered row:
-        # wide frames through chained windows generate ~10 GB/run of
-        # short-lived garbage. Parallel scavenge with a large young gen
-        # reclaims it far cheaper than G1 region evacuation here.
+        # Measured on this container (tools/bench_variant.py): a 48g
+        # ParallelGC/-Xmn16g heap degrades run-over-run (2s -> 16s -> 80s
+        # within one JVM — old-gen fill + full-GC thrash), while a 12g
+        # G1 heap holds a flat ~2s steady state. Spark's heavy lifting
+        # (shuffle, sort, window buffers) spills to disk by design; a
+        # big heap just postpones collection until it's catastrophic.
+        .config("spark.driver.memory", os.getenv("MDP_DRIVER_MEMORY", "12g"))
         .config(
             "spark.driver.extraJavaOptions",
-            os.getenv("MDP_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC -Xmn16g"),
+            os.getenv("MDP_DRIVER_JAVA_OPTS", "-XX:+UseG1GC"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
