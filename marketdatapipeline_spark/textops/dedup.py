@@ -114,21 +114,31 @@ def jaccard_similar_pairs(
     Without ``candidates`` this self-joins the exploded shingle table —
     cost bounded by shared-shingle co-occurrence, not n^2, but still
     the exact path. Pass LSH candidates (``lsh_candidate_pairs``) to
-    verify only colliding pairs — the 100 TB path.
+    verify only colliding pairs — the 100 TB path: the candidate list
+    is joined to the shingle table BEFORE intersection counting, so
+    verification work is O(candidates x shingles/doc), never the full
+    co-occurrence explosion. Pairs with an empty intersection drop out
+    of the join, which is equivalent for any ``threshold > 0``.
     """
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        pairs = pairs.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        pairs = (
+            candidates.join(a, on="id_a")
+            .join(b, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        pairs = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -181,29 +191,39 @@ def lsh_candidate_pairs(
     """Candidate pairs whose signatures collide in >= 1 LSH band.
 
     Signature columns are split into ``bands`` contiguous slices; the
-    band key is the concatenated slice. Docs sharing any band key
-    become a candidate pair — an equi-join per band, unioned and
-    deduplicated. Probability of collision ~ 1-(1-j^r)^b for Jaccard j.
+    band key is the concatenated slice (prefixed with the band index so
+    slices never collide across bands). All band keys are emitted in
+    ONE explode and matched in ONE self-equi-join — one shuffle on
+    band_key regardless of band count, instead of a join+union per
+    band. Probability of collision ~ 1-(1-j^r)^b for Jaccard j.
     """
     mh_cols = sorted(
         (c for c in signatures.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
     )
     rows_per_band = len(mh_cols) // bands
-    out = None
-    for b in range(bands):
-        cols = mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        keyed = signatures.select(
-            F.col(id_col),
-            F.concat_ws("_", F.lit(b), *[F.col(c) for c in cols]).alias("band_key"),
-        )
-        left = keyed.select(F.col(id_col).alias("id_a"), "band_key")
-        right = keyed.select(F.col(id_col).alias("id_b"), "band_key")
-        pairs = left.join(right, "band_key").filter(
-            F.col("id_a") < F.col("id_b")
-        ).select("id_a", "id_b")
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[
+                    F.col(c)
+                    for c in mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = signatures.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    left = keyed.select(F.col(id_col).alias("id_a"), "band_key")
+    right = keyed.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_near_duplicates(
