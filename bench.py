@@ -109,7 +109,9 @@ def main() -> None:
     # faithful-to-reference single-symbol replication (serializes one
     # symbol's scan onto one task — reported for transparency)
     bars_one = replicated_bars(spark, sf_dir, copies, multi_symbol=False)
-    timings["feature_pipeline_1m_1sym"] = run_feature_pipeline(spark, bars_one)
+    timings["feature_pipeline_1m_1sym"] = run_feature_pipeline(
+        spark, bars_one, repeats=3, warmups=2
+    )
 
     # native-scale pipeline on the raw sf tier
     timings["feature_pipeline_sf"] = run_feature_pipeline(

@@ -127,7 +127,16 @@ def _feature_frame(
         out[f"{name}_sin"] = np.sin(angle)
         out[f"{name}_cos"] = np.cos(angle)
 
-    res = pdf.assign(**out)
+    # Assemble WITHOUT DataFrame.assign / boolean-mask frame copies:
+    # assign() deep-copies and consolidates the ~56 column blocks into
+    # one (cols x rows) block — a multi-hundred-MB vstack per group
+    # that dominated runtime on large groups. Building the frame once
+    # from a column dict keeps one block per column (no consolidation;
+    # the Arrow serializer reads column-by-column), and the target
+    # filter is a per-column numpy take.
+    data: dict[str, np.ndarray] = {c: pdf[c].to_numpy() for c in pdf.columns}
+    for name, series in out.items():
+        data[name] = series.to_numpy()
 
     if target_horizon is not None:
         fwd = close.shift(-target_horizon)
@@ -138,12 +147,21 @@ def _feature_frame(
             target = forward_return
         else:
             raise ValueError(f"Unsupported target type: {target_type}")
-        target[fwd.isna()] = np.nan
-        res = res.assign(target=target)
-        res = res[res["target"].notna()]
+        target = target.to_numpy(copy=True)
+        # classification: (NaN > 0) is already False, so only the
+        # missing-lead tail rows are null; regression: any NaN forward
+        # return (missing lead OR NaN close) is dropped — both exactly
+        # the reference's filter(target.is_not_null()) semantics.
         if target_type == "classification":
-            res = res.assign(target=res["target"].astype("int8"))
-    return res
+            keep = ~fwd.isna().to_numpy()
+        else:
+            keep = ~np.isnan(target)
+        data = {name: arr[keep] for name, arr in data.items()}
+        target = target[keep]
+        if target_type == "classification":
+            target = target.astype("int8")
+        data["target"] = target
+    return pd.DataFrame(data, copy=False)
 
 
 def compute_all_features_arrow(
