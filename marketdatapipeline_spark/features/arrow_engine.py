@@ -164,6 +164,42 @@ def _feature_frame(
     return pd.DataFrame(data, copy=False)
 
 
+def feature_schema_fields(
+    has_hl: bool,
+    momentum_periods: tuple[int, ...],
+    volatility_windows: tuple[int, ...],
+    target_horizon: int | None,
+    target_type: str,
+) -> list[str]:
+    """Feature column DDL fragments appended to the input schema by the
+    full pipeline — shared by the Arrow and chunked engines."""
+    fields = [
+        "rsi double", "macd double", "macd_signal double", "macd_histogram double",
+        "bb_middle double", "bb_upper double", "bb_lower double", "bb_width double",
+    ]
+    for p in momentum_periods:
+        fields += [
+            f"return_{p} double", f"momentum_{p} double", f"roc_{p} double",
+            f"sma_{p} double", f"distance_sma_{p} double",
+        ]
+    fields.append("returns double")
+    for n in volatility_windows:
+        fields += [f"volatility_{n} double", f"realized_vol_{n} double"]
+        if has_hl:
+            fields.append(f"hl_range_{n} double")
+    fields += [
+        "hour int", "minute int", "day_of_week int", "day int", "month int",
+        "hour_sin double", "hour_cos double",
+        "day_of_week_sin double", "day_of_week_cos double",
+        "month_sin double", "month_cos double",
+    ]
+    if target_horizon is not None:
+        fields.append(
+            "target tinyint" if target_type == "classification" else "target double"
+        )
+    return fields
+
+
 def compute_all_features_arrow(
     df: DataFrame,
     datetime_col: str = "datetime",
@@ -193,30 +229,9 @@ def compute_all_features_arrow(
     order = list(order_cols or (datetime_col,))
     has_hl = "high" in df.columns and "low" in df.columns
 
-    feature_fields = [
-        "rsi double", "macd double", "macd_signal double", "macd_histogram double",
-        "bb_middle double", "bb_upper double", "bb_lower double", "bb_width double",
-    ]
-    for p in momentum_periods:
-        feature_fields += [
-            f"return_{p} double", f"momentum_{p} double", f"roc_{p} double",
-            f"sma_{p} double", f"distance_sma_{p} double",
-        ]
-    feature_fields.append("returns double")
-    for n in volatility_windows:
-        feature_fields += [f"volatility_{n} double", f"realized_vol_{n} double"]
-        if has_hl:
-            feature_fields.append(f"hl_range_{n} double")
-    feature_fields += [
-        "hour int", "minute int", "day_of_week int", "day int", "month int",
-        "hour_sin double", "hour_cos double",
-        "day_of_week_sin double", "day_of_week_cos double",
-        "month_sin double", "month_cos double",
-    ]
-    if target_horizon is not None:
-        feature_fields.append(
-            "target tinyint" if target_type == "classification" else "target double"
-        )
+    feature_fields = feature_schema_fields(
+        has_hl, momentum_periods, volatility_windows, target_horizon, target_type
+    )
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + feature_fields
