@@ -8,8 +8,10 @@ can express:
   oracle-checked exactly (octet_length over the same UTF-8 payload);
 * ``multimodal_frame_sample`` — the sequence/explode frame expansion
   is pure relational algebra, fully oracle-checked;
-* ``multimodal_features`` — byte-histogram vectors; rows-only (no
-  per-byte iteration in SQL).
+* ``multimodal_features`` — byte-histogram vectors; the integer
+  histogram + L2 norm are oracle-checked exactly (documents are
+  ASCII, so DuckDB can rebuild the per-byte histogram via
+  unnest+ascii); the float vector is a pure function of them.
 """
 
 from __future__ import annotations
@@ -74,10 +76,55 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", None)  # per-byte histogram: not SQL-expressible
+@register(
+    "multimodal_features",
+    f"""
+    WITH bytes AS (
+        SELECT doc_id, ascii(c) % 16 AS bucket
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents) t
+        WHERE c <> ''
+    ),
+    grid AS (
+        SELECT d.doc_id, b.bucket
+        FROM documents d, (SELECT unnest(range(16)) AS bucket) b
+    ),
+    counts AS (
+        SELECT g.doc_id, g.bucket, count(bt.bucket) AS cnt
+        FROM grid g
+        LEFT JOIN bytes bt ON bt.doc_id = g.doc_id AND bt.bucket = g.bucket
+        GROUP BY g.doc_id, g.bucket
+    )
+    SELECT doc_id,
+           {_MIME_SQL} AS mime,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bucket) AS hist_csv,
+           round(sqrt(CAST(sum(cnt * cnt) AS DOUBLE)), 6) + 0.0 AS l2_norm
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-dim feature vectors from binary payloads (model-inference
-    slot); rows-only check — vector values pinned by pytest instead."""
+    slot). The checked projection is the *integer* byte-bucket
+    histogram (CSV) plus its L2 norm: exact across engines, and the
+    normalized float vector is a pure function of it (the driver's
+    rows-only canonicalizer cannot sort array columns, so the library
+    keeps ``feature`` while the catalog emits scalars). Documents are
+    ASCII so DuckDB's per-character ``ascii()`` equals the UTF-8 byte."""
     media = media_from_documents(spark, sf_dir).repartition(32, "doc_id")
-    feats = extract_media_features(media, dim=16)
-    return feats.select("doc_id", "mime", "feature")
+    feats = extract_media_features(media, dim=16, include_histogram=True)
+    return feats.select(
+        "doc_id",
+        "mime",
+        F.concat_ws(",", F.transform("hist", lambda x: x.cast("string"))).alias("hist_csv"),
+        (
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        "hist", F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("l2_norm"),
+    )

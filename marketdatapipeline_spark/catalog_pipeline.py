@@ -339,25 +339,105 @@ def q_similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 
-@register("similarity_cosine_topk", None)
+#: DuckDB double-fold cosine between two DOUBLE[] expressions. Verified
+#: bit-identical to similarity.search.dot's sequential fold (DuckDB's
+#: list_dot_product is the same left fold once every operand is DOUBLE —
+#: plane literals must use exponent form or they parse as DECIMAL and
+#: lose an ulp in conversion).
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _plane_lits(p: int, dim: int) -> str:
+    from marketdatapipeline_spark.similarity.search import _plane_coeff
+
+    return ", ".join(f"{_plane_coeff(p, d):.17e}" for d in range(dim))
+
+
+def _topk_sql(scored_cte: str, k: int) -> str:
+    return f"""
+    ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+               ) AS rank
+        FROM {scored_cte}
+    )
+    SELECT query_id, corpus_id, round(cosine, 6) + 0.0 AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               {_cosine_sql('c.emb', 'q.emb')} AS cosine
+        FROM e c JOIN q ON c.vec_id <> q.vec_id
+    ),
+    {_topk_sql('scored', 5)}
+    """,
+)
 def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for a 10-vector probe set.
-    Rows-only in the oracle (FP ties make cross-engine rank comparison
-    brittle); ranking correctness is pytest-verified against numpy."""
+    """Exact brute-force cosine top-5 for a 10-vector probe set. Both
+    engines rank the *unrounded* double (the sequential dot fold is
+    bit-identical, so order agrees exactly); the displayed cosine is
+    rounded to the oracle precision."""
     from marketdatapipeline_spark.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, k=5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "corpus_id", _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
-@register("similarity_lsh_topk", None)
+def _lsh_topk_sql(n_planes: int, bands: int, dim: int, k: int, n_queries: int) -> str:
+    rows = n_planes // bands
+    key_exprs = []
+    for b in range(bands):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(emb, [{_plane_lits(p, dim)}]) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in range(b * rows, (b + 1) * rows)
+        )
+        key_exprs.append(f"('{b}_' || {bits}) AS key{b}")
+    unnest = ", ".join(f"key{b}" for b in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sk AS (SELECT vec_id, {', '.join(key_exprs)} FROM e),
+    keys AS (SELECT vec_id, unnest([{unnest}]) AS band_key FROM sk),
+    cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        FROM keys c JOIN keys q ON c.band_key = q.band_key
+        WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.corpus_id,
+               {_cosine_sql('c.emb', 'q.emb')} AS cosine
+        FROM cands cd
+        JOIN e c ON c.vec_id = cd.corpus_id
+        JOIN e q ON q.vec_id = cd.query_id
+    ),
+    {_topk_sql('scored', k)}
+    """
+
+
+@register("similarity_lsh_topk", _lsh_topk_sql(n_planes=8, bands=2, dim=64, k=5, n_queries=10))
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH variant of top-k: bucket equi-join +
-    exact rerank. Rows-only (approximate by construction); recall vs
-    brute force is pytest-checked."""
+    """Banded sign-random-projection LSH top-k: band-key equi-join +
+    exact rerank. The oracle replays the full pipeline — hyperplane
+    coefficients embedded as DOUBLE literals, identical sign buckets,
+    identical candidate set, identical exact-double ranking."""
     from marketdatapipeline_spark.similarity import hyperplane_lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return hyperplane_lsh_topk(emb, queries, k=5, n_planes=8)
+    out = hyperplane_lsh_topk(emb, queries, k=5, n_planes=8, bands=2)
+    return out.select("query_id", "corpus_id", _r6(F.col("cosine")).alias("cosine"), "rank")

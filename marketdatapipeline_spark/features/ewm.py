@@ -106,14 +106,35 @@ def add_technical_ewm_features(
 
 
 def ewm_block_size(spans) -> int:
-    """Largest safe block: r^-off must stay finite (exp(709) overflow)
-    and r^B below-ulp. 600/ln(1/r) >= 2048 for span >= ~6."""
-    B = 2048
+    """Block length B satisfying BOTH constraints for every span:
+
+    - decay: r^B <= e^-45 (far below 1 ulp), so the one-block-back
+      carry of add_ewm_native is exact and older carries vanish —
+      B >= 45/-ln(r), which GROWS with span;
+    - overflow: r^-(B-1) finite with headroom vs exp(709) —
+      B <= 600/-ln(r).
+
+    The old fixed 2048 cap silently violated the decay bound for
+    span >~ 130 (measured 1.7e-6 rel. error at span=300, 3.8e-2 at
+    span=1000). The window [45/-ln r, 600/-ln r] is non-empty per
+    span; a single B fits mixed spans iff max_span/min_span <~ 13 —
+    otherwise raise so the caller splits specs into span groups with
+    separate blockings."""
+    lo, hi = 64, None
     for span in spans:
         r = 1.0 - 2.0 / (span + 1.0)
         if 0.0 < r < 1.0:
-            B = min(B, max(64, int(600.0 / -np.log(r))))
-    return B
+            nl = -np.log(r)
+            lo = max(lo, int(45.0 / nl) + 8)
+            hi = int(600.0 / nl) if hi is None else min(hi, int(600.0 / nl))
+    if hi is not None and lo > hi:
+        raise ValueError(
+            f"no single block size fits all spans (need >= {lo} for the "
+            f"longest span's carry decay but <= {hi} for the shortest "
+            f"span's weight overflow); split the specs into separate "
+            f"add_ewm_native calls per span group"
+        )
+    return lo
 
 
 def add_block_columns(

@@ -114,50 +114,93 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for doc_id, mime, content in zip(pdf["doc_id"], pdf["mime"], pdf["content"]):
-                buf = np.frombuffer(content or b"", dtype=np.uint8)
-                if buf.size:
-                    counts = np.bincount(buf, minlength=256)
-                    p = counts[counts > 0] / buf.size
-                    entropy = float(-(p * np.log2(p)).sum())
-                    mean = float(buf.mean())
-                else:
-                    entropy, mean = 0.0, 0.0
-                out.append((doc_id, mime, int(buf.size), mean, entropy))
+            # One numpy pass per Arrow batch: concatenate payloads,
+            # per-row byte histograms via offset bincount, then
+            # vectorized mean/entropy — no per-row Python loop.
+            contents = [c or b"" for c in pdf["content"]]
+            n = len(contents)
+            lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n)
+            if lens.sum():
+                flat = np.frombuffer(b"".join(contents), dtype=np.uint8)
+                row_id = np.repeat(np.arange(n), lens)
+                counts = np.bincount(
+                    row_id * 256 + flat.astype(np.int64), minlength=n * 256
+                ).reshape(n, 256)
+                safe_len = np.where(lens > 0, lens, 1)
+                p = counts / safe_len[:, None]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    plogp = np.where(p > 0, p * np.log2(p, where=p > 0), 0.0)
+                entropy = -plogp.sum(axis=1)
+                mean = (counts * np.arange(256)).sum(axis=1) / safe_len
+            else:
+                entropy = np.zeros(n)
+                mean = np.zeros(n)
             yield pd.DataFrame(
-                out, columns=["doc_id", "mime", "byte_len", "byte_mean", "byte_entropy"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "byte_len": lens,
+                    "byte_mean": mean.astype(np.float32),
+                    "byte_entropy": entropy.astype(np.float32),
+                }
             )
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
-def extract_media_features(df: DataFrame, dim: int = 16) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, dim: int = 16, include_histogram: bool = False
+) -> DataFrame:
     """Fixed-size float feature vector per item (``array<float>``).
 
     Production slot for a vision/audio encoder (model inference over
     Arrow batches); the deterministic stand-in is an L2-normalized
     byte histogram folded to ``dim`` buckets — same signature, same
     schema (compatible with similarity.search), same batch shape.
+
+    ``include_histogram=True`` additionally emits the raw integer
+    histogram (``hist`` array<long>) — the exact pre-normalization
+    counts, used by the oracle-checked catalog projection (integers
+    hash identically across engines; the float vector is a pure
+    function of them).
+
+    The whole batch vectorizes as one numpy pass: concatenate the
+    payload bytes, bincount on ``row_id * dim + byte % dim``, reshape
+    to (rows, dim) — no per-row Python loop.
     """
-    out_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("mime", StringType()),
-            StructField("feature", ArrayType(FloatType())),
-        ]
-    )
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+    if include_histogram:
+        fields.append(StructField("hist", ArrayType(LongType())))
+    out_schema = StructType(fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, mime, content in zip(pdf["doc_id"], pdf["mime"], pdf["content"]):
-                buf = np.frombuffer(content or b"", dtype=np.uint8)
-                hist = np.bincount(buf % dim, minlength=dim).astype(np.float64)
-                norm = np.linalg.norm(hist)
-                vec = (hist / norm if norm > 0 else hist).astype(np.float32)
-                rows.append((doc_id, mime, vec.tolist()))
-            yield pd.DataFrame(rows, columns=["doc_id", "mime", "feature"])
+            contents = [c or b"" for c in pdf["content"]]
+            lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=len(contents))
+            if lens.sum():
+                flat = np.frombuffer(b"".join(contents), dtype=np.uint8)
+                row_id = np.repeat(np.arange(len(contents)), lens)
+                hists = np.bincount(
+                    row_id * dim + flat % dim, minlength=len(contents) * dim
+                ).reshape(len(contents), dim)
+            else:
+                hists = np.zeros((len(contents), dim), dtype=np.int64)
+            norms = np.linalg.norm(hists.astype(np.float64), axis=1, keepdims=True)
+            vecs = (hists / np.where(norms > 0, norms, 1.0)).astype(np.float32)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "feature": list(vecs),
+                }
+            )
+            if include_histogram:
+                out["hist"] = list(hists.astype(np.int64))
+            yield out
 
     return df.mapInPandas(batches, schema=out_schema)
 

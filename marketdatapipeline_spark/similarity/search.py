@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from marketdatapipeline_spark.textops.dedup import MERSENNE_P
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -112,11 +111,44 @@ def cosine_pairs_above(
     )
 
 
+_U64 = (1 << 64) - 1
+
+
 def _plane_coeff(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
-    pure integer arithmetic, reproducible anywhere."""
-    h = ((plane * 73_856_093) ^ (dim * 19_349_663)) % MERSENNE_P
-    return (h / MERSENNE_P) * 2.0 - 1.0
+    splitmix64-style avalanche over (plane, dim), pure integer
+    arithmetic, reproducible anywhere.
+
+    A weak mixer is a correctness trap here: the round-1 version
+    XORed two small products, leaving h << 2^61, so every coefficient
+    collapsed to ~-1 and all "hyperplanes" were parallel (two buckets
+    total). The finalizer below distributes bits uniformly."""
+    x = (plane * 0x9E3779B97F4A7C15 + dim * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & _U64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _U64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _U64
+    x ^= x >> 31
+    return (x / 2.0**64) * 2.0 - 1.0
+
+
+def band_key_exprs(vec: Column, n_planes: int, bands: int, dim: int) -> list[Column]:
+    """One string key per band: ``"<band>_<sign bits>"`` where each bit
+    is the sign of the projection on a deterministic hyperplane.
+
+    Shared by the operator and its SQL oracle (which re-derives the
+    same keys from the same coefficients as DuckDB literals)."""
+    if bands < 1 or n_planes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes}) evenly")
+    rows = n_planes // bands
+    keys = []
+    for b in range(bands):
+        bits = []
+        for p in range(b * rows, (b + 1) * rows):
+            plane = F.array(*[F.lit(_plane_coeff(p, d)) for d in range(dim)])
+            bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        keys.append(F.concat(F.lit(f"{b}_"), *bits))
+    return keys
 
 
 def hyperplane_lsh_topk(
@@ -124,47 +156,58 @@ def hyperplane_lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 12,
+    bands: int = 3,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: sign-random-projection bucketing + exact
-    rerank of same-bucket candidates.
+    """Approximate top-k: banded sign-random-projection bucketing +
+    exact rerank of candidates.
 
-    Each vector gets a ``n_planes``-bit sketch (sign of projection on
-    deterministic hyperplanes); candidates share the full sketch
-    bucket. One equi-join instead of a cross product — the 100 TB
-    shape. Recall is tuned by lowering n_planes or probing multiple
-    bands; this single-bucket variant is the building block.
+    Each vector gets ``n_planes`` sign bits split into ``bands`` band
+    keys (MinHash-LSH-style banding); a candidate is any corpus vector
+    sharing *at least one* band key with the query — multi-band
+    probing, so recall degrades gracefully instead of collapsing when
+    a single bit flips. Candidates come from an equi-join on band_key
+    (never a cross product), are deduplicated, then exactly reranked
+    with a deterministic (cosine desc, corpus_id) order.
+
+    At scale: the corpus is scanned twice (cheap columnar scans) —
+    once to sketch (narrow, no shuffle), once to rerank the candidate
+    join; queries are broadcast throughout. Recall tunes with
+    ``n_planes``/``bands``: fewer bits per band = more candidates =
+    higher recall, linearly more rerank work.
     """
-
-    def sketch(vec: Column) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(_plane_coeff(p, d)) for d in range(dim)])
-            bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
     c = add_vector_norm(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("_cv"),
         F.col("_norm").alias("_cn"),
-        sketch(F.col(vec_col)).alias("bucket"),
+        F.array(*band_key_exprs(F.col(vec_col), n_planes, bands, dim)).alias("_keys"),
     )
     q = add_vector_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
-        sketch(F.col(vec_col)).alias("bucket"),
+        F.array(*band_key_exprs(F.col(vec_col), n_planes, bands, dim)).alias("_keys"),
     )
-    scored = c.join(q, on="bucket").filter(
-        F.col("corpus_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "corpus_id",
-        (dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
-            "cosine"
-        ),
+    c_keys = c.select("corpus_id", F.explode("_keys").alias("band_key"))
+    q_keys = q.select("query_id", F.explode("_keys").alias("band_key"))
+    cands = (
+        c_keys.join(F.broadcast(q_keys), "band_key")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(c.select("corpus_id", "_cv", "_cn"), "corpus_id")
+        .join(F.broadcast(q.select("query_id", "_qv", "_qn")), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            (dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
     return (

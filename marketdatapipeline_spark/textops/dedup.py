@@ -93,7 +93,13 @@ def word_shingles(
     single space. Exactly reproducible in SQL on both engines.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    # Docs with < n tokens have no shingles and drop out on explode.
+    # The guard matters: sequence(1, 0) is the DESCENDING [1, 0] in
+    # Spark, and slice(words, 0, n) then throws at runtime — short and
+    # empty docs are ubiquitous in real corpora.
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -174,8 +180,13 @@ def minhash_signature(
     (a_i * H(shingle) + b_i) mod p. Map-side partial mins make this a
     single cheap shuffle at any scale.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    h = md5_int(F.col("shingle"))
+    # Materialize the md5 base hash ONCE per shingle; the k aggregates
+    # then reuse the bigint (Catalyst does not CSE md5 across separate
+    # aggregate expressions — without this the digest is computed k x).
+    sh = word_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), md5_int(F.col("shingle")).alias("_h")
+    )
+    h = F.col("_h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(hash_coeffs(num_hashes))
@@ -201,6 +212,12 @@ def lsh_candidate_pairs(
         (c for c in signatures.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
     )
+    if bands < 1 or len(mh_cols) % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide the signature width "
+            f"({len(mh_cols)} mh_ columns) evenly — trailing columns "
+            f"would be silently ignored and recall silently changed"
+        )
     rows_per_band = len(mh_cols) // bands
     band_keys = F.array(
         *[

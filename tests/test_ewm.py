@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from marketdatapipeline_spark.features.ewm import (
     add_technical_ewm_features,
@@ -102,6 +103,37 @@ def test_native_ewm_multiblock(spark):
     exp_f = pdf["close"].ewm(span=5, adjust=False).mean().to_numpy()
     assert np.allclose(got["e_t"].to_numpy("float64"), exp_t, rtol=1e-9, atol=1e-9)
     assert np.allclose(got["e_f"].to_numpy("float64"), exp_f, rtol=1e-9, atol=1e-9)
+
+
+def test_native_ewm_long_span(spark):
+    """Long spans need B >= 45/-ln(r): the old 2048 cap gave 1.7e-6
+    rel. error at span=300 and 3.8e-2 at span=1000 (dropped r^B term)."""
+    import pandas as pd
+
+    from marketdatapipeline_spark.features.ewm import add_ewm_native, ewm_block_size
+
+    n = 30000
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * n,
+            "datetime": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "close": 100.0 + np.sin(np.arange(n) * 0.37) * 5 + np.arange(n) * 0.01,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = add_ewm_native(
+        df,
+        {"e_t": ("close", 300, True), "e_f": ("close", 1000, False)},
+        order_cols=("datetime",),
+    )
+    got = out.orderBy("datetime").toPandas()
+    exp_t = pdf["close"].ewm(span=300).mean().to_numpy()
+    exp_f = pdf["close"].ewm(span=1000, adjust=False).mean().to_numpy()
+    assert np.allclose(got["e_t"].to_numpy("float64"), exp_t, rtol=1e-12, atol=1e-12)
+    assert np.allclose(got["e_f"].to_numpy("float64"), exp_f, rtol=1e-12, atol=1e-12)
+    # incompatible span mix (ratio > ~13) must raise, not silently err
+    with pytest.raises(ValueError, match="block size"):
+        ewm_block_size([5, 1000])
 
 
 def test_blocked_ewm_adjust_true_matches_pandas(spark, bars_df, bars_pdf):

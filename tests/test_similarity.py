@@ -72,11 +72,19 @@ def test_cosine_pairs_above_finds_planted_dups(emb):
 
 def test_lsh_topk_recall(emb):
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, queries, k=3).collect()
-    approx = hyperplane_lsh_topk(emb, queries, k=3, n_planes=4, dim=DIM).collect()
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = hyperplane_lsh_topk(
+        emb, queries, k=5, n_planes=8, bands=8, dim=DIM
+    ).collect()
     exact_set = {(r.query_id, r.corpus_id) for r in exact}
     approx_set = {(r.query_id, r.corpus_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.3  # single-bucket LSH at 4 planes: modest recall
+    assert recall >= 0.9  # banded multi-probe: 8 bands x 1 bit
     # planted near-dups share every hyperplane side -> always found
     assert (0, 1) in approx_set and (1, 0) in approx_set
+
+
+def test_lsh_bands_must_divide_planes(emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="divide"):
+        hyperplane_lsh_topk(emb, queries, n_planes=4, bands=3, dim=DIM).collect()

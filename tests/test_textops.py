@@ -62,6 +62,29 @@ def test_word_shingles_exact_set(docs):
     }
 
 
+def test_word_shingles_short_and_empty_docs(spark):
+    # docs with < n tokens must produce zero shingles, not crash
+    # (sequence(1, 0) is DESCENDING in Spark; slice(words, 0, n) throws)
+    short = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "one two three")],
+        ["doc_id", "text"],
+    )
+    got = word_shingles(short, n=3).collect()
+    assert {r.doc_id for r in got} == {3}
+    assert [r.shingle for r in got] == ["one two three"]
+    # and the full LSH pipeline runs over a corpus containing them
+    out = minhash_near_duplicates(short, threshold=0.5, num_hashes=4, bands=2)
+    assert out.count() == 0
+
+
+def test_lsh_bands_must_divide_signature(docs):
+    from marketdatapipeline_spark.textops.dedup import lsh_candidate_pairs
+
+    sigs = minhash_signature(docs, num_hashes=16, n=1)
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(sigs, bands=5)
+
+
 def test_jaccard_pairs_hand_computed(docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
