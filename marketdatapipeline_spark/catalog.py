@@ -853,3 +853,44 @@ def q_chronological_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "chronological_split_cutkey",
+    """
+    WITH ranked AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS total
+        FROM events
+    )
+    SELECT CASE WHEN rn <= CAST(floor(total * 0.8) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_chronological_split_cutkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED split path (ml.preparation method="cutkey"):
+    per-timestamp count aggregation + boundary-key location instead of
+    a global un-partitioned row_number sort. The oracle is the
+    row_number definition — both must agree exactly, counts AND
+    membership (id_sum pins which rows landed where, including
+    boundary-tie resolution by event_id)."""
+    from marketdatapipeline_spark.ml.preparation import chronological_split
+
+    ev = load_table(spark, sf_dir, "events")
+    train, test = chronological_split(
+        ev,
+        test_size=0.2,
+        order_cols=("ts",),
+        tie_break_cols=("event_id",),
+        method="cutkey",
+    )
+    lab = train.select("event_id").withColumn("split", F.lit("train")).unionByName(
+        test.select("event_id").withColumn("split", F.lit("test"))
+    )
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
+    )

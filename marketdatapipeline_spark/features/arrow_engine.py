@@ -148,14 +148,13 @@ def _feature_frame(
         else:
             raise ValueError(f"Unsupported target type: {target_type}")
         target = target.to_numpy(copy=True)
-        # classification: (NaN > 0) is already False, so only the
-        # missing-lead tail rows are null; regression: any NaN forward
-        # return (missing lead OR NaN close) is dropped — both exactly
-        # the reference's filter(target.is_not_null()) semantics.
-        if target_type == "classification":
-            keep = ~fwd.isna().to_numpy()
-        else:
-            keep = ~np.isnan(target)
+        # Both modes drop exactly the missing-lead tail rows (lead is
+        # null there), mirroring the reference's
+        # filter(target.is_not_null()): in Polars a NaN forward return
+        # from a zero/NaN close is a valid float, NOT null, and is
+        # KEPT — so the keep mask must come from the shift, not from
+        # isnan(target), or regression would silently drop those rows.
+        keep = ~fwd.isna().to_numpy()
         data = {name: arr[keep] for name, arr in data.items()}
         target = target[keep]
         if target_type == "classification":

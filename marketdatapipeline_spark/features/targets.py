@@ -22,7 +22,9 @@ def generate_targets(
     itself for regression (reference targets.py:30-39). The NULL filter
     drops each symbol's last ``horizon`` rows (lead is NULL there; a
     NULL comparison casts to NULL, so both modes drop identically —
-    reference targets.py:43).
+    reference targets.py:43). A zero/NaN close yields a NaN forward
+    return, which Spark's isNotNull treats as a valid float and KEEPS
+    — matching Polars' is_not_null (NaN is not null in either engine).
     """
     if close_col not in df.columns:
         raise ValueError(f"The '{close_col}' column is required")

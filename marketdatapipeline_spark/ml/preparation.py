@@ -8,6 +8,8 @@ collect — and numpy export is an explicit, optional last step.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,30 +28,91 @@ def feature_columns(
     return [c for c in df.columns if c not in drop]
 
 
+#: Above this row count the "auto" split method switches from the
+#: global-window row_number cut to the distributed cut-key split.
+ROWNUMBER_MAX_ROWS = 2_000_000
+
+
 def chronological_split(
     df: DataFrame,
     test_size: float = 0.2,
     order_cols: tuple[str, ...] = ("datetime",),
+    tie_break_cols: tuple[str, ...] | None = None,
+    method: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Chronological train/test split (M1, reference training.py:60-62:
-    ``train_test_split(shuffle=False)``).
+    ``train_test_split(shuffle=False)``): exactly the first
+    ``floor(n * (1 - test_size))`` rows in time order go to train.
 
-    A global ``row_number`` over the time order reproduces the
-    reference's "first 80% of rows train" semantics exactly. The
-    single-partition window is inherent to a GLOBAL chronological cut
-    at the reference's scale; for cluster-scale frames, pre-computing
-    the cut timestamp via ``approxQuantile`` and filtering keeps the
-    plan shuffle-free — provided as the ``test_size``-quantile path
-    when the frame exceeds driver-window comfort.
+    ``tie_break_cols`` (default: every column not in ``order_cols``, in
+    frame order) makes membership at equal-timestamp boundaries
+    deterministic across runs and methods.
+
+    Methods — both produce identical membership and exact counts:
+
+    - ``"rownumber"``: a global ``row_number`` cut. Correct and
+      one-pass, but the un-partitioned window is a single-task sort —
+      fine to a few million rows, the textbook scale-killer beyond.
+    - ``"cutkey"`` (the 100 TB path): aggregate per-timestamp counts
+      (one map-side-combined shuffle on the small distinct-key table),
+      locate the boundary key with a running sum over that *tiny*
+      table, then split the data by key comparison — no global sort of
+      the data ever happens; only the boundary key's own rows (one
+      timestamp's worth) get a per-key row_number to split residual
+      ties. Two extra tiny jobs (count + 1-row collect), both
+      aggregation-shaped.
+    - ``"auto"``: ``rownumber`` below ``ROWNUMBER_MAX_ROWS`` (skips
+      the extra jobs), ``cutkey`` at scale.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    counted = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_total", F.count("*").over(Window.partitionBy())
+    if method not in ("auto", "rownumber", "cutkey"):
+        raise ValueError(f"unknown split method: {method}")
+    if tie_break_cols is None:
+        tie_break_cols = tuple(c for c in df.columns if c not in order_cols)
+    order = [F.col(c) for c in order_cols]
+    ties = [F.col(c) for c in tie_break_cols]
+
+    if method == "auto":
+        method = "rownumber" if df.count() <= ROWNUMBER_MAX_ROWS else "cutkey"
+
+    if method == "rownumber":
+        w = Window.orderBy(*order, *ties)
+        counted = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_total", F.count("*").over(Window.partitionBy())
+        )
+        cut = F.floor(F.col("_total") * (1.0 - test_size)).cast("long")
+        train = counted.filter(F.col("_rn") <= cut).drop("_rn", "_total")
+        test = counted.filter(F.col("_rn") > cut).drop("_rn", "_total")
+        return train, test
+
+    n = df.count()
+    n_train = int(math.floor(n * (1.0 - test_size)))
+    if n == 0 or n_train >= n:
+        return df, df.limit(0)
+    if n_train <= 0:
+        return df.limit(0), df
+
+    counts = df.groupBy(*order_cols).agg(F.count("*").alias("_cnt"))
+    wk = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary = (
+        counts.withColumn("_cum", F.sum("_cnt").over(wk))
+        .filter(F.col("_cum") >= n_train)
+        .orderBy(*order)
+        .limit(1)
+        .collect()[0]
     )
-    cut = F.floor(F.col("_total") * (1.0 - test_size)).cast("long")
-    train = counted.filter(F.col("_rn") <= cut).drop("_rn", "_total")
-    test = counted.filter(F.col("_rn") > cut).drop("_rn", "_total")
-    return train, test
+    residual = n_train - (boundary["_cum"] - boundary["_cnt"])  # boundary rows -> train
+    key = F.struct(*order)
+    k_star = F.struct(*[F.lit(boundary[c]) for c in order_cols])
+    below, at, above = df.filter(key < k_star), df.filter(key == k_star), df.filter(key > k_star)
+    if residual <= 0:
+        return below, at.unionByName(above)
+    if residual >= boundary["_cnt"]:
+        return below.unionByName(at), above
+    wb = Window.partitionBy(*order).orderBy(*(ties or [F.lit(1)]))
+    at_rn = at.withColumn("_rn", F.row_number().over(wb))
+    at_train = at_rn.filter(F.col("_rn") <= residual).drop("_rn")
+    at_test = at_rn.filter(F.col("_rn") > residual).drop("_rn")
+    return below.unionByName(at_train), at_test.unionByName(above)
 
 
 def prepare_dataset(
@@ -59,6 +122,8 @@ def prepare_dataset(
     test_size: float = 0.2,
     datetime_col: str = "datetime",
     as_numpy: bool = False,
+    random_state: int | None = 42,
+    split_method: str = "auto",
 ):
     """Project -> drop any-null rows -> chronological split
     (reference training.py:17-69).
@@ -67,7 +132,13 @@ def prepare_dataset(
     ``as_numpy=True`` returns ``(X_train, X_test, y_train, y_test,
     feature_cols)`` — the reference's exact contract — by collecting
     through Arrow; only sensible when the result fits the driver.
+
+    ``random_state`` exists for signature parity with the reference
+    (training.py passes it to ``train_test_split``) but is unused:
+    the split is chronological (``shuffle=False``), so no RNG is ever
+    consulted — same as in the reference.
     """
+    del random_state  # signature parity only; chronological split uses no RNG
     if target_col not in df.columns:
         raise ValueError(f"Target column '{target_col}' not present")
     feature_cols = feature_cols or feature_columns(df, target_col)
@@ -77,7 +148,9 @@ def prepare_dataset(
 
     projected = df.select(datetime_col, *feature_cols, target_col)
     clean = projected.na.drop("any", subset=[*feature_cols, target_col])
-    train, test = chronological_split(clean, test_size, order_cols=(datetime_col,))
+    train, test = chronological_split(
+        clean, test_size, order_cols=(datetime_col,), method=split_method
+    )
     if not as_numpy:
         return train, test, feature_cols
 

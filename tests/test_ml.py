@@ -45,6 +45,36 @@ def test_chronological_split_is_ordered(spark, featured):
     )
 
 
+def test_chronological_split_cutkey_matches_rownumber(spark):
+    """The distributed cut-key path must reproduce the row_number cut
+    exactly — counts AND membership — including boundary-timestamp
+    ties split by the deterministic tie-break."""
+    import pandas as pd
+
+    n = 1000
+    pdf = pd.DataFrame(
+        {
+            # 4 rows per timestamp -> the 80% boundary lands inside a tie group
+            "datetime": pd.date_range("2024-01-01", periods=n // 4, freq="1min").repeat(4),
+            "bar_id": range(n),
+            "x": [i * 0.5 for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for ts in (0.2, 0.25, 0.301):
+        a_train, a_test = chronological_split(
+            df, test_size=ts, order_cols=("datetime",), method="rownumber"
+        )
+        b_train, b_test = chronological_split(
+            df, test_size=ts, order_cols=("datetime",), method="cutkey"
+        )
+        assert a_train.count() == b_train.count() == int((1 - ts) * n)
+        assert a_test.count() == b_test.count()
+        a_ids = {r.bar_id for r in a_train.select("bar_id").collect()}
+        b_ids = {r.bar_id for r in b_train.select("bar_id").collect()}
+        assert a_ids == b_ids, f"membership diverged at test_size={ts}"
+
+
 def test_prepare_dataset_numpy_contract(featured):
     X_train, X_test, y_train, y_test, names = prepare_dataset(featured, as_numpy=True)
     assert X_train.shape[1] == len(names) == 49
