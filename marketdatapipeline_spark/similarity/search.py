@@ -81,17 +81,169 @@ def cosine_topk(
     )
 
 
+def _exact_pair_rerank(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact sequential-fold cosine + threshold filter over a (small)
+    candidate pair set. The fold is the oracle-comparable kernel, so
+    whatever produced the candidates, the emitted values and the
+    >= threshold decision are bit-exact."""
+    a = add_vector_norm(df, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = add_vector_norm(df, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _blocked_candidate_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    num_blocks: int,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Exact all-pairs candidate generation as a blocked numpy matmul.
+
+    Vectors are hashed into ``num_blocks`` blocks; every unordered
+    block pair (i <= j) becomes one applyInPandas group holding block
+    i as the "left" side and block j as the "right" side (replication
+    factor = num_blocks, work per group = |i| x |j| BLAS multiply-adds
+    — millions of pairs per second per core, vs a 64-step codegen fold
+    per pair in the naive theta-join). Each unordered vector pair
+    lands in exactly one group. Emits id pairs whose matmul cosine
+    clears ``threshold - margin``; the margin (>> the ~1e-14 gap
+    between pairwise-BLAS and sequential-fold summation) guarantees no
+    true pair is lost, and the exact rerank re-decides the boundary.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("_b"),
+    )
+    left = d.select(
+        "_id", "_v",
+        F.col("_b").alias("bi"),
+        F.explode(F.sequence(F.col("_b"), F.lit(num_blocks - 1))).alias("bj"),
+        F.lit(0).alias("_side"),
+    )
+    right = d.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("bi"),
+        F.col("_b").alias("bj"),
+        F.lit(1).alias("_side"),
+    )
+    cut = threshold - margin
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        same_block = key[0] == key[1]
+        if same_block:
+            lf = rt = pdf[pdf["_side"] == 0]
+        else:
+            lf, rt = pdf[pdf["_side"] == 0], pdf[pdf["_side"] == 1]
+        if lf.empty or rt.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        va = np.stack(lf["_v"].to_numpy())
+        vb = va if same_block else np.stack(rt["_v"].to_numpy())
+        na = np.linalg.norm(va, axis=1)
+        nb = na if same_block else np.linalg.norm(vb, axis=1)
+        c = (va / np.where(na > 0, na, 1.0)[:, None]) @ (
+            vb / np.where(nb > 0, nb, 1.0)[:, None]
+        ).T
+        ia, jb = np.nonzero(c >= cut)
+        id_a = lf["_id"].to_numpy()[ia]
+        id_b = rt["_id"].to_numpy()[jb]
+        if same_block:  # both orders present: keep one canonically
+            keep = id_a < id_b
+            return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+        return pd.DataFrame(  # each pair once, in arbitrary id order
+            {"id_a": np.minimum(id_a, id_b), "id_b": np.maximum(id_a, id_b)}
+        )
+
+    # Each unordered vector pair lands in exactly one (bi, bj) group,
+    # so the union of kernel outputs is already duplicate-free.
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, schema="id_a long, id_b long")
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "blocked",
+    num_blocks: int = 16,
+    n_planes: int = 8,
+    bands: int = 2,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All vector pairs with cosine >= threshold (embedding near-dup).
+    """All vector pairs with cosine >= threshold (embedding near-dup),
+    ``id_a < id_b``, exact fold-cosine values in every method.
 
-    Exact all-pairs — quadratic, for modest corpora or LSH-bucketed
-    candidate verification. The i<j filter halves the work and makes
-    output deterministic."""
+    Methods:
+
+    - ``"blocked"`` (default, exact): blocked numpy-matmul candidate
+      generation + exact rerank. Still O(n^2) multiply-adds — that is
+      what exact all-pairs means — but BLAS-batched and spread over
+      num_blocks*(num_blocks+1)/2 independent tasks instead of a
+      nested-loop join with a per-pair expression fold.
+    - ``"lsh"`` (the 100 TB path, approximate recall): banded
+      sign-random-projection candidates (equi-join on band keys, never
+      a cross product) + exact rerank. Tune n_planes/bands to the
+      threshold; recall is the LSH collision probability.
+    - ``"fold"``: the naive theta-join; kept as the oracle-shaped
+      definition and for tiny frames.
+
+    Pass ``candidates`` (id_a, id_b) to skip generation and verify an
+    externally-produced pair set (mirrors jaccard_similar_pairs).
+    """
+    if candidates is not None:
+        return _exact_pair_rerank(df, candidates, threshold, id_col, vec_col)
+    if method == "blocked":
+        cands = _blocked_candidate_pairs(df, threshold, id_col, vec_col, num_blocks)
+        return _exact_pair_rerank(df, cands, threshold, id_col, vec_col)
+    if method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        keys = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array(*band_key_exprs(F.col(vec_col), n_planes, bands, dim))
+            ).alias("band_key"),
+        )
+        cands = (
+            keys.select(F.col("_id").alias("id_a"), "band_key")
+            .join(keys.select(F.col("_id").alias("id_b"), "band_key"), "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _exact_pair_rerank(df, cands, threshold, id_col, vec_col)
+    if method != "fold":
+        raise ValueError(f"unknown method: {method}")
     a = add_vector_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
     )
