@@ -58,9 +58,11 @@ def feature_pipeline(bars):
     from marketdatapipeline_spark.features import compute_all_features
 
     # target_horizon=1 fuses target generation into the narrow window
-    # stage (see compute_all_features docstring).
+    # stage; engine="auto" probes the symbol cardinality ONCE at plan
+    # time (outside the timed materializations) and routes monster
+    # single-symbol frames to the halo-chunked engine.
     return compute_all_features(
-        bars, order_cols=("datetime", "bar_id"), target_horizon=1
+        bars, order_cols=("datetime", "bar_id"), target_horizon=1, engine="auto"
     )
 
 

@@ -251,3 +251,109 @@ def compute_all_features_arrow(
         f.split(" ")[0] for f in feature_fields if f.endswith("double")
     ]
     return nan_to_null(out, double_cols)
+
+
+def compute_all_features_chunked(
+    df: DataFrame,
+    datetime_col: str = "datetime",
+    momentum_periods: tuple[int, ...] | None = None,
+    volatility_windows: tuple[int, ...] | None = None,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] | None = None,
+    rsi_period: int = 14,
+    macd_fast: int = 12,
+    macd_slow: int = 26,
+    macd_signal: int = 9,
+    bb_period: int = 20,
+    bb_std: float = 2.0,
+    target_horizon: int | None = None,
+    target_type: str = "classification",
+    block_rows: int = 65536,
+    halo: int = 4096,
+) -> DataFrame:
+    """Halo-overlap blocked execution for monster single-symbol series.
+
+    The per-symbol Arrow engine serializes each symbol onto one task —
+    the one shape it cannot split. Here each symbol's series is cut
+    into ``block_rows`` chunks that compute IN PARALLEL, each seeded
+    with the previous block's last ``halo`` rows (plus the next
+    block's first ``target_horizon`` rows for the forward-return
+    lead). The same vectorized kernel runs per block; halo rows are
+    dropped from the output.
+
+    Exactness: rolling/lag/lead features are bit-identical (halo >=
+    every window length). The EWM recurrence restarts at the halo
+    start, so carried state older than ``halo`` rows is dropped — a
+    relative error of r^halo, < 1e-100 at the default halo for every
+    span here (pytest pins parity with the arrow engine at 1e-9).
+
+    Plan shape: one narrow row_number pass per symbol (cheap — no
+    wide buffering), a 3%-inflated exchange on (symbol, block), then
+    n/block_rows independent kernel tasks. At 1000 executors this is
+    the difference between one 100 GB task and 1500 x 64 MB tasks.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    momentum_periods = tuple(momentum_periods or (5, 10, 20, 50))
+    volatility_windows = tuple(volatility_windows or (10, 20, 60))
+    order = list(order_cols or (datetime_col,))
+    has_hl = "high" in df.columns and "low" in df.columns
+    longest = max(
+        bb_period, rsi_period, macd_slow, macd_signal,
+        *momentum_periods, *volatility_windows,
+    )
+    # halo must cover the longest rolling window exactly and the EWM
+    # warmup overwhelmingly (r^halo << ulp needs halo >> 36*span)
+    halo = max(halo, 64 * longest)
+    if block_rows <= halo:
+        raise ValueError(f"block_rows ({block_rows}) must exceed halo ({halo})")
+    fwd = int(target_horizon or 0)
+
+    w = Window.partitionBy(symbol_col).orderBy(*[F.col(c) for c in order])
+    d = df.withColumn("_rn", F.row_number().over(w))
+    pos = F.col("_rn") - 1
+    d = d.withColumn("_blk", F.floor(pos / block_rows)).withColumn(
+        "_off", F.pmod(pos, F.lit(block_rows).cast("long"))
+    )
+    parts = [d.withColumn("_halo", F.lit(False))]
+    parts.append(  # previous block's tail seeds this block's state
+        d.filter(F.col("_off") >= block_rows - halo)
+        .withColumn("_blk", F.col("_blk") + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    if fwd > 0:  # next block's head provides the forward-return lead
+        parts.append(
+            d.filter((F.col("_off") < fwd) & (F.col("_blk") > 0))
+            .withColumn("_blk", F.col("_blk") - 1)
+            .withColumn("_halo", F.lit(True))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    feature_fields = feature_schema_fields(
+        has_hl, momentum_periods, volatility_windows, target_horizon, target_type
+    )
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + feature_fields
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        feat = _feature_frame(
+            pdf, ["_rn"], momentum_periods, volatility_windows,
+            rsi_period, macd_fast, macd_slow, macd_signal,
+            bb_period, bb_std, datetime_col, target_horizon, target_type,
+        )
+        feat = feat[~feat["_halo"].to_numpy(dtype=bool)]
+        return feat.drop(columns=["_rn", "_blk", "_off", "_halo"])
+
+    out = u.groupBy(symbol_col, "_blk").applyInPandas(run, schema=schema)
+
+    from marketdatapipeline_spark.features.ewm import nan_to_null
+
+    double_cols = [
+        f.split(" ")[0] for f in feature_fields if f.endswith("double")
+    ]
+    return nan_to_null(out, double_cols)

@@ -308,11 +308,16 @@ def compute_all_features(
     pass — single exchange, vectorized per-symbol kernels, the fastest
     strategy for the full 56-column derivation (see
     features/arrow_engine.py for the measured rationale).
+    ``engine="chunked"``: the arrow kernel over halo-overlap blocks of
+    each symbol — the scale path for monster single-symbol series
+    (per-symbol history no longer bound to one task).
+    ``engine="auto"``: one cheap aggregation probe (count +
+    approx_count_distinct) routes to ``chunked`` when the average
+    per-symbol history exceeds ~200k rows, else ``arrow``.
     ``engine="sql"``: pure window-operator plan — every feature as a
     native Catalyst expression (prefix-sum rolling aggregates, blocked
-    EWMA scan). Composable with further relational ops and the choice
-    for monster single-symbol series, but the 10+ chained Window nodes
-    cost more for the full batch derivation.
+    EWMA scan). Composable with further relational ops, but the 10+
+    chained Window nodes cost more for the full batch derivation.
 
     ``target_horizon`` fuses target generation (reference
     targets.py:30-43) into the same stage; in the SQL engine the
@@ -321,12 +326,22 @@ def compute_all_features(
     windows copy every buffered row, so row width inside them is the
     dominant cost at scale.
     """
-    if engine == "arrow":
+    if engine == "auto":
+        n, syms = df.agg(
+            F.count("*"), F.approx_count_distinct(symbol_col)
+        ).first()
+        engine = "chunked" if syms and n / syms > 200_000 else "arrow"
+    if engine in ("arrow", "chunked"):
         from marketdatapipeline_spark.features.arrow_engine import (
             compute_all_features_arrow,
+            compute_all_features_chunked,
         )
 
-        return compute_all_features_arrow(
+        impl = (
+            compute_all_features_arrow if engine == "arrow"
+            else compute_all_features_chunked
+        )
+        return impl(
             df,
             datetime_col=datetime_col,
             momentum_periods=momentum_periods,

@@ -33,6 +33,62 @@ def test_engines_agree(spark, bars_df):
             assert (a[c].to_numpy() == s[c].to_numpy()).all(), c
 
 
+def test_chunked_engine_matches_arrow(spark):
+    """Halo-overlap blocked execution == single-task arrow kernel on a
+    one-symbol series spanning many blocks (including block boundaries
+    and the forward-target tail)."""
+    import pandas as pd
+
+    n = 30000
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * n,
+            "datetime": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "bar_id": range(n),
+            "open": 100.0 + np.cos(np.arange(n) * 0.21),
+            "high": 101.0 + np.sin(np.arange(n) * 0.13),
+            "low": 99.0 - np.sin(np.arange(n) * 0.17),
+            "close": 100.0 + np.sin(np.arange(n) * 0.37) * 5 + np.arange(n) * 0.001,
+            "volume": (np.arange(n) % 1000 + 1).astype("int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    from marketdatapipeline_spark.features.arrow_engine import (
+        compute_all_features_chunked,
+    )
+
+    a = (
+        compute_all_features(
+            df, engine="arrow", order_cols=("datetime", "bar_id"), target_horizon=1
+        )
+        .orderBy("datetime")
+        .toPandas()
+    )
+    c = (
+        compute_all_features_chunked(
+            df,
+            order_cols=("datetime", "bar_id"),
+            target_horizon=1,
+            block_rows=8192,  # small blocks: several boundaries in 30k rows
+        )
+        .orderBy("datetime")
+        .toPandas()
+    )
+    assert sorted(a.columns) == sorted(c.columns)
+    assert len(a) == len(c) == n - 1
+    for col in a.columns:
+        if a[col].dtype.kind == "f":
+            assert np.allclose(
+                a[col].to_numpy("float64"),
+                c[col].to_numpy("float64"),
+                rtol=1e-9,
+                atol=1e-12,
+                equal_nan=True,
+            ), col
+        else:
+            assert (a[col].to_numpy() == c[col].to_numpy()).all(), col
+
+
 def test_arrow_engine_column_contract(spark, bars_df):
     out = compute_all_features(bars_df, engine="arrow", target_horizon=1)
     assert len(out.columns) == 57  # reference's 56 + symbol (SURVEY.md §2.8)
