@@ -9,6 +9,8 @@ partial-aggregated exchange), exact, and DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,3 +90,69 @@ def feature_importance_top_k(
     rows = list(zip(feature_names, imp))
     df = spark.createDataFrame(rows, ["feature", "importance"])
     return df.orderBy(F.desc("importance"), "feature").limit(top_n)
+
+
+def plot_feature_importance(
+    model,
+    feature_names: list[str],
+    top_n: int = 20,
+    save_path: str | None = None,
+) -> str | None:
+    """Render the top-N feature-importance bar chart (M5, reference
+    src/ml/evaluation.py:85-130: seaborn barplot saved as PNG).
+
+    Driver-side and tiny (top_n rows). With matplotlib installed this
+    writes the PNG the reference writes; without it (this container
+    ships no plotting libs) it falls back to a dependency-free SVG of
+    the same horizontal bar chart so the pipeline still produces the
+    documented artifact. Returns the written path (extension may be
+    corrected to .svg in the fallback), or None when ``save_path`` is
+    None and matplotlib is absent (nothing to show a display on).
+    """
+    ranked = sorted(
+        zip(feature_names, (float(v) for v in model.feature_importances_)),
+        key=lambda t: (-t[1], t[0]),
+    )[:top_n]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        if save_path is None:
+            return None
+        path = str(Path(save_path).with_suffix(".svg"))
+        width, bar_h, left = 640, 22, 220
+        height = bar_h * len(ranked) + 60
+        vmax = max((v for _, v in ranked), default=1.0) or 1.0
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
+            f'<text x="10" y="24" font-size="16">Top {len(ranked)} Features par Importance</text>',
+        ]
+        for i, (name, val) in enumerate(ranked):
+            y = 40 + i * bar_h
+            w = (width - left - 20) * val / vmax
+            parts.append(
+                f'<text x="{left - 8}" y="{y + 15}" font-size="11" text-anchor="end">{name}</text>'
+                f'<rect x="{left}" y="{y + 3}" width="{w:.1f}" height="{bar_h - 6}" fill="#4472c4"/>'
+                f'<text x="{left + w + 4:.1f}" y="{y + 15}" font-size="10">{val:.4f}</text>'
+            )
+        parts.append("</svg>")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text("\n".join(parts))
+        return path
+
+    names = [n for n, _ in ranked][::-1]
+    vals = [v for _, v in ranked][::-1]
+    plt.figure(figsize=(10, 8))
+    plt.barh(names, vals)
+    plt.title(f"Top {len(ranked)} Features par Importance")
+    plt.xlabel("Importance")
+    plt.tight_layout()
+    if save_path:
+        plt.savefig(save_path, dpi=300, bbox_inches="tight")
+        plt.close()
+        return save_path
+    plt.show()
+    plt.close()
+    return None

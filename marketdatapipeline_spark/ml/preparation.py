@@ -63,6 +63,12 @@ def chronological_split(
       aggregation-shaped.
     - ``"auto"``: ``rownumber`` below ``ROWNUMBER_MAX_ROWS`` (skips
       the extra jobs), ``cutkey`` at scale.
+
+    NULL order keys: ``rownumber``'s window sort is NULLS FIRST, so
+    null-keyed rows land in train (until train is full). ``cutkey``
+    replicates that explicitly — struct comparisons against the
+    boundary key would otherwise evaluate to NULL and silently drop
+    those rows from both halves.
     """
     if method not in ("auto", "rownumber", "cutkey"):
         raise ValueError(f"unknown split method: {method}")
@@ -71,8 +77,13 @@ def chronological_split(
     order = [F.col(c) for c in order_cols]
     ties = [F.col(c) for c in tie_break_cols]
 
+    n: int | None = None
     if method == "auto":
-        method = "rownumber" if df.count() <= ROWNUMBER_MAX_ROWS else "cutkey"
+        # count ONCE; the cutkey branch reuses it (a second count would
+        # be another full job and could disagree on a nondeterministic
+        # source).
+        n = df.count()
+        method = "rownumber" if n <= ROWNUMBER_MAX_ROWS else "cutkey"
 
     if method == "rownumber":
         w = Window.orderBy(*order, *ties)
@@ -84,14 +95,55 @@ def chronological_split(
         test = counted.filter(F.col("_rn") > cut).drop("_rn", "_total")
         return train, test
 
-    n = df.count()
+    if n is None:
+        n = df.count()
     n_train = int(math.floor(n * (1.0 - test_size)))
     if n == 0 or n_train >= n:
         return df, df.limit(0)
     if n_train <= 0:
         return df.limit(0), df
 
+    # Per-key counts (one map-side-combined shuffle over the tiny
+    # distinct-key table). NULL-keyed groups are split off and handled
+    # first — they sort before every real key (NULLS FIRST).
+    null_key = None
+    for c in order_cols:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
     counts = df.groupBy(*order_cols).agg(F.count("*").alias("_cnt"))
+    n_null_row = counts.filter(null_key).agg(F.sum("_cnt").alias("s")).collect()[0]
+    n_null = int(n_null_row["s"] or 0)
+    if n_null:
+        nulls, nonnull = df.filter(null_key), df.filter(~null_key)
+        if n_null >= n_train:
+            # degenerate: train is entirely null-keyed rows; order them
+            # by tie-break like rownumber would (n_null rows only).
+            wn = Window.orderBy(*order, *ties)
+            nrn = nulls.withColumn("_rn", F.row_number().over(wn))
+            train = nrn.filter(F.col("_rn") <= n_train).drop("_rn")
+            rest = nrn.filter(F.col("_rn") > n_train).drop("_rn")
+            return train, rest.unionByName(nonnull)
+        head, tail = _cutkey_split(
+            nonnull, counts.filter(~null_key), n_train - n_null, order, ties, order_cols
+        )
+        return nulls.unionByName(head), tail
+    return _cutkey_split(df, counts, n_train, order, ties, order_cols)
+
+
+def _cutkey_split(
+    df: DataFrame,
+    counts: DataFrame,
+    n_train: int,
+    order: list,
+    ties: list,
+    order_cols: tuple[str, ...],
+) -> tuple[DataFrame, DataFrame]:
+    """Cut-key boundary location + key-comparison split for a frame
+    with NO null order keys: find the boundary key on the tiny
+    per-key count table, split the data by struct comparison, and
+    row_number ONLY the boundary key's own rows to divide residual
+    ties. ``n_train`` is the exact number of rows that must land in
+    the first half."""
     wk = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     boundary = (
         counts.withColumn("_cum", F.sum("_cnt").over(wk))

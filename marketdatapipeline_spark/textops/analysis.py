@@ -32,33 +32,52 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _word_count_expr(text: Column, words: tuple[str, ...]) -> Column:
+    """Count whitespace-delimited tokens of ``text`` that exactly equal
+    one of ``words`` (plain-letter words only — no regex escaping),
+    case-insensitively.
+
+    Equivalent to ``size(filter(split(trim(text),'\\s+'), w ->
+    words contains lower(w)))`` but stays a single regexp_count inside
+    whole-stage codegen — higher-order functions are interpreted per
+    element and were the dominant cost of the quality/language
+    queries. The lookarounds don't consume the delimiter, so adjacent
+    marker tokens ("the the") each match."""
+    alt = "|".join(words)
+    return F.regexp_count(F.lower(text), F.lit(rf"(?<=^|\s)(?:{alt})(?=\s|$)"))
+
+
 def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a word-character count (BPE-ish proxy:
     alnum runs), both as scan-side expressions."""
     words = _tokens(text_col)
-    alnum_runs = F.size(
-        F.filter(
-            F.split(F.col(text_col), r"[^A-Za-z0-9]+"), lambda t: t != ""
-        )
-    )
     return df.withColumns(
-        {"n_tokens": F.size(words), "n_words": alnum_runs}
+        {
+            "n_tokens": F.size(words),
+            # count of [A-Za-z0-9]+ runs == size(filter(split(text,
+            # '[^A-Za-z0-9]+'), t -> t != '')) without the HOF
+            "n_words": F.regexp_count(F.col(text_col), F.lit("[A-Za-z0-9]+")),
+        }
     )
 
 
 def add_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals
-    (the standard pre-training quality-filter features)."""
+    (the standard pre-training quality-filter features).
+
+    All counts are codegen-side regexp expressions: stopword hits via
+    delimiter-bounded regexp_count (see :func:`_word_count_expr`), and
+    the token-length sum as ``length(text minus whitespace)`` — both
+    exactly equal to the per-token fold they replace."""
     text = F.col(text_col)
     words = _tokens(text_col)
     n_tok = F.size(words)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    mean_word_len = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    ) / n_tok.cast("double")
+    n_stop = _word_count_expr(F.trim(text), STOPWORDS)
+    # sum(length(w) for w in split(trim(text), '\s+')) == every
+    # non-whitespace character of text, counted once
+    mean_word_len = F.length(F.regexp_replace(text, r"\s+", "")) / n_tok.cast("double")
     return df.withColumns(
         {
             "n_chars_calc": n_chars,
@@ -77,11 +96,10 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     'und' = undetermined when nothing matched). A CJK-codepoint check
     routes Chinese before the Latin vote.
     """
-    words = F.transform(_tokens(text_col), F.lower)
-    scores = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    scores = {
+        lang: _word_count_expr(F.trim(F.col(text_col)), markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
     has_cjk = F.col(text_col).rlike(r"[一-鿿]")
 
     langs = list(LANG_MARKERS)

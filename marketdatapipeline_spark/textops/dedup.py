@@ -279,8 +279,13 @@ def simhash(
     near-dup search then compares Hamming distance on the fingerprints.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    h = md5_int(F.col("token"))
+    # Materialize the md5 base hash ONCE per token: Catalyst does not
+    # CSE md5 across the per-bit aggregate expressions, so without the
+    # projection the digest would be computed `bits` times per token.
+    tok = df.select(F.col(id_col), F.explode(words).alias("token")).select(
+        F.col(id_col), md5_int(F.col("token")).alias("_h")
+    )
+    h = F.col("_h")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
