@@ -270,30 +270,45 @@ def compute_all_features_chunked(
     target_type: str = "classification",
     block_rows: int = 65536,
     halo: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Halo-overlap blocked execution for monster single-symbol series.
 
     The per-symbol Arrow engine serializes each symbol onto one task —
-    the one shape it cannot split. Here each symbol's series is cut
-    into ``block_rows`` chunks that compute IN PARALLEL, each seeded
+    the one shape it cannot split. Here the frame is range-partitioned
+    on ``(symbol, *order_cols)`` into ~``block_rows``-sized blocks that
+    compute IN PARALLEL; a narrow per-partition pass seeds each block
     with the previous block's last ``halo`` rows (plus the next
     block's first ``target_horizon`` rows for the forward-return
     lead). The same vectorized kernel runs per block; halo rows are
     dropped from the output.
 
-    Exactness: rolling/lag/lead features are bit-identical (halo >=
-    every window length). The EWM recurrence restarts at the halo
-    start, so carried state older than ``halo`` rows is dropped — a
-    relative error of r^halo, < 1e-100 at the default halo for every
-    span here (pytest pins parity with the arrow engine at 1e-9).
+    Exactness: because the range sort leads with ``symbol``, each
+    symbol's history occupies a CONTIGUOUS run of partitions, so a
+    block's immediate predecessor rows are always the tail of the
+    previous partition — if the symbol has fewer than ``halo``
+    antecedents there, those are ALL its antecedents (it starts in
+    that partition). Rolling/lag/lead features are therefore
+    bit-identical (halo >= every window length). The EWM recurrence
+    restarts at the halo start, dropping carried state older than
+    ``halo`` rows — a relative error of r^halo, < 1e-100 at the
+    default halo for every span here (pytest pins parity with the
+    arrow engine at 1e-9). The one size assumption: every range
+    partition holds >= ``halo`` rows, which the 4x-halo floor on the
+    block size gives the range sampler ample margin for.
 
-    Plan shape: one narrow row_number pass per symbol (cheap — no
-    wide buffering), a 3%-inflated exchange on (symbol, block), then
-    n/block_rows independent kernel tasks. At 1000 executors this is
-    the difference between one 100 GB task and 1500 x 64 MB tasks.
+    Plan shape: one range exchange (the only global coordination is
+    the driver-side boundary sampling repartitionByRange already
+    does), a narrow sorted mapInPandas that tags blocks and emits the
+    ~halo/block_rows halo duplicates, one hash exchange on
+    (symbol, block), then independent kernel tasks. No global sort,
+    no single-task stage anywhere. At 1000 executors this is the
+    difference between one 100 GB task and 1500 x 64 MB tasks.
     """
-    from pyspark.sql import Window
+    import math
+
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     momentum_periods = tuple(momentum_periods or (5, 10, 20, 50))
     volatility_windows = tuple(volatility_windows or (10, 20, 60))
@@ -310,27 +325,68 @@ def compute_all_features_chunked(
         raise ValueError(f"block_rows ({block_rows}) must exceed halo ({halo})")
     fwd = int(target_horizon or 0)
 
-    w = Window.partitionBy(symbol_col).orderBy(*[F.col(c) for c in order])
-    d = df.withColumn("_rn", F.row_number().over(w))
-    pos = F.col("_rn") - 1
-    d = d.withColumn("_blk", F.floor(pos / block_rows)).withColumn(
-        "_off", F.pmod(pos, F.lit(block_rows).cast("long"))
+    n = n_rows if n_rows is not None else df.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # shrink blocks (down to a 4x-halo floor) until every core has one
+    eff_block = min(block_rows, max(4 * halo, math.ceil(n / max(par, 1))))
+    nb = max(1, math.ceil(n / eff_block))
+
+    src = (
+        df.repartitionByRange(nb, symbol_col, *order)
+        .sortWithinPartitions(symbol_col, *order)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    parts = [d.withColumn("_halo", F.lit(False))]
-    parts.append(  # previous block's tail seeds this block's state
-        d.filter(F.col("_off") >= block_rows - halo)
-        .withColumn("_blk", F.col("_blk") + 1)
-        .withColumn("_halo", F.lit(True))
+    emit_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("_blk", T.IntegerType()),
+            T.StructField("_halo", T.BooleanType()),
+        ]
     )
-    if fwd > 0:  # next block's head provides the forward-return lead
-        parts.append(
-            d.filter((F.col("_off") < fwd) & (F.col("_blk") > 0))
-            .withColumn("_blk", F.col("_blk") - 1)
-            .withColumn("_halo", F.lit(True))
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+
+    def emit(batches):
+        """Tag native rows with their block id and duplicate the halo:
+        the running tail (last ``halo`` rows of the partition's current
+        last symbol) goes to the next block; the first symbol's first
+        ``fwd`` rows go to the previous block. Only boundary symbols
+        can continue into a neighbouring partition (range sort leads
+        with symbol), so only their rows are duplicated."""
+        tail = None  # (symbol, pdf of its trailing rows, capped at halo)
+        first_sym = None
+        head_sent = 0
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = pdf.drop(columns=["_pid"])
+            out = base.copy(deep=False)
+            out["_blk"] = pid
+            out["_halo"] = False
+            yield out
+            syms = base[symbol_col]
+            if fwd > 0 and pid > 0 and head_sent < fwd:
+                if first_sym is None:
+                    first_sym = syms.iloc[0]
+                head = base[syms.to_numpy() == first_sym].iloc[: fwd - head_sent]
+                if len(head):
+                    head_sent += len(head)
+                    h = head.copy(deep=False)
+                    h["_blk"] = pid - 1
+                    h["_halo"] = True
+                    yield h
+            last_sym = syms.iloc[-1]
+            run_rows = base[syms.to_numpy() == last_sym].iloc[-halo:]
+            if tail is not None and tail[0] == last_sym:
+                run_rows = pd.concat([tail[1], run_rows]).iloc[-halo:]
+            tail = (last_sym, run_rows)
+        if tail is not None and len(tail[1]):
+            t = tail[1].copy(deep=False)
+            t["_blk"] = pid + 1
+            t["_halo"] = True
+            yield t
+
+    u = src.mapInPandas(emit, schema=emit_schema)
 
     feature_fields = feature_schema_fields(
         has_hl, momentum_periods, volatility_windows, target_horizon, target_type
@@ -342,14 +398,23 @@ def compute_all_features_chunked(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         feat = _feature_frame(
-            pdf, ["_rn"], momentum_periods, volatility_windows,
+            pdf, order, momentum_periods, volatility_windows,
             rsi_period, macd_fast, macd_slow, macd_signal,
             bb_period, bb_std, datetime_col, target_horizon, target_type,
         )
         feat = feat[~feat["_halo"].to_numpy(dtype=bool)]
-        return feat.drop(columns=["_rn", "_blk", "_off", "_halo"])
+        return feat.drop(columns=["_blk", "_halo"])
 
-    out = u.groupBy(symbol_col, "_blk").applyInPandas(run, schema=schema)
+    # Pin the kernel stage's parallelism: an explicit hash repartition
+    # on the group keys satisfies applyInPandas' clustering requirement
+    # (no second exchange) and is exempt from AQE coalescing, which
+    # would otherwise fold the Python-heavy kernel tasks into a few
+    # 64MB-advisory partitions and serialize them.
+    out = (
+        u.repartition(4 * nb, symbol_col, "_blk")
+        .groupBy(symbol_col, "_blk")
+        .applyInPandas(run, schema=schema)
+    )
 
     from marketdatapipeline_spark.features.ewm import nan_to_null
 

@@ -326,10 +326,12 @@ def compute_all_features(
     windows copy every buffered row, so row width inside them is the
     dominant cost at scale.
     """
+    probed_n: int | None = None
     if engine == "auto":
         n, syms = df.agg(
             F.count("*"), F.approx_count_distinct(symbol_col)
         ).first()
+        probed_n = n
         engine = "chunked" if syms and n / syms > 200_000 else "arrow"
     if engine in ("arrow", "chunked"):
         from marketdatapipeline_spark.features.arrow_engine import (
@@ -341,8 +343,10 @@ def compute_all_features(
             compute_all_features_arrow if engine == "arrow"
             else compute_all_features_chunked
         )
+        extra = {"n_rows": probed_n} if engine == "chunked" else {}
         return impl(
             df,
+            **extra,
             datetime_col=datetime_col,
             momentum_periods=momentum_periods,
             volatility_windows=volatility_windows,

@@ -102,3 +102,64 @@ def test_arrow_engine_regression_target(spark, bars_df):
     assert dict(out.dtypes)["target"] == "double"
     n_syms = bars_df.select("symbol").distinct().count()
     assert out.count() == bars_df.count() - 3 * n_syms
+
+
+def test_chunked_engine_multi_symbol_boundaries(spark):
+    """Range-blocked execution with SEVERAL symbols whose runs start
+    and end inside partitions: the halo handoff must respect symbol
+    contiguity (a symbol's antecedents are always the previous
+    partition's tail for that symbol, or its own global start)."""
+    import pandas as pd
+
+    frames = []
+    for i, (sym, n) in enumerate([("A", 9000), ("B", 4000), ("C", 11000)]):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": [sym] * n,
+                    "datetime": pd.date_range("2024-01-01", periods=n, freq="1min"),
+                    "bar_id": range(n),
+                    "open": 100.0 + np.cos(np.arange(n) * (0.11 + i * 0.07)),
+                    "high": 101.0 + np.sin(np.arange(n) * 0.13),
+                    "low": 99.0 - np.sin(np.arange(n) * 0.17),
+                    "close": 100.0
+                    + np.sin(np.arange(n) * (0.29 + i * 0.05)) * 5
+                    + np.arange(n) * 0.001,
+                    "volume": (np.arange(n) % 1000 + 1).astype("int64"),
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    from marketdatapipeline_spark.features.arrow_engine import (
+        compute_all_features_chunked,
+    )
+
+    a = (
+        compute_all_features(
+            df, engine="arrow", order_cols=("datetime", "bar_id"), target_horizon=1
+        )
+        .orderBy("symbol", "datetime")
+        .toPandas()
+    )
+    c = (
+        compute_all_features_chunked(
+            df,
+            order_cols=("datetime", "bar_id"),
+            target_horizon=1,
+            block_rows=8192,  # 24k rows over ~5 blocks: every symbol crosses
+        )
+        .orderBy("symbol", "datetime")
+        .toPandas()
+    )
+    assert len(a) == len(c) == 24000 - 3
+    for col in a.columns:
+        if a[col].dtype.kind == "f":
+            assert np.allclose(
+                a[col].to_numpy("float64"),
+                c[col].to_numpy("float64"),
+                rtol=1e-9,
+                atol=1e-12,
+                equal_nan=True,
+            ), col
+        else:
+            assert (a[col].to_numpy() == c[col].to_numpy()).all(), col
