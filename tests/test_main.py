@@ -1,0 +1,29 @@
+"""End-to-end orchestrator smoke (reference src/main.py:21-205):
+validate -> ingest (fixture fetcher) -> features -> prepare -> train ->
+evaluate -> persist, one call, no network."""
+
+from __future__ import annotations
+
+import os
+
+from marketdatapipeline_spark.main import run_pipeline
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    summary = run_pipeline(
+        spark,
+        fixtures_dir="/root/testdata/sf0.001",
+        symbols=("0", "1"),
+        work_dir=str(tmp_path),
+    )
+    assert summary["n_train"] > 0 and summary["n_test"] > 0
+    assert summary["n_features"] > 40
+    assert os.path.exists(summary["model_path"])
+    # the documented artifact: PNG with matplotlib, SVG fallback without
+    assert summary["plot_path"] and os.path.exists(summary["plot_path"])
+    m = summary["metrics"]
+    assert set(m) >= {"accuracy", "precision", "recall", "f1"}
+    assert 0.0 <= m["accuracy"] <= 1.0
+    # raw parquet for each symbol landed in the work dir (S7/S11 path)
+    raw = [p for p, _, fs in os.walk(tmp_path) for f in fs if f.endswith(".parquet")]
+    assert raw
