@@ -154,7 +154,13 @@ def _cutkey_split(
     )
     residual = n_train - (boundary["_cum"] - boundary["_cnt"])  # boundary rows -> train
     key = F.struct(*order)
-    k_star = F.struct(*[F.lit(boundary[c]) for c in order_cols])
+    # Cast each boundary literal to the column's actual type: a Python
+    # datetime literal resolves as TIMESTAMP, but the column may be
+    # TIMESTAMP_NTZ (parquet default) — struct comparison requires
+    # identical field types on both sides.
+    k_star = F.struct(
+        *[F.lit(boundary[c]).cast(df.schema[c].dataType) for c in order_cols]
+    )
     below, at, above = df.filter(key < k_star), df.filter(key == k_star), df.filter(key > k_star)
     if residual <= 0:
         return below, at.unionByName(above)
