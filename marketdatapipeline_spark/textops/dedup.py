@@ -120,31 +120,68 @@ def jaccard_similar_pairs(
     Without ``candidates`` this self-joins the exploded shingle table —
     cost bounded by shared-shingle co-occurrence, not n^2, but still
     the exact path. Pass LSH candidates (``lsh_candidate_pairs``) to
-    verify only colliding pairs — the 100 TB path: the candidate list
-    is joined to the shingle table BEFORE intersection counting, so
-    verification work is O(candidates x shingles/doc), never the full
-    co-occurrence explosion. Pairs with an empty intersection drop out
-    of the join, which is equivalent for any ``threshold > 0``.
+    verify only colliding pairs — the 100 TB path: each document's
+    shingle set is collected into ONE array row, so the verify step is
+    two equi-joins that attach a (doc-sized) array per pair side plus a
+    codegen ``array_intersect`` per pair — never a replication of the
+    pair list by per-doc shingle count, and never the co-occurrence
+    explosion. Pairs with an empty intersection are dropped (as the
+    co-occurrence join does implicitly), which is equivalent for any
+    ``threshold > 0``.
     """
     sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
+    if candidates is not None:
+        # One row per doc: the distinct shingle set as an array + its
+        # size, from a single aggregation. The candidate pair list then
+        # picks up each side's set via a plain equi-join (AQE turns
+        # these into broadcast joins when the doc-set side is small);
+        # the intersection is a hash-set pass inside codegen.
+        sets_ = sh.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("_sh"), F.count("*").alias("n_sh")
+        )
+        pa = sets_.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_sh").alias("_sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        pb = sets_.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_sh").alias("_sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+        return (
+            candidates.join(pa, "id_a")
+            .join(pb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.col("n_a"),
+                F.col("n_b"),
+                inter.alias("inter"),
+            )
+            .filter(F.col("inter") > 0)
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    if candidates is not None:
-        pairs = (
-            candidates.join(a, on="id_a")
-            .join(b, on=["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
-        )
-    else:
-        pairs = (
-            a.join(b, on="shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
-        )
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
