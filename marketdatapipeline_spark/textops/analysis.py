@@ -41,10 +41,18 @@ def _word_count_expr(text: Column, words: tuple[str, ...]) -> Column:
     words contains lower(w)))`` but stays a single regexp_count inside
     whole-stage codegen — higher-order functions are interpreted per
     element and were the dominant cost of the quality/language
-    queries. The lookarounds don't consume the delimiter, so adjacent
-    marker tokens ("the the") each match."""
+    queries. Counting needs delimiter-bounded matches without
+    lookarounds (Java evaluates lookbehind-alternations slowly, ~7x
+    the cost of the rest of the quality plan combined): whitespace
+    runs are normalized to DOUBLE spaces and the ends padded, so every
+    token owns a space on each side and the plain pattern
+    ``" (?:w1|w2) "`` can consume its delimiters without stealing a
+    neighbour's — adjacent marker tokens ("the the") still both match."""
     alt = "|".join(words)
-    return F.regexp_count(F.lower(text), F.lit(rf"(?<=^|\s)(?:{alt})(?=\s|$)"))
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", "  "), F.lit(" ")
+    )
+    return F.regexp_count(padded, F.lit(f" (?:{alt}) "))
 
 
 def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
