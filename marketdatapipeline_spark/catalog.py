@@ -816,6 +816,56 @@ def q_ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(scored, pred_col="pred")
 
 
+_ROC_AUC_SQL = _bars_sql(
+    f"""
+    , scored AS (
+        SELECT CAST(((lead(close, 1) OVER w - close) / close) > 0 AS INT) AS target,
+               (close - lag(close, 1) OVER w) / lag(close, 1) OVER w AS score
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY {_ORD_SQL})
+    ),
+    f AS (
+        SELECT target, score FROM scored
+        WHERE target IS NOT NULL AND score IS NOT NULL
+    ),
+    g AS (SELECT score, count(*) AS n, sum(target) AS np FROM f GROUP BY score),
+    r AS (
+        SELECT np, n,
+               coalesce(sum(n) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM g
+    )
+    SELECT CAST(sum(np * (2 * cb + n + 1)) - sum(np) * (sum(np) + 1) AS DOUBLE)
+           / CAST(2 * sum(np) * sum(n - np) AS DOUBLE) AS roc_auc
+    FROM r
+    """
+)
+
+
+@register("ml_roc_auc", _ROC_AUC_SQL)
+def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC over a score column via the distributed Mann-Whitney
+    rank statistic (the metric published in the reference's results,
+    model_training.ipynb cell 11). Scores the momentum signal
+    (previous-bar return) against the next-bar-up label, so both
+    engines rank identical (label, score) pairs. The rank sum stays in
+    exact int64 (tie-averaged ranks doubled); the one float division
+    at the end is bit-identical — no rounding."""
+    from marketdatapipeline_spark.features import generate_targets
+    from marketdatapipeline_spark.ml import roc_auc
+
+    w = _w()
+    close = F.col("close")
+    prev = F.lag(close, 1).over(w)
+    bars = bars_from_events(spark, sf_dir)
+    labeled = generate_targets(bars, 1, "classification", order_cols=ORDER)
+    scored = labeled.withColumn("score", (close - prev) / prev).filter(
+        F.col("score").isNotNull()
+    )
+    return roc_auc(scored, label_col="target", score_col="score")
+
+
 @register(
     "chronological_split",
     """

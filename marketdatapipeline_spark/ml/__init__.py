@@ -4,9 +4,12 @@ metrics, inference), driver-side only for the model fit itself."""
 
 from marketdatapipeline_spark.ml.evaluation import (
     classification_metrics,
+    classification_report_dict,
     confusion_matrix,
+    evaluate_model,
     feature_importance_top_k,
     regression_metrics,
+    roc_auc,
 )
 from marketdatapipeline_spark.ml.prediction import load_model, predict
 from marketdatapipeline_spark.ml.preparation import (
@@ -19,13 +22,16 @@ from marketdatapipeline_spark.ml.training import save_model, train_model
 __all__ = [
     "chronological_split",
     "classification_metrics",
+    "classification_report_dict",
     "confusion_matrix",
+    "evaluate_model",
     "feature_columns",
     "feature_importance_top_k",
     "load_model",
     "predict",
     "prepare_dataset",
     "regression_metrics",
+    "roc_auc",
     "save_model",
     "train_model",
 ]

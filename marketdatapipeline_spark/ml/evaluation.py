@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,6 +80,198 @@ def regression_metrics(
         "mae",
         (F.lit(1.0) - F.col("ss_res") / ss_tot).alias("r2"),
     )
+
+
+def roc_auc(
+    df: DataFrame, label_col: str = "target", score_col: str = "score"
+) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney rank statistic
+    (the metric the reference publishes for its classifier,
+    model_training.ipynb cell 11).
+
+    AUC = (R_pos - P(P+1)/2) / (P*N) where R_pos is the sum of
+    tie-averaged ranks of the positive rows. Computed without ever
+    ranking individual rows: one aggregation collapses the data to one
+    row per DISTINCT score (n rows, n_pos positives), then a prefix-sum
+    window over that (much smaller) table yields every tie-averaged
+    rank. All rank arithmetic is integer — doubling the average-rank
+    term to ``2*cum_before + n + 1`` keeps it in exact int64 — so the
+    single final division is the only float op and the result is
+    bit-identical across engines.
+
+    Scale note: the window sorts the distinct-score table on a single
+    partition. Continuous scores should be quantized upstream (e.g.
+    ``F.round(score, 6)`` — ≤ 2M distinct values for probabilities,
+    trivially one task after the collapse); the aggregation itself is
+    fully distributed with map-side partials.
+    """
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("double")
+    g = (
+        df.select(s.alias("_s"), y.alias("_y"))
+        .groupBy("_s")
+        .agg(F.count("*").alias("_n"), F.sum("_y").alias("_np"))
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "_cb", F.coalesce(F.sum("_n").over(w), F.lit(0).cast("long"))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("_np") * (2 * F.col("_cb") + F.col("_n") + 1)
+        ).alias("_r2"),
+        F.sum("_np").alias("_p"),
+        F.sum(F.col("_n") - F.col("_np")).alias("_neg"),
+    )
+    p, neg = F.col("_p"), F.col("_neg")
+    return agg.select(
+        (
+            (F.col("_r2") - p * (p + 1)).cast("double")
+            / (2.0 * (p * neg).cast("double"))
+        ).alias("roc_auc")
+    )
+
+
+def _roc_auc_np(y_true: np.ndarray, scores: np.ndarray) -> float:
+    """Driver-side ROC-AUC, tie-averaged ranks — the same Mann-Whitney
+    statistic :func:`roc_auc` computes distributed."""
+    y = np.asarray(y_true).astype(np.int64)
+    s = np.asarray(scores).astype(np.float64)
+    order = np.argsort(s, kind="mergesort")
+    ss = s[order]
+    ranks = np.empty(len(ss), dtype=np.float64)
+    i = 0
+    while i < len(ss):
+        j = i
+        while j + 1 < len(ss) and ss[j + 1] == ss[i]:
+            j += 1
+        ranks[i : j + 1] = (i + j) / 2.0 + 1.0  # average of 1-based ranks
+        i = j + 1
+    r = np.empty(len(ss), dtype=np.float64)
+    r[order] = ranks
+    p = int((y == 1).sum())
+    n = int((y == 0).sum())
+    if p == 0 or n == 0:
+        return 0.0
+    return float((r[y == 1].sum() - p * (p + 1) / 2.0) / (p * n))
+
+
+def _binary_counts(y_true: np.ndarray, y_pred: np.ndarray, pos: int):
+    tp = int(((y_true == pos) & (y_pred == pos)).sum())
+    fp = int(((y_true != pos) & (y_pred == pos)).sum())
+    fn = int(((y_true == pos) & (y_pred != pos)).sum())
+    return tp, fp, fn
+
+
+def _prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
+    """precision/recall/f1 with sklearn's zero_division=0 convention."""
+    precision = tp / (tp + fp) if tp + fp > 0 else 0.0
+    recall = tp / (tp + fn) if tp + fn > 0 else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall > 0
+        else 0.0
+    )
+    return precision, recall, f1
+
+
+def classification_report_dict(y_true, y_pred) -> dict:
+    """Per-class precision/recall/f1/support plus accuracy and
+    macro/weighted averages — the dict form of the
+    ``classification_report`` the reference logs
+    (reference src/ml/evaluation.py:63, sklearn ``output_dict=True``
+    shape: class labels as string keys)."""
+    y_t = np.asarray(y_true).astype(np.int64)
+    y_p = np.asarray(y_pred).astype(np.int64)
+    labels = sorted(set(y_t.tolist()) | set(y_p.tolist()))
+    report: dict = {}
+    rows = []
+    for lab in labels:
+        tp, fp, fn = _binary_counts(y_t, y_p, lab)
+        precision, recall, f1 = _prf(tp, fp, fn)
+        support = int((y_t == lab).sum())
+        report[str(lab)] = {
+            "precision": precision,
+            "recall": recall,
+            "f1-score": f1,
+            "support": support,
+        }
+        rows.append((precision, recall, f1, support))
+    total = len(y_t)
+    report["accuracy"] = float((y_t == y_p).sum() / total) if total else 0.0
+    if rows:
+        report["macro avg"] = {
+            "precision": sum(r[0] for r in rows) / len(rows),
+            "recall": sum(r[1] for r in rows) / len(rows),
+            "f1-score": sum(r[2] for r in rows) / len(rows),
+            "support": total,
+        }
+        report["weighted avg"] = {
+            "precision": sum(r[0] * r[3] for r in rows) / total,
+            "recall": sum(r[1] * r[3] for r in rows) / total,
+            "f1-score": sum(r[2] * r[3] for r in rows) / total,
+            "support": total,
+        }
+    return report
+
+
+def evaluate_model(
+    model,
+    X_test: np.ndarray,
+    y_test: np.ndarray,
+    model_type: str = "classification",
+) -> dict:
+    """API-parity wrapper (reference src/ml/evaluation.py:25-82):
+    numpy test slice in, metrics dict out, same keys as the reference
+    (accuracy/precision/recall/f1/confusion_matrix for classification,
+    mse/rmse/mae/r2 for regression).
+
+    Additions over the reference's dict: ``classification_report``
+    (the per-class report the reference only logs) and ``roc_auc``
+    (published in the reference's results, model_training.ipynb cell
+    11) when the model exposes ``predict_proba``.
+
+    Driver-side by contract — the test slice is already a numpy
+    array; the distributed equivalents are
+    :func:`classification_metrics` / :func:`regression_metrics` /
+    :func:`roc_auc` over a predictions DataFrame.
+    """
+    y_pred = np.asarray(model.predict(X_test))
+
+    if model_type == "classification":
+        y_t = np.asarray(y_test).astype(np.int64)
+        y_p = y_pred.astype(np.int64)
+        tp, fp, fn = _binary_counts(y_t, y_p, 1)
+        tn = int(((y_t == 0) & (y_p == 0)).sum())
+        precision, recall, f1 = _prf(tp, fp, fn)
+        metrics = {
+            "accuracy": float((y_t == y_p).sum() / len(y_t)) if len(y_t) else 0.0,
+            "precision": precision,
+            "recall": recall,
+            "f1": f1,
+            # sklearn row/col order: true x predicted, labels [0, 1]
+            "confusion_matrix": [[tn, fp], [fn, tp]],
+            "classification_report": classification_report_dict(y_t, y_p),
+        }
+        if hasattr(model, "predict_proba"):
+            proba = np.asarray(model.predict_proba(X_test))[:, 1]
+            metrics["roc_auc"] = _roc_auc_np(y_t, proba)
+        return metrics
+
+    if model_type == "regression":
+        y_t = np.asarray(y_test).astype(np.float64)
+        y_p = y_pred.astype(np.float64)
+        err = y_t - y_p
+        mse = float(np.mean(err * err))
+        ss_tot = float(np.sum((y_t - y_t.mean()) ** 2))
+        return {
+            "mse": mse,
+            "rmse": float(np.sqrt(mse)),
+            "mae": float(np.mean(np.abs(err))),
+            "r2": float(1.0 - np.sum(err * err) / ss_tot) if ss_tot else 0.0,
+        }
+
+    raise ValueError(f"Unsupported model type: {model_type}")
 
 
 def feature_importance_top_k(

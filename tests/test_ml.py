@@ -10,13 +10,16 @@ from marketdatapipeline_spark.features import compute_all_features
 from marketdatapipeline_spark.ml import (
     chronological_split,
     classification_metrics,
+    classification_report_dict,
     confusion_matrix,
+    evaluate_model,
     feature_columns,
     feature_importance_top_k,
     load_model,
     predict,
     prepare_dataset,
     regression_metrics,
+    roc_auc,
     save_model,
     train_model,
 )
@@ -124,3 +127,62 @@ def test_classification_metrics_zero_division(spark):
     m = classification_metrics(df).first()
     assert m.precision == 0.0 and m.recall == 0.0 and m.f1 == 0.0
     assert abs(m.accuracy - 1 / 3) < 1e-12
+
+
+def test_evaluate_model_classification(featured):
+    """API-parity chain (reference src/ml/evaluation.py:25-63):
+    prepare -> train -> evaluate_model returns the reference's dict."""
+    X_train, X_test, y_train, y_test, names = prepare_dataset(featured, as_numpy=True)
+    model = train_model(X_train, y_train, model_type="classification")
+    m = evaluate_model(model, X_test, y_test, model_type="classification")
+    for key in ("accuracy", "precision", "recall", "f1"):
+        assert 0.0 <= m[key] <= 1.0
+    cm = m["confusion_matrix"]
+    assert len(cm) == 2 and sum(sum(r) for r in cm) == len(y_test)
+    # accuracy consistent with the confusion matrix it ships
+    assert abs(m["accuracy"] - (cm[0][0] + cm[1][1]) / len(y_test)) < 1e-12
+    rep = m["classification_report"]
+    assert rep["accuracy"] == m["accuracy"]
+    assert rep["1"]["precision"] == m["precision"]
+    assert rep["macro avg"]["support"] == len(y_test)
+    assert 0.0 <= m["roc_auc"] <= 1.0  # fallback model has predict_proba
+
+
+def test_evaluate_model_regression(featured):
+    X_train, X_test, y_train, y_test, names = prepare_dataset(
+        featured, as_numpy=True
+    )
+    model = train_model(X_train, y_train, model_type="regression")
+    m = evaluate_model(model, X_test, y_test, model_type="regression")
+    assert set(m) == {"mse", "rmse", "mae", "r2"}
+    assert m["mse"] >= 0 and abs(m["rmse"] - m["mse"] ** 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        evaluate_model(model, X_test, y_test, model_type="nope")
+
+
+def test_classification_report_known_values():
+    rep = classification_report_dict([0, 0, 1, 1, 1], [0, 1, 1, 1, 0])
+    assert rep["1"]["precision"] == 2 / 3  # tp=2, fp=1
+    assert rep["1"]["recall"] == 2 / 3  # tp=2, fn=1
+    assert rep["0"]["support"] == 2
+    assert abs(rep["accuracy"] - 0.6) < 1e-12
+    assert abs(rep["weighted avg"]["recall"] - 0.6) < 1e-12
+
+
+def test_roc_auc_known_values_and_ties(spark):
+    from marketdatapipeline_spark.ml.evaluation import _roc_auc_np
+
+    # no ties: sklearn roc_auc_score == 0.75
+    rows = [(0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8)]
+    df = spark.createDataFrame(rows, ["target", "score"])
+    assert abs(roc_auc(df).first()[0] - 0.75) < 1e-12
+    assert abs(_roc_auc_np([0, 0, 1, 1], [0.1, 0.4, 0.35, 0.8]) - 0.75) < 1e-12
+    # tied scores use average ranks: AUC = 0.875
+    rows = [(0, 0.5), (1, 0.5), (0, 0.2), (1, 0.8)]
+    df = spark.createDataFrame(rows, ["target", "score"])
+    assert abs(roc_auc(df).first()[0] - 0.875) < 1e-12
+    assert abs(_roc_auc_np([0, 1, 0, 1], [0.5, 0.5, 0.2, 0.8]) - 0.875) < 1e-12
+    # perfect ranking
+    rows = [(0, 0.1), (0, 0.2), (1, 0.3), (1, 0.9)]
+    df = spark.createDataFrame(rows, ["target", "score"])
+    assert roc_auc(df).first()[0] == 1.0
