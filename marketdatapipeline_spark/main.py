@@ -128,17 +128,26 @@ def run_pipeline(
     )
 
     # ---- phase 3: ML dataset (reference main.py:93-140) ----
-    X_train, X_test, y_train, y_test, feature_names = prepare_dataset(
+    # ONE prepare_dataset call serves both consumers: the numpy slice
+    # for the driver-side fit (phase 4) and the test DataFrame for the
+    # distributed scoring (phase 5). The feature plan is persisted so
+    # it executes once — without this, each downstream action replays
+    # feature engineering + split from the source frames.
+    featured = featured.persist()
+    train_df, test_df, feature_names = prepare_dataset(
         featured,
         feature_cols=None,
         target_col="target",
         test_size=cfg.test_size,
-        as_numpy=True,
         random_state=cfg.random_state,
     )
+    train_pdf = train_df.toPandas()
+    X_train = train_pdf[feature_names].to_numpy("float64")
+    y_train = train_pdf["target"].to_numpy("float64")
+    n_test = test_df.count()
     logger.info(
         "dataset: %d train / %d test rows, %d features",
-        len(y_train), len(y_test), len(feature_names),
+        len(y_train), n_test, len(feature_names),
     )
 
     # ---- phase 4: training (reference main.py:142-170) ----
@@ -164,10 +173,6 @@ def run_pipeline(
     # Distributed: score the *test* slice with the broadcast-model UDF
     # and aggregate metrics in Spark (the reference predicts on driver
     # numpy; semantics identical, this path survives a big test set).
-    _, test_df, _ = prepare_dataset(
-        featured, target_col="target", test_size=cfg.test_size,
-        random_state=cfg.random_state,
-    )
     scored = predict(model, test_df, feature_names)
     metric_fn = (
         classification_metrics if cfg.target_type == "classification"
@@ -182,13 +187,14 @@ def run_pipeline(
         model, feature_names, top_n=20,
         save_path=os.path.join(work_dir, "feature_importance.png"),
     )
+    featured.unpersist()
 
     return {
         "work_dir": work_dir,
         "model_path": model_path,
         "plot_path": plot_path,
         "n_train": int(len(y_train)),
-        "n_test": int(len(y_test)),
+        "n_test": int(n_test),
         "n_features": len(feature_names),
         "metrics": {k: float(v) for k, v in metrics.items()},
     }

@@ -27,3 +27,33 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     # raw parquet for each symbol landed in the work dir (S7/S11 path)
     raw = [p for p, _, fs in os.walk(tmp_path) for f in fs if f.endswith(".parquet")]
     assert raw
+
+
+def test_run_pipeline_fetches_each_symbol_once(spark, tmp_path, monkeypatch):
+    """The pipeline must not replay ingestion: with the feature plan
+    persisted and a single prepare_dataset call, the fetcher runs
+    exactly once per symbol across ALL downstream actions (train
+    export, test count, distributed scoring)."""
+    import marketdatapipeline_spark.main as main_mod
+
+    calls: list[str] = []
+    real_factory = main_mod.fixture_fetcher
+
+    def spying_factory(sf_dir):
+        real = real_factory(sf_dir)
+
+        def fetch(symbol, interval, outputsize):
+            calls.append(symbol)
+            return real(symbol, interval, outputsize)
+
+        return fetch
+
+    monkeypatch.setattr(main_mod, "fixture_fetcher", spying_factory)
+    summary = run_pipeline(
+        spark,
+        fixtures_dir="/root/testdata/sf0.001",
+        symbols=("0", "1"),
+        work_dir=str(tmp_path),
+    )
+    assert summary["n_train"] > 0
+    assert sorted(calls) == ["0", "1"]
