@@ -492,9 +492,13 @@ def hyperplane_lsh_topk(
     one bucket, degrading the equi-join to a cross product — so it is
     validated, not padded).
 
-    At scale: the corpus is scanned twice (cheap columnar scans) —
-    once to sketch (narrow, no shuffle), once to rerank the candidate
-    join; queries are broadcast throughout. Recall tunes with
+    At scale: ONE columnar scan of the corpus does everything up to
+    ranking — each Arrow batch is sketched, matched against the
+    (broadcast, closure-shipped) query band-key table, and its
+    candidate pairs exactly rescored in place. No candidate
+    materialization, no distinct-shuffle, no candidates-to-vectors
+    join, one Python crossing; only the per-query top-k window
+    shuffles, and it carries candidates-only rows. Recall tunes with
     ``n_planes``/``bands``: fewer bits per band = more candidates =
     higher recall, linearly more rerank work.
     """
@@ -504,72 +508,54 @@ def hyperplane_lsh_topk(
     ids, qmat, qn = _query_matrix(queries, id_col, vec_col)
     if dim is None:
         dim = qmat.shape[1] if len(ids) else 0
-    spark = corpus.sparkSession
-    idt = corpus.schema[id_col].dataType
     qkeys = _band_keys_np(qmat, n_planes, bands, dim) if len(ids) else []
-    q_keys = spark.createDataFrame(
-        [(qid, key) for qid, keys in zip(ids.tolist(), qkeys) for key in keys],
-        T.StructType(
-            [T.StructField("query_id", idt), T.StructField("band_key", T.StringType())]
-        ),
-    )
+    # band_key -> query positions; a (corpus row, query) pair is a
+    # candidate iff they share >= 1 band key, exactly the equi-join
+    # semantics (the per-row set() reproduces the join's distinct).
+    qmap: dict[str, list[int]] = {}
+    for qi, keys_ in enumerate(qkeys):
+        for key in keys_:
+            qmap.setdefault(key, []).append(qi)
 
-    def sketch(batches):
+    def sketch_match_score(batches):
         for pdf in batches:
             n = len(pdf)
-            if n == 0:
+            if n == 0 or not qmap:
                 continue
             cmat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
             keys = _band_keys_np(cmat, n_planes, bands, dim)
-            yield pd.DataFrame(
-                {
-                    "corpus_id": np.repeat(pdf["_id"].to_numpy(), bands),
-                    "band_key": [key for ks in keys for key in ks],
-                }
-            )
-
-    vecs = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    c_keys = vecs.select(F.col("corpus_id").alias("_id"), "_v").mapInPandas(
-        sketch,
-        schema=T.StructType(
-            [T.StructField("corpus_id", idt), T.StructField("band_key", T.StringType())]
-        ),
-    )
-    cands = (
-        c_keys.join(F.broadcast(q_keys), "band_key")
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id")
-        .distinct()
-    )
-
-    pos = {qid: i for i, qid in enumerate(ids.tolist())}
-
-    def score_pairs(batches):
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            cid = pdf["_id"].to_numpy()
+            rows_idx: list[int] = []
+            q_idx: list[int] = []
+            for i in range(n):
+                cand: set[int] = set()
+                for key in keys[i]:
+                    cand.update(qmap.get(key, ()))
+                for qi in cand:
+                    if ids[qi] != cid[i]:
+                        rows_idx.append(i)
+                        q_idx.append(qi)
+            if not rows_idx:
                 continue
-            cmat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
-            qidx = pdf["query_id"].map(pos).to_numpy()
-            qsel = qmat[qidx]
-            acc = np.zeros(n, dtype=np.float64)
-            for d in range(cmat.shape[1]):
-                acc = acc + cmat[:, d] * qsel[:, d]
+            ri = np.array(rows_idx, dtype=np.int64)
+            qi_ = np.array(q_idx, dtype=np.int64)
+            va, qsel = cmat[ri], qmat[qi_]
+            acc = np.zeros(len(ri), dtype=np.float64)
+            for d in range(va.shape[1]):
+                acc = acc + va[:, d] * qsel[:, d]
             cn = np.sqrt(_seq_dot_np(cmat, cmat))
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "corpus_id": pdf["corpus_id"],
-                    "cosine": acc / (cn * qn[qidx]),
+                    "query_id": ids[qi_],
+                    "corpus_id": cid[ri],
+                    "cosine": acc / (cn[ri] * qn[qi_]),
                 }
             )
 
-    scored = cands.join(vecs, "corpus_id").mapInPandas(
-        score_pairs, schema=_scored_schema(corpus, id_col)
-    )
+    scored = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(sketch_match_score, schema=_scored_schema(corpus, id_col))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
