@@ -33,13 +33,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table, repartitioned: the parquet is a single small
     file (one scan partition), which would serialize every per-token
     expression onto one task. Hash-distributing by doc_id engages all
-    cores; at 100 TB the scan itself provides the partitions and this
-    becomes a no-op choice."""
-    return load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    cores (however many the deployment has — sized off the cluster's
+    default parallelism, not a literal); at 100 TB the scan itself
+    provides the partitions and this becomes a no-op choice."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
 
 #: DuckDB fragment: distinct word-1-gram (token) set per document
 #: Pairwise (quadratic) queries bound the corpus to doc_id < 1000 so the

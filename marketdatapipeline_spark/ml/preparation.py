@@ -157,9 +157,12 @@ def _cutkey_split(
     # Cast each boundary literal to the column's actual type: a Python
     # datetime literal resolves as TIMESTAMP, but the column may be
     # TIMESTAMP_NTZ (parquet default) — struct comparison requires
-    # identical field types on both sides.
+    # identical field types on both sides. The lookup is case-folded
+    # because Spark resolves column names case-insensitively by
+    # default while df.schema[...] is exact-match only.
+    types = {f.name.lower(): f.dataType for f in df.schema.fields}
     k_star = F.struct(
-        *[F.lit(boundary[c]).cast(df.schema[c].dataType) for c in order_cols]
+        *[F.lit(boundary[c]).cast(types[c.lower()]) for c in order_cols]
     )
     below, at, above = df.filter(key < k_star), df.filter(key == k_star), df.filter(key > k_star)
     if residual <= 0:

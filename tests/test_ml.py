@@ -78,6 +78,35 @@ def test_chronological_split_cutkey_matches_rownumber(spark):
         assert a_ids == b_ids, f"membership diverged at test_size={ts}"
 
 
+def test_chronological_split_cutkey_timestamp_ntz(spark):
+    """The boundary-literal cast must handle TIMESTAMP_NTZ order
+    columns (the parquet default) — a plain datetime literal resolves
+    as TIMESTAMP and the struct comparison would fail or miscompare.
+    Also exercises case-insensitive order_cols resolution."""
+    import pandas as pd
+
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "datetime": pd.date_range("2024-01-01", periods=n // 4, freq="1min").repeat(4),
+            "bar_id": range(n),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "datetime", F.col("datetime").cast("timestamp_ntz")
+    )
+    a_train, a_test = chronological_split(
+        df, test_size=0.25, order_cols=("datetime",), method="rownumber"
+    )
+    b_train, b_test = chronological_split(
+        df, test_size=0.25, order_cols=("DateTime",), method="cutkey"
+    )
+    assert a_train.count() == b_train.count() == 300
+    a_ids = {r.bar_id for r in a_train.select("bar_id").collect()}
+    b_ids = {r.bar_id for r in b_train.select("bar_id").collect()}
+    assert a_ids == b_ids
+
+
 def test_prepare_dataset_numpy_contract(featured):
     X_train, X_test, y_train, y_test, names = prepare_dataset(featured, as_numpy=True)
     assert X_train.shape[1] == len(names) == 49
