@@ -73,6 +73,7 @@ def run_pipeline(
         classification_metrics,
         plot_feature_importance,
         regression_metrics,
+        roc_auc,
     )
     from marketdatapipeline_spark.ml.preparation import prepare_dataset
     from marketdatapipeline_spark.ml.prediction import predict
@@ -173,14 +174,25 @@ def run_pipeline(
     # Distributed: score the *test* slice with the broadcast-model UDF
     # and aggregate metrics in Spark (the reference predicts on driver
     # numpy; semantics identical, this path survives a big test set).
-    scored = predict(model, test_df, feature_names)
-    metric_fn = (
-        classification_metrics if cfg.target_type == "classification"
-        else regression_metrics
-    )
+    is_cls = cfg.target_type == "classification"
+    can_proba = is_cls and hasattr(model, "predict_proba")
+    scored = predict(model, test_df, feature_names, return_proba=can_proba)
+    metric_fn = classification_metrics if is_cls else regression_metrics
     metrics = metric_fn(scored.withColumn(
         "prediction", scored["prediction"].cast("double")
     )).collect()[0].asDict()
+    if can_proba:
+        # Distributed rank-statistic AUC (the reference publishes
+        # ROC-AUC for its classifier, model_training.ipynb cell 11).
+        # Probabilities are quantized to 1e-6 so the distinct-score
+        # table stays tiny at any test-set size (see roc_auc docstring).
+        from pyspark.sql import functions as F
+
+        metrics["roc_auc"] = roc_auc(
+            scored.withColumn("probability", F.round("probability", 6)),
+            label_col="target",
+            score_col="probability",
+        ).first()[0]
     logger.info("metrics: %s", metrics)
 
     plot_path = plot_feature_importance(

@@ -22,8 +22,9 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     # the documented artifact: PNG with matplotlib, SVG fallback without
     assert summary["plot_path"] and os.path.exists(summary["plot_path"])
     m = summary["metrics"]
-    assert set(m) >= {"accuracy", "precision", "recall", "f1"}
+    assert set(m) >= {"accuracy", "precision", "recall", "f1", "roc_auc"}
     assert 0.0 <= m["accuracy"] <= 1.0
+    assert 0.0 <= m["roc_auc"] <= 1.0
     # raw parquet for each symbol landed in the work dir (S7/S11 path)
     raw = [p for p, _, fs in os.walk(tmp_path) for f in fs if f.endswith(".parquet")]
     assert raw
