@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import REGISTRY
 
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import REGISTRY
 

@@ -87,6 +87,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import REGISTRY
     from marketdatapipeline_spark.session import get_spark

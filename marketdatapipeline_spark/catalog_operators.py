@@ -1,0 +1,249 @@
+"""Catalog entries for the relational operator extensions
+(as-of join, sessionization, multi-granularity rollup, quality
+filtering, quantiles) over the ``events`` and derived ``bars`` tables.
+
+Every oracle replays the operator in ANSI SQL — DuckDB's native
+``ASOF JOIN`` checks the distributed union-and-carry implementation,
+windowed prefix sums check sessionization, and rank-window first/last
+check the deterministic rollup aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.catalog import _ORD_SQL, _bars_sql, _r6, register
+from marketdatapipeline_spark.operators import asof_join, rollup_bars
+from marketdatapipeline_spark.operators.sessions import session_stats
+from marketdatapipeline_spark.sources.tables import bars_from_events, load_table
+
+
+@register(
+    "asof_join_trades_quotes",
+    """
+    WITH trades AS (
+        SELECT event_id, user_id % 10 AS symbol, ts, value + 100.0 AS price
+        FROM events WHERE event_id % 2 = 1
+    ),
+    quotes AS (
+        SELECT user_id % 10 AS symbol, ts,
+               arg_max(value + 99.5, event_id) AS quote_price
+        FROM events WHERE event_id % 2 = 0
+        GROUP BY symbol, ts
+    )
+    SELECT t.event_id, t.symbol, t.ts, t.price, q.quote_price,
+           t.price - q.quote_price AS spread
+    FROM trades t
+    ASOF LEFT JOIN quotes q
+      ON t.symbol = q.symbol AND q.ts <= t.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: odd events play trades, even events play
+    quotes (deduplicated per (symbol, ts) by max event_id — as-of
+    needs a unique right time series); each trade picks up the latest
+    quote at-or-before it per symbol. The Spark side is the
+    union-and-carry window composition (operators/asof.py — one
+    shuffle, no range explosion); the oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN, so the semantics check is engine-grade."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (F.col("user_id") % 10).alias("symbol")
+    trades = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", sym, "ts", (F.col("value") + 100.0).alias("price")
+    )
+    quotes = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(sym, "ts", "value", "event_id")
+        .groupBy("symbol", "ts")
+        .agg(
+            F.max_by(F.col("value") + 99.5, F.col("event_id")).alias("quote_price")
+        )
+    )
+    out = asof_join(trades, quotes, on="ts", by=("symbol",))
+    return out.select(
+        "event_id", "symbol", "ts", "price", "quote_price",
+        (F.col("price") - F.col("quote_price")).alias("spread"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity closes a
+    session) summarized per (user, session). lag + running-sum share
+    one window exchange (operators/sessions.py)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return session_stats(
+        ev, F.expr("INTERVAL 30 MINUTES"), tie_break=("event_id",)
+    )
+
+
+def _rollup_grain_sql(grain: str) -> str:
+    return f"""
+    SELECT symbol, bucket,
+           max(CASE WHEN rn_a = 1 THEN open END) AS open,
+           max(high) AS high, min(low) AS low,
+           max(CASE WHEN rn_d = 1 THEN close END) AS close,
+           sum(volume) AS volume,
+           CAST(count(*) AS BIGINT) AS n_bars,
+           '{grain}' AS grain
+    FROM (
+        SELECT symbol, date_trunc('{grain}', datetime) AS bucket,
+               open, high, low, close, volume,
+               row_number() OVER (
+                   PARTITION BY symbol, date_trunc('{grain}', datetime)
+                   ORDER BY {_ORD_SQL}) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY symbol, date_trunc('{grain}', datetime)
+                   ORDER BY datetime DESC, bar_id DESC) AS rn_d
+        FROM bars
+    ) GROUP BY symbol, bucket
+    """
+
+
+_ROLLUP_SQL = _bars_sql(
+    _rollup_grain_sql("hour") + " UNION ALL " + _rollup_grain_sql("day")
+)
+
+
+@register("rollup_bars_multi", _ROLLUP_SQL)
+def q_rollup_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity OHLCV rollup (hour + day).
+    open/close are min_by/max_by on the (datetime, bar_id) struct —
+    deterministic under parallel aggregation, checked against the
+    oracle's rank-window first/last. Volume is integer-valued, so the
+    sum is order-independent exact."""
+    bars = bars_from_events(spark, sf_dir)
+    return rollup_bars(bars, grains=("hour", "day"))
+
+
+#: Quality-filter thresholds (Gopher-style bounds, simplified). All
+#: comparisons are on ratios of exact integer counts, so keep/drop
+#: decisions are bit-identical across engines.
+_QF = {
+    "min_tokens": 30,
+    "max_tokens": 50_000,
+    "max_punct_ratio": 0.2,
+    "min_stopword_ratio": 0.02,
+    "min_mwl": 2.0,
+    "max_mwl": 12.0,
+}
+
+_QF_SQL = rf"""
+    WITH sig AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS punct_ratio,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], lower(w))))
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                   AS stopword_ratio,
+               length(regexp_replace(text, '\s+', '', 'g'))
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                   AS mean_word_len
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           n_tokens >= {_QF["min_tokens"]} AND n_tokens <= {_QF["max_tokens"]}
+               AS ok_length,
+           punct_ratio <= {_QF["max_punct_ratio"]} AS ok_punct,
+           stopword_ratio >= {_QF["min_stopword_ratio"]} AS ok_stopwords,
+           mean_word_len >= {_QF["min_mwl"]} AND mean_word_len <= {_QF["max_mwl"]}
+               AS ok_word_len,
+           (n_tokens >= {_QF["min_tokens"]} AND n_tokens <= {_QF["max_tokens"]})
+               AND punct_ratio <= {_QF["max_punct_ratio"]}
+               AND stopword_ratio >= {_QF["min_stopword_ratio"]}
+               AND (mean_word_len >= {_QF["min_mwl"]} AND mean_word_len <= {_QF["max_mwl"]})
+               AS keep
+    FROM sig
+"""
+
+
+@register("documents_quality_filter", _QF_SQL)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training quality filter: length, punctuation,
+    stopword-density, and word-length gates composed into a keep
+    decision, with per-rule flags for filter-rate observability.
+    Pure scan-side expressions over the quality signals."""
+    from marketdatapipeline_spark.catalog_pipeline import _docs
+    from marketdatapipeline_spark.textops import add_quality_signals, add_token_count
+
+    sig = add_quality_signals(add_token_count(_docs(spark, sf_dir)))
+    nt = F.col("n_tokens")
+    ok_length = (nt >= _QF["min_tokens"]) & (nt <= _QF["max_tokens"])
+    ok_punct = F.col("punct_ratio") <= _QF["max_punct_ratio"]
+    ok_stop = F.col("stopword_ratio") >= _QF["min_stopword_ratio"]
+    ok_mwl = (F.col("mean_word_len") >= _QF["min_mwl"]) & (
+        F.col("mean_word_len") <= _QF["max_mwl"]
+    )
+    return sig.select(
+        "doc_id",
+        nt.cast("int").alias("n_tokens"),
+        ok_length.alias("ok_length"),
+        ok_punct.alias("ok_punct"),
+        ok_stop.alias("ok_stopwords"),
+        ok_mwl.alias("ok_word_len"),
+        (ok_length & ok_punct & ok_stop & ok_mwl).alias("keep"),
+    )
+
+
+@register(
+    "quantile_volume_by_symbol",
+    _bars_sql(
+        """
+        SELECT symbol,
+               round(quantile_cont(volume, 0.25), 6) + 0.0 AS p25,
+               round(quantile_cont(volume, 0.5), 6) + 0.0 AS p50,
+               round(quantile_cont(volume, 0.9), 6) + 0.0 AS p90,
+               round(avg(volume), 6) + 0.0 AS mean_volume
+        FROM bars GROUP BY symbol
+        """
+    ),
+)
+def q_quantile_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation at rank
+    p*(n-1), the numpy/DuckDB quantile_cont definition, which Spark's
+    ``percentile`` shares). Rounded: the interpolation arithmetic may
+    associate differently across engines. At scale the exact
+    percentile is a per-group sort of one column; approx_percentile
+    is the knob when that sort dominates — not oracle-comparable, so
+    the exact form is registered."""
+    bars = bars_from_events(spark, sf_dir).select("symbol", "volume")
+    g = bars.groupBy("symbol").agg(
+        F.percentile("volume", 0.25).alias("_p25"),
+        F.percentile("volume", 0.5).alias("_p50"),
+        F.percentile("volume", 0.9).alias("_p90"),
+        F.avg("volume").alias("_mean"),
+    )
+    return g.select(
+        "symbol",
+        _r6(F.col("_p25")).alias("p25"),
+        _r6(F.col("_p50")).alias("p50"),
+        _r6(F.col("_p90")).alias("p90"),
+        _r6(F.col("_mean")).alias("mean_volume"),
+    )

@@ -1,0 +1,13 @@
+"""Relational operators Spark lacks natively, built as compositions
+of DataFrame primitives (never driver loops, never cross products):
+
+- :func:`asof_join` — point-in-time join (trades -> latest quote);
+- :func:`sessionize` — gap-based session assignment;
+- :func:`rollup_bars` — multi-granularity OHLCV rollup.
+"""
+
+from marketdatapipeline_spark.operators.asof import asof_join
+from marketdatapipeline_spark.operators.rollup import rollup_bars
+from marketdatapipeline_spark.operators.sessions import sessionize
+
+__all__ = ["asof_join", "rollup_bars", "sessionize"]

@@ -1,0 +1,116 @@
+"""Distributed as-of (point-in-time) join.
+
+The canonical market-data operator — attach to each left row (a
+trade) the most recent right row (a quote) at or before its
+timestamp, per key. Spark has no native ASOF JOIN; the classic
+range-join formulation explodes into an inequality join. This
+implementation is the union-and-carry composition:
+
+1. union both sides into one frame, right rows carrying their
+   payload, left rows carrying nulls in those slots;
+2. one window per key, ordered by (time, side) with right-before-left
+   at equal timestamps (inclusive ``<=`` semantics);
+3. ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+   frame carries the latest right payload forward onto each left row.
+
+Cost: ONE shuffle on the key (the window exchange) regardless of how
+many right rows precede each left row — no range explosion, no
+per-row search. This is the plan that survives 100 TB: both sides
+hash-partition by key, the per-key sort is Spark's normal window
+sort, and skewed keys fall to AQE.
+
+Semantics match DuckDB's native ``ASOF LEFT JOIN`` (the correctness
+oracle): unmatched left rows keep nulls, equal timestamps match
+(backward: ``right.ts <= left.ts``), and ``tolerance`` nulls out
+matches older than the given interval (pandas ``merge_asof``
+convention).
+
+The right side must be unique per (key, time) — as-of against a
+multi-valued time is ill-defined. Callers aggregate first (e.g.
+``max_by`` a deterministic tie-break column); uniqueness is NOT
+verified here (a full pre-count would double the cost) — it is the
+caller's documented contract, as in pandas ``merge_asof``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("symbol",),
+    direction: str = "backward",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row plus the payload of the
+    nearest ``right`` row at-or-before (``backward``) or at-or-after
+    (``forward``) its ``on`` time, matched within ``by`` groups.
+
+    Right payload columns (everything but ``on``/``by``) are appended
+    under their own names and must not collide with left columns.
+    ``tolerance`` (e.g. ``F.expr("INTERVAL 5 MINUTES")``) nulls the
+    payload when the matched right row is further away than the
+    interval.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+    key_cols = [on, *by]
+    payload = [c for c in right.columns if c not in key_cols]
+    collide = [c for c in payload if c in left.columns]
+    if collide:
+        raise ValueError(
+            f"right payload column(s) {collide} already exist on the left; "
+            "rename before joining"
+        )
+    if not payload:
+        raise ValueError("right side has no payload columns to attach")
+
+    # Side marker orders right rows before left rows at equal time for
+    # backward (so an equal-timestamp quote is visible), after for
+    # forward — mirrored by the descending sort below.
+    lhs = left.withColumn("_side", F.lit(1))
+    for c in payload:
+        lhs = lhs.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    lhs = lhs.withColumn("_r_on", F.lit(None).cast(dict(right.dtypes)[on]))
+    rhs = right.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c) for c in payload],
+        F.lit(0).alias("_side"),
+        F.col(on).alias("_r_on"),
+    )
+    # Left columns absent on the right ride as nulls through the union.
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    tagged = lhs.select(*lhs.columns).unionByName(rhs.select(*lhs.columns))
+
+    if direction == "backward":
+        w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_side").asc())
+    else:
+        w = Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("_side").asc())
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    carried = tagged.select(
+        *left.columns,
+        F.col("_side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_r_on", ignorenulls=True).over(w).alias("_r_on"),
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        gap = (
+            F.col(on) - F.col("_r_on")
+            if direction == "backward"
+            else F.col("_r_on") - F.col(on)
+        )
+        within = F.col("_r_on").isNotNull() & (gap <= tolerance)
+        out = out.select(
+            *left.columns,
+            *[F.when(within, F.col(c)).alias(c) for c in payload],
+            "_r_on",
+        )
+    return out.drop("_r_on")

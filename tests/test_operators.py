@@ -1,0 +1,119 @@
+"""Relational operator extensions: as-of join, sessionization,
+multi-granularity rollup (operators/)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.operators import asof_join, rollup_bars, sessionize
+from marketdatapipeline_spark.operators.sessions import session_stats
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def trades(spark):
+    rows = [
+        (1, "A", _ts(0), 100.0),   # before any quote -> null
+        (2, "A", _ts(5), 101.0),   # matches quote at 10:05 (equal ts)
+        (3, "A", _ts(30), 102.0),  # matches latest quote 10:06
+        (4, "B", _ts(7), 200.0),   # matches B quote 10:02
+    ]
+    return spark.createDataFrame(rows, ["trade_id", "symbol", "ts", "price"])
+
+
+@pytest.fixture()
+def quotes(spark):
+    rows = [
+        ("A", _ts(5), 100.5),
+        ("A", _ts(6), 100.7),
+        ("B", _ts(2), 199.5),
+    ]
+    return spark.createDataFrame(rows, ["symbol", "ts", "quote"])
+
+
+def test_asof_backward_semantics(trades, quotes):
+    out = {r.trade_id: r.quote for r in asof_join(trades, quotes).collect()}
+    assert out[1] is None            # no quote yet
+    assert out[2] == 100.5           # equal timestamp matches (<=)
+    assert out[3] == 100.7           # latest preceding, not first
+    assert out[4] == 199.5           # per-key isolation
+
+
+def test_asof_forward_and_tolerance(trades, quotes):
+    fwd = {
+        r.trade_id: r.quote
+        for r in asof_join(trades, quotes, direction="forward").collect()
+    }
+    assert fwd[1] == 100.5           # next quote at-or-after 10:00
+    assert fwd[2] == 100.5           # equal ts matches forward too
+    assert fwd[3] is None            # nothing after 10:30
+    tol = {
+        r.trade_id: r.quote
+        for r in asof_join(
+            trades, quotes, tolerance=F.expr("INTERVAL 10 MINUTES")
+        ).collect()
+    }
+    assert tol[3] is None            # 10:06 quote is 24 min stale
+    assert tol[2] == 100.5 and tol[4] == 199.5
+
+
+def test_asof_rejects_colliding_payload(trades, quotes):
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(trades, quotes.withColumnRenamed("quote", "price"))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, direction="sideways")
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, _ts(0)),
+        (1, _ts(29)),      # 29 min gap -> same session
+        (1, _ts(59)),      # exactly 30 min -> still same (strict >)
+        (1, _ts(59, 1)),   # 1s -> same
+        (2, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, F.expr("INTERVAL 30 MINUTES"))
+    got = {
+        (r.user_id, r.ts): r.session_id for r in out.collect()
+    }
+    assert got[(1, _ts(0))] == 1
+    assert got[(1, _ts(29))] == 1
+    assert got[(1, _ts(59))] == 1
+    assert got[(1, _ts(59, 1))] == 1
+    assert got[(2, _ts(0))] == 1  # per-user numbering
+
+    out2 = sessionize(df, F.expr("INTERVAL 10 MINUTES"))
+    got2 = {(r.user_id, r.ts): r.session_id for r in out2.collect()}
+    assert got2[(1, _ts(29))] == 2 and got2[(1, _ts(59))] == 3
+
+    stats = session_stats(df, F.expr("INTERVAL 30 MINUTES"))
+    row = stats.filter("user_id = 1").collect()[0]
+    assert row.n_events == 4
+    assert row.duration_us == (59 * 60 + 1) * 1_000_000
+
+
+def test_rollup_deterministic_first_last(spark):
+    # insert rows out of chronological order: first/last must follow
+    # (datetime, bar_id), not arrival order
+    rows = [
+        ("A", _ts(45), 2, 11.0, 15.0, 9.0, 12.0, 5.0),
+        ("A", _ts(5), 1, 10.0, 14.0, 8.0, 11.0, 3.0),
+        ("A", _ts(50), 3, 12.0, 16.0, 10.0, 13.0, 2.0),
+    ]
+    cols = ["symbol", "datetime", "bar_id", "open", "high", "low", "close", "volume"]
+    bars = spark.createDataFrame(rows, cols).repartition(4)
+    out = rollup_bars(bars, grains=("hour",)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.open == 10.0 and r.close == 13.0
+    assert r.high == 16.0 and r.low == 8.0
+    assert r.volume == 10.0 and r.n_bars == 3 and r.grain == "hour"
+    with pytest.raises(ValueError, match="unknown grain"):
+        rollup_bars(bars, grains=("fortnight",))

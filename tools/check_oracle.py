@@ -79,6 +79,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import REGISTRY
     from marketdatapipeline_spark.session import get_spark
