@@ -434,6 +434,59 @@ def _lsh_topk_sql(n_planes: int, bands: int, dim: int, k: int, n_queries: int) -
     """
 
 
+def _ivf_topk_sql(nprobe: int, k: int, n_queries: int, mod: int, rem: int) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % {mod} = {rem}),
+    assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_cosine_sql('v.emb', 'c.cemb')} DESC, c.cent_id) AS rn
+            FROM e v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id, emb FROM e WHERE vec_id < {n_queries}),
+    qprobe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT qq.vec_id AS query_id, c.cent_id,
+                   row_number() OVER (PARTITION BY qq.vec_id
+                       ORDER BY {_cosine_sql('qq.emb', 'c.cemb')} DESC, c.cent_id) AS rn
+            FROM q qq CROSS JOIN cents c
+        ) WHERE rn <= {nprobe}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS corpus_id
+        FROM qprobe p JOIN assign a ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.corpus_id, {_cosine_sql('c.emb', 'qq.emb')} AS cosine
+        FROM cands cd
+        JOIN e c ON c.vec_id = cd.corpus_id
+        JOIN q qq ON qq.vec_id = cd.query_id
+    ),
+    {_topk_sql('scored', k)}
+    """
+
+
+@register(
+    "similarity_ivf_topk", _ivf_topk_sql(nprobe=2, k=5, n_queries=10, mod=97, rem=3)
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled centroids, nearest-centroid
+    inverted lists, nprobe-probed exact rerank. The oracle re-derives
+    the same centroids, assignments (identical cosine folds and
+    tie-breaks), candidate lists, and ranking — value-exact through
+    the whole approximate pipeline."""
+    from marketdatapipeline_spark.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(emb, queries, k=5, nprobe=2, centroid_mod=97, centroid_rem=3)
+    return out.select("query_id", "corpus_id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
 @register("similarity_lsh_topk", _lsh_topk_sql(n_planes=8, bands=2, dim=64, k=5, n_queries=10))
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-random-projection LSH top-k: band-key equi-join +

@@ -5,6 +5,7 @@ from marketdatapipeline_spark.similarity.search import (
     cosine_pairs_above,
     cosine_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "cosine_pairs_above",
     "cosine_topk",
     "hyperplane_lsh_topk",
+    "ivf_topk",
 ]

@@ -369,6 +369,112 @@ def cosine_pairs_above(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_mod: int = 97,
+    centroid_rem: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted-file bucketing by nearest
+    centroid + exact rerank of the probed lists.
+
+    Centroids are a deterministic corpus sample (``id % centroid_mod
+    == centroid_rem``) — the FAISS-style design point where the coarse
+    quantizer is trained on a sample, taken to its reproducible
+    extreme so the DuckDB oracle can re-derive identical centroids and
+    the check is value-exact end to end. A production deployment swaps
+    in k-means centroids; every plan property below is unchanged.
+
+    Execution is ONE corpus pass (same shape as
+    :func:`hyperplane_lsh_topk`): each Arrow batch is assigned to its
+    nearest centroid (argmax cosine, ties to the smallest centroid id
+    — matching the oracle's ``ORDER BY cosine DESC, cent_id``),
+    matched against the probe lists of the (closure-shipped) queries —
+    each query probes its ``nprobe`` nearest centroids — and exactly
+    rescored in place. No assignment table is materialized, nothing
+    but candidate rows reach the top-k window. Recall tunes with
+    ``nprobe`` and the centroid count (sample density).
+    """
+    cents = corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
+    cent_ids, cent_mat, cent_norm = _query_matrix(
+        cents.orderBy(id_col), id_col, vec_col
+    )
+    if len(cent_ids) == 0:
+        raise ValueError(
+            f"no centroids: no {id_col} satisfies "
+            f"% {centroid_mod} == {centroid_rem}"
+        )
+    ids, qmat, qn = _query_matrix(queries, id_col, vec_col)
+
+    def _cos_to_cents(mat: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        acc = np.zeros((mat.shape[0], len(cent_ids)), dtype=np.float64)
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d : d + 1] * cent_mat[:, d]
+        return acc / (norms[:, None] * cent_norm[None, :])
+
+    # centroid id -> probing query positions
+    cmap: dict[int, list[int]] = {}
+    if len(ids):
+        qcos = _cos_to_cents(qmat, qn)
+        for qi in range(len(ids)):
+            probe = sorted(
+                range(len(cent_ids)), key=lambda ci: (-qcos[qi, ci], cent_ids[ci])
+            )[:nprobe]
+            for ci in probe:
+                cmap.setdefault(int(cent_ids[ci]), []).append(qi)
+
+    def assign_match_score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not cmap:
+                continue
+            cmat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            cn = np.sqrt(_seq_dot_np(cmat, cmat))
+            # argmax keeps the FIRST maximum; cent_mat rows are sorted
+            # by centroid id, so ties break to the smallest id.
+            assigned = np.asarray(cent_ids)[
+                np.argmax(_cos_to_cents(cmat, cn), axis=1)
+            ]
+            cid = pdf["_id"].to_numpy()
+            rows_idx: list[int] = []
+            q_idx: list[int] = []
+            for i in range(n):
+                for qi in cmap.get(int(assigned[i]), ()):
+                    if ids[qi] != cid[i]:
+                        rows_idx.append(i)
+                        q_idx.append(qi)
+            if not rows_idx:
+                continue
+            ri = np.array(rows_idx, dtype=np.int64)
+            qi_ = np.array(q_idx, dtype=np.int64)
+            va, qsel = cmat[ri], qmat[qi_]
+            acc = np.zeros(len(ri), dtype=np.float64)
+            for d in range(va.shape[1]):
+                acc = acc + va[:, d] * qsel[:, d]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi_],
+                    "corpus_id": cid[ri],
+                    "cosine": acc / (cn[ri] * qn[qi_]),
+                }
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(assign_match_score, schema=_scored_schema(corpus, id_col))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 _U64 = (1 << 64) - 1
 
 

@@ -11,6 +11,7 @@ from marketdatapipeline_spark.similarity import (
     cosine_pairs_above,
     cosine_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 
 DIM = 16
@@ -88,3 +89,38 @@ def test_lsh_bands_must_divide_planes(emb):
     queries = emb.filter(F.col("vec_id") < 2)
     with pytest.raises(ValueError, match="divide"):
         hyperplane_lsh_topk(emb, queries, n_planes=4, bands=3, dim=DIM).collect()
+
+
+def test_ivf_topk_exhaustive_probe_is_exact(emb):
+    """With nprobe >= the centroid count every inverted list is probed,
+    so IVF must degrade to exactly the brute-force top-k — same
+    neighbours, same order, same cosines."""
+    queries = emb.filter(F.col("vec_id") < 6)
+    # vec_id % 7 == 2 -> 9 centroids over the 60 vectors
+    exact = cosine_topk(emb, queries, k=4).collect()
+    approx = ivf_topk(
+        emb, queries, k=4, nprobe=9, centroid_mod=7, centroid_rem=2
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert [
+        (r.query_id, r.corpus_id, r.rank) for r in sorted(approx, key=key)
+    ] == [(r.query_id, r.corpus_id, r.rank) for r in sorted(exact, key=key)]
+    for a, e in zip(sorted(approx, key=key), sorted(exact, key=key)):
+        assert a.cosine == e.cosine  # identical fold arithmetic
+
+
+def test_ivf_topk_recall_and_validation(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.corpus_id) for r in cosine_topk(emb, queries, k=3).collect()}
+    got = ivf_topk(emb, queries, k=3, nprobe=3, centroid_mod=7, centroid_rem=2).collect()
+    approx = {(r.query_id, r.corpus_id) for r in got}
+    assert len(approx & exact) / len(exact) >= 0.5  # probing 3/9 lists
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():  # ranked contiguously, cosine descending
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.cosine >= b.cosine for a, b in zip(rows, rows[1:]))
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_topk(emb, queries, centroid_mod=1000, centroid_rem=999).collect()
