@@ -290,11 +290,57 @@ def minhash_near_duplicates(
     n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> banded
-    candidates -> exact Jaccard verification >= threshold."""
-    sigs = minhash_signature(df, num_hashes, id_col, text_col, n)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
-    return jaccard_similar_pairs(
-        df, threshold, id_col, text_col, n, candidates=cands
+    candidates -> exact Jaccard verification >= threshold.
+
+    The shingle table is exploded and aggregated ONCE: the same
+    groupBy emits the k signature mins, the collected shingle set, and
+    its size per document. Candidates branch off the signatures
+    (explode band keys + one self-equi-join); verification joins the
+    candidate pairs back to the same per-doc row for the
+    ``array_intersect`` Jaccard. Composing :func:`minhash_signature` +
+    :func:`jaccard_similar_pairs` instead would scan and explode the
+    corpus twice — the per-doc table here is the natural shared build
+    side."""
+    sh = word_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), F.col("shingle"), md5_int(F.col("shingle")).alias("_h")
+    )
+    h = F.col("_h")
+    docs = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+        ],
+        F.collect_list("shingle").alias("_sh"),
+        F.count("*").alias("n_sh"),
+    )
+    cands = lsh_candidate_pairs(
+        docs.select(id_col, *[f"mh_{i}" for i in range(num_hashes)]), bands, id_col
+    )
+    pa = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select("id_a", "id_b", "n_a", "n_b", inter.alias("inter"))
+        .filter(F.col("inter") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
