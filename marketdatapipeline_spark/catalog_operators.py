@@ -73,7 +73,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS st
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

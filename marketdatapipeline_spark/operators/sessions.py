@@ -1,11 +1,15 @@
 """Gap-based sessionization.
 
-Assigns every event to a session: a new session starts when the gap
-to the user's previous event exceeds ``gap``. The standard two-window
-composition — ``lag`` to detect session starts, running ``sum`` of
-the start flags to number them — runs in ONE shuffle on the user key
-(both windows share the same partitioning and sort, so Catalyst plans
-a single exchange + sort feeding two window functions).
+Assigns every event to a session: a new session starts when the
+user's previous event is ``gap`` or more in the past (``ts >= prev +
+gap`` — the half-open-window convention of Spark's native
+``session_window`` and Flink's session windows, so the batch and
+streaming paths draw identical boundaries; see
+streaming/sessions.py). The standard two-window composition — ``lag``
+to detect session starts, running ``sum`` of the start flags to
+number them — runs in ONE shuffle on the user key (both windows share
+the same partitioning and sort, so Catalyst plans a single exchange +
+sort feeding two window functions).
 
 At 100 TB this is the plan you want: per-user work after one hash
 exchange, no driver state, no iteration. The same shape backs web-log
@@ -36,7 +40,7 @@ def sessionize(
     order = [F.col(time_col), *[F.col(c) for c in tie_break]]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(time_col).over(w)
-    start = (prev.isNull() | (F.col(time_col) > prev + gap)).cast("int")
+    start = (prev.isNull() | (F.col(time_col) >= prev + gap)).cast("int")
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

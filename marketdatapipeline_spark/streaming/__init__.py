@@ -18,6 +18,10 @@ from marketdatapipeline_spark.streaming.ingestion import (
     rate_tick_stream,
     read_tick_stream,
 )
+from marketdatapipeline_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
 from marketdatapipeline_spark.streaming.stateful import online_indicators
 
 __all__ = [
@@ -27,4 +31,6 @@ __all__ = [
     "ticks_to_bars",
     "bars_from_ticks_batch",
     "online_indicators",
+    "sessionize_batch",
+    "sessionize_stream",
 ]

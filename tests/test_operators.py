@@ -74,7 +74,7 @@ def test_sessionize_gap_boundaries(spark):
     rows = [
         (1, _ts(0)),
         (1, _ts(29)),      # 29 min gap -> same session
-        (1, _ts(59)),      # exactly 30 min -> still same (strict >)
+        (1, _ts(59)),      # exactly 30 min -> NEW (session_window convention)
         (1, _ts(59, 1)),   # 1s -> same
         (2, _ts(0)),
     ]
@@ -85,8 +85,8 @@ def test_sessionize_gap_boundaries(spark):
     }
     assert got[(1, _ts(0))] == 1
     assert got[(1, _ts(29))] == 1
-    assert got[(1, _ts(59))] == 1
-    assert got[(1, _ts(59, 1))] == 1
+    assert got[(1, _ts(59))] == 2
+    assert got[(1, _ts(59, 1))] == 2
     assert got[(2, _ts(0))] == 1  # per-user numbering
 
     out2 = sessionize(df, F.expr("INTERVAL 10 MINUTES"))
@@ -94,9 +94,13 @@ def test_sessionize_gap_boundaries(spark):
     assert got2[(1, _ts(29))] == 2 and got2[(1, _ts(59))] == 3
 
     stats = session_stats(df, F.expr("INTERVAL 30 MINUTES"))
-    row = stats.filter("user_id = 1").collect()[0]
-    assert row.n_events == 4
-    assert row.duration_us == (59 * 60 + 1) * 1_000_000
+    rows1 = {
+        r.session_id: r for r in stats.filter("user_id = 1").collect()
+    }
+    assert rows1[1].n_events == 2
+    assert rows1[1].duration_us == 29 * 60 * 1_000_000
+    assert rows1[2].n_events == 2
+    assert rows1[2].duration_us == 1_000_000
 
 
 def test_rollup_deterministic_first_last(spark):

@@ -17,6 +17,8 @@ from marketdatapipeline_spark.streaming import (
     bars_from_ticks_batch,
     online_indicators,
     read_tick_stream,
+    sessionize_batch,
+    sessionize_stream,
     ticks_to_bars,
 )
 
@@ -149,3 +151,60 @@ def test_online_indicators_state_carries_across_batches(spark, bars_pdf, tmp_pat
         assert all(
             math.isclose(a, b, rel_tol=0, abs_tol=1e-12) for a, b in zip(g, macd)
         )
+
+
+def test_session_window_matches_operator_sessions(spark, tick_dir):
+    """session_window (the engine-native path) and the explicit
+    lag/running-sum composition (operators/sessions.py) must draw
+    identical session boundaries on the same rows."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.operators.sessions import session_stats
+
+    events = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    native = sessionize_batch(
+        events, gap="5 minutes", user_col="symbol", time_col="ts"
+    ).toPandas()
+    composed = session_stats(
+        events,
+        F.expr("INTERVAL 5 MINUTES"),
+        user_col="symbol",
+        time_col="ts",
+    ).toPandas()
+    key = ["symbol", "session_start"]
+    native = native.sort_values(key).reset_index(drop=True)
+    composed = composed.sort_values(key).reset_index(drop=True)
+    assert len(native) == len(composed)
+    for col in ("session_start", "session_end", "n_events"):
+        assert (native[col].to_numpy() == composed[col].to_numpy()).all(), col
+    # half-open windows: window_start == first event, and the window
+    # extends one gap past the last event
+    assert (native["window_start"] == native["session_start"]).all()
+    assert (
+        native["window_end"] - native["session_end"] == pd.Timedelta(minutes=5)
+    ).all()
+
+
+def test_sessionize_stream_matches_batch(spark, tick_dir):
+    """availableNow streaming sessions == batch sessions, minus each
+    user's last session (append mode only emits watermark-closed
+    sessions)."""
+    stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark,
+        sessionize_stream(
+            stream, gap="5 minutes", watermark="0 seconds",
+            user_col="symbol", time_col="ts",
+        ),
+        "sessions_stream",
+    ).toPandas()
+    events = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    want = sessionize_batch(
+        events, gap="5 minutes", user_col="symbol", time_col="ts"
+    ).toPandas()
+    last = want.groupby("symbol")["session_start"].transform("max")
+    want = want[want["session_start"] != last]
+    key = ["symbol", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
