@@ -67,10 +67,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionize_events",
-    """
-    WITH flagged AS (
+#: Shared session-numbering CTE chain (30-minute gap, session_window
+#: boundary convention: at-or-beyond last + gap starts a new session).
+_SESSIONS_CTE = """
+    flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
@@ -84,6 +84,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
+"""
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH {_SESSIONS_CTE}
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            min(ts) AS session_start, max(ts) AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -99,6 +106,48 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(
         ev, F.expr("INTERVAL 30 MINUTES"), tie_break=("event_id",)
     )
+
+
+@register(
+    "range_join_events_sessions",
+    f"""
+    WITH {_SESSIONS_CTE},
+    sessions AS (
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT e.event_id, e.user_id, e.ts, s.session_start, s.session_end
+    FROM events e
+    JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every event joined to the session
+    interval(s) containing it. Spark gets no native range join — the
+    operator bins intervals and points onto a shared grid so the match
+    becomes a plain equi-join on (user, bin) plus an exact BETWEEN
+    filter (operators/range_join.py); the oracle is the naive
+    inequality join. Sessions are disjoint per user, so the result is
+    exactly one row per event — the join must neither drop nor
+    duplicate."""
+    from marketdatapipeline_spark.operators import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sessions = session_stats(
+        ev, F.expr("INTERVAL 30 MINUTES"), tie_break=("event_id",)
+    ).select("user_id", "session_start", "session_end")
+    out = point_in_interval_join(
+        ev,
+        sessions,
+        point_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by=("user_id",),
+        bin_width="1 hour",
+    )
+    return out.select("event_id", "user_id", "ts", "session_start", "session_end")
 
 
 def _rollup_grain_sql(grain: str) -> str:

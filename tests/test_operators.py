@@ -8,7 +8,12 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from marketdatapipeline_spark.operators import asof_join, rollup_bars, sessionize
+from marketdatapipeline_spark.operators import (
+    asof_join,
+    point_in_interval_join,
+    rollup_bars,
+    sessionize,
+)
 from marketdatapipeline_spark.operators.sessions import session_stats
 
 
@@ -101,6 +106,57 @@ def test_sessionize_gap_boundaries(spark):
     assert rows1[1].duration_us == 29 * 60 * 1_000_000
     assert rows1[2].n_events == 2
     assert rows1[2].duration_us == 1_000_000
+
+
+def test_range_join_inclusive_bounds_and_bins(spark):
+    """Intervals spanning multiple bins, inclusive endpoints, and a
+    point outside every interval (inner drops it, left keeps it)."""
+    points = spark.createDataFrame(
+        [
+            (1, "u", _ts(0)),    # == start of I1 (inclusive)
+            (2, "u", _ts(30)),   # inside I1, different hour-bin than start
+            (3, "u", _ts(45)),   # == end of I1 (inclusive)
+            (4, "u", _ts(50)),   # in no interval
+            (5, "v", _ts(30)),   # other key, interval I2
+        ],
+        ["pid", "user", "ts"],
+    )
+    # I1 spans 10:00-10:45 (3 ten-minute bins x key u), I2 for key v
+    intervals = spark.createDataFrame(
+        [("u", _ts(0), _ts(45), "I1"), ("v", _ts(29), _ts(31), "I2")],
+        ["user", "start", "end", "label"],
+    )
+    inner = point_in_interval_join(
+        points, intervals, by=("user",), bin_width="10 minutes"
+    )
+    got = {r.pid: r.label for r in inner.collect()}
+    assert got == {1: "I1", 2: "I1", 3: "I1", 5: "I2"}
+    left = point_in_interval_join(
+        points, intervals, by=("user",), bin_width="10 minutes", how="left"
+    )
+    lgot = {r.pid: r.label for r in left.collect()}
+    assert lgot[4] is None and len(lgot) == 5
+    with pytest.raises(ValueError, match="already exist"):
+        point_in_interval_join(
+            points, intervals.withColumnRenamed("label", "pid"), by=("user",)
+        )
+    with pytest.raises(ValueError, match="unsupported how"):
+        point_in_interval_join(points, intervals, by=("user",), how="full")
+
+
+def test_range_join_overlapping_intervals_multiplicity(spark):
+    points = spark.createDataFrame([(1, _ts(15))], ["pid", "ts"])
+    intervals = spark.createDataFrame(
+        [(_ts(0), _ts(30), "A"), (_ts(10), _ts(20), "B"), (_ts(16), _ts(59), "C")],
+        ["start", "end", "label"],
+    )
+    got = sorted(
+        r.label
+        for r in point_in_interval_join(
+            points, intervals, bin_width="1 hour"
+        ).collect()
+    )
+    assert got == ["A", "B"]  # one output row per containing interval
 
 
 def test_rollup_deterministic_first_last(spark):
