@@ -189,6 +189,38 @@ def q_rollup_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_bars(bars, grains=("hour", "day"))
 
 
+@register(
+    "cube_event_counts",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           CAST(GROUPING(event_type, user_id % 10) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+)
+def q_cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup in ONE aggregation pass:
+    CUBE(event_type, user_bucket) emits per-cell, per-dimension, and
+    grand totals together, with grouping_id disambiguating rolled-up
+    nulls. At scale this is one shuffle (partial aggregation covers
+    all grouping sets map-side) instead of four separate groupBys +
+    union. Aggregates are exact: counts, integer-floored sums, and
+    min/max — no float-summation association to round away."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"), "value"
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value")).cast("bigint")).alias("sum_floor_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 #: Quality-filter thresholds (Gopher-style bounds, simplified). All
 #: comparisons are on ratios of exact integer counts, so keep/drop
 #: decisions are bit-identical across engines.
