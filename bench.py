@@ -122,7 +122,14 @@ def main() -> None:
     )
 
     for name, spec in REGISTRY.items():
-        timings[name] = materialize(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        # Steady-state timing, same methodology as the headline (which
+        # the reference's published numbers also use): the first run
+        # pays Janino codegen + C2 JIT + whatever GC debt the session
+        # accumulated — observed 3-5x run-to-run outliers on queries
+        # whose code had not changed. Run twice, record the second.
+        materialize(df)
+        timings[name] = materialize(df)
 
     result = {
         "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",
