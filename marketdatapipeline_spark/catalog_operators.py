@@ -10,7 +10,7 @@ check the deterministic rollup aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.catalog import _ORD_SQL, _bars_sql, _r6, register
@@ -218,6 +218,110 @@ def q_cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value")).cast("bigint")).alias("sum_floor_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+    )
+
+
+#: Pivot output columns are pinned explicitly: letting Spark discover
+#: them adds an extra distinct job AND makes the schema data-dependent
+#: (schema drift when a type vanishes from a partition of the data).
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_type_counts",
+    f"""
+    SELECT user_id % 10 AS user_bucket,
+           {', '.join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS n_{t}"
+               for t in _EVENT_TYPES
+           )},
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-bucket event counts, one column per
+    event type. One hash aggregation — Spark's pivot compiles to the
+    same conditional-aggregate plan the oracle spells out, no extra
+    shuffle vs a plain groupBy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    )
+    wide = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    total = ev.groupBy("user_bucket").agg(F.count("*").alias("n_total"))
+    out = wide.join(total, "user_bucket")
+    return out.select(
+        "user_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        "n_total",
+    )
+
+
+@register(
+    "unpivot_ohlc",
+    _bars_sql(
+        """
+        SELECT bar_id, symbol, field, value FROM (
+            SELECT bar_id, symbol, 'open' AS field, open AS value FROM bars
+            UNION ALL SELECT bar_id, symbol, 'high', high FROM bars
+            UNION ALL SELECT bar_id, symbol, 'low', low FROM bars
+            UNION ALL SELECT bar_id, symbol, 'close', close FROM bars
+        ) WHERE bar_id < 1000
+        """
+    ),
+)
+def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): OHLC columns to (field, value)
+    rows via the native unpivot operator — a narrow 4x row expansion
+    inside the scan stage, not a union of four scans (the oracle's
+    UNION ALL form is the portable equivalent, semantically identical)."""
+    bars = bars_from_events(spark, sf_dir).filter(F.col("bar_id") < 1000)
+    return bars.unpivot(
+        ids=["bar_id", "symbol"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="field",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "rank_bars_by_volume",
+    _bars_sql(
+        """
+        SELECT symbol, bar_id,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               CAST(row_number() OVER w AS INT) AS rn
+        FROM bars
+        WHERE symbol IN ('0', '1')
+        WINDOW w AS (PARTITION BY symbol ORDER BY volume DESC, bar_id)
+        """
+    ),
+)
+def q_rank_bars_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ranking-function family (rank / dense_rank / ntile /
+    row_number) over a per-symbol volume ordering with a
+    deterministic tie-break. One window exchange serves all four
+    functions. Volume repeats by construction (event_id % 1000), so
+    rank-vs-dense_rank gap semantics are actually exercised."""
+    bars = bars_from_events(spark, sf_dir).filter(F.col("symbol").isin("0", "1"))
+    w = Window.partitionBy("symbol").orderBy(F.desc("volume"), "bar_id")
+    return bars.select(
+        "symbol",
+        "bar_id",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.row_number().over(w).cast("int").alias("rn"),
     )
 
 
