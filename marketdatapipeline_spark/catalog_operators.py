@@ -221,6 +221,76 @@ def q_cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_ops_customer_segments",
+    """
+    WITH even_k AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    odd_k AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT 'both' AS kind, o_custkey FROM (
+        SELECT o_custkey FROM even_k INTERSECT SELECT o_custkey FROM odd_k)
+    UNION ALL
+    SELECT 'only_even', o_custkey FROM (
+        SELECT o_custkey FROM even_k EXCEPT SELECT o_custkey FROM odd_k)
+    UNION ALL
+    SELECT 'only_odd', o_custkey FROM (
+        SELECT o_custkey FROM odd_k EXCEPT SELECT o_custkey FROM even_k)
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra: customers present in both
+    deterministic order segments vs only one. Spark plans these as
+    left-semi/anti joins over the distinct inputs — same shuffle shape
+    as the semi_anti_join query — checked against DuckDB's native set
+    operators."""
+    orders = load_table(spark, sf_dir, "orders")
+    even_k = (
+        orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").distinct()
+    )
+    odd_k = (
+        orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey").distinct()
+    )
+    return (
+        even_k.intersect(odd_k).select(F.lit("both").alias("kind"), "o_custkey")
+        .unionByName(
+            even_k.exceptAll(odd_k).select(
+                F.lit("only_even").alias("kind"), "o_custkey"
+            )
+        )
+        .unionByName(
+            odd_k.exceptAll(even_k).select(
+                F.lit("only_odd").alias("kind"), "o_custkey"
+            )
+        )
+    )
+
+
+@register(
+    "distinct_users_by_event_type",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group — the cardinality workhorse.
+    Spark expands count(DISTINCT) into a two-stage aggregation
+    (partial distinct per partition, then merge) so the full value set
+    never concentrates on one task. At 100 TB the drop-in relaxation
+    is approx_count_distinct (HLL, one pass, tunable error) — not
+    registered because a sketch is not oracle-comparable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 #: Pivot output columns are pinned explicitly: letting Spark discover
 #: them adds an extra distinct job AND makes the schema data-dependent
 #: (schema drift when a type vanishes from a partition of the data).
