@@ -9,7 +9,9 @@ from marketdatapipeline_spark.data.storage import (
     find_latest_data_file,
     get_processed_data_path,
     get_raw_data_path,
+    load_bucketed,
     load_dataframe,
+    save_bucketed,
     save_dataframe,
 )
 
@@ -24,4 +26,6 @@ __all__ = [
     "get_processed_data_path",
     "find_latest_data_file",
     "data_exists",
+    "save_bucketed",
+    "load_bucketed",
 ]

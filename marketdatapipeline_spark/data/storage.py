@@ -107,3 +107,43 @@ def find_latest_data_file(
 def data_exists(base_dir: str, symbol: str, interval: str, format: str = "parquet") -> bool:
     """Cache existence check (reference src/data/storage.py:140-152)."""
     return find_latest_data_file(base_dir, symbol, interval, format) is not None
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int = 32,
+    bucket_cols: str | list[str] = "symbol",
+    sort_cols: str | list[str] | None = "datetime",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist as a BUCKETED table — the 100 TB co-location tool.
+
+    ``bucketBy`` hashes rows into a fixed bucket count at write time
+    and records the layout in the catalog; joins and aggregations on
+    the bucket key between tables with matching bucket specs then run
+    WITHOUT a shuffle (the scan is already hash-distributed — the
+    plan audit in tests/test_plans.py pins this). ``sortBy`` orders
+    within buckets so window stages start pre-sorted.
+
+    Bucketed output must go through ``saveAsTable`` (plain
+    path-writers cannot record the bucket spec); the table lands in
+    the session's warehouse directory — set
+    ``spark.sql.warehouse.dir`` to place it.
+    """
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).bucketBy(buckets, *bcols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*scols)
+    if path is not None:
+        writer = writer.option("path", path)  # external table, same spec
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def load_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``read.parquet`` of the files would silently DROP the bucketing
+    metadata and reintroduce shuffles)."""
+    return spark.table(table_name)

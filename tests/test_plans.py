@@ -1,0 +1,124 @@
+"""Physical-plan regression audit.
+
+Scale properties the engine depends on — filter pushdown, column
+pruning, broadcast placement, bucketed shuffle elimination — are
+invisible to row-level tests: a plan can silently regress to a full
+scan or an extra exchange and every value still matches. These tests
+pin the plan shape itself via ``explain`` output.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning: the scan itself must carry
+    the filter and read only the referenced columns."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "orders").filter(
+        F.col("o_custkey") < 100
+    ).select("o_orderkey", "o_custkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(o_custkey,100)" in plan
+    # ReadSchema prunes to the two referenced columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read and "o_custkey" in read
+    assert "o_totalprice" not in read and "o_orderstatus" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """The Q5-shape join must broadcast the dimension side — a shuffled
+    sort-merge join against customer/nation/region would add three
+    exchanges that explode at 100 TB."""
+    import marketdatapipeline_spark.catalog  # noqa: F401 — registers
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    df = REGISTRY["join_revenue_by_nation"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact-side join keys never hash-exchange the dimension tables
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_feature_pipeline_single_symbol_exchange(spark, bars_df):
+    """The 50-feature pipeline must cost ONE hash exchange on symbol:
+    every window stage reuses the same partitioning. A second
+    hashpartitioning(symbol) exchange means a window spec stopped
+    aligning with the established distribution."""
+    from marketdatapipeline_spark.features import compute_all_features
+
+    out = compute_all_features(bars_df, target_horizon=1, engine="sql")
+    plan = _plan(out)
+    assert plan.count("hashpartitioning(symbol") <= 1, plan[:2000]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, bars_df, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with
+    ZERO shuffle exchanges — the scan is already hash-distributed.
+    This is the co-location contract save_bucketed exists for."""
+    from marketdatapipeline_spark.data import load_bucketed, save_bucketed
+
+    left = bars_df.select("symbol", "datetime", "close")
+    right = bars_df.select("symbol", F.col("volume").alias("vol"))
+    save_bucketed(
+        left, "t_bars_l", buckets=4, path=str(tmp_path / "l"), sort_cols=None
+    )
+    save_bucketed(
+        right, "t_bars_r", buckets=4, path=str(tmp_path / "r"), sort_cols=None
+    )
+    try:
+        lt, rt = load_bucketed(spark, "t_bars_l"), load_bucketed(spark, "t_bars_r")
+        joined = (
+            lt.hint("merge")
+            .join(rt, "symbol")
+            .groupBy("symbol")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:3000]
+        # bucket layout also serves the downstream groupBy on the key
+        assert joined.count() == lt.select("symbol").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bars_l")
+        spark.sql("DROP TABLE IF EXISTS t_bars_r")
+
+
+def test_semi_anti_plans_never_materialize_right_payload(spark):
+    """Semi/anti joins must stay semi/anti in the optimized plan (no
+    rewrite through a full join + filter that would carry the right
+    side's payload)."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders").select("o_custkey")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    assert "LeftSemi" in _optimized(semi)
+    assert "LeftAnti" in _optimized(anti)
+
+
+@pytest.mark.parametrize("query", ["bars_source", "value_counts"])
+def test_catalog_scans_prune_columns(spark, query):
+    """Catalog queries over events must not read the full row — props
+    (the widest column) only when referenced."""
+    import marketdatapipeline_spark.catalog  # noqa: F401 — registers
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    plan = _plan(REGISTRY[query].fn(spark, SF))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read, read
