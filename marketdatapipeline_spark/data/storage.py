@@ -38,6 +38,11 @@ def save_dataframe(
         writer.parquet(path)
     elif format == "csv":
         writer.option("header", True).csv(path)
+    elif format == "json":
+        # JSON Lines — one object per line, the interchange format of
+        # text/training-data pipelines. Splittable uncompressed, so a
+        # 100 TB drop still parallelizes at the source.
+        writer.json(path)
     else:
         raise ValueError(f"Unsupported format: {format}")
 
@@ -51,7 +56,13 @@ def load_dataframe(
     """Read a dataset; format inferred from suffix when omitted
     (reference src/data/storage.py:86-111)."""
     if format is None:
-        format = "csv" if path.rstrip("/").endswith(".csv") else "parquet"
+        tail = path.rstrip("/")
+        if tail.endswith(".csv"):
+            format = "csv"
+        elif tail.endswith((".json", ".jsonl")):
+            format = "json"
+        else:
+            format = "parquet"
     if format == "parquet":
         return spark.read.parquet(path)
     if format == "csv":
@@ -61,6 +72,13 @@ def load_dataframe(
         else:
             reader = reader.option("inferSchema", True)
         return reader.csv(path)
+    if format == "json":
+        # Explicit schema skips the full inference pre-scan (a second
+        # read of the entire dataset) — always pass one at scale.
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
     raise ValueError(f"Unsupported format: {format}")
 
 

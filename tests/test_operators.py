@@ -177,3 +177,50 @@ def test_rollup_deterministic_first_last(spark):
     assert r.volume == 10.0 and r.n_bars == 3 and r.grain == "hour"
     with pytest.raises(ValueError, match="unknown grain"):
         rollup_bars(bars, grains=("fortnight",))
+
+
+def test_salted_collect_list_matches_plain(spark):
+    from marketdatapipeline_spark.operators import salted_collect_list
+
+    rows = [("hot", i % 7) for i in range(500)] + [("cold", 1), ("cold", 2)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.vs
+        for r in salted_collect_list(df, ("k",), "v", salt=8).collect()
+    }
+    want = {
+        r.k: sorted(r.vs)
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="salt"):
+        salted_collect_list(df, ("k",), "v", salt=0)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from marketdatapipeline_spark.operators import salted_join_left_hot
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(300)] + [("rare", 0)], ["k", "i"]
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("rare", "R"), ("unmatched", "U")], ["k", "tag"]
+    )
+    got = salted_join_left_hot(left, right, on="k", salt=4)
+    want = left.join(right, on="k")
+    assert got.count() == want.count() == 301
+    g = {(r.k, r.i, r.tag) for r in got.collect()}
+    w = {(r.k, r.i, r.tag) for r in want.collect()}
+    assert g == w
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from marketdatapipeline_spark.data import load_dataframe, save_dataframe
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "x"]
+    )
+    path = str(tmp_path / "docs.jsonl")
+    save_dataframe(df, path, format="json", partition_by=None)
+    back = load_dataframe(spark, path, schema=df.schema)  # suffix-inferred json
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
