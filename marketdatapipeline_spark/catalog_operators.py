@@ -17,6 +17,7 @@ from marketdatapipeline_spark.catalog import _ORD_SQL, _bars_sql, _r6, register
 from marketdatapipeline_spark.operators import asof_join, rollup_bars
 from marketdatapipeline_spark.operators.sessions import session_stats
 from marketdatapipeline_spark.sources.tables import bars_from_events, load_table
+from marketdatapipeline_spark.textops.dedup import MERSENNE_P, hash_coeffs
 
 
 @register(
@@ -464,6 +465,146 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         ok_mwl.alias("ok_word_len"),
         (ok_length & ok_punct & ok_stop & ok_mwl).alias("keep"),
+    )
+
+
+def _curation_sql(num_hashes: int = 16, bands: int = 4, tau: float = 0.5) -> str:
+    """Full curation pipeline as one SQL statement: exact dedup ->
+    quality gate -> MinHash-LSH near-dup removal -> per-doc verdict."""
+    h = "CAST(CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT) AS BIGINT)"
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}_' || "
+        + " || '_' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        + " AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    qf = (
+        f"n_tokens >= {_QF['min_tokens']} AND n_tokens <= {_QF['max_tokens']} "
+        f"AND punct_ratio <= {_QF['max_punct_ratio']} "
+        f"AND stopword_ratio >= {_QF['min_stopword_ratio']} "
+        f"AND mean_word_len >= {_QF['min_mwl']} "
+        f"AND mean_word_len <= {_QF['max_mwl']}"
+    )
+    return rf"""
+    WITH ex AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    sig AS (
+        SELECT d.doc_id, d.text,
+               len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+               (length(d.text) - length(regexp_replace(d.text, '[^\w\s]', '', 'g')))
+                   / CAST(length(d.text) AS DOUBLE) AS punct_ratio,
+               len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+                   w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], lower(w))))
+                   / CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE)
+                   AS stopword_ratio,
+               length(regexp_replace(d.text, '\s+', '', 'g'))
+                   / CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE)
+                   AS mean_word_len
+        FROM documents d JOIN ex ON ex.doc_id = d.doc_id
+    ),
+    q AS (SELECT doc_id, text FROM sig WHERE {qf}),
+    tokens AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(words) - 1, 1)),
+                       i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                   )) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                FROM q
+            )
+        )
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM tokens GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
+    near AS (
+        SELECT DISTINCT id_b FROM (
+            SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, count(*) AS inter
+            FROM tokens t1
+            JOIN tokens t2 ON t1.shingle = t2.shingle AND t1.doc_id < t2.doc_id
+            JOIN cands c ON c.id_a = t1.doc_id AND c.id_b = t2.doc_id
+            GROUP BY t1.doc_id, t2.doc_id
+        ) i
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= {tau}
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NULL THEN 'exact_dup'
+                WHEN qq.doc_id IS NULL THEN 'quality'
+                WHEN nd.id_b IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           (e.doc_id IS NOT NULL AND qq.doc_id IS NOT NULL AND nd.id_b IS NULL)
+               AS kept
+    FROM documents d
+    LEFT JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN q qq ON qq.doc_id = d.doc_id
+    LEFT JOIN near nd ON nd.id_b = d.doc_id
+    """
+
+
+@register("documents_curation", _curation_sql())
+def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the pipeline a pre-training data
+    run actually executes, composed from the audited stages: exact
+    dedup (keep-min-id per md5), quality gate (length/punct/stopword/
+    word-length bounds), MinHash-LSH near-dup removal on 3-gram
+    shingles (drop the larger id of each verified pair >= tau), and a
+    per-document verdict with the eliminating stage. Stages chain —
+    each operates only on the previous stage's survivors — and every
+    stage stays a shuffle-bounded composition (hash agg, scan-side
+    expressions, band-key equi-join)."""
+    from marketdatapipeline_spark.catalog_pipeline import _docs
+    from marketdatapipeline_spark.textops import add_quality_signals, add_token_count
+    from marketdatapipeline_spark.textops.dedup import (
+        deduplicate_exact,
+        minhash_near_duplicates,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ex = deduplicate_exact(docs)
+    sig = add_quality_signals(add_token_count(ex))
+    nt = F.col("n_tokens")
+    q = sig.filter(
+        (nt >= _QF["min_tokens"]) & (nt <= _QF["max_tokens"])
+        & (F.col("punct_ratio") <= _QF["max_punct_ratio"])
+        & (F.col("stopword_ratio") >= _QF["min_stopword_ratio"])
+        & (F.col("mean_word_len") >= _QF["min_mwl"])
+        & (F.col("mean_word_len") <= _QF["max_mwl"])
+    ).select("doc_id", "text")
+    pairs = minhash_near_duplicates(q, threshold=0.5, num_hashes=16, bands=4, n=3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    mark = lambda frame, name: frame.select(  # noqa: E731
+        "doc_id", F.lit(1).alias(name)
+    )
+    out = (
+        docs.select("doc_id")
+        .join(mark(ex, "_ex"), "doc_id", "left")
+        .join(mark(q, "_q"), "doc_id", "left")
+        .join(mark(drop, "_nd"), "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("_ex").isNull(), "exact_dup")
+        .when(F.col("_q").isNull(), "quality")
+        .when(F.col("_nd").isNotNull(), "near_dup")
+        .otherwise("kept")
+    )
+    return out.select(
+        "doc_id", reason.alias("reason"), (reason == "kept").alias("kept")
     )
 
 
