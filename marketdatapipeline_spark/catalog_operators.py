@@ -570,36 +570,40 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, band-key equi-join)."""
     from marketdatapipeline_spark.catalog_pipeline import _docs
     from marketdatapipeline_spark.textops import add_quality_signals, add_token_count
-    from marketdatapipeline_spark.textops.dedup import (
-        deduplicate_exact,
-        minhash_near_duplicates,
-    )
+    from marketdatapipeline_spark.textops.dedup import minhash_near_duplicates
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    ex = deduplicate_exact(docs)
-    sig = add_quality_signals(add_token_count(ex))
+    # Exact-dedup and quality verdicts as FLAGS in one linear pass —
+    # the keep-min-id rule is a window min over the md5 partition (one
+    # shuffle, no dedup-then-rejoin), and the quality signals ride the
+    # same projection. Three marker joins collapse to one (the small
+    # near-dup drop list); the text scan runs twice total (flag pass +
+    # the near-dup branch over survivors) instead of four times.
+    md5w = Window.partitionBy(F.md5(F.col("text")))
+    flagged = docs.withColumn(
+        "_ex", F.min("doc_id").over(md5w) == F.col("doc_id")
+    )
+    sig = add_quality_signals(add_token_count(flagged))
     nt = F.col("n_tokens")
-    q = sig.filter(
+    q_ok = (
         (nt >= _QF["min_tokens"]) & (nt <= _QF["max_tokens"])
         & (F.col("punct_ratio") <= _QF["max_punct_ratio"])
         & (F.col("stopword_ratio") >= _QF["min_stopword_ratio"])
         & (F.col("mean_word_len") >= _QF["min_mwl"])
         & (F.col("mean_word_len") <= _QF["max_mwl"])
-    ).select("doc_id", "text")
+    )
+    staged = sig.select(
+        "doc_id", "text", "_ex", (F.col("_ex") & q_ok).alias("_q")
+    )
+    q = staged.filter(F.col("_q")).select("doc_id", "text")
     pairs = minhash_near_duplicates(q, threshold=0.5, num_hashes=16, bands=4, n=3)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    mark = lambda frame, name: frame.select(  # noqa: E731
-        "doc_id", F.lit(1).alias(name)
-    )
-    out = (
-        docs.select("doc_id")
-        .join(mark(ex, "_ex"), "doc_id", "left")
-        .join(mark(q, "_q"), "doc_id", "left")
-        .join(mark(drop, "_nd"), "doc_id", "left")
+    out = staged.join(
+        drop.withColumn("_nd", F.lit(1)), "doc_id", "left"
     )
     reason = (
-        F.when(F.col("_ex").isNull(), "exact_dup")
-        .when(F.col("_q").isNull(), "quality")
+        F.when(~F.col("_ex"), "exact_dup")
+        .when(~F.col("_q"), "quality")
         .when(F.col("_nd").isNotNull(), "near_dup")
         .otherwise("kept")
     )
