@@ -613,6 +613,48 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_aggregates_by_symbol",
+    _bars_sql(
+        """
+        SELECT symbol,
+               round(corr(close, volume), 6) + 0.0 AS corr_close_vol,
+               round(covar_samp(close, volume), 6) + 0.0 AS covar_close_vol,
+               round(stddev_samp(close), 6) + 0.0 AS std_close,
+               round(regr_slope(close, volume), 6) + 0.0 AS beta_close_vol,
+               round(regr_intercept(close, volume), 6) + 0.0 AS alpha_close_vol,
+               CAST(count(*) AS BIGINT) AS n
+        FROM bars GROUP BY symbol
+        """
+    ),
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: Pearson correlation, sample
+    covariance, sample stddev, and the linear-regression aggregates
+    (slope/intercept) per symbol — one hash aggregation with map-side
+    co-moment partials, the single-pass formulation both engines
+    share. Rounded: co-moment accumulation order differs across
+    engines."""
+    bars = bars_from_events(spark, sf_dir).select("symbol", "close", "volume")
+    g = bars.groupBy("symbol").agg(
+        F.corr("close", "volume").alias("_c"),
+        F.covar_samp("close", "volume").alias("_cv"),
+        F.stddev_samp("close").alias("_s"),
+        F.regr_slope("close", "volume").alias("_b"),
+        F.regr_intercept("close", "volume").alias("_a"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "symbol",
+        _r6(F.col("_c")).alias("corr_close_vol"),
+        _r6(F.col("_cv")).alias("covar_close_vol"),
+        _r6(F.col("_s")).alias("std_close"),
+        _r6(F.col("_b")).alias("beta_close_vol"),
+        _r6(F.col("_a")).alias("alpha_close_vol"),
+        "n",
+    )
+
+
+@register(
     "quantile_volume_by_symbol",
     _bars_sql(
         """
