@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
-    from marketdatapipeline_spark.catalog import REGISTRY
+    from marketdatapipeline_spark.catalog import ordered_registry
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,13 +44,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
+    return {name: wrap(spec.fn) for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
-    from marketdatapipeline_spark.catalog import REGISTRY
+    from marketdatapipeline_spark.catalog import ordered_registry
 
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    return {
+        name: spec.sql
+        for name, spec in ordered_registry().items()
+        if spec.sql is not None
+    }

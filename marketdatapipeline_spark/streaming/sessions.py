@@ -18,12 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Shared by the streaming and batch paths — parity by construction.
-_SESSION_AGGS = (
-    lambda: F.min("ts").alias("session_start"),
-    lambda: F.max("ts").alias("session_end"),
-    lambda: F.count(F.lit(1)).alias("n_events"),
-)
+def _session_aggs(time_col: str):
+    """Shared by the streaming and batch paths — parity by construction.
+    Parametric in ``time_col`` so a frame whose event-time column is not
+    named ``ts`` aggregates the same column it sessionizes on."""
+    return (
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 def sessionize_stream(
@@ -41,7 +44,7 @@ def sessionize_stream(
             F.session_window(F.col(time_col), gap).alias("session"),
             F.col(user_col),
         )
-        .agg(*[a() for a in _SESSION_AGGS])
+        .agg(*_session_aggs(time_col))
         .select(
             user_col,
             F.col("session.start").alias("window_start"),
@@ -74,7 +77,7 @@ def sessionize_batch(
             F.session_window(F.col(time_col), gap).alias("session"),
             F.col(user_col),
         )
-        .agg(*[a() for a in _SESSION_AGGS])
+        .agg(*_session_aggs(time_col))
         .select(
             user_col,
             F.col("session.start").alias("window_start"),

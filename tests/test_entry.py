@@ -25,3 +25,29 @@ def test_every_query_runs_on_smoke_tier(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_gate_coverage_invariant():
+    """The external correctness gate checks only the first GATE_LIMIT
+    registered queries (r4 lesson: similarity_* silently fell off at
+    positions 50-53). ordered_registry() must keep every non-tail query
+    inside the gate window and place exactly the documented trivial
+    GATE_TAIL last, so registry growth past the cap fails HERE instead
+    of silently dropping oracle coverage."""
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401
+    from marketdatapipeline_spark.catalog import GATE_LIMIT, GATE_TAIL, ordered_registry
+
+    names = list(ordered_registry())
+    gated = set(names[:GATE_LIMIT])
+    ungated = names[GATE_LIMIT:]
+    # anything outside the gate must be a documented tail query
+    assert set(ungated) <= set(GATE_TAIL), (
+        f"non-tail queries fell outside the {GATE_LIMIT}-query gate: "
+        f"{sorted(set(ungated) - set(GATE_TAIL))}"
+    )
+    # the never-gated-before and novel families must sit inside the gate
+    critical = [n for n in names if n.startswith(("similarity_", "approx_", "streaming_"))]
+    assert critical, "critical query families missing from registry"
+    assert set(critical) <= gated, sorted(set(critical) - gated)

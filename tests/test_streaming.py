@@ -208,3 +208,24 @@ def test_sessionize_stream_matches_batch(spark, tick_dir):
     got = got.sort_values(key).reset_index(drop=True)[want.columns]
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_sessionize_batch_nonstandard_time_col(spark, tick_dir):
+    """Regression: _session_aggs used to hardcode "ts", so a frame whose
+    event-time column had another name either failed to resolve or
+    silently aggregated a different column than it sessionized on.
+    Renaming the time column must not change the sessions."""
+    events = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    base = sessionize_batch(
+        events, gap="5 minutes", user_col="symbol", time_col="ts"
+    ).toPandas()
+    renamed = sessionize_batch(
+        events.withColumnRenamed("ts", "event_time"),
+        gap="5 minutes",
+        user_col="symbol",
+        time_col="event_time",
+    ).toPandas()
+    key = ["symbol", "session_start"]
+    base = base.sort_values(key).reset_index(drop=True)
+    renamed = renamed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(renamed, base, check_exact=True)
