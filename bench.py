@@ -121,14 +121,17 @@ def main() -> None:
         spark, bars_from_events(spark, sf_dir)
     )
 
+    cold: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
         # Steady-state timing, same methodology as the headline (which
         # the reference's published numbers also use): the first run
         # pays Janino codegen + C2 JIT + whatever GC debt the session
         # accumulated — observed 3-5x run-to-run outliers on queries
-        # whose code had not changed. Run twice, record the second.
-        materialize(df)
+        # whose code had not changed. Run twice, record the second as
+        # the series (frozen since r4 — do not change again); the first
+        # is recorded separately as queries_cold so both signals exist.
+        cold[name] = materialize(df)
         timings[name] = materialize(df)
 
     result = {
@@ -136,6 +139,7 @@ def main() -> None:
         "value": round(timings["feature_pipeline_1m"], 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_cold": {k: round(v, 3) for k, v in cold.items()},
         "sf": sf,
         "rows_per_sec_1m": round(1_000_000 / timings["feature_pipeline_1m"]),
     }

@@ -480,7 +480,7 @@ def _curation_sql(num_hashes: int = 16, bands: int = 4, tau: float = 0.5) -> str
     h = "CAST(CAST(('0x' || substr(md5(shingle), 1, 8)) AS UBIGINT) AS BIGINT)"
     rows = num_hashes // bands
     mins = ", ".join(
-        f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}"
         for i, (a, b) in enumerate(hash_coeffs(num_hashes))
     )
     band_selects = " UNION ALL ".join(
@@ -530,18 +530,19 @@ def _curation_sql(num_hashes: int = 16, bands: int = 4, tau: float = 0.5) -> str
             )
         )
     ),
-    sigs AS (SELECT doc_id, {mins} FROM tokens GROUP BY doc_id),
+    th AS (SELECT DISTINCT doc_id, {h} AS h FROM tokens),
+    sigs AS (SELECT doc_id, {mins} FROM th GROUP BY doc_id),
     bands AS ({band_selects}),
     cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
     near AS (
         SELECT DISTINCT id_b FROM (
             SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, count(*) AS inter
-            FROM tokens t1
-            JOIN tokens t2 ON t1.shingle = t2.shingle AND t1.doc_id < t2.doc_id
+            FROM th t1
+            JOIN th t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
             JOIN cands c ON c.id_a = t1.doc_id AND c.id_b = t2.doc_id
             GROUP BY t1.doc_id, t2.doc_id
         ) i
@@ -579,17 +580,18 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdatapipeline_spark.textops.dedup import minhash_near_duplicates
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    # Exact-dedup and quality verdicts as FLAGS in one linear pass —
-    # the keep-min-id rule is a window min over the md5 partition (one
-    # shuffle, no dedup-then-rejoin), and the quality signals ride the
-    # same projection. Three marker joins collapse to one (the small
-    # near-dup drop list); the text scan runs twice total (flag pass +
-    # the near-dup branch over survivors) instead of four times.
-    md5w = Window.partitionBy(F.md5(F.col("text")))
-    flagged = docs.withColumn(
-        "_ex", F.min("doc_id").over(md5w) == F.col("doc_id")
-    )
-    sig = add_quality_signals(add_token_count(flagged))
+    # Exact-dedup and quality verdicts as FLAGS computed in one scan:
+    # the quality signals (the regex-heavy part) and md5 are projected
+    # SCAN-SIDE, so the keep-min-id window shuffles only
+    # (doc_id, md5, flag) — never document text. The resulting flags
+    # frame is a few dozen bytes per row; it feeds two consumers (the
+    # near-dup branch and the final verdict join), so it is persisted —
+    # without it Spark would recompute the window exchange and the full
+    # signal scan per consumer (the r4 5.2 s regression). The near-dup
+    # branch re-reads text by joining survivors back to the parquet
+    # scan: at 100 TB a second columnar scan of two columns is far
+    # cheaper than caching (or shuffling) the corpus text.
+    sig = add_quality_signals(add_token_count(docs))
     nt = F.col("n_tokens")
     q_ok = (
         (nt >= _QF["min_tokens"]) & (nt <= _QF["max_tokens"])
@@ -598,13 +600,22 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("mean_word_len") >= _QF["min_mwl"])
         & (F.col("mean_word_len") <= _QF["max_mwl"])
     )
-    staged = sig.select(
-        "doc_id", "text", "_ex", (F.col("_ex") & q_ok).alias("_q")
+    narrow = sig.select(
+        "doc_id", F.md5(F.col("text")).alias("_h"), q_ok.alias("_qok")
     )
-    q = staged.filter(F.col("_q")).select("doc_id", "text")
+    md5w = Window.partitionBy("_h")
+    ex = F.min("doc_id").over(md5w) == F.col("doc_id")
+    flags = (
+        narrow.select("doc_id", ex.alias("_ex"), "_qok")
+        .select("doc_id", "_ex", (F.col("_ex") & F.col("_qok")).alias("_q"))
+        .persist()
+    )
+    q = docs.join(flags.filter(F.col("_q")).select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
     pairs = minhash_near_duplicates(q, threshold=0.5, num_hashes=16, bands=4, n=3)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    out = staged.join(
+    out = flags.join(
         drop.withColumn("_nd", F.lit(1)), "doc_id", "left"
     )
     reason = (

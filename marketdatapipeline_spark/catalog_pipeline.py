@@ -149,10 +149,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_lsh_sql(
     num_hashes: int = 16, bands: int = 4, tokens_cte: str | None = None
 ) -> str:
+    """Oracle for minhash_near_duplicates. Mirrors the hashed-set
+    formulation: shingles collapse to their 32-bit base hash FIRST
+    (``th``), and signatures, set sizes, and intersections are all
+    defined over that distinct hash set — so a 32-bit collision merges
+    the same two shingles in both engines."""
     rows = num_hashes // bands
     h = _H_SQL.format(x="shingle")
     mins = ", ".join(
-        f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}"
         for i, (a, b) in enumerate(hash_coeffs(num_hashes))
     )
     band_selects = []
@@ -166,16 +171,17 @@ def _minhash_lsh_sql(
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
     WITH {tokens_cte or _TOKENS_CTE},
-    sigs AS (SELECT doc_id, {mins} FROM tokens GROUP BY doc_id),
+    th AS (SELECT DISTINCT doc_id, {h} AS h FROM tokens),
+    sigs AS (SELECT doc_id, {mins} FROM th GROUP BY doc_id),
     bands AS ({bands_sql}),
     cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
     inter AS (
         SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, count(*) AS inter
-        FROM tokens t1 JOIN tokens t2 ON t1.shingle = t2.shingle AND t1.doc_id < t2.doc_id
+        FROM th t1 JOIN th t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
         JOIN cands c ON c.id_a = t1.doc_id AND c.id_b = t2.doc_id
         GROUP BY t1.doc_id, t2.doc_id
     )

@@ -81,28 +81,34 @@ def deduplicate_exact(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_array(text_col: str, n: int) -> Column:
+    """Word n-gram array expression (with possible repeats).
+
+    Tokens are whitespace-split; shingle i joins tokens [i, i+n) with a
+    single space. Docs with < n tokens get an empty array and drop out
+    on explode. The guard matters: sequence(1, 0) is the DESCENDING
+    [1, 0] in Spark, and slice(words, 0, n) then throws at runtime —
+    short and empty docs are ubiquitous in real corpora.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
 def word_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Distinct word n-grams per document: (id, shingle).
-
-    Tokens are whitespace-split; shingle i joins tokens [i, i+n) with a
-    single space. Exactly reproducible in SQL on both engines.
-    """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    # Docs with < n tokens have no shingles and drop out on explode.
-    # The guard matters: sequence(1, 0) is the DESCENDING [1, 0] in
-    # Spark, and slice(words, 0, n) then throws at runtime — short and
-    # empty docs are ubiquitous in real corpora.
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    """Distinct word n-grams per document: (id, shingle). Exactly
+    reproducible in SQL on both engines."""
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        df.select(
+            F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle")
+        )
         .distinct()
     )
 
@@ -293,16 +299,30 @@ def minhash_near_duplicates(
     candidates -> exact Jaccard verification >= threshold.
 
     The shingle table is exploded and aggregated ONCE: the same
-    groupBy emits the k signature mins, the collected shingle set, and
-    its size per document. Candidates branch off the signatures
+    groupBy emits the k signature mins, the collected shingle-hash set,
+    and its size per document. Candidates branch off the signatures
     (explode band keys + one self-equi-join); verification joins the
     candidate pairs back to the same per-doc row for the
     ``array_intersect`` Jaccard. Composing :func:`minhash_signature` +
     :func:`jaccard_similar_pairs` instead would scan and explode the
     corpus twice — the per-doc table here is the natural shared build
-    side."""
-    sh = word_shingles(df, id_col, text_col, n).select(
-        F.col(id_col), F.col("shingle"), md5_int(F.col("shingle")).alias("_h")
+    side, and it is persisted because three plan branches consume it
+    (signatures, verify-left, verify-right); without the cache each
+    branch re-runs the explode + aggregation.
+
+    Verification operates on the 32-bit shingle HASHES, not the shingle
+    strings: the distinct step dedups (id, hash) — a far narrower
+    aggregation than (id, ~n-word string) — and ``array_intersect``
+    compares bigints instead of long strings. The reported ``jaccard``
+    is therefore hashed-set Jaccard (the standard large-corpus
+    formulation; a 32-bit collision merging two shingles is
+    deterministic and reproduced exactly by the SQL oracle)."""
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle")
+        )
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("_h"))
+        .distinct()
     )
     h = F.col("_h")
     docs = sh.groupBy(id_col).agg(
@@ -310,9 +330,9 @@ def minhash_near_duplicates(
             F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
             for i, (a, b) in enumerate(hash_coeffs(num_hashes))
         ],
-        F.collect_list("shingle").alias("_sh"),
+        F.collect_list("_h").alias("_sh"),
         F.count("*").alias("n_sh"),
-    )
+    ).persist()
     cands = lsh_candidate_pairs(
         docs.select(id_col, *[f"mh_{i}" for i in range(num_hashes)]), bands, id_col
     )
