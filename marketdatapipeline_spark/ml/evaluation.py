@@ -124,11 +124,16 @@ def roc_auc(
         F.sum(F.col("_n") - F.col("_np")).alias("_neg"),
     )
     p, neg = F.col("_p"), F.col("_neg")
+    # Single-class input (p or neg = 0) makes the divisor 0: return
+    # 0.0 instead of NULL, matching _roc_auc_np's convention (a NULL
+    # here would blow up callers that float()-cast the metrics dict).
     return agg.select(
-        (
+        F.when(p * neg == 0, F.lit(0.0))
+        .otherwise(
             (F.col("_r2") - p * (p + 1)).cast("double")
             / (2.0 * (p * neg).cast("double"))
-        ).alias("roc_auc")
+        )
+        .alias("roc_auc")
     )
 
 

@@ -6,12 +6,21 @@ timestamp, per key. Spark has no native ASOF JOIN; the classic
 range-join formulation explodes into an inequality join. This
 implementation is the union-and-carry composition:
 
-1. union both sides into one frame, right rows carrying their
-   payload, left rows carrying nulls in those slots;
+1. union both sides into one frame, right rows carrying their entire
+   payload as ONE struct column, left rows carrying a null struct;
 2. one window per key, ordered by (time, side) with right-before-left
    at equal timestamps (inclusive ``<=`` semantics);
-3. ``last(payload, ignorenulls=True)`` over the unbounded-preceding
-   frame carries the latest right payload forward onto each left row.
+3. ``last(struct, ignorenulls=True)`` over the unbounded-preceding
+   frame carries the latest right row forward onto each left row.
+
+The single-struct carry is a correctness property, not a convenience:
+with one ``last(col, ignorenulls=True)`` PER payload column, a right
+row whose payload column is legitimately NULL would have that one
+column filled from an OLDER right row — a frankenrow mixing payloads
+across right rows. The struct is non-null exactly for right rows, so
+every attached payload (and the match time used by ``tolerance``)
+comes from the same matched right row; a NULL payload field on the
+matched row surfaces as NULL, exactly as a real join would return it.
 
 Cost: ONE shuffle on the key (the window exchange) regardless of how
 many right rows precede each left row — no range explosion, no
@@ -71,22 +80,31 @@ def asof_join(
 
     # Side marker orders right rows before left rows at equal time for
     # backward (so an equal-timestamp quote is visible), after for
-    # forward — mirrored by the descending sort below.
-    lhs = left.withColumn("_side", F.lit(1))
-    for c in payload:
-        lhs = lhs.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    lhs = lhs.withColumn("_r_on", F.lit(None).cast(dict(right.dtypes)[on]))
-    rhs = right.select(
-        *[F.col(c) for c in key_cols],
-        *[F.col(c) for c in payload],
-        F.lit(0).alias("_side"),
-        F.col(on).alias("_r_on"),
+    # forward — mirrored by the descending sort below. Each side is a
+    # single select (flat analyzer cost however wide the payload).
+    rdt, ldt = dict(right.dtypes), dict(left.dtypes)
+    pay_type = (
+        "struct<"
+        + ",".join([f"`{c}`:{rdt[c]}" for c in payload] + [f"`_r_on`:{rdt[on]}"])
+        + ">"
     )
-    # Left columns absent on the right ride as nulls through the union.
-    for c in left.columns:
-        if c not in rhs.columns:
-            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    tagged = lhs.select(*lhs.columns).unionByName(rhs.select(*lhs.columns))
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(pay_type).alias("_pay"),
+    )
+    rhs = right.select(
+        # Left columns absent on the right ride as nulls through the union.
+        *[
+            F.col(c) if c in key_cols else F.lit(None).cast(ldt[c]).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(on).alias("_r_on")
+        ).alias("_pay"),
+    )
+    tagged = lhs.unionByName(rhs)
 
     if direction == "backward":
         w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_side").asc())
@@ -97,20 +115,17 @@ def asof_join(
     carried = tagged.select(
         *left.columns,
         F.col("_side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last("_r_on", ignorenulls=True).over(w).alias("_r_on"),
+        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side")
+    matched = carried.filter(F.col("_side") == 1)
+    pay = F.col("_pay")
     if tolerance is not None:
+        r_on = pay.getField("_r_on")
         gap = (
-            F.col(on) - F.col("_r_on")
-            if direction == "backward"
-            else F.col("_r_on") - F.col(on)
+            F.col(on) - r_on if direction == "backward" else r_on - F.col(on)
         )
-        within = F.col("_r_on").isNotNull() & (gap <= tolerance)
-        out = out.select(
-            *left.columns,
-            *[F.when(within, F.col(c)).alias(c) for c in payload],
-            "_r_on",
-        )
-    return out.drop("_r_on")
+        pay = F.when(r_on.isNotNull() & (gap <= tolerance), pay)
+    return matched.select(
+        *left.columns,
+        *[pay.getField(c).alias(c) for c in payload],
+    )

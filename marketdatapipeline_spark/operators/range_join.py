@@ -83,17 +83,22 @@ def point_in_interval_join(
     if how == "inner":
         return matched
     # left: append the points that matched nothing, with null interval
-    # payload (anti-join against the matched point-row set).
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(),
-        on=list(points.columns),
-        how="left_anti",
+    # payload (anti-join against the matched point-row set). The
+    # anti-join must be NULL-SAFE per column: with plain equality a
+    # point row containing a NULL never equals itself, so it would be
+    # emitted twice — once matched and once null-padded as
+    # "unmatched". eqNullSafe keys still plan as a hash join.
+    m = matched.select(*points.columns).distinct()
+    cond = None
+    for c in points.columns:
+        e = points[c].eqNullSafe(m[c])
+        cond = e if cond is None else cond & e
+    idt = dict(intervals.dtypes)
+    pad = [c for c in matched.columns if c not in points.columns]
+    unmatched = points.join(m, on=cond, how="left_anti").select(
+        *points.columns,
+        *[F.lit(None).cast(idt[c]).alias(c) for c in pad],
     )
-    for c in matched.columns:
-        if c not in unmatched.columns:
-            unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(dict(intervals.dtypes)[c])
-            )
     return matched.unionByName(unmatched.select(*matched.columns))
 
 

@@ -215,3 +215,9 @@ def test_roc_auc_known_values_and_ties(spark):
     rows = [(0, 0.1), (0, 0.2), (1, 0.3), (1, 0.9)]
     df = spark.createDataFrame(rows, ["target", "score"])
     assert roc_auc(df).first()[0] == 1.0
+    # degenerate single-class slice: 0.0 (matching _roc_auc_np), never
+    # NULL — a NULL would raise in callers float()-casting the metrics
+    rows = [(1, 0.1), (1, 0.9)]
+    df = spark.createDataFrame(rows, ["target", "score"])
+    assert roc_auc(df).first()[0] == 0.0
+    assert _roc_auc_np([1, 1], [0.1, 0.9]) == 0.0

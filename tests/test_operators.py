@@ -75,6 +75,71 @@ def test_asof_rejects_colliding_payload(trades, quotes):
         asof_join(trades, quotes, direction="sideways")
 
 
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """Regression: with per-column last(ignorenulls) carries, a right
+    row whose payload column is legitimately NULL had that column
+    filled from an OLDER right row (frankenrow). The matched row's
+    NULL must surface as NULL, and all payload columns must come from
+    the same (newest) right row."""
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10), 100.0)], ["trade_id", "symbol", "ts", "price"]
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1), 99.0, 10.0),
+            ("A", _ts(5), None, 20.0),  # newest at-or-before: bid is NULL
+        ],
+        ["symbol", "ts", "bid", "ask"],
+    )
+    row = asof_join(trades, quotes).collect()[0]
+    assert row.ask == 20.0            # matched row is the 10:05 quote
+    assert row.bid is None            # its NULL bid must NOT fall back to 99.0
+
+
+def test_asof_wide_payload_plan_stays_flat(spark):
+    """The union construction is two selects, not a withColumn per
+    payload column — analyzer cost stays flat for wide payloads."""
+    import time
+
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10), 100.0)], ["trade_id", "symbol", "ts", "price"]
+    )
+    wide = spark.range(3).select(
+        F.lit("A").alias("symbol"),
+        F.to_timestamp(F.lit("2024-01-01 10:00:00")).alias("ts"),
+        *[(F.col("id") + i).cast("double").alias(f"pay_{i}") for i in range(60)],
+    ).groupBy("symbol", "ts").agg(
+        *[F.max(f"pay_{i}").alias(f"pay_{i}") for i in range(60)]
+    )
+    t0 = time.time()
+    out = asof_join(trades, wide)
+    out.schema  # force analysis
+    assert time.time() - t0 < 10.0
+    row = out.collect()[0]
+    assert row.pay_0 == 2.0
+
+
+def test_range_join_left_null_column_not_duplicated(spark):
+    """Regression: the left-recovery anti-join compared all point
+    columns with null-UNSAFE equality, so a matched point row carrying
+    a NULL in any column never equaled itself and was emitted twice
+    (matched + null-padded). NULL-safe comparison keeps exactly one."""
+    points = spark.createDataFrame(
+        [(1, _ts(5), None), (2, _ts(50), "x")],
+        ["pid", "ts", "note"],
+    )
+    intervals = spark.createDataFrame(
+        [(_ts(0), _ts(10), "s1")], ["start", "end", "interval_id"]
+    )
+    out = point_in_interval_join(
+        points, intervals, point_col="ts", bin_width="10 minutes", how="left"
+    ).collect()
+    assert len(out) == 2
+    by_pid = {r.pid: r for r in out}
+    assert by_pid[1].interval_id == "s1"   # matched once, not duplicated
+    assert by_pid[2].interval_id is None   # genuinely unmatched, null-padded
+
+
 def test_sessionize_gap_boundaries(spark):
     rows = [
         (1, _ts(0)),
