@@ -32,9 +32,9 @@ from marketdatapipeline_spark.features import (
 )
 from marketdatapipeline_spark.features.engineering import (
     EPS,
-    momentum_expressions,
+    compute_momentum_features,
+    compute_volatility_features,
     temporal_expressions,
-    volatility_expressions,
 )
 from marketdatapipeline_spark.features.windows import rolling_mean, rolling_std, rolling_sum
 from marketdatapipeline_spark.sources.tables import bars_from_events, bars_oracle_cte, load_table
@@ -336,7 +336,16 @@ _BOLLINGER_SQL = _bars_sql(
 @register("bollinger_bands", _BOLLINGER_SQL)
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands (reference src/features/engineering.py:59-68):
-    composition of T1-masked rolling mean/std."""
+    composition of T1-masked rolling mean/std.
+
+    Deliberately the EXACT sliding-frame form, not the pipeline's
+    prefix-sum RollingPlan: the rolling std of ``close`` differences
+    running sums of squares of magnitude ~1e6, whose ~1e-9 association
+    error lands on a 6-decimal rounding boundary on this corpus
+    (measured: 1 row in 10k flips vs the oracle). momentum/volatility
+    use the prefix-sum path (their aggregates are over small-magnitude
+    inputs where the association error is ~1e-15); this query pins the
+    reference sliding semantics exactly."""
     w = _w()
     close = F.col("close")
     sma = rolling_mean(close, 20, w)
@@ -391,18 +400,23 @@ def _momentum_sql() -> str:
 @register("momentum_features", _momentum_sql())
 def q_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """return/momentum/roc/sma/distance_sma for p in {5,10,20,50}
-    (reference engineering.py:73-117). Epsilon-guarded divisions use
-    the literal 1e-10. sma/distance rounded (window-agg association)."""
-    w = _w()
-    exprs = momentum_expressions((5, 10, 20, 50), w)
+    (reference engineering.py:73-117), via the pipeline's prefix-sum
+    path (compute_momentum_features — one exchange, O(rows) rolling,
+    each lag materialized once). Epsilon-guarded divisions use the
+    literal 1e-10. sma/distance rounded (window-agg association);
+    the lag arithmetic is bit-exact unrounded."""
     bars = bars_from_events(spark, sf_dir)
+    out = compute_momentum_features(bars, (5, 10, 20, 50), order_cols=ORDER)
     sel = ["symbol", "bar_id"]
-    for name, col in exprs.items():
-        if name.startswith(("sma_", "distance_sma_")):
-            sel.append(_r6(col).alias(name))
-        else:
-            sel.append(col.alias(name))
-    return bars.select(*sel)
+    for p in (5, 10, 20, 50):
+        sel += [
+            f"return_{p}",
+            f"momentum_{p}",
+            f"roc_{p}",
+            _r6(F.col(f"sma_{p}")).alias(f"sma_{p}"),
+            _r6(F.col(f"distance_sma_{p}")).alias(f"distance_sma_{p}"),
+        ]
+    return out.select(*sel)
 
 
 def _volatility_sql() -> str:
@@ -443,16 +457,21 @@ def _volatility_sql() -> str:
 @register("volatility_features", _volatility_sql())
 def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """returns + volatility/realized_vol/hl_range for w in {10,20,60}
-    (reference engineering.py:120-157). The returns column is NULL on
-    each symbol's first row and the T1 mask counts non-nulls, exactly
-    like Polars min_periods."""
-    w = _w()
-    exprs = volatility_expressions((10, 20, 60), w, has_hl=True)
+    (reference engineering.py:120-157), via the pipeline's prefix-sum
+    path (compute_volatility_features — two chained window stages,
+    O(rows)). The returns column is NULL on each symbol's first row
+    and the T1 mask counts non-nulls, exactly like Polars
+    min_periods."""
     bars = bars_from_events(spark, sf_dir)
-    sel = ["symbol", "bar_id"]
-    for name, col in exprs.items():
-        sel.append(col.alias(name) if name == "returns" else _r6(col).alias(name))
-    return bars.select(*sel)
+    out = compute_volatility_features(bars, (10, 20, 60), order_cols=ORDER)
+    sel = ["symbol", "bar_id", "returns"]
+    for n in (10, 20, 60):
+        sel += [
+            _r6(F.col(f"volatility_{n}")).alias(f"volatility_{n}"),
+            _r6(F.col(f"realized_vol_{n}")).alias(f"realized_vol_{n}"),
+            _r6(F.col(f"hl_range_{n}")).alias(f"hl_range_{n}"),
+        ]
+    return out.select(*sel)
 
 
 _TEMPORAL_SQL = _bars_sql(
