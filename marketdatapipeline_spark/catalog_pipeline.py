@@ -102,14 +102,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(docs.unionByName(dups))
 
 
-@register(
-    "dedup_jaccard_pairs",
-    f"""
-    WITH {_TOKENS_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
+def _jaccard_pairs_sql(tokens_cte: str) -> str:
+    """Hashed-set Jaccard oracle (mirrors jaccard_similar_pairs):
+    shingles collapse to their 32-bit base hash before the distinct
+    step, sizes and intersections are defined over that hash set."""
+    h = _H_SQL.format(x="shingle")
+    return f"""
+    WITH {tokens_cte},
+    th AS (SELECT DISTINCT doc_id, {h} AS h FROM tokens),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM tokens a JOIN tokens b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -118,12 +122,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
-    """,
-)
+    """
+
+
+@register("dedup_jaccard_pairs", _jaccard_pairs_sql(_TOKENS_CTE))
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-dup pairs (n=1 shingles, tau=0.5):
-    explode -> equi-join on shingle -> count/union-size arithmetic.
-    Integer-ratio similarity — bit-identical, no rounding."""
+    explode -> hash -> equi-join on the 32-bit shingle hash ->
+    count/union-size arithmetic (hashed-set Jaccard, same definition
+    in the oracle). Integer-ratio similarity — bit-identical, no
+    rounding."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
     return jaccard_similar_pairs(docs, threshold=0.5, n=1)
 
@@ -208,24 +216,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_jaccard_pairs_ngram",
-    f"""
-    WITH {_TOKENS3_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tokens GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM tokens a JOIN tokens b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
-    """,
-)
+@register("dedup_jaccard_pairs_ngram", _jaccard_pairs_sql(_TOKENS3_CTE))
 def q_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard near-dup pairs on DISCRIMINATIVE 3-gram shingles,
     full corpus — the regime companion to ``dedup_minhash_lsh_ngram``

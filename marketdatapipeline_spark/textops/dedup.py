@@ -134,18 +134,33 @@ def jaccard_similar_pairs(
     explosion. Pairs with an empty intersection are dropped (as the
     co-occurrence join does implicitly), which is equivalent for any
     ``threshold > 0``.
+
+    Both paths operate on the 32-bit shingle HASHES (hashed-set
+    Jaccard, as in minhash_near_duplicates): the distinct step, the
+    co-occurrence join, and the intersections all work on bigints
+    instead of multi-word strings, and the hashed table is persisted
+    for its multiple consumers. A 32-bit collision merging two
+    shingles is deterministic and reproduced exactly by the SQL
+    oracles.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle")
+        )
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
 
     if candidates is not None:
-        # One row per doc: the distinct shingle set as an array + its
-        # size, from a single aggregation. The candidate pair list then
-        # picks up each side's set via a plain equi-join (AQE turns
-        # these into broadcast joins when the doc-set side is small);
-        # the intersection is a hash-set pass inside codegen.
+        # One row per doc: the distinct shingle-hash set as an array +
+        # its size, from a single aggregation. The candidate pair list
+        # then picks up each side's set via a plain equi-join (AQE
+        # turns these into broadcast joins when the doc-set side is
+        # small); the intersection is a hash-set pass inside codegen.
+        # Persisted: pa and pb both read it.
         sets_ = sh.groupBy(id_col).agg(
-            F.collect_list("shingle").alias("_sh"), F.count("*").alias("n_sh")
-        )
+            F.collect_list("_h").alias("_sh"), F.count("*").alias("n_sh")
+        ).persist()
         pa = sets_.select(
             F.col(id_col).alias("id_a"),
             F.col("_sh").alias("_sh_a"),
@@ -179,11 +194,13 @@ def jaccard_similar_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
+    # Exact path: sh feeds three branches (sizes + both join sides).
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
     pairs = (
-        a.join(b, on="shingle")
+        a.join(b, on="_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))

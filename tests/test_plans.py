@@ -122,3 +122,46 @@ def test_catalog_scans_prune_columns(spark, query):
     plan = _plan(REGISTRY[query].fn(spark, SF))
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read, read
+
+
+def test_curation_window_shuffle_never_carries_text(spark):
+    """documents_curation's keep-min-id window must exchange only
+    (doc_id, md5, flag) — hash-partitioning on a projected md5 column,
+    never shuffling document text through the window. A regression
+    here re-shuffles the whole corpus body at 100 TB."""
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    df = REGISTRY["documents_curation"].fn(spark, SF)
+    plan = _plan(df)
+    # the window exchange partitions on the projected hash column
+    assert "hashpartitioning(_h" in plan
+    # no exchange node should list the text column among its outputs:
+    # text may only appear scan-side (projections) and in the near-dup
+    # branch's shingle explode, both upstream of narrow operators
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_asof_join_single_window_exchange(spark):
+    """asof_join is one union + one window: exactly one hash exchange
+    on the by-key, and the carry is a single struct column (one
+    last() window function, not one per payload column)."""
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "A", datetime(2024, 1, 1, 10, 0), 1.0)],
+        ["trade_id", "symbol", "ts", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1, 9, 59), 0.9, 1.1, 5.0)],
+        ["symbol", "ts", "bid", "ask", "depth"],
+    )
+    out = asof_join(trades, quotes)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # one window node computing one last(_pay) — not last() per payload
+    assert plan.count("last(_pay") == 1
