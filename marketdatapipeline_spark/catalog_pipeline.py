@@ -207,7 +207,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded
     candidate join -> exact Jaccard verification. The oracle replays
     the identical pipeline in SQL, so band hashing, candidate
-    generation, and verification are all value-checked."""
+    generation, and verification are all value-checked.
+
+    Deliberately kept on the SATURATED regime (unigram shingles, ~74%
+    of all pairs true near-dups at tau=0.5): candidates ~ all-pairs,
+    so the per-pair array_intersect verify is inherently slower than
+    the plain co-occurrence join (``dedup_jaccard_pairs``) here — this
+    query is the stress test that bounds the verify constant. The
+    regime LSH exists for is the sparse one:
+    ``dedup_minhash_lsh_ngram`` runs the same operator over 5x the
+    docs with discriminative 3-gram shingles and beats its exact twin.
+    Pick the path by expected duplicate density (real web corpora are
+    sparse)."""
     from marketdatapipeline_spark.textops.dedup import minhash_near_duplicates
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
