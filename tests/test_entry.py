@@ -51,3 +51,33 @@ def test_gate_coverage_invariant():
     critical = [n for n in names if n.startswith(("similarity_", "approx_", "streaming_"))]
     assert critical, "critical query families missing from registry"
     assert set(critical) <= gated, sorted(set(critical) - gated)
+
+
+def test_ordered_registry_failure_modes():
+    """ordered_registry must refuse (not silently reorder) when a tail
+    query is missing or when non-tail queries would overflow the gate."""
+    import pytest
+
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401
+    from marketdatapipeline_spark import catalog
+    from marketdatapipeline_spark.catalog import QuerySpec, ordered_registry
+
+    saved_registry = dict(catalog.REGISTRY)
+    saved_limit = catalog.GATE_LIMIT
+    try:
+        missing_tail = catalog.GATE_TAIL[0]
+        del catalog.REGISTRY[missing_tail]
+        with pytest.raises(KeyError, match=missing_tail):
+            ordered_registry()
+        catalog.REGISTRY.update(saved_registry)
+
+        catalog.GATE_LIMIT = 3
+        with pytest.raises(RuntimeError, match="exceed"):
+            ordered_registry()
+    finally:
+        catalog.GATE_LIMIT = saved_limit
+        catalog.REGISTRY.clear()
+        catalog.REGISTRY.update(saved_registry)
+        assert isinstance(next(iter(catalog.REGISTRY.values())), QuerySpec)
