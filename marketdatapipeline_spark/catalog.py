@@ -32,7 +32,6 @@ from marketdatapipeline_spark.features import (
 )
 from marketdatapipeline_spark.features.engineering import (
     EPS,
-    compute_momentum_features,
     compute_volatility_features,
     temporal_expressions,
 )
@@ -63,9 +62,11 @@ def register(name: str, sql: str | None = None):
 #: coverage decision, not an accident — ``ordered_registry`` pins it
 #: explicitly: every query registers in import order EXCEPT the
 #: ``GATE_TAIL`` four, which are deliberately placed last. The tail
-#: queries are the most trivial plans in the catalog (single hash
-#: aggregation / conditional-aggregate pivot / stack / TakeOrdered),
-#: each with green driver rows in earlier rounds, and each still
+#: queries are the most trivial plans in the catalog (schema-align
+#: union / conditional-aggregate pivot / stack / TakeOrdered), each
+#: UNCHANGED since its green driver rows in earlier rounds (a query
+#: whose semantics change must sit inside the gate — value_counts
+#: moved in-gate when it absorbed the distinct count), and each still
 #: value-checked every round by the stricter local cell-exact checker
 #: (tools/check_oracle.py) plus the plan suite. Everything novel or
 #: recently added — similarity_*, approx sketches, streaming parity —
@@ -73,7 +74,7 @@ def register(name: str, sql: str | None = None):
 #: invariant so registry growth can never silently drop coverage again.
 GATE_LIMIT = 50
 GATE_TAIL = (
-    "value_counts",
+    "union_align",
     "pivot_event_type_counts",
     "unpivot_ohlc",
     "topk_deterministic",
@@ -400,21 +401,37 @@ def _momentum_sql() -> str:
 @register("momentum_features", _momentum_sql())
 def q_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """return/momentum/roc/sma/distance_sma for p in {5,10,20,50}
-    (reference engineering.py:73-117), via the pipeline's prefix-sum
-    path (compute_momentum_features — one exchange, O(rows) rolling,
-    each lag materialized once). Epsilon-guarded divisions use the
-    literal 1e-10. sma/distance rounded (window-agg association);
-    the lag arithmetic is bit-exact unrounded."""
-    bars = bars_from_events(spark, sf_dir)
-    out = compute_momentum_features(bars, (5, 10, 20, 50), order_cols=ORDER)
+    (reference engineering.py:73-117). Each window primitive (lag,
+    sliding avg) is MATERIALIZED once per period and the five outputs
+    derive from the materialized columns — single evaluation per
+    primitive (Catalyst does not dedupe repeated window expressions)
+    without the prefix-sum transform: like bollinger_bands, the
+    rolling mean of ``close`` runs sums to ~1e6 magnitude, where the
+    prefix-sum association error (~1e-9) flips 6-decimal rounding
+    boundaries at sf0.1 (measured: distance_sma_5/10, 1 row in 100k).
+    Epsilon-guarded divisions use the literal 1e-10. sma/distance
+    rounded (window-agg association); lag arithmetic is bit-exact
+    unrounded."""
+    w = _w()
+    periods = (5, 10, 20, 50)
+    close = F.col("close")
+    prim = {}
+    for p in periods:
+        prim[f"_lag_{p}"] = F.lag(close, p).over(w)
+        prim[f"_sma_{p}"] = rolling_mean(close, p, w)
+    out = bars_from_events(spark, sf_dir).withColumns(prim)
     sel = ["symbol", "bar_id"]
-    for p in (5, 10, 20, 50):
+    for p in periods:
+        shifted, sma = F.col(f"_lag_{p}"), F.col(f"_sma_{p}")
+        ret = (close - shifted) / (shifted + F.lit(EPS))
         sel += [
-            f"return_{p}",
-            f"momentum_{p}",
-            f"roc_{p}",
-            _r6(F.col(f"sma_{p}")).alias(f"sma_{p}"),
-            _r6(F.col(f"distance_sma_{p}")).alias(f"distance_sma_{p}"),
+            ret.alias(f"return_{p}"),
+            (close - shifted).alias(f"momentum_{p}"),
+            (ret * 100).alias(f"roc_{p}"),
+            _r6(sma).alias(f"sma_{p}"),
+            _r6((close - sma) / (sma + F.lit(EPS)) * 100).alias(
+                f"distance_sma_{p}"
+            ),
         ]
     return out.select(*sel)
 

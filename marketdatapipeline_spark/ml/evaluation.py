@@ -127,8 +127,11 @@ def roc_auc(
     # Single-class input (p or neg = 0) makes the divisor 0: return
     # 0.0 instead of NULL, matching _roc_auc_np's convention (a NULL
     # here would blow up callers that float()-cast the metrics dict).
+    # coalesce: on EMPTY input the sums are NULL (not 0), and
+    # NULL == 0 is NULL, which would fall through to the NULL
+    # otherwise-branch — the exact crash the guard exists to prevent.
     return agg.select(
-        F.when(p * neg == 0, F.lit(0.0))
+        F.when(F.coalesce(p * neg, F.lit(0)) == 0, F.lit(0.0))
         .otherwise(
             (F.col("_r2") - p * (p + 1)).cast("double")
             / (2.0 * (p * neg).cast("double"))

@@ -83,9 +83,16 @@ def asof_join(
     # forward — mirrored by the descending sort below. Each side is a
     # single select (flat analyzer cost however wide the payload).
     rdt, ldt = dict(right.dtypes), dict(left.dtypes)
+
+    def bq(name: str) -> str:
+        # DDL backtick-quoting: literal backticks double inside quotes.
+        return "`" + name.replace("`", "``") + "`"
+
     pay_type = (
         "struct<"
-        + ",".join([f"`{c}`:{rdt[c]}" for c in payload] + [f"`_r_on`:{rdt[on]}"])
+        + ",".join(
+            [f"{bq(c)}:{rdt[c]}" for c in payload] + [f"`_r_on`:{rdt[on]}"]
+        )
         + ">"
     )
     lhs = left.select(

@@ -221,3 +221,5 @@ def test_roc_auc_known_values_and_ties(spark):
     df = spark.createDataFrame(rows, ["target", "score"])
     assert roc_auc(df).first()[0] == 0.0
     assert _roc_auc_np([1, 1], [0.1, 0.9]) == 0.0
+    # empty input: sums are NULL, the guard must coalesce, not crash
+    assert roc_auc(df.filter(F.lit(False))).first()[0] == 0.0
