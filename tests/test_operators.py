@@ -288,3 +288,50 @@ def test_json_roundtrip(spark, tmp_path):
     save_dataframe(df, path, format="json", partition_by=None)
     back = load_dataframe(spark, path, schema=df.schema)  # suffix-inferred json
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_asof_matches_pandas_merge_asof_on_random_data(spark):
+    """Randomized equivalence: the union-and-carry as-of join must
+    agree with pandas merge_asof (the reference semantics family) on
+    random multi-key data with duplicate left timestamps, unmatched
+    heads, and equal-timestamp collisions."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260814)
+    base = pd.Timestamp("2024-01-01")
+    lrows, rrows = [], []
+    for sym in ("a", "b", "c"):
+        lt = np.sort(rng.integers(0, 5000, 200))
+        for i, t in enumerate(lt):
+            lrows.append((sym, base + pd.Timedelta(seconds=int(t)), i))
+        rt = np.unique(rng.integers(0, 5000, 80))
+        for t in rt:
+            rrows.append(
+                (sym, base + pd.Timedelta(seconds=int(t)), float(t) / 10.0)
+            )
+    lpdf = pd.DataFrame(lrows, columns=["symbol", "ts", "lid"])
+    rpdf = pd.DataFrame(rrows, columns=["symbol", "ts", "quote"])
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="ts",
+            by=("symbol",),
+        )
+        .toPandas()
+        .sort_values(["symbol", "lid"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("ts", kind="mergesort"),
+        rpdf.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="symbol",
+        direction="backward",
+    ).sort_values(["symbol", "lid"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    ga = got["quote"].to_numpy(dtype="float64")
+    wa = want["quote"].to_numpy(dtype="float64")
+    assert (np.isnan(ga) == np.isnan(wa)).all()
+    assert np.allclose(ga, wa, equal_nan=True)

@@ -84,3 +84,48 @@ def test_min_periods_counts_non_null_values(spark):
     # frames: [1],[1,N],[1,N,3],[N,3,4],[3,4,5],[4,5,6] -> non-null counts 1,1,2,2,3,3
     assert np.isnan(got[:4]).all()
     assert got[4] == (3 + 4 + 5) / 3 and got[5] == 5.0
+
+
+def test_rolling_plan_matches_sliding_on_random_data(spark):
+    """Randomized equivalence: the O(rows) prefix-sum RollingPlan must
+    agree with the exact sliding-frame aggregates (to float tolerance)
+    on adversarial data — nulls, constant stretches, negative values,
+    multiple symbols, windows larger than some partitions."""
+    from marketdatapipeline_spark.features.windows import RollingPlan
+
+    rng = np.random.default_rng(20260814)
+    rows = []
+    for sym in ("a", "b", "c"):
+        n = int(rng.integers(5, 400))
+        vals = rng.normal(100.0, 15.0, n)
+        vals[rng.random(n) < 0.1] = np.nan  # nulls inside windows
+        vals[n // 2 : n // 2 + 10] = 42.0   # constant stretch (std=0)
+        for i, v in enumerate(vals):
+            rows.append((sym, i, None if np.isnan(v) else float(v)))
+    df = spark.createDataFrame(rows, ["symbol", "seq", "x"])
+    w = Window.partitionBy("symbol").orderBy("seq")
+    plan = RollingPlan(w)
+    x = F.col("x")
+    for n in (3, 20, 120):
+        out = plan.apply(
+            df,
+            {
+                "p_mean": plan.mean(x, n, "x"),
+                "p_std": plan.std(x, n, "x"),
+                "p_sum": plan.sum(x, n, "x"),
+            },
+        ).select(
+            "symbol",
+            "seq",
+            "p_mean",
+            "p_std",
+            "p_sum",
+            rolling_mean(x, n, w).alias("s_mean"),
+            rolling_std(x, n, w).alias("s_std"),
+            rolling_sum(x, n, w).alias("s_sum"),
+        ).toPandas()
+        for a, b in (("p_mean", "s_mean"), ("p_std", "s_std"), ("p_sum", "s_sum")):
+            ga = out[a].to_numpy(dtype="float64")
+            gb = out[b].to_numpy(dtype="float64")
+            assert (np.isnan(ga) == np.isnan(gb)).all(), (n, a, "null mask")
+            assert np.allclose(ga, gb, atol=1e-7, equal_nan=True), (n, a)
