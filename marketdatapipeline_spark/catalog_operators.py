@@ -69,12 +69,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Shared session-numbering CTE chain (30-minute gap, session_window
-#: boundary convention: at-or-beyond last + gap starts a new session).
+#: boundary convention: STRICTLY beyond last + gap starts a new
+#: session — events exactly gap apart merge).
 _SESSIONS_CTE = """
     flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS st
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1,10 +1,11 @@
 """Gap-based sessionization.
 
 Assigns every event to a session: a new session starts when the
-user's previous event is ``gap`` or more in the past (``ts >= prev +
-gap`` — the half-open-window convention of Spark's native
-``session_window`` and Flink's session windows, so the batch and
-streaming paths draw identical boundaries; see
+user's previous event is MORE than ``gap`` in the past (``ts > prev +
+gap`` — events exactly ``gap`` apart still merge, matching Spark's
+native ``session_window``, whose per-event window [t, t+gap] is
+inclusive at the end, so the batch and streaming paths draw identical
+boundaries; verified empirically and by randomized test; see
 streaming/sessions.py). The standard two-window composition — ``lag``
 to detect session starts, running ``sum`` of the start flags to
 number them — runs in ONE shuffle on the user key (both windows share
@@ -40,7 +41,7 @@ def sessionize(
     order = [F.col(time_col), *[F.col(c) for c in tie_break]]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(time_col).over(w)
-    start = (prev.isNull() | (F.col(time_col) >= prev + gap)).cast("int")
+    start = (prev.isNull() | (F.col(time_col) > prev + gap)).cast("int")
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

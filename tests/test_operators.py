@@ -142,9 +142,12 @@ def test_range_join_left_null_column_not_duplicated(spark):
 def test_sessionize_gap_boundaries(spark):
     rows = [
         (1, _ts(0)),
-        (1, _ts(29)),      # 29 min gap -> same session
-        (1, _ts(59)),      # exactly 30 min -> NEW (session_window convention)
-        (1, _ts(59, 1)),   # 1s -> same
+        (1, _ts(30)),      # exactly 30 min later -> SAME session
+        #                    (session_window merges events exactly gap
+        #                    apart; its per-event window [t, t+gap] is
+        #                    end-inclusive — verified empirically and by
+        #                    the randomized parity test below)
+        (1, _ts(30, 1)),   # 1 s later -> same
         (2, _ts(0)),
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts"])
@@ -153,21 +156,21 @@ def test_sessionize_gap_boundaries(spark):
         (r.user_id, r.ts): r.session_id for r in out.collect()
     }
     assert got[(1, _ts(0))] == 1
-    assert got[(1, _ts(29))] == 1
-    assert got[(1, _ts(59))] == 2
-    assert got[(1, _ts(59, 1))] == 2
-    assert got[(2, _ts(0))] == 1  # per-user numbering
+    assert got[(1, _ts(30))] == 1       # exact-gap boundary merges
+    assert got[(1, _ts(30, 1))] == 1
+    assert got[(2, _ts(0))] == 1        # per-user numbering
 
     out2 = sessionize(df, F.expr("INTERVAL 10 MINUTES"))
     got2 = {(r.user_id, r.ts): r.session_id for r in out2.collect()}
-    assert got2[(1, _ts(29))] == 2 and got2[(1, _ts(59))] == 3
+    # 30 min > 10 min gap -> split; the 1 s follow-up stays attached
+    assert got2[(1, _ts(30))] == 2 and got2[(1, _ts(30, 1))] == 2
 
-    stats = session_stats(df, F.expr("INTERVAL 30 MINUTES"))
+    stats = session_stats(df, F.expr("INTERVAL 10 MINUTES"))
     rows1 = {
         r.session_id: r for r in stats.filter("user_id = 1").collect()
     }
-    assert rows1[1].n_events == 2
-    assert rows1[1].duration_us == 29 * 60 * 1_000_000
+    assert rows1[1].n_events == 1
+    assert rows1[1].duration_us == 0
     assert rows1[2].n_events == 2
     assert rows1[2].duration_us == 1_000_000
 
@@ -335,3 +338,91 @@ def test_asof_matches_pandas_merge_asof_on_random_data(spark):
     wa = want["quote"].to_numpy(dtype="float64")
     assert (np.isnan(ga) == np.isnan(wa)).all()
     assert np.allclose(ga, wa, equal_nan=True)
+
+
+def test_sessionize_matches_session_window_on_random_data(spark):
+    """Randomized equivalence: the explicit lag + running-sum
+    composition must draw the same session boundaries as the engine's
+    session_window on random data that includes duplicate timestamps
+    and gaps exactly equal to the threshold (the >= boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    from marketdatapipeline_spark.streaming.sessions import sessionize_batch
+
+    rng = np.random.default_rng(20260814)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid in range(20):
+        t = 0
+        for _ in range(int(rng.integers(2, 60))):
+            # steps of exactly 300s (the gap) probe the boundary rule
+            t += int(rng.choice([0, 1, 60, 300, 301, 900]))
+            rows.append((uid, base + pd.Timedelta(seconds=t)))
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    composed = (
+        session_stats(ev, F.expr("INTERVAL 5 MINUTES"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    native = (
+        sessionize_batch(ev, gap="5 minutes")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(composed, native, check_exact=True)
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Randomized equivalence: the bin-bucketed range join must return
+    exactly the rows of the naive BETWEEN join — including points on
+    interval boundaries and bins much narrower/wider than intervals."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260814)
+    base = pd.Timestamp("2024-01-01")
+    points = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "pid": np.arange(300),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 7200, 300)],
+        }
+    )
+    starts = rng.integers(0, 7200, 60)
+    ivals = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 60),
+            "iid": np.arange(60),
+            "start": [base + pd.Timedelta(seconds=int(s)) for s in starts],
+            "end": [
+                base + pd.Timedelta(seconds=int(s + d))
+                for s, d in zip(starts, rng.integers(0, 3600, 60))
+            ],
+        }
+    )
+    pdf, idf = spark.createDataFrame(points), spark.createDataFrame(ivals)
+    for width in ("37 seconds", "10 minutes", "3 hours"):
+        got = (
+            point_in_interval_join(
+                pdf, idf, point_col="ts", start_col="start", end_col="end",
+                by=("k",), bin_width=width,
+            )
+            .select("pid", "iid")
+            .toPandas()
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        naive = (
+            pdf.join(idf.withColumnsRenamed({}), "k")
+            .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+            .select("pid", "iid")
+            .toPandas()
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, naive, check_exact=True), width
