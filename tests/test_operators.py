@@ -339,6 +339,34 @@ def test_asof_matches_pandas_merge_asof_on_random_data(spark):
     assert (np.isnan(ga) == np.isnan(wa)).all()
     assert np.allclose(ga, wa, equal_nan=True)
 
+    # forward direction and inclusive tolerance, same random data
+    for direction, tol in (("forward", None), ("backward", "90 seconds")):
+        got_d = (
+            asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                on="ts",
+                by=("symbol",),
+                direction=direction,
+                tolerance=None if tol is None else F.expr(f"INTERVAL {tol}"),
+            )
+            .toPandas()
+            .sort_values(["symbol", "lid"])
+            .reset_index(drop=True)
+        )
+        want_d = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="symbol",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(tol),
+        ).sort_values(["symbol", "lid"]).reset_index(drop=True)
+        gd = got_d["quote"].to_numpy(dtype="float64")
+        wd = want_d["quote"].to_numpy(dtype="float64")
+        assert (np.isnan(gd) == np.isnan(wd)).all(), (direction, tol)
+        assert np.allclose(gd, wd, equal_nan=True), (direction, tol)
+
 
 def test_sessionize_matches_session_window_on_random_data(spark):
     """Randomized equivalence: the explicit lag + running-sum
