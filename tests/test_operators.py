@@ -454,3 +454,62 @@ def test_range_join_matches_naive_inequality_join(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, naive, check_exact=True), width
+
+
+def test_rollup_matches_pandas_reference_on_random_data(spark):
+    """Randomized equivalence: rollup_bars vs a pandas reference, with
+    duplicate timestamps inside buckets (tie-broken by bar_id) and
+    bars exactly on bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260814)
+    base = pd.Timestamp("2024-01-01")
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "symbol": rng.choice(["a", "b"], n),
+            # minute-aligned so many rows land exactly on hour boundaries
+            "datetime": [
+                base + pd.Timedelta(minutes=int(m))
+                for m in rng.integers(0, 60 * 48, n)
+            ],
+            "bar_id": np.arange(n),
+            "open": rng.normal(100, 5, n),
+            "high": rng.normal(105, 5, n),
+            "low": rng.normal(95, 5, n),
+            "close": rng.normal(100, 5, n),
+            "volume": rng.integers(1, 1000, n).astype("float64"),
+        }
+    )
+    got = (
+        rollup_bars(spark.createDataFrame(pdf), grains=("hour", "day"))
+        .toPandas()
+        .sort_values(["grain", "symbol", "bucket"])
+        .reset_index(drop=True)
+    )
+    refs = []
+    for grain, freq in (("hour", "h"), ("day", "D")):
+        r = pdf.copy()
+        r["bucket"] = r["datetime"].dt.floor(freq)
+        r = r.sort_values(["datetime", "bar_id"], kind="mergesort")
+        g = r.groupby(["symbol", "bucket"])
+        refs.append(
+            pd.DataFrame(
+                {
+                    "open": g["open"].first(),
+                    "high": g["high"].max(),
+                    "low": g["low"].min(),
+                    "close": g["close"].last(),
+                    "volume": g["volume"].sum(),
+                    "n_bars": g["open"].size(),
+                }
+            ).assign(grain=grain).reset_index()
+        )
+    want = (
+        pd.concat(refs)
+        .sort_values(["grain", "symbol", "bucket"])
+        .reset_index(drop=True)[got.columns]
+    )
+    want["n_bars"] = want["n_bars"].astype(got["n_bars"].dtype)
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
