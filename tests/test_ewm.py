@@ -162,3 +162,47 @@ def test_blocked_ewm_adjust_false_matches_pandas(spark, bars_df, bars_pdf):
         .to_numpy()
     )
     assert np.allclose(got, exp, rtol=1e-12, atol=1e-12)
+
+
+def test_native_ewm_random_data_with_varied_partition_sizes(spark):
+    """Randomized parity for the blocked native scan: symbols with
+    1-row, exactly-block-sized, and long histories, constant
+    stretches (RSI 0/0 guard), and duplicate close values — all
+    against the pandas reference."""
+    from marketdatapipeline_spark.features.ewm import (
+        add_technical_ewm_features_native,
+    )
+
+    rng = np.random.default_rng(20260814)
+    base = pd.Timestamp("2024-01-01")
+    frames = []
+    for sym, n in (("one", 1), ("tiny", 3), ("mid", 257), ("long", 1500)):
+        close = rng.normal(100, 10, n)
+        if n >= 50:
+            close[20:40] = 77.0  # constant stretch: gains = losses = 0
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "datetime": [
+                        base + pd.Timedelta(minutes=int(i)) for i in range(n)
+                    ],
+                    "close": close,
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    got = (
+        add_technical_ewm_features_native(spark.createDataFrame(pdf))
+        .orderBy("symbol", "datetime")
+        .toPandas()
+    )
+    exp = _exp(pdf)
+    for c in ("rsi", "macd", "macd_signal", "macd_histogram"):
+        assert np.allclose(
+            got[c].to_numpy("float64"),
+            exp[c].to_numpy("float64"),
+            rtol=1e-9,
+            atol=1e-9,
+            equal_nan=True,
+        ), c
