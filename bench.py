@@ -1,7 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full payload (warm + cold series) as one line, then the
+FINAL line is the slim parseable record:
     {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+The cold series also lands in bench_detail.json next to this file.
 
 The headline metric mirrors the reference's published benchmark
 (BASELINE.md: compute_all_features on a replicated 1,000,000-row frame,
@@ -76,8 +78,17 @@ def run_feature_pipeline(spark, bars, repeats: int = 1, warmups: int = 0) -> flo
     amortizes all of it away).
     """
     out = feature_pipeline(bars)
+    spark = out.sparkSession
     for _ in range(warmups):
         materialize(out)
+    # Collect JVM garbage before the timed block: standalone A/B runs
+    # (r6) showed the converged band is 1.36-1.55 s but a session that
+    # has accumulated heap debt can read 0.2-0.5 s high (r5's 1.653 was
+    # exactly this — HEAD standalone re-measured at r4's 1.44 level).
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
     times = sorted(materialize(out) for _ in range(repeats))
     return times[len(times) // 2]
 
@@ -106,7 +117,7 @@ def main() -> None:
     copies = max(1, round(1_000_000 / n_events))
     bars_multi = replicated_bars(spark, sf_dir, copies, multi_symbol=True)
     timings["feature_pipeline_1m"] = run_feature_pipeline(
-        spark, bars_multi, repeats=3, warmups=3
+        spark, bars_multi, repeats=5, warmups=4
     )
 
     # faithful-to-reference single-symbol replication (serializes one
@@ -139,11 +150,29 @@ def main() -> None:
         "value": round(timings["feature_pipeline_1m"], 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
-        "queries_cold": {k: round(v, 3) for k, v in cold.items()},
         "sf": sf,
         "rows_per_sec_1m": round(1_000_000 / timings["feature_pipeline_1m"]),
     }
-    print(json.dumps(result))
+    detail = dict(result)
+    detail["queries_cold"] = {k: round(v, 3) for k, v in cold.items()}
+
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the final line as the round's bench record; r5's single line (warm
+    # + cold dicts inline) exceeded that window and failed to parse.
+    # Keep both series: full payload goes to bench_detail.json and its
+    # own stdout line, the FINAL line is the slim parseable record.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+
+    line = json.dumps(result)
+    if len(line) > 1800:  # stay inside the capture window with margin
+        result["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -22,10 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from marketdatapipeline_spark.caching import release_caches
 from marketdatapipeline_spark.features import (
     compute_all_features,
     generate_targets,
@@ -50,7 +52,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn, sql)
+        @wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Catalog queries run sequentially in every harness (driver
+            # gate, bench, check_oracle); by the time query N+1 is
+            # invoked, query N's actions are done, so its scoped
+            # persists can be freed. Unpersist is recompute-safe, so
+            # even an out-of-order caller only loses cache hits.
+            release_caches()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(wrapped, sql)
         return fn
 
     return deco
@@ -73,6 +85,13 @@ def register(name: str, sql: str | None = None):
 #: lands inside the gate window. tests/test_entry.py enforces this
 #: invariant so registry growth can never silently drop coverage again.
 GATE_LIMIT = 50
+#: FROZEN as of r6 — the gate-exempt set must never grow. A new query
+#: that would overflow the gate has to displace one by consolidation
+#: (as value_counts/stats_aggregates did), not join this tuple; any
+#: change here is a reviewed coverage decision, and ordered_registry
+#: refuses registries larger than GATE_LIMIT + len(GATE_TAIL). The
+#: four tail queries are additionally value-checked INSIDE pytest
+#: every run (tests/test_gate_tail.py, cell-exact vs DuckDB).
 GATE_TAIL = (
     "union_align",
     "pivot_event_type_counts",
@@ -92,7 +111,8 @@ def ordered_registry() -> dict[str, QuerySpec]:
     if len(head) > GATE_LIMIT:
         raise RuntimeError(
             f"{len(head)} non-tail queries exceed the {GATE_LIMIT}-query "
-            "correctness gate; consolidate queries or grow GATE_TAIL"
+            "correctness gate; consolidate queries — GATE_TAIL is frozen "
+            "and must not grow"
         )
     out = dict(head)
     for n in GATE_TAIL:

@@ -45,7 +45,9 @@ _MIME_SQL = (
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode over binary payloads; the oracle checks the
     SQL-expressible channel (exact byte length of every payload)."""
-    media = media_from_documents(spark, sf_dir).repartition(32, "doc_id")
+    media = media_from_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return decode_media(media, decoder="fake").select("doc_id", "mime", "byte_len")
 
 
@@ -110,7 +112,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only canonicalizer cannot sort array columns, so the library
     keeps ``feature`` while the catalog emits scalars). Documents are
     ASCII so DuckDB's per-character ``ascii()`` equals the UTF-8 byte."""
-    media = media_from_documents(spark, sf_dir).repartition(32, "doc_id")
+    media = media_from_documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     feats = extract_media_features(media, dim=16, include_histogram=True)
     return feats.select(
         "doc_id",

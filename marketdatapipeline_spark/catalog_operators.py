@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from marketdatapipeline_spark.caching import scoped_persist
 from marketdatapipeline_spark.catalog import _ORD_SQL, _bars_sql, _r6, register
 from marketdatapipeline_spark.operators import asof_join, rollup_bars
 from marketdatapipeline_spark.operators.sessions import session_stats
@@ -606,10 +607,9 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     md5w = Window.partitionBy("_h")
     ex = F.min("doc_id").over(md5w) == F.col("doc_id")
-    flags = (
+    flags = scoped_persist(
         narrow.select("doc_id", ex.alias("_ex"), "_qok")
         .select("doc_id", "_ex", (F.col("_ex") & F.col("_qok")).alias("_q"))
-        .persist()
     )
     q = docs.join(flags.filter(F.col("_q")).select("doc_id"), "doc_id").select(
         "doc_id", "text"

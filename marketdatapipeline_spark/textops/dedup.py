@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from marketdatapipeline_spark.caching import scoped_persist
+
 #: Mersenne prime 2^31 - 1 for the universal hash family.
 MERSENNE_P = 2_147_483_647
 
@@ -158,9 +160,11 @@ def jaccard_similar_pairs(
         # turns these into broadcast joins when the doc-set side is
         # small); the intersection is a hash-set pass inside codegen.
         # Persisted: pa and pb both read it.
-        sets_ = sh.groupBy(id_col).agg(
-            F.collect_list("_h").alias("_sh"), F.count("*").alias("n_sh")
-        ).persist()
+        sets_ = scoped_persist(
+            sh.groupBy(id_col).agg(
+                F.collect_list("_h").alias("_sh"), F.count("*").alias("n_sh")
+            )
+        )
         pa = sets_.select(
             F.col(id_col).alias("id_a"),
             F.col("_sh").alias("_sh_a"),
@@ -195,7 +199,7 @@ def jaccard_similar_pairs(
         )
 
     # Exact path: sh feeds three branches (sizes + both join sides).
-    sh = sh.persist()
+    sh = scoped_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "_h")
     b = sh.select(F.col(id_col).alias("id_b"), "_h")
@@ -342,14 +346,16 @@ def minhash_near_duplicates(
         .distinct()
     )
     h = F.col("_h")
-    docs = sh.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(hash_coeffs(num_hashes))
-        ],
-        F.collect_list("_h").alias("_sh"),
-        F.count("*").alias("n_sh"),
-    ).persist()
+    docs = scoped_persist(
+        sh.groupBy(id_col).agg(
+            *[
+                F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+            ],
+            F.collect_list("_h").alias("_sh"),
+            F.count("*").alias("n_sh"),
+        )
+    )
     cands = lsh_candidate_pairs(
         docs.select(id_col, *[f"mh_{i}" for i in range(num_hashes)]), bands, id_col
     )
