@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.caching import scoped_persist
-from marketdatapipeline_spark.catalog import _ORD_SQL, _bars_sql, _r6, register
+from marketdatapipeline_spark.catalog import (
+    _EWM_SQL,
+    _ORD_SQL,
+    _bars_sql,
+    _r6,
+    register,
+)
 from marketdatapipeline_spark.operators import asof_join, rollup_bars
 from marketdatapipeline_spark.operators.sessions import session_stats
 from marketdatapipeline_spark.sources.tables import bars_from_events, load_table
@@ -138,6 +144,39 @@ def q_streaming_sessions_batch_parity(spark: SparkSession, sf_dir: str) -> DataF
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return sessionize_batch(ev, gap="30 minutes")
+
+
+@register("streaming_indicators_batch_parity", _EWM_SQL)
+def q_streaming_indicators_batch_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver row for the STATEFUL streaming RSI/MACD operator
+    (streaming/stateful.py online_indicators): the batch twin runs
+    the IDENTICAL state-handler recurrence (_scan_closes — Wilder
+    gains/losses seeded at the first delta, adjust=True EMAs in
+    numerator/denominator form) from fresh state over each symbol's
+    history. tests/test_streaming.py pins stream == batch-twin on
+    the same feed (including state carry across micro-batches), and
+    this entry pins batch-twin == the per-symbol recursive-CTE
+    oracle — so the applyInPandasWithState handler's arithmetic is
+    oracle-checked by transitivity, same pattern as
+    streaming_sessions_batch_parity."""
+    from marketdatapipeline_spark.streaming.stateful import (
+        online_indicators_batch,
+    )
+
+    bars = bars_from_events(spark, sf_dir).select(
+        "symbol", "datetime", "bar_id", "close"
+    )
+    out = online_indicators_batch(bars)
+    return out.select(
+        "symbol",
+        "bar_id",
+        _r6(F.col("rsi")).alias("rsi"),
+        _r6(F.col("macd")).alias("macd"),
+        _r6(F.col("macd_signal")).alias("macd_signal"),
+        _r6(F.col("macd_histogram")).alias("macd_histogram"),
+    )
 
 
 @register(

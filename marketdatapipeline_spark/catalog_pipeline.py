@@ -21,6 +21,7 @@ from marketdatapipeline_spark.textops.dedup import (
     exact_duplicate_groups,
     hash_coeffs,
     jaccard_similar_pairs,
+    lsh_candidate_pairs,
     minhash_signature,
     simhash,
 )
@@ -227,19 +228,68 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_jaccard_pairs_ngram", _jaccard_pairs_sql(_TOKENS3_CTE))
-def q_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs on DISCRIMINATIVE 3-gram shingles,
-    full corpus — the regime companion to ``dedup_minhash_lsh_ngram``
-    (same input, same threshold, exact vs LSH)."""
-    docs = _docs(spark, sf_dir)
-    return jaccard_similar_pairs(docs, threshold=0.5, n=3)
+def _lsh_annotated_pairs_sql(
+    num_hashes: int = 16, bands: int = 4, tokens_cte: str = _TOKENS3_CTE
+) -> str:
+    """Oracle for the consolidated ngram entry: exact hashed-set
+    Jaccard pairs over the full corpus, each annotated with whether
+    the MinHash-LSH banding would have produced it as a candidate —
+    one query value-checks BOTH the exact path and the banded
+    candidate generation (r6 consolidation that freed a gate slot)."""
+    rows = num_hashes // bands
+    h = _H_SQL.format(x="shingle")
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, '{b}_' || {cols} AS band_key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {tokens_cte},
+    th AS (SELECT DISTINCT doc_id, {h} AS h FROM tokens),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT id_a, id_b,
+               inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM th GROUP BY doc_id),
+    bands AS ({bands_sql}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT e.id_a, e.id_b, e.jaccard, (c.id_a IS NOT NULL) AS lsh_found
+    FROM exact e
+    LEFT JOIN cands c ON c.id_a = e.id_a AND c.id_b = e.id_b
+    """
 
 
-@register("dedup_minhash_lsh_ngram", _minhash_lsh_sql(tokens_cte=_TOKENS3_CTE))
+@register("dedup_minhash_lsh_ngram", _lsh_annotated_pairs_sql())
 def q_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH on 3-gram shingles over the FULL corpus — the
-    selective regime LSH exists for.
+    """Exact Jaccard pairs on DISCRIMINATIVE 3-gram shingles over the
+    FULL corpus, annotated with LSH-candidate recovery — the r6
+    consolidation of the former ``dedup_jaccard_pairs_ngram`` (exact
+    path, value-identical pairs) and the ngram LSH entry (signature +
+    banding machinery, checked via ``lsh_found``). The flag also makes
+    the banding's recall explicitly visible to the gate: a change in
+    hash family, band layout, or shingling flips it deterministically
+    in both engines.
 
     Regime guidance (measured on this corpus at sf0.1): with unigram
     shingles ~74% of all doc pairs are true near-dups at tau=0.5, so
@@ -251,11 +301,15 @@ def q_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the LSH pipeline beats the exact path while scanning the
     whole 5x corpus. Pick the path by expected duplicate density; at
     100 TB real-web density is the sparse regime shown here."""
-    from marketdatapipeline_spark.textops.dedup import minhash_near_duplicates
-
     docs = _docs(spark, sf_dir)
-    return minhash_near_duplicates(
-        docs, threshold=0.5, num_hashes=16, bands=4, n=3
+    exact = jaccard_similar_pairs(docs, threshold=0.5, n=3)
+    sigs = minhash_signature(docs, num_hashes=16, n=3)
+    cands = lsh_candidate_pairs(sigs, bands=4).withColumn("_f", F.lit(True))
+    return exact.join(cands, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce(F.col("_f"), F.lit(False)).alias("lsh_found"),
     )
 
 

@@ -22,7 +22,10 @@ from marketdatapipeline_spark.streaming.sessions import (
     sessionize_batch,
     sessionize_stream,
 )
-from marketdatapipeline_spark.streaming.stateful import online_indicators
+from marketdatapipeline_spark.streaming.stateful import (
+    online_indicators,
+    online_indicators_batch,
+)
 
 __all__ = [
     "TICK_SCHEMA",
@@ -31,6 +34,7 @@ __all__ = [
     "ticks_to_bars",
     "bars_from_ticks_batch",
     "online_indicators",
+    "online_indicators_batch",
     "sessionize_batch",
     "sessionize_stream",
 ]

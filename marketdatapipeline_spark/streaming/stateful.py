@@ -74,70 +74,104 @@ OUTPUT_SCHEMA = StructType(
 
 _EPS = 1e-10  # reference's literal epsilon guard (engineering.py:45)
 
+#: zero-history state vector (mirrors STATE_SCHEMA field order)
+_FRESH_STATE = (0, float("nan"), 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def _coeffs(
+    rsi_period: int, macd_fast: int, macd_slow: int, macd_signal: int
+) -> tuple[float, float, float, float]:
+    return (
+        2.0 / (rsi_period + 1.0),
+        1.0 - 2.0 / (macd_fast + 1.0),
+        1.0 - 2.0 / (macd_slow + 1.0),
+        1.0 - 2.0 / (macd_signal + 1.0),
+    )
+
+
+def _scan_closes(closes, st: tuple, coeffs: tuple):
+    """THE state-handler recurrence, shared verbatim by the streaming
+    handler and the batch twin (``online_indicators_batch``) so their
+    parity is structural, not coincidental. Returns one
+    (rsi, macd, signal, histogram) tuple per close plus the advanced
+    state vector."""
+    a_rsi, r_fast, r_slow, r_sig = coeffs
+    (
+        n_rows,
+        last_close,
+        gain_ewm,
+        loss_ewm,
+        gain_seeded,
+        fast_n,
+        fast_d,
+        slow_n,
+        slow_d,
+        sig_n,
+        sig_d,
+    ) = st
+    out = []
+    for close in closes:
+        close = float(close)
+        rsi = float("nan")
+        if n_rows > 0:
+            delta = close - last_close
+            gain = delta if delta > 0 else 0.0
+            loss = -delta if delta < 0 else 0.0
+            if gain_seeded:
+                gain_ewm = (1.0 - a_rsi) * gain_ewm + a_rsi * gain
+                loss_ewm = (1.0 - a_rsi) * loss_ewm + a_rsi * loss
+            else:
+                gain_ewm, loss_ewm, gain_seeded = gain, loss, 1
+            rs = gain_ewm / (loss_ewm + _EPS)
+            rsi = 100.0 - (100.0 / (1.0 + rs))
+        # adjust=True EMAs over close (never NaN)
+        fast_n = close + r_fast * fast_n
+        fast_d = 1.0 + r_fast * fast_d
+        slow_n = close + r_slow * slow_n
+        slow_d = 1.0 + r_slow * slow_d
+        macd = fast_n / fast_d - slow_n / slow_d
+        sig_n = macd + r_sig * sig_n
+        sig_d = 1.0 + r_sig * sig_d
+        signal = sig_n / sig_d
+        out.append((rsi, macd, signal, macd - signal))
+        last_close = close
+        n_rows += 1
+    return out, (
+        n_rows,
+        last_close,
+        gain_ewm,
+        loss_ewm,
+        gain_seeded,
+        fast_n,
+        fast_d,
+        slow_n,
+        slow_d,
+        sig_n,
+        sig_d,
+    )
+
 
 def _indicator_func(
     rsi_period: int, macd_fast: int, macd_slow: int, macd_signal: int
 ):
-    a_rsi = 2.0 / (rsi_period + 1.0)
-    r_fast = 1.0 - 2.0 / (macd_fast + 1.0)
-    r_slow = 1.0 - 2.0 / (macd_slow + 1.0)
-    r_sig = 1.0 - 2.0 / (macd_signal + 1.0)
+    coeffs = _coeffs(rsi_period, macd_fast, macd_slow, macd_signal)
 
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            (
-                n_rows,
-                last_close,
-                gain_ewm,
-                loss_ewm,
-                gain_seeded,
-                fast_n,
-                fast_d,
-                slow_n,
-                slow_d,
-                sig_n,
-                sig_d,
-            ) = state.get
-        else:
-            n_rows, last_close = 0, float("nan")
-            gain_ewm, loss_ewm, gain_seeded = 0.0, 0.0, 0
-            fast_n = fast_d = slow_n = slow_d = sig_n = sig_d = 0.0
+        st = tuple(state.get) if state.exists else _FRESH_STATE
 
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values("ts")
-            out_rows = []
-            for ts, close in zip(pdf["ts"], pdf["price" if "price" in pdf else "close"]):
-                close = float(close)
-                rsi = float("nan")
-                if n_rows > 0:
-                    delta = close - last_close
-                    gain = delta if delta > 0 else 0.0
-                    loss = -delta if delta < 0 else 0.0
-                    if gain_seeded:
-                        gain_ewm = (1.0 - a_rsi) * gain_ewm + a_rsi * gain
-                        loss_ewm = (1.0 - a_rsi) * loss_ewm + a_rsi * loss
-                    else:
-                        gain_ewm, loss_ewm, gain_seeded = gain, loss, 1
-                    rs = gain_ewm / (loss_ewm + _EPS)
-                    rsi = 100.0 - (100.0 / (1.0 + rs))
-                # adjust=True EMAs over close (never NaN)
-                fast_n = close + r_fast * fast_n
-                fast_d = 1.0 + r_fast * fast_d
-                slow_n = close + r_slow * slow_n
-                slow_d = 1.0 + r_slow * slow_d
-                macd = fast_n / fast_d - slow_n / slow_d
-                sig_n = macd + r_sig * sig_n
-                sig_d = 1.0 + r_sig * sig_d
-                signal = sig_n / sig_d
-                out_rows.append(
-                    (key[0], ts, close, rsi, macd, signal, macd - signal)
-                )
-                last_close = close
-                n_rows += 1
+            closes = pdf["price" if "price" in pdf else "close"]
+            vals, st = _scan_closes(closes, st, coeffs)
             out = pd.DataFrame(
-                out_rows,
+                [
+                    (key[0], ts, float(close), rsi, macd, signal, hist)
+                    for ts, close, (rsi, macd, signal, hist) in zip(
+                        pdf["ts"], closes, vals
+                    )
+                ],
                 columns=[
                     "symbol",
                     "ts",
@@ -153,21 +187,7 @@ def _indicator_func(
             out["rsi"] = out["rsi"].astype("Float64")
             yield out
 
-        state.update(
-            (
-                n_rows,
-                last_close,
-                gain_ewm,
-                loss_ewm,
-                gain_seeded,
-                fast_n,
-                fast_d,
-                slow_n,
-                slow_d,
-                sig_n,
-                sig_d,
-            )
-        )
+        state.update(st)
 
     return func
 
@@ -194,3 +214,53 @@ def online_indicators(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def online_indicators_batch(
+    bars: DataFrame,
+    rsi_period: int = 14,
+    macd_fast: int = 12,
+    macd_slow: int = 26,
+    macd_signal: int = 9,
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """Batch twin of ``online_indicators``: the IDENTICAL state-handler
+    recurrence (``_scan_closes``), run from fresh state over each
+    symbol's full in-order history via plain ``applyInPandas``.
+
+    This is the driver-gate surface for the stateful streaming path:
+    pytest pins stream == batch-twin on the same feed (state carry
+    across micro-batches exercised there), and the catalog entry
+    ``streaming_indicators_batch_parity`` pins batch-twin == the
+    recursive-CTE oracle — so the handler recurrence itself is
+    oracle-checked by transitivity.
+
+    Input: static DataFrame with ``symbol``, ``close`` and the
+    ``order_cols`` (bar shape). Output keeps ``symbol`` + order_cols +
+    close and adds rsi / macd / macd_signal / macd_histogram.
+    """
+    import pyspark.sql.types as T
+
+    coeffs = _coeffs(rsi_period, macd_fast, macd_slow, macd_signal)
+    in_schema = bars.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            StructField("rsi", DoubleType()),
+            StructField("macd", DoubleType()),
+            StructField("macd_signal", DoubleType()),
+            StructField("macd_histogram", DoubleType()),
+        ]
+    )
+    order = list(order_cols)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        vals, _ = _scan_closes(pdf["close"], _FRESH_STATE, coeffs)
+        ind = pd.DataFrame(
+            vals, columns=["rsi", "macd", "macd_signal", "macd_histogram"]
+        )
+        ind["rsi"] = ind["rsi"].astype("Float64")  # NaN -> NULL via Arrow
+        return pd.concat([pdf, ind], axis=1)
+
+    return bars.groupBy("symbol").applyInPandas(run, schema=out_schema)

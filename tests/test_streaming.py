@@ -112,6 +112,35 @@ def test_online_indicators_match_batch_ewm(spark, bars_df, tick_dir):
         assert (both_nan | (g == w) | ((g - w).abs() < 1e-12)).all(), col
 
 
+def test_online_indicators_batch_twin_matches_stream(spark, bars_df, tick_dir):
+    """The driver-gate batch twin (online_indicators_batch) must be
+    bit-identical to the actual stream execution of the same handler
+    recurrence — this is the stream==batch leg of the transitivity
+    chain behind the streaming_indicators_batch_parity catalog row."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.streaming import online_indicators_batch
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_indicators(ticks_stream), "online_twin"
+    ).toPandas()
+
+    bars = bars_df.select(
+        "symbol", F.col("datetime").alias("ts"), "close"
+    )
+    want = online_indicators_batch(bars, order_cols=("ts",)).toPandas()
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want)
+    for col in ("close", "rsi", "macd", "macd_signal", "macd_histogram"):
+        g, w = got[col].astype("float64"), want[col].astype("float64")
+        both_nan = g.isna() & w.isna()
+        assert (both_nan | (g == w)).all(), col
+
+
 def test_online_indicators_state_carries_across_batches(spark, bars_pdf, tmp_path):
     """Split the feed into two file-drops processed as separate
     micro-batches; indicator values must continue, not restart."""
