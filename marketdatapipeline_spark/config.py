@@ -63,6 +63,11 @@ class PipelineConfig:
     # --- Spark tuning ---
     shuffle_partitions: int = 32
     ewm_block_size: int = 100_000  # rows/block for the distributed EWMA scan
+    #: train splits larger than this skip the reference-exact driver
+    #: collect and fit distributed (ml/distributed.py). The default
+    #: keeps reference-scale runs on the reference-exact path; a
+    #: cluster deployment lowers it to taste.
+    distributed_train_threshold: int = 5_000_000
 
     @property
     def raw_data_dir(self) -> Path:

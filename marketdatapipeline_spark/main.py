@@ -142,41 +142,71 @@ def run_pipeline(
         test_size=cfg.test_size,
         random_state=cfg.random_state,
     )
-    train_pdf = train_df.toPandas()
-    X_train = train_pdf[feature_names].to_numpy("float64")
-    y_train = train_pdf["target"].to_numpy("float64")
+    n_train = train_df.count()
     n_test = test_df.count()
     logger.info(
         "dataset: %d train / %d test rows, %d features",
-        len(y_train), n_test, len(feature_names),
+        n_train, n_test, len(feature_names),
     )
 
     # ---- phase 4: training (reference main.py:142-170) ----
-    model_path = os.path.join(
-        work_dir, f"xgboost_{cfg.target_type}_{cfg.prediction_horizon}.pkl"
+    hyper = {
+        "n_estimators": cfg.n_estimators,
+        "max_depth": cfg.max_depth,
+        "learning_rate": cfg.learning_rate,
+        "subsample": cfg.subsample,
+        "colsample_bytree": cfg.colsample_bytree,
+    }
+    is_cls = cfg.target_type == "classification"
+    use_distributed = n_train > cfg.distributed_train_threshold
+    if use_distributed:
+        # Scale path (SURVEY §2.5 M2): no driver collect — the fit runs
+        # as Spark jobs (xgboost.spark when importable, pyspark.ml GBT
+        # otherwise). Reference-exact single-node fit stays the default
+        # below the threshold.
+        from marketdatapipeline_spark.ml.distributed import (
+            train_model_distributed,
+        )
+
+        model_path = os.path.join(
+            work_dir, f"dist_{cfg.target_type}_{cfg.prediction_horizon}"
+        )
+        model = train_model_distributed(
+            train_df,
+            feature_names,
+            target_col="target",
+            model_type=cfg.target_type,
+            hyperparameters=hyper,
+        )
+        model.save(model_path)
+        can_proba = is_cls
+        scored = model.transform(test_df)
+    else:
+        train_pdf = train_df.toPandas()
+        X_train = train_pdf[feature_names].to_numpy("float64")
+        y_train = train_pdf["target"].to_numpy("float64")
+        model_path = os.path.join(
+            work_dir, f"xgboost_{cfg.target_type}_{cfg.prediction_horizon}.pkl"
+        )
+        model = train_model(
+            X_train,
+            y_train,
+            model_type=cfg.target_type,
+            hyperparameters=hyper,
+            save_path=model_path,
+        )
+        can_proba = is_cls and hasattr(model, "predict_proba")
+    logger.info(
+        "model saved: %s (distributed=%s)", model_path, use_distributed
     )
-    model = train_model(
-        X_train,
-        y_train,
-        model_type=cfg.target_type,
-        hyperparameters={
-            "n_estimators": cfg.n_estimators,
-            "max_depth": cfg.max_depth,
-            "learning_rate": cfg.learning_rate,
-            "subsample": cfg.subsample,
-            "colsample_bytree": cfg.colsample_bytree,
-        },
-        save_path=model_path,
-    )
-    logger.info("model saved: %s", model_path)
 
     # ---- phase 5: evaluation (reference main.py:172-199) ----
-    # Distributed: score the *test* slice with the broadcast-model UDF
-    # and aggregate metrics in Spark (the reference predicts on driver
+    # Distributed either way: the broadcast-model UDF (driver-fit) or
+    # the pipeline transform (distributed fit) scores the test slice,
+    # and metrics aggregate in Spark (the reference predicts on driver
     # numpy; semantics identical, this path survives a big test set).
-    is_cls = cfg.target_type == "classification"
-    can_proba = is_cls and hasattr(model, "predict_proba")
-    scored = predict(model, test_df, feature_names, return_proba=can_proba)
+    if not use_distributed:
+        scored = predict(model, test_df, feature_names, return_proba=can_proba)
     metric_fn = classification_metrics if is_cls else regression_metrics
     metrics = metric_fn(scored.withColumn(
         "prediction", scored["prediction"].cast("double")
@@ -205,7 +235,7 @@ def run_pipeline(
         "work_dir": work_dir,
         "model_path": model_path,
         "plot_path": plot_path,
-        "n_train": int(len(y_train)),
+        "n_train": int(n_train),
         "n_test": int(n_test),
         "n_features": len(feature_names),
         "metrics": {k: float(v) for k, v in metrics.items()},
