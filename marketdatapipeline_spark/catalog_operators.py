@@ -724,6 +724,22 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared bound constants + formula for the approx-sketch
+#: certification rows, in ONE definition used by both catalog queries
+#: and the pytest that exercises the formula on known-off sketch
+#: values (tests/test_entry.py::test_approx_bound_formula) — so a bug
+#: in the multiplier or abs() placement cannot self-certify green.
+APPROX_CD_RSD = 0.05  # requested HLL++ relative standard deviation
+APPROX_CD_BOUND = 3.0 * APPROX_CD_RSD  # 3-sigma contract on the sketch
+APPROX_PCT_ACCURACY = 10000  # GK rank-error knob (1/accuracy)
+APPROX_PCT_REL_BOUND = 0.05  # value-space bound (see query docstring)
+
+
+def approx_within_rel_bound(approx_col, exact_col, bound: float):
+    """|approx - exact| <= bound * |exact| as a Column expression."""
+    return F.abs(approx_col - exact_col) <= F.lit(bound) * F.abs(exact_col)
+
+
 @register(
     "approx_count_distinct_users",
     """
@@ -748,16 +764,15 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("n_users"),
-        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        F.approx_count_distinct("user_id", rsd=APPROX_CD_RSD).alias("_approx"),
         F.count("*").alias("n_events"),
     )
     return g.select(
         "event_type",
         "n_users",
         "n_events",
-        (
-            F.abs(F.col("_approx") - F.col("n_users"))
-            <= 0.15 * F.col("n_users")
+        approx_within_rel_bound(
+            F.col("_approx"), F.col("n_users"), APPROX_CD_BOUND
         ).alias("approx_within_bounds"),
     )
 
@@ -790,13 +805,12 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = bars_from_events(spark, sf_dir).select("symbol", "volume")
     g = bars.groupBy("symbol").agg(
         F.percentile("volume", 0.5).alias("_exact"),
-        F.percentile_approx("volume", 0.5, 10000).alias("_approx"),
+        F.percentile_approx("volume", 0.5, APPROX_PCT_ACCURACY).alias("_approx"),
     )
     return g.select(
         "symbol",
         _r6(F.col("_exact")).alias("p50_volume"),
-        (
-            F.abs(F.col("_approx") - F.col("_exact"))
-            <= 0.05 * F.abs(F.col("_exact"))
+        approx_within_rel_bound(
+            F.col("_approx"), F.col("_exact"), APPROX_PCT_REL_BOUND
         ).alias("approx_within_bounds"),
     )

@@ -77,6 +77,16 @@ def asof_join(
         )
     if not payload:
         raise ValueError("right side has no payload columns to attach")
+    # Internal names: _side/_pay tag the union frame, _r_on rides inside
+    # the payload struct. An input column with one of these names would
+    # silently collide (duplicate struct field, ambiguous getField).
+    reserved = {"_side", "_pay", "_r_on"}
+    bad = sorted(reserved & set(left.columns) | reserved & set(right.columns))
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} are reserved by asof_join internals; "
+            "rename before joining"
+        )
 
     # Side marker orders right rows before left rows at equal time for
     # backward (so an equal-timestamp quote is visible), after for

@@ -6,6 +6,18 @@ in Spark and DuckDB, so every operator here is DuckDB-oracle-checkable),
 and the MinHash family is the standard universal-hash construction
 h_i(x) = (a_i * H(x) + b_i) mod p over that base hash.
 
+.. note:: **API change (r5)** — ``jaccard_similar_pairs`` and
+   ``minhash_near_duplicates`` compute **hashed-set** Jaccard: shingle
+   strings collapse to their 32-bit md5-derived base hash *before* the
+   distinct step, so similarity, set sizes (``n_sh``), and
+   intersections are all defined over the hash set. A 32-bit collision
+   deterministically merges two shingles (probability ~ n_shingles^2 /
+   2^33 per doc — negligible below ~10^4 distinct shingles/doc), and
+   both engines reproduce it identically. Callers comparing against
+   pre-r5 string-set Jaccard values should expect rare, deterministic
+   differences on colliding corpora; the motivation is scale (bigint
+   joins/intersections instead of multi-word strings in every shuffle).
+
 Scale design (100 TB corpora):
 - shingling explodes each doc into k-grams: shuffle-free (narrow);
 - exact dedup / signature building are single hash-aggregations with

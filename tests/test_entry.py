@@ -81,3 +81,54 @@ def test_ordered_registry_failure_modes():
         catalog.REGISTRY.clear()
         catalog.REGISTRY.update(saved_registry)
         assert isinstance(next(iter(catalog.REGISTRY.values())), QuerySpec)
+
+
+def test_approx_bound_formula(spark):
+    """The approx-certification bound formula must reject known-off
+    sketch values — shared constants + Column formula live in
+    catalog_operators so the gate rows cannot self-certify through a
+    broken multiplier or misplaced abs() (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.catalog_operators import (
+        APPROX_CD_BOUND,
+        APPROX_CD_RSD,
+        APPROX_PCT_REL_BOUND,
+        approx_within_rel_bound,
+    )
+
+    assert APPROX_CD_BOUND == 3.0 * APPROX_CD_RSD  # documented 3-sigma contract
+
+    def check(cases, bound):
+        df = spark.createDataFrame(
+            [(float(a), float(e)) for a, e, _ in cases],
+            "approx double, exact double",
+        )
+        got = [
+            r["ok"]
+            for r in df.select(
+                approx_within_rel_bound(
+                    F.col("approx"), F.col("exact"), bound
+                ).alias("ok")
+            ).collect()
+        ]
+        assert got == [x for *_, x in cases], (bound, got)
+
+    check(
+        [
+            (114.9, 100.0, True),   # just inside 15%
+            (115.1, 100.0, False),  # just past it
+            (85.1, 100.0, True),    # symmetric low side
+            (84.9, 100.0, False),
+        ],
+        APPROX_CD_BOUND,
+    )
+    check(
+        [
+            (-104.9, -100.0, True),   # negative exact: abs on BOTH sides
+            (-105.1, -100.0, False),
+            (0.0, 0.0, True),         # degenerate zero group
+            (1.0, 0.0, False),
+        ],
+        APPROX_PCT_REL_BOUND,
+    )

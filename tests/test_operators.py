@@ -75,6 +75,16 @@ def test_asof_rejects_colliding_payload(trades, quotes):
         asof_join(trades, quotes, direction="sideways")
 
 
+def test_asof_rejects_reserved_internal_names(trades, quotes):
+    """_side/_pay/_r_on are internal to the tagged-union plan; an input
+    column with one of those names would silently corrupt the carry."""
+    for bad in ("_side", "_pay", "_r_on"):
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(trades, quotes.withColumnRenamed("quote", bad))
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(trades.withColumn("_side", trades["price"]), quotes)
+
+
 def test_asof_null_payload_comes_from_matched_row(spark):
     """Regression: with per-column last(ignorenulls) carries, a right
     row whose payload column is legitimately NULL had that column
