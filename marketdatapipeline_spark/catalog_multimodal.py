@@ -1,8 +1,9 @@
 """Catalog entries for the multimodal binary-column operators.
 
-The decode/feature kernels are deterministic fakes (real codecs absent
-— see multimodal/ops.py), so correctness checks split by what DuckDB
-can express:
+The catalog targets the deterministic fake decode/feature kernels
+(the oracle-comparable path; real PNG/WAV codecs exist in
+multimodal/codecs.py and are pytest-pinned on genuinely encoded
+payloads), so correctness checks split by what DuckDB can express:
 
 * ``multimodal_decode_stats`` — byte-length channel of the decode is
   oracle-checked exactly (octet_length over the same UTF-8 payload);

@@ -6,13 +6,23 @@ with typed metadata, decode/feature/resize/frame-sample run as
 Arrow-batched ``mapInPandas`` stages, and everything metadata-level
 stays in native Spark expressions.
 
-The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
-container, so the decode kernels are **stubbed behind
-``decoder="real"`` → NotImplementedError**, with a deterministic fake
-decoder (byte-level stats) keeping the Spark-side plumbing — schemas,
-batch shapes, partitioning — real and testable end-to-end.
+``decoder="real"`` is REAL for PNG and WAV via the zero-dependency
+built-in codecs (codecs.py: chunk/zlib/filter PNG decode + encode,
+stdlib-wave PCM) — decode, stats-over-decoded-bytes, and the full
+decode→resample→re-encode resize round-trip all run inside
+mapInPandas. Video keeps a documented NotImplementedError slot (no
+in-container MP4 demuxer). The deterministic fake decoder (byte-level
+stats over the raw payload) remains the default and the oracle target,
+keeping schemas, batch shapes, and partitioning checkable end-to-end.
 """
 
+from marketdatapipeline_spark.multimodal.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
 from marketdatapipeline_spark.multimodal.ops import (
     MEDIA_SCHEMA,
     decode_media,
@@ -29,4 +39,9 @@ __all__ = [
     "extract_media_features",
     "resize_images",
     "sample_frames",
+    "decode_png",
+    "encode_png",
+    "decode_wav",
+    "encode_wav",
+    "resize_nearest",
 ]

@@ -94,21 +94,27 @@ DECODE_SCHEMA = StructType(
 )
 
 
-def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+def decode_media(
+    df: DataFrame, decoder: str = "fake", on_error: str = "raise"
+) -> DataFrame:
     """Decode payloads to per-item stats via ``mapInPandas``.
 
-    ``decoder="real"`` is the production slot (PIL/librosa/ffmpeg) —
-    NotImplementedError here because the codecs aren't in this
-    container. ``decoder="fake"`` computes deterministic byte-level
-    stats (length, mean byte value, empirical byte entropy) with the
-    exact batch plumbing the real path would use: numpy over each
-    Arrow batch, output rows 1:1 with input rows.
+    ``decoder="real"`` actually decodes the payload with the built-in
+    codecs (multimodal/codecs.py): PNG → pixel array, WAV → PCM
+    samples, and the emitted stats are computed over the DECODED bytes
+    (so byte_len is the decoded size, not the container size). Video
+    has no in-container demuxer — a video row under the real decoder
+    follows ``on_error``: ``"raise"`` (default) or ``"null"`` (null
+    stats for undecodable rows, the permissive corpus-scan mode).
+
+    ``decoder="fake"`` computes deterministic byte-level stats
+    (length, mean byte value, empirical byte entropy) over the raw
+    payload with the exact batch plumbing the real path uses: numpy
+    over each Arrow batch, output rows 1:1 with input rows. The fake
+    path is the oracle target (catalog_multimodal.py).
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/ffmpeg, not present "
-            "in this environment; use decoder='fake'"
-        )
+        return _decode_media_real(df, on_error)
     if decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder}")
 
@@ -143,6 +149,61 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
                     "byte_mean": mean.astype(np.float32),
                     "byte_entropy": entropy.astype(np.float32),
                 }
+            )
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def _byte_stats(flat: np.ndarray) -> tuple[float, float]:
+    """(mean, entropy) of a uint8 array — shared by the real decoder."""
+    if flat.size == 0:
+        return 0.0, 0.0
+    counts = np.bincount(flat, minlength=256)
+    p = counts / flat.size
+    nz = p[p > 0]
+    return float(flat.mean()), float(-(nz * np.log2(nz)).sum())
+
+
+def _decode_media_real(df: DataFrame, on_error: str) -> DataFrame:
+    """Real-codec decode: per-item PNG/WAV decode inside mapInPandas.
+
+    Per-item Python is inherent here (each blob decodes independently);
+    the Arrow batch boundary still amortizes the transfer, and the
+    operator parallelizes across partitions exactly like the fake path.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error: {on_error}")
+
+    from marketdatapipeline_spark.multimodal.codecs import (
+        decode_png,
+        decode_wav,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, mime, content in zip(
+                pdf["doc_id"], pdf["mime"], pdf["content"]
+            ):
+                try:
+                    if mime == "image/png":
+                        flat = decode_png(bytes(content or b"")).reshape(-1)
+                    elif mime == "audio/wav":
+                        pcm, _rate = decode_wav(bytes(content or b""))
+                        flat = np.frombuffer(pcm.tobytes(), dtype=np.uint8)
+                    else:
+                        raise NotImplementedError(
+                            f"no in-container demuxer for {mime}"
+                        )
+                    mean, ent = _byte_stats(flat)
+                    rows.append((doc_id, mime, len(flat), mean, ent))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    rows.append((doc_id, mime, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "byte_len", "byte_mean", "byte_entropy"],
             )
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
@@ -206,17 +267,43 @@ def extract_media_features(
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
-    """Resize bookkeeping for image rows; passthrough for non-images.
+    """Resize image rows; passthrough for non-images.
 
-    The real path (decode → resample → re-encode bytes) needs PIL —
-    NotImplementedError. The fake path updates the metadata columns
-    and keeps the payload, which exercises everything Spark-side:
-    selective transform by mime, schema stability, partition
-    preservation (narrow op, no shuffle).
+    ``decoder="real"`` runs the full decode → nearest-neighbor
+    resample → re-encode round trip with the built-in PNG codec
+    (multimodal/codecs.py) inside ``mapInPandas``, updating both the
+    payload bytes and the metadata. The fake path updates only the
+    metadata columns and keeps the payload — the narrow no-shuffle
+    bookkeeping mode the oracle checks.
     """
-    if decoder == "real":
-        raise NotImplementedError("real image resize requires PIL; use decoder='fake'")
     is_img = F.col("mime").startswith("image/")
+    if decoder == "real":
+        from marketdatapipeline_spark.multimodal.codecs import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        schema = df.schema
+        cols = [f.name for f in schema.fields]
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                pdf = pdf.copy()
+                for i in pdf.index:
+                    if not str(pdf.at[i, "mime"]).startswith("image/"):
+                        continue
+                    arr = decode_png(bytes(pdf.at[i, "content"] or b""))
+                    pdf.at[i, "content"] = encode_png(
+                        resize_nearest(arr, width, height)
+                    )
+                    pdf.at[i, "width"] = width
+                    pdf.at[i, "height"] = height
+                yield pdf[cols]
+
+        return df.mapInPandas(batches, schema=schema)
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
     return df.withColumns(
         {
             "width": F.when(is_img, F.lit(width)).otherwise(F.col("width")).cast("int"),

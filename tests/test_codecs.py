@@ -1,0 +1,187 @@
+"""Built-in real media codecs (multimodal/codecs.py): PNG chunk/zlib/
+filter decoding, WAV PCM, nearest-neighbor resize, and the Spark-side
+real-decoder paths over genuinely encoded payloads."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from marketdatapipeline_spark.multimodal.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+
+def _image(h, w, ch, seed=0):
+    # deterministic pseudo-random pixels without RNG state
+    idx = np.arange(h * w * ch, dtype=np.int64) + seed
+    return ((idx * 2654435761) % 251).astype(np.uint8).reshape(h, w, ch)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(ch):
+    img = _image(13, 7, ch, seed=ch)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_grayscale_2d_input():
+    img = _image(5, 9, 1)[:, :, 0]
+    out = decode_png(encode_png(img))
+    assert out.shape == (5, 9, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def _png_with_filters(img, filters):
+    """Hand-build a PNG whose row n uses filter filters[n] — exercises
+    decoder paths our filter-0 encoder never emits. Filtering follows
+    RFC 2083 §6: output[x] = raw[x] - pred(x) mod 256."""
+    h, w, ch = img.shape
+    stride = w * ch
+    raw = img.reshape(h, stride).astype(np.int64)
+    lines = []
+    for y in range(h):
+        f = filters[y]
+        cur = raw[y]
+        prior = raw[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        enc = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_png_decoder_handles_every_filter_type(f):
+    img = _image(6, 5, 3, seed=f)
+    data = _png_with_filters(img, [f] * 6)
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_decoder_handles_mixed_filters():
+    img = _image(10, 4, 4, seed=99)
+    data = _png_with_filters(img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"hello world, definitely not a png")
+    # 16-bit depth is unsupported
+    img = _image(4, 4, 3)
+    data = bytearray(encode_png(img))
+    # IHDR depth byte sits at offset 8(sig)+8(len/type)+8(w+h) = 24
+    data[24] = 16
+    # fix the CRC so chunk parsing succeeds and depth check triggers
+    ihdr_payload = bytes(data[16:29])
+    data[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_payload) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(bytes(data))
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    t = np.arange(800)
+    mono = (np.sin(t * 0.05) * 12000).astype(np.int16)
+    pcm, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and pcm.shape == (800, 1)
+    assert np.array_equal(pcm[:, 0], mono)
+
+    stereo = np.stack([mono, (mono // 2)], axis=1)
+    pcm2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and pcm2.shape == (800, 2)
+    assert np.array_equal(pcm2, stereo)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"RIFFbroken")
+
+
+def test_resize_nearest_exact_upscale():
+    img = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+    out = resize_nearest(img, 4, 4)
+    assert out.shape == (4, 4, 1)
+    # 2x nearest-neighbor: each source pixel becomes a 2x2 block
+    assert np.array_equal(out[:2, :2, 0], np.full((2, 2), 0))
+    assert np.array_equal(out[2:, 2:, 0], np.full((2, 2), 30))
+
+
+def test_spark_real_decode_and_resize(spark):
+    """End-to-end: genuinely encoded PNG/WAV payloads through the
+    real decoder and the real resize path inside mapInPandas."""
+    from marketdatapipeline_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_images,
+    )
+
+    img = _image(8, 6, 3, seed=7)
+    png = encode_png(img)
+    wavb = encode_wav((np.arange(400) % 1000).astype(np.int16), 16000)
+    rows = [
+        (1, "image/png", bytearray(png), 6, 8, None, None),
+        (2, "audio/wav", bytearray(wavb), None, None, 16000, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    got = decode_media(media, decoder="real").toPandas().set_index("doc_id")
+    assert got.loc[1, "byte_len"] == 8 * 6 * 3  # decoded pixel count
+    assert got.loc[2, "byte_len"] == 400 * 2  # int16 samples as bytes
+    flat = img.reshape(-1)
+    assert abs(got.loc[1, "byte_mean"] - flat.mean()) < 1e-4
+
+    resized = (
+        resize_images(media, 3, 4, decoder="real").toPandas().set_index("doc_id")
+    )
+    assert resized.loc[1, "width"] == 3 and resized.loc[1, "height"] == 4
+    out_img = decode_png(bytes(resized.loc[1, "content"]))
+    assert out_img.shape == (4, 3, 3)
+    assert np.array_equal(out_img, resize_nearest(img, 3, 4))
+    # audio row untouched
+    assert bytes(resized.loc[2, "content"]) == wavb
+
+
+def test_fake_decode_still_default(spark):
+    """The oracle-checked fake path is unchanged by the real codecs."""
+    from marketdatapipeline_spark.multimodal.ops import decode_media
+    from marketdatapipeline_spark.multimodal import media_from_documents
+
+    media = media_from_documents(spark, "/root/testdata/sf0.001").limit(10)
+    pdf = decode_media(media).toPandas()
+    assert pdf["byte_len"].notna().all()
+    assert len(pdf) == 10

@@ -47,11 +47,15 @@ def test_decode_stats_match_numpy(media):
         assert math.isclose(g["byte_entropy"], -(p * np.log2(p)).sum(), rel_tol=1e-5)
 
 
-def test_real_decoder_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media, decoder="real")
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 224, 224, decoder="real")
+def test_real_decoder_rejects_fake_payloads(media):
+    """The synthetic corpus payloads are UTF-8 text, not PNG/WAV — the
+    real decoder must refuse them loudly (raise) or mark them null
+    (permissive mode), never emit garbage stats."""
+    with pytest.raises(Exception, match="(not a PNG|not a WAV|no in-container)"):
+        decode_media(media, decoder="real").collect()
+    permissive = decode_media(media, decoder="real", on_error="null").toPandas()
+    assert permissive["byte_len"].isna().all()
+    assert len(permissive) == media.count()
 
 
 def test_features_are_unit_norm_fixed_dim(media):
