@@ -632,6 +632,14 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch re-reads text by joining survivors back to the parquet
     # scan: at 100 TB a second columnar scan of two columns is far
     # cheaper than caching (or shuffling) the corpus text.
+    #
+    # Cold-run note (r6 measurement): the first materialization pays
+    # ~10 s of Janino codegen (~6 s for the fused MinHash stage, ~3 s
+    # for the signal scan) at ANY data size; Spark's generated-code
+    # cache brings an identical rebuild to ~1.2 s and warm runs are
+    # 1.1-1.7 s. On a long-lived cluster the compile happens once per
+    # JVM — this is startup cost, not a scale term, so the plan is
+    # deliberately left unfused-no-further.
     sig = add_quality_signals(add_token_count(docs))
     nt = F.col("n_tokens")
     q_ok = (
