@@ -21,7 +21,6 @@ from marketdatapipeline_spark.textops.dedup import (
     exact_duplicate_groups,
     hash_coeffs,
     jaccard_similar_pairs,
-    lsh_candidate_pairs,
     minhash_signature,
     simhash,
 )
@@ -301,15 +300,11 @@ def q_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the LSH pipeline beats the exact path while scanning the
     whole 5x corpus. Pick the path by expected duplicate density; at
     100 TB real-web density is the sparse regime shown here."""
+    from marketdatapipeline_spark.textops.dedup import jaccard_pairs_with_lsh_flag
+
     docs = _docs(spark, sf_dir)
-    exact = jaccard_similar_pairs(docs, threshold=0.5, n=3)
-    sigs = minhash_signature(docs, num_hashes=16, n=3)
-    cands = lsh_candidate_pairs(sigs, bands=4).withColumn("_f", F.lit(True))
-    return exact.join(cands, ["id_a", "id_b"], "left").select(
-        "id_a",
-        "id_b",
-        "jaccard",
-        F.coalesce(F.col("_f"), F.lit(False)).alias("lsh_found"),
+    return jaccard_pairs_with_lsh_flag(
+        docs, threshold=0.5, num_hashes=16, bands=4, n=3
     )
 
 

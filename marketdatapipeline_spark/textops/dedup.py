@@ -399,6 +399,74 @@ def minhash_near_duplicates(
     )
 
 
+def jaccard_pairs_with_lsh_flag(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard pairs >= threshold, each annotated with whether
+    MinHash-LSH banding would have produced it as a candidate
+    (``lsh_found``) — the recall-measurement shape: one query yields
+    ground truth AND the pruner's hits on it.
+
+    The shingle-hash table is built ONCE and persisted for its four
+    consumers (sizes, both co-occurrence join sides, signature
+    aggregation); composing :func:`jaccard_similar_pairs` +
+    :func:`minhash_signature` instead would explode the corpus twice.
+    Jaccard here is hashed-set Jaccard (module note)."""
+    sh = scoped_persist(
+        df.select(
+            F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle")
+        )
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
+    inter = (
+        a.join(b, on="_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    h = F.col("_h")
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(coef_a) * h + F.lit(coef_b)) % F.lit(MERSENNE_P)).alias(
+                f"mh_{i}"
+            )
+            for i, (coef_a, coef_b) in enumerate(hash_coeffs(num_hashes))
+        ]
+    )
+    cands = lsh_candidate_pairs(sigs, bands, id_col).withColumn("_f", F.lit(True))
+    return exact.join(cands, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce(F.col("_f"), F.lit(False)).alias("lsh_found"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
