@@ -120,6 +120,19 @@ def main() -> None:
         spark, bars_multi, repeats=5, warmups=4
     )
 
+    # reference-faithful INPUT methodology: the baseline times
+    # compute_all_features over an already-in-memory Polars frame, so
+    # this entry persists the replicated input first and times compute
+    # alone (the parquet scan + crossJoin replication cost ~0.4 s of
+    # the headline). Reported additively — feature_pipeline_1m keeps
+    # its r4-frozen scan-inclusive definition for series comparability.
+    bars_cached = bars_multi.persist()
+    bars_cached.count()
+    timings["feature_pipeline_1m_cached"] = run_feature_pipeline(
+        spark, bars_cached, repeats=5, warmups=2
+    )
+    bars_cached.unpersist()
+
     # faithful-to-reference single-symbol replication (serializes one
     # symbol's scan onto one task — reported for transparency)
     bars_one = replicated_bars(spark, sf_dir, copies, multi_symbol=False)
