@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the pure-function kernels.
+
+Spark-independent properties only — each example runs in microseconds,
+so hypothesis can sweep shapes and values far beyond the fixed-seed
+parity tests: codec round-trips over arbitrary images/signals, and the
+streaming indicator recurrence against pandas' own EWM semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from marketdatapipeline_spark.multimodal.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+from marketdatapipeline_spark.streaming.stateful import (
+    _FRESH_STATE,
+    _coeffs,
+    _scan_closes,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arr=arrays(
+        dtype=np.uint8,
+        shape=st.tuples(
+            st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 2, 3, 4])
+        ),
+    )
+)
+def test_png_roundtrip_property(arr):
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=arrays(
+        dtype=np.int16,
+        shape=st.tuples(st.integers(1, 500), st.sampled_from([1, 2])),
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    pcm, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert np.array_equal(pcm, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arr=arrays(
+        dtype=np.uint8,
+        shape=st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3)),
+    ),
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+)
+def test_resize_nearest_properties(arr, w, h):
+    out = resize_nearest(arr, w, h)
+    assert out.shape == (h, w, 3)
+    # every output pixel is an input pixel (nearest-neighbor invariant)
+    in_px = {tuple(p) for p in arr.reshape(-1, 3)}
+    assert all(tuple(p) in in_px for p in out.reshape(-1, 3))
+    # identity resize is exact
+    assert np.array_equal(resize_nearest(arr, arr.shape[1], arr.shape[0]), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    closes=st.lists(
+        st.floats(min_value=1.0, max_value=1e4, allow_nan=False), min_size=2, max_size=300
+    )
+)
+def test_scan_closes_matches_pandas_ewm(closes):
+    """The streaming state-handler recurrence == pandas semantics:
+    MACD from adjust=True EMAs, Wilder RSI from adjust=False EWMs over
+    gains/losses (seeded at the first delta) — the exact formulation
+    the batch path (features/ewm.py) and the reference replicate."""
+    vals, _ = _scan_closes(closes, _FRESH_STATE, _coeffs(14, 12, 26, 9))
+    got = pd.DataFrame(vals, columns=["rsi", "macd", "signal", "hist"])
+
+    s = pd.Series(closes, dtype="float64")
+    ema12 = s.ewm(span=12, adjust=True).mean()
+    ema26 = s.ewm(span=26, adjust=True).mean()
+    macd = ema12 - ema26
+    signal = macd.ewm(span=9, adjust=True).mean()
+    delta = s.diff()
+    gain = delta.clip(lower=0.0)
+    loss = (-delta).clip(lower=0.0)
+    # adjust=False seeded at the FIRST VALID delta (index 1)
+    gain_ewm = gain.iloc[1:].ewm(span=14, adjust=False).mean()
+    loss_ewm = loss.iloc[1:].ewm(span=14, adjust=False).mean()
+    rs = gain_ewm / (loss_ewm + 1e-10)
+    rsi = 100.0 - 100.0 / (1.0 + rs)
+
+    assert np.allclose(got["macd"], macd, rtol=0, atol=1e-9 * max(closes))
+    assert np.allclose(got["signal"], signal, rtol=0, atol=1e-9 * max(closes))
+    assert np.isnan(got["rsi"].iloc[0])
+    assert np.allclose(got["rsi"].iloc[1:], rsi, rtol=0, atol=1e-8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    closes=st.lists(
+        st.floats(min_value=1.0, max_value=1e4, allow_nan=False), min_size=3, max_size=200
+    ),
+    split=st.integers(1, 198),
+)
+def test_scan_closes_state_resumption(closes, split):
+    """Scanning [a; b] in one pass == scanning a, carrying the state,
+    then scanning b — the property micro-batch processing relies on."""
+    split = min(split, len(closes) - 1)
+    coeffs = _coeffs(14, 12, 26, 9)
+    whole, st_whole = _scan_closes(closes, _FRESH_STATE, coeffs)
+    first, st_mid = _scan_closes(closes[:split], _FRESH_STATE, coeffs)
+    second, st_end = _scan_closes(closes[split:], st_mid, coeffs)
+    joined = first + second
+    assert len(joined) == len(whole)
+    for (a, b) in zip(joined, whole):
+        for x, y in zip(a, b):
+            assert (np.isnan(x) and np.isnan(y)) or x == y
+    assert st_end == st_whole
