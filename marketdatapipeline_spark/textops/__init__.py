@@ -16,6 +16,8 @@ from marketdatapipeline_spark.textops.analysis import (
 from marketdatapipeline_spark.textops.dedup import (
     deduplicate_exact,
     exact_duplicate_groups,
+    embedding_near_duplicates,
+    jaccard_pairs_with_lsh_flag,
     jaccard_similar_pairs,
     lsh_candidate_pairs,
     minhash_near_duplicates,
@@ -31,6 +33,8 @@ __all__ = [
     "add_token_count",
     "deduplicate_exact",
     "exact_duplicate_groups",
+    "embedding_near_duplicates",
+    "jaccard_pairs_with_lsh_flag",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",

@@ -467,6 +467,41 @@ def jaccard_pairs_with_lsh_flag(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blocked",
+    **kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup verdicts: one row per input id with
+    ``keep`` (no lower-id vector has cosine >= threshold with it) and
+    ``dup_of`` (the smallest such lower id, null when kept).
+
+    The keep-lowest-id policy matches the text-dedup convention
+    (exact_duplicate_groups, the curation pipeline), so mixed
+    text+embedding dedup stages compose with identical semantics.
+    Candidate generation delegates to
+    :func:`marketdatapipeline_spark.similarity.search.cosine_pairs_above`
+    — ``method="blocked"`` for exact, ``"lsh"`` for the banded
+    100 TB path; cost and recall characteristics are documented there.
+    """
+    from marketdatapipeline_spark.similarity.search import cosine_pairs_above
+
+    pairs = cosine_pairs_above(
+        df, threshold, id_col=id_col, vec_col=vec_col, method=method, **kwargs
+    )
+    dup_of = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return df.select(id_col).join(dup_of, id_col, "left").select(
+        id_col,
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

