@@ -132,3 +132,22 @@ def test_approx_bound_formula(spark):
         ],
         APPROX_PCT_REL_BOUND,
     )
+
+
+def test_scoped_persist_released_between_catalog_queries(spark):
+    """Catalog invocations must free the previous query's scoped
+    caches (ADVICE r5: persists accumulated in long sessions)."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark import caching
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    caching.release_caches()
+    df = caching.scoped_persist(spark.range(10).select(F.col("id")))
+    assert df.count() == 10
+    assert df.storageLevel.useMemory
+    assert len(caching._LIVE) == 1
+    # any catalog invocation triggers the release of prior caches
+    REGISTRY["bars_source"].fn(spark, "/root/testdata/sf0.001")
+    assert len(caching._LIVE) == 0
+    assert not df.storageLevel.useMemory  # actually unpersisted
