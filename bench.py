@@ -68,7 +68,9 @@ def feature_pipeline(bars):
     )
 
 
-def run_feature_pipeline(spark, bars, repeats: int = 1, warmups: int = 0) -> float:
+def run_feature_pipeline(
+    spark, bars, repeats: int = 1, warmups: int = 0, return_times: bool = False
+):
     """Median-of-N noop-write time for the full 56-column pipeline.
 
     The reference's numbers (BASELINE.md) are steady-state in-process
@@ -89,8 +91,10 @@ def run_feature_pipeline(spark, bars, repeats: int = 1, warmups: int = 0) -> flo
         spark._jvm.System.gc()
     except Exception:
         pass
-    times = sorted(materialize(out) for _ in range(repeats))
-    return times[len(times) // 2]
+    raw = [materialize(out) for _ in range(repeats)]
+    times = sorted(raw)
+    median = times[len(times) // 2]
+    return (median, raw) if return_times else median
 
 
 def main() -> None:
@@ -145,6 +149,8 @@ def main() -> None:
         spark, bars_from_events(spark, sf_dir)
     )
 
+    from marketdatapipeline_spark.caching import release_caches
+
     cold: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
@@ -157,6 +163,7 @@ def main() -> None:
         # is recorded separately as queries_cold so both signals exist.
         cold[name] = materialize(df)
         timings[name] = materialize(df)
+    release_caches()  # last query's scoped persists
 
     result = {
         "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",

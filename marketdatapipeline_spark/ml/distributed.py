@@ -67,7 +67,9 @@ def _gbt_estimator(model_type: str, params: dict, label_col: str):
         maxDepth=int(params["max_depth"]),
         stepSize=float(params["learning_rate"]),
         subsamplingRate=float(params["subsample"]),
-        featureSubsetStrategy=str(params["colsample_bytree"]),
+        # str(float(...)): an int 1 must become "1.0" (all features) —
+        # Spark ML reads the bare string "1" as "one feature per split"
+        featureSubsetStrategy=str(float(params["colsample_bytree"])),
         seed=int(params["random_state"]),
     )
     cls = GBTClassifier if model_type == CLS_OBJ else GBTRegressor

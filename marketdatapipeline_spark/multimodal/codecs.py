@@ -43,7 +43,19 @@ def decode_png(data: bytes) -> np.ndarray:
     Supports grayscale (C=1), gray+alpha (2), RGB (3), RGBA (4).
     Raises ValueError on anything else (palette, 16-bit, interlaced,
     corrupt stream) — callers treat that as "undecodable payload".
+    Every parse failure normalizes to ValueError: zlib/struct errors
+    from corrupt streams must not leak other exception types past the
+    decoder boundary (on_error="null" handling relies on this).
     """
+    try:
+        return _decode_png_inner(data)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     if len(data) < 8 or data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -150,7 +162,10 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode 16-bit PCM WAV bytes to ((n_samples, n_channels) int16,
-    sample_rate). Raises ValueError on non-PCM-16 payloads."""
+    sample_rate). Raises ValueError on non-PCM-16 payloads — every
+    parse failure normalizes to ValueError (the stdlib raises
+    EOFError on empty/truncated input and struct.error on corrupt
+    headers; those must not leak past the decoder boundary)."""
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             if w.getsampwidth() != 2:
@@ -158,7 +173,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             n, ch, rate = w.getnframes(), w.getnchannels(), w.getframerate()
             pcm = np.frombuffer(w.readframes(n), dtype="<i2").reshape(n, ch)
             return pcm, rate
-    except wave.Error as e:
+    except ValueError:
+        raise
+    except (wave.Error, EOFError, struct.error) as e:
         raise ValueError(f"not a WAV: {e}") from e
 
 

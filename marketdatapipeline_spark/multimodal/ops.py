@@ -266,18 +266,30 @@ def extract_media_features(
     return df.mapInPandas(batches, schema=out_schema)
 
 
-def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "fake",
+    on_error: str = "raise",
+) -> DataFrame:
     """Resize image rows; passthrough for non-images.
 
     ``decoder="real"`` runs the full decode → nearest-neighbor
     resample → re-encode round trip with the built-in PNG codec
     (multimodal/codecs.py) inside ``mapInPandas``, updating both the
-    payload bytes and the metadata. The fake path updates only the
-    metadata columns and keeps the payload — the narrow no-shuffle
-    bookkeeping mode the oracle checks.
+    payload bytes and the metadata. Only ``image/png`` rows are
+    convertible; other ``image/*`` mimes and corrupt payloads follow
+    ``on_error``: ``"raise"`` (default) or ``"skip"`` (leave the row
+    untouched — the permissive corpus mode, mirroring decode_media's
+    ``on_error="null"``). The fake path updates only the metadata
+    columns and keeps the payload — the narrow no-shuffle bookkeeping
+    mode the oracle checks.
     """
     is_img = F.col("mime").startswith("image/")
     if decoder == "real":
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"unknown on_error: {on_error}")
         from marketdatapipeline_spark.multimodal.codecs import (
             decode_png,
             encode_png,
@@ -291,9 +303,19 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
             for pdf in it:
                 pdf = pdf.copy()
                 for i in pdf.index:
-                    if not str(pdf.at[i, "mime"]).startswith("image/"):
+                    mime = str(pdf.at[i, "mime"])
+                    if not mime.startswith("image/"):
                         continue
-                    arr = decode_png(bytes(pdf.at[i, "content"] or b""))
+                    try:
+                        if mime != "image/png":
+                            raise ValueError(
+                                f"no in-container codec for {mime}"
+                            )
+                        arr = decode_png(bytes(pdf.at[i, "content"] or b""))
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        continue  # skip: leave the row untouched
                     pdf.at[i, "content"] = encode_png(
                         resize_nearest(arr, width, height)
                     )

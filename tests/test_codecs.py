@@ -185,3 +185,68 @@ def test_fake_decode_still_default(spark):
     pdf = decode_media(media).toPandas()
     assert pdf["byte_len"].notna().all()
     assert len(pdf) == 10
+
+
+def test_decoders_normalize_all_parse_failures_to_valueerror():
+    """Corrupt payloads raise EOFError/zlib.error/struct.error inside
+    the stdlib; the decoder boundary must normalize every one to
+    ValueError or on_error='null' cannot keep its promise."""
+    # empty WAV: stdlib wave raises EOFError
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+    # truncated RIFF header: struct.error territory
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # valid PNG header, corrupt IDAT: zlib.error territory
+    img = _image(4, 4, 3)
+    data = bytearray(encode_png(img))
+    # find IDAT and flip bytes inside its payload
+    i = bytes(data).index(b"IDAT")
+    data[i + 6] ^= 0xFF
+    data[i + 8] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
+def test_permissive_decode_survives_corrupt_payloads(spark):
+    """on_error='null' over empty and corrupt payloads of every mime:
+    the job must finish with null stats, not crash."""
+    from marketdatapipeline_spark.multimodal.ops import MEDIA_SCHEMA, decode_media
+
+    rows = [
+        (1, "audio/wav", bytearray(b""), None, None, 16000, None),
+        (2, "image/png", bytearray(b"not a png"), 4, 4, None, None),
+        (3, "video/mp4", bytearray(b"whatever"), 4, 4, None, 5),
+        (4, "image/png", bytearray(encode_png(_image(4, 4, 3))), 4, 4, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = (
+        decode_media(media, decoder="real", on_error="null")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[[1, 2, 3], "byte_len"].isna().all()
+    assert got.loc[4, "byte_len"] == 48
+
+
+def test_real_resize_skip_mode_leaves_bad_rows(spark):
+    from marketdatapipeline_spark.multimodal.ops import MEDIA_SCHEMA, resize_images
+
+    good = encode_png(_image(8, 8, 3))
+    rows = [
+        (1, "image/png", bytearray(good), 8, 8, None, None),
+        (2, "image/jpeg", bytearray(b"\xff\xd8jpeg-ish"), 8, 8, None, None),
+        (3, "image/png", bytearray(b"corrupt"), 8, 8, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        resize_images(media, 4, 4, decoder="real").collect()
+    got = (
+        resize_images(media, 4, 4, decoder="real", on_error="skip")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "width"] == 4
+    assert decode_png(bytes(got.loc[1, "content"])).shape == (4, 4, 3)
+    # bad rows untouched, payload preserved
+    assert got.loc[2, "width"] == 8 and bytes(got.loc[3, "content"]) == b"corrupt"

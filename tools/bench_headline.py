@@ -27,25 +27,24 @@ def main() -> None:
     from marketdatapipeline_spark.sources import bars_from_events
 
     spark = get_spark(app_name="bench_headline")
-    run_feature_pipeline(spark, bars_from_events(spark, "/root/testdata/sf0.001"))
+    warm_tier = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_tier):  # host without the smoke tier
+        warm_tier = sf_dir
+    run_feature_pipeline(spark, bars_from_events(spark, warm_tier))
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     copies = max(1, round(1_000_000 / n_events))
     bars = replicated_bars(spark, sf_dir, copies, multi_symbol=True)
 
-    import time
-
-    from bench import feature_pipeline, materialize
-
-    out = feature_pipeline(bars)
-    all_times = []
-    for _ in range(warmups):
-        materialize(out)
-    for _ in range(repeats):
-        t = materialize(out)
-        all_times.append(round(t, 3))
-    med = sorted(all_times)[len(all_times) // 2]
-    print(json.dumps({"headline_sec": med, "runs": all_times}))
+    # the ONE timing loop — bench.py's, gc hygiene included
+    med, runs = run_feature_pipeline(
+        spark, bars, repeats=repeats, warmups=warmups, return_times=True
+    )
+    print(
+        json.dumps(
+            {"headline_sec": round(med, 3), "runs": [round(t, 3) for t in runs]}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -121,6 +121,9 @@ def main() -> int:
         print(f"{status}  {name}  ({len(sdf)} rows)")
         for p in problems:
             print(f"      {p}")
+    from marketdatapipeline_spark.caching import release_caches
+
+    release_caches()  # last query's scoped persists
     return 1 if failures else 0
 
 
