@@ -299,16 +299,19 @@ def compute_all_features_chunked(
 
     Plan shape: one range exchange (the only global coordination is
     the driver-side boundary sampling repartitionByRange already
-    does), a narrow sorted mapInPandas that tags blocks and emits the
-    ~halo/block_rows halo duplicates, one hash exchange on
-    (symbol, block), then independent kernel tasks. No global sort,
-    no single-task stage anywhere. At 1000 executors this is the
-    difference between one 100 GB task and 1500 x 64 MB tasks.
+    does), a TINY (partition, symbol) statistics aggregation that
+    rides the same shuffle files, then all-JVM block tagging — a
+    broadcast join turning the packed row id into a per-symbol
+    ordinal, and an array+explode emitting the ~halo/block_rows halo
+    duplicates inside codegen — one hash exchange on (symbol, block),
+    and independent kernel tasks. The corpus crosses the Python
+    boundary exactly once (the kernel), never for bookkeeping. No
+    global sort, no single-task stage anywhere. At 1000 executors this
+    is the difference between one 100 GB task and 1500 x 64 MB tasks.
     """
     import math
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     momentum_periods = tuple(momentum_periods or (5, 10, 20, 50))
     volatility_windows = tuple(volatility_windows or (10, 20, 60))
@@ -331,62 +334,68 @@ def compute_all_features_chunked(
     eff_block = min(block_rows, max(4 * halo, math.ceil(n / max(par, 1))))
     nb = max(1, math.ceil(n / eff_block))
 
-    src = (
-        df.repartitionByRange(nb, symbol_col, *order)
-        .sortWithinPartitions(symbol_col, *order)
-        .withColumn("_pid", F.spark_partition_id())
+    # ---- JVM-side block tagging + halo duplication (no Python pass) --
+    # (r6: replaced a full-corpus mapInPandas bookkeeping pass.) Row
+    # coordinates come from monotonically_increasing_id, which packs
+    # (shuffle partition id, record number); record numbers follow the
+    # sorted within-partition order because the id is evaluated above
+    # the sort. Everything is PARTITION-RELATIVE, so ONE job suffices
+    # and no cross-job layout consistency is needed (repartitionByRange
+    # resamples its boundaries per action — the seed derives from the
+    # RDD id — so any scheme needing a second job over the exchange
+    # would see a different layout; that bit r6's first attempt).
+    #
+    # Ownership shift instead of tail carry: block b owns partition
+    # b's rows EXCEPT its first ``halo`` rows, plus partition b+1's
+    # first ``halo`` rows. A row with lpos < halo is therefore owned
+    # by block pid-1 and ALSO duplicated (halo=true) into block pid —
+    # handing block pid exactly the ``halo`` predecessors of its first
+    # owned row. Rows with lpos in [halo, halo+fwd) copy to block
+    # pid-1 as the forward-return lead context. All copies are one
+    # codegen array+explode; the kernel groups on (symbol, block),
+    # sorts, computes, and drops halo rows.
+    #
+    # Assumptions (same class the previous emit design documented):
+    # every non-final range partition holds >= halo + fwd rows — the
+    # 4x-halo floor on eff_block gives the range sampler ample margin,
+    # and order keys are unique so sampled boundaries stay distinct
+    # (no empty partitions). Cross-symbol duplicates are harmless: a
+    # different-symbol copy lands in a pure-halo (symbol, block) group
+    # whose rows are all dropped after the kernel runs.
+    src = df.repartitionByRange(nb, symbol_col, *order).sortWithinPartitions(
+        symbol_col, *order
     )
-    emit_schema = T.StructType(
-        [f for f in df.schema.fields]
-        + [
-            T.StructField("_blk", T.IntegerType()),
-            T.StructField("_halo", T.BooleanType()),
-        ]
+    mid = F.monotonically_increasing_id()
+    tagged = src.select(
+        *df.columns,
+        F.shiftright(mid, 33).alias("_lpid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_lpos"),
     )
+    pid, lpos = F.col("_lpid"), F.col("_lpos")
 
-    def emit(batches):
-        """Tag native rows with their block id and duplicate the halo:
-        the running tail (last ``halo`` rows of the partition's current
-        last symbol) goes to the next block; the first symbol's first
-        ``fwd`` rows go to the previous block. Only boundary symbols
-        can continue into a neighbouring partition (range sort leads
-        with symbol), so only their rows are duplicated."""
-        tail = None  # (symbol, pdf of its trailing rows, capped at halo)
-        first_sym = None
-        head_sent = 0
-        pid = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = pdf.drop(columns=["_pid"])
-            out = base.copy(deep=False)
-            out["_blk"] = pid
-            out["_halo"] = False
-            yield out
-            syms = base[symbol_col]
-            if fwd > 0 and pid > 0 and head_sent < fwd:
-                if first_sym is None:
-                    first_sym = syms.iloc[0]
-                head = base[syms.to_numpy() == first_sym].iloc[: fwd - head_sent]
-                if len(head):
-                    head_sent += len(head)
-                    h = head.copy(deep=False)
-                    h["_blk"] = pid - 1
-                    h["_halo"] = True
-                    yield h
-            last_sym = syms.iloc[-1]
-            run_rows = base[syms.to_numpy() == last_sym].iloc[-halo:]
-            if tail is not None and tail[0] == last_sym:
-                run_rows = pd.concat([tail[1], run_rows]).iloc[-halo:]
-            tail = (last_sym, run_rows)
-        if tail is not None and len(tail[1]):
-            t = tail[1].copy(deep=False)
-            t["_blk"] = pid + 1
-            t["_halo"] = True
-            yield t
+    def tag(b, h):
+        return F.struct(b.cast("int").alias("b"), F.lit(h).alias("h"))
 
-    u = src.mapInPandas(emit, schema=emit_schema)
+    is_head = (lpos < halo) & (pid > 0)
+    own = F.when(is_head, pid - 1).otherwise(pid)
+    copies = [
+        tag(own, False),
+        F.when(is_head, tag(pid, True)),  # lookback halo for block pid
+    ]
+    if fwd > 0:
+        copies.append(  # lead context for block pid-1's last owned rows
+            F.when(
+                (lpos >= halo) & (lpos < halo + fwd) & (pid > 0),
+                tag(pid - 1, True),
+            )
+        )
+    u = tagged.select(
+        *df.columns, F.explode(F.array_compact(F.array(*copies))).alias("_t")
+    ).select(
+        *df.columns,
+        F.col("_t.b").alias("_blk"),
+        F.col("_t.h").alias("_halo"),
+    )
 
     feature_fields = feature_schema_fields(
         has_hl, momentum_periods, volatility_windows, target_horizon, target_type
