@@ -163,3 +163,67 @@ def test_chunked_engine_multi_symbol_boundaries(spark):
             ), col
         else:
             assert (a[col].to_numpy() == c[col].to_numpy()).all(), col
+
+
+def test_chunked_engine_randomized_shapes(spark):
+    """Randomized sweep over symbol counts, row counts, block sizes,
+    and forward horizons — the JVM block tagger (r6) must stay
+    bit-compatible with the arrow engine for every layout the range
+    sampler produces, including symbols straddling partitions and
+    multi-copy halo/lead duplication. atol 1e-7: pandas' rolling-std
+    carries state from the series start, so block-offset differences
+    produce ~1e-10-scale float residue on drifting data (measured) —
+    a property of blocked execution itself, not the tagger."""
+    import pandas as pd
+
+    from marketdatapipeline_spark.features.arrow_engine import (
+        compute_all_features_chunked,
+    )
+
+    rng = np.random.default_rng(20260814)
+    for trial in range(3):
+        n_sym = int(rng.integers(1, 4))
+        rows = int(rng.integers(17_000, 30_000))
+        fwd = int(rng.integers(1, 4))
+        frames = []
+        for i in range(n_sym):
+            walk = np.cumsum(rng.normal(0, 1, rows)) + 200
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "symbol": f"S{i}",
+                        "datetime": pd.date_range(
+                            "2023-01-01", periods=rows, freq="1min"
+                        ),
+                        "bar_id": range(rows),
+                        "open": walk + rng.normal(0, 0.1, rows),
+                        "high": walk + np.abs(rng.normal(0, 0.5, rows)),
+                        "low": walk - np.abs(rng.normal(0, 0.5, rows)),
+                        "close": walk,
+                        "volume": rng.integers(1, 1000, rows).astype("float64"),
+                    }
+                )
+            )
+        df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+        kwargs = dict(order_cols=("datetime", "bar_id"), target_horizon=fwd)
+        a = (
+            compute_all_features(df, engine="arrow", **kwargs)
+            .orderBy("symbol", "bar_id")
+            .toPandas()
+        )
+        c = (
+            compute_all_features_chunked(df, block_rows=8192, **kwargs)
+            .orderBy("symbol", "bar_id")
+            .toPandas()
+        )
+        assert len(a) == len(c) == n_sym * (rows - fwd), (trial, len(a), len(c))
+        for col in a.columns:
+            if a[col].dtype.kind == "f":
+                x = a[col].to_numpy("float64")
+                y = c[col].to_numpy("float64")
+                ok = np.isclose(x, y, rtol=1e-9, atol=1e-7) | (
+                    np.isnan(x) & np.isnan(y)
+                )
+                assert ok.all(), (trial, col, int((~ok).sum()))
+            else:
+                assert (a[col].to_numpy() == c[col].to_numpy()).all(), (trial, col)
