@@ -13,6 +13,7 @@ equivalent batch computation on the same rows.
 """
 
 from marketdatapipeline_spark.streaming.bars import bars_from_ticks_batch, ticks_to_bars
+from marketdatapipeline_spark.streaming.dedup import dedup_batch, dedup_stream
 from marketdatapipeline_spark.streaming.ingestion import (
     TICK_SCHEMA,
     rate_tick_stream,
@@ -33,6 +34,8 @@ __all__ = [
     "rate_tick_stream",
     "ticks_to_bars",
     "bars_from_ticks_batch",
+    "dedup_stream",
+    "dedup_batch",
     "online_indicators",
     "online_indicators_batch",
     "sessionize_batch",

@@ -258,3 +258,87 @@ def test_sessionize_batch_nonstandard_time_col(spark, tick_dir):
     base = base.sort_values(key).reset_index(drop=True)
     renamed = renamed.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(renamed, base, check_exact=True)
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Watermarked streaming dedup == batch keep-first when the
+    horizon covers the whole frame; duplicates injected across two
+    file-drops so suppression must work across micro-batches."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.streaming import dedup_batch, dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = []
+    for i in range(300):
+        key = i % 90  # every key repeats ~3-4 times across the feed
+        rows.append(
+            ("K%d" % key, base + dt.timedelta(minutes=i), float(i))
+        )
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts", "price"])
+    path = str(tmp_path / "dedup_feed")
+    half = len(pdf) // 2
+    schema = "symbol string, ts timestamp, price double"
+    spark.createDataFrame(pdf.iloc[:half], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/b1")
+    spark.createDataFrame(pdf.iloc[half:], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b*")
+    )
+    got = _run_stream_to_memory(
+        spark, dedup_stream(stream, ("symbol",), watermark="10 hours"), "dedup_s"
+    ).toPandas()
+
+    batch = spark.createDataFrame(pdf, schema)
+    want = dedup_batch(batch, ("symbol",)).toPandas()
+
+    assert len(got) == len(want) == 90
+    got = got.sort_values("symbol").reset_index(drop=True)
+    want = want.sort_values("symbol").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_dedup_stream_horizon_evicts_state(spark, tmp_path):
+    """A duplicate arriving beyond the watermark horizon is NOT
+    suppressed — the documented state-for-recall trade."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.streaming import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    schema = "symbol string, ts timestamp, price double"
+    path = str(tmp_path / "dedup_h")
+    # four micro-batches: the duplicate-in-horizon pair; a watermark
+    # advancer; one more batch (state eviction is watermark-LAZY — it
+    # runs at batch end, one batch behind the advance, verified
+    # empirically); then the late A, which must be re-emitted.
+    batches = [
+        [("A", base, 1.0), ("A", base + dt.timedelta(minutes=5), 2.0)],
+        [("B", base + dt.timedelta(hours=3), 4.0)],
+        [("B", base + dt.timedelta(hours=3, minutes=2), 5.0)],
+        [("A", base + dt.timedelta(hours=3, minutes=10), 3.0)],
+    ]
+    import time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["symbol", "ts", "price"]), schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/b{i}")
+        time.sleep(1.05)  # distinct mtimes pin the file-source ordering
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b*")
+    )
+    got = _run_stream_to_memory(
+        spark, dedup_stream(stream, ("symbol",), watermark="30 minutes"), "dedup_h"
+    ).toPandas()
+    a_rows = got[got["symbol"] == "A"].sort_values("ts")
+    assert len(a_rows) == 2  # original + beyond-horizon re-emission
+    assert list(a_rows["price"]) == [1.0, 3.0]
