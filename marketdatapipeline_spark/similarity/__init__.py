@@ -1,5 +1,6 @@
 """Embedding similarity search over array<float> columns."""
 
+from marketdatapipeline_spark.similarity.index import IVFIndex, build_ivf_index
 from marketdatapipeline_spark.similarity.search import (
     add_vector_norm,
     cosine_pairs_above,
@@ -9,6 +10,8 @@ from marketdatapipeline_spark.similarity.search import (
 )
 
 __all__ = [
+    "IVFIndex",
+    "build_ivf_index",
     "add_vector_norm",
     "cosine_pairs_above",
     "cosine_topk",

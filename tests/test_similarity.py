@@ -124,3 +124,37 @@ def test_ivf_topk_recall_and_validation(emb):
         assert all(a.cosine >= b.cosine for a, b in zip(rows, rows[1:]))
     with pytest.raises(ValueError, match="no centroids"):
         ivf_topk(emb, queries, centroid_mod=1000, centroid_rem=999).collect()
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """build_ivf_index + IVFIndex.topk == the inline ivf_topk for the
+    same centroid sample, nprobe, and tie-breaks — and the lists scan
+    prunes to the probed partitions (PartitionFilters on _cent)."""
+    from marketdatapipeline_spark.similarity import IVFIndex, build_ivf_index, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 7").limit(5)
+
+    want = (
+        ivf_topk(emb, queries, k=5, nprobe=2, centroid_mod=29, centroid_rem=3)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroid_mod=29, centroid_rem=3)
+    idx = IVFIndex.load(path)
+    res = idx.topk(spark, queries, k=5, nprobe=2)
+    got = res.orderBy("query_id", "rank").toPandas()
+
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    pdt = got.merge(want, on=["query_id", "rank"], suffixes=("_g", "_w"))
+    assert (pdt["corpus_id_g"] == pdt["corpus_id_w"]).all()
+    import numpy as np
+
+    assert np.allclose(pdt["cosine_g"], pdt["cosine_w"], rtol=0, atol=1e-12)
+
+    # partition pruning reached the scan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cent" in plan
