@@ -276,38 +276,39 @@ def compute_all_features_chunked(
 
     The per-symbol Arrow engine serializes each symbol onto one task —
     the one shape it cannot split. Here the frame is range-partitioned
-    on ``(symbol, *order_cols)`` into ~``block_rows``-sized blocks that
-    compute IN PARALLEL; a narrow per-partition pass seeds each block
-    with the previous block's last ``halo`` rows (plus the next
-    block's first ``target_horizon`` rows for the forward-return
-    lead). The same vectorized kernel runs per block; halo rows are
-    dropped from the output.
+    on ``(symbol, *order_cols)`` into ~``block_rows``-sized partitions
+    whose blocks compute IN PARALLEL: block b owns partition b's rows
+    except its first ``halo`` rows, plus partition b+1's first
+    ``halo`` rows, and a row in a partition's head is ALSO duplicated
+    into its own partition's block as that block's lookback context
+    (rows at positions [halo, halo+fwd) copy back as the forward-
+    return lead context). The same vectorized kernel runs per block;
+    halo rows are dropped from the output.
 
     Exactness: because the range sort leads with ``symbol``, each
     symbol's history occupies a CONTIGUOUS run of partitions, so a
-    block's immediate predecessor rows are always the tail of the
-    previous partition — if the symbol has fewer than ``halo``
-    antecedents there, those are ALL its antecedents (it starts in
-    that partition). Rolling/lag/lead features are therefore
-    bit-identical (halo >= every window length). The EWM recurrence
-    restarts at the halo start, dropping carried state older than
-    ``halo`` rows — a relative error of r^halo, < 1e-100 at the
-    default halo for every span here (pytest pins parity with the
-    arrow engine at 1e-9). The one size assumption: every range
-    partition holds >= ``halo`` rows, which the 4x-halo floor on the
-    block size gives the range sampler ample margin for.
+    block's first owned row is always immediately preceded (in its
+    symbol's sequence) by the ``halo`` duplicated head rows — a symbol
+    that STARTS inside the block needs no context and gets none.
+    Rolling/lag/lead features are therefore bit-identical (halo >=
+    every window length). The EWM recurrence restarts at the halo
+    start, dropping carried state older than ``halo`` rows — a
+    relative error of r^halo, < 1e-100 at the default halo for every
+    span here (pytest pins parity with the arrow engine). The size
+    assumption: every non-final range partition holds >= ``halo`` +
+    ``fwd`` rows, which the 4x-halo floor on the block size gives the
+    range sampler ample margin for.
 
     Plan shape: one range exchange (the only global coordination is
     the driver-side boundary sampling repartitionByRange already
-    does), a TINY (partition, symbol) statistics aggregation that
-    rides the same shuffle files, then all-JVM block tagging — a
-    broadcast join turning the packed row id into a per-symbol
-    ordinal, and an array+explode emitting the ~halo/block_rows halo
-    duplicates inside codegen — one hash exchange on (symbol, block),
-    and independent kernel tasks. The corpus crosses the Python
-    boundary exactly once (the kernel), never for bookkeeping. No
-    global sort, no single-task stage anywhere. At 1000 executors this
-    is the difference between one 100 GB task and 1500 x 64 MB tasks.
+    does), then all-JVM partition-relative block tagging — bit-split
+    of monotonically_increasing_id plus an array+explode emitting the
+    ~halo/block_rows duplicates inside codegen — one hash exchange on
+    (symbol, block), and independent kernel tasks. The corpus crosses
+    the Python boundary exactly once (the kernel), never for
+    bookkeeping. No global sort, no single-task stage, no second job.
+    At 1000 executors this is the difference between one 100 GB task
+    and 1500 x 64 MB tasks.
     """
     import math
 
@@ -365,11 +366,16 @@ def compute_all_features_chunked(
     src = df.repartitionByRange(nb, symbol_col, *order).sortWithinPartitions(
         symbol_col, *order
     )
-    mid = F.monotonically_increasing_id()
-    tagged = src.select(
+    # Materialize the id ONCE, then split bits in a second projection:
+    # embedding the same MonotonicallyIncreasingID instance in two
+    # output columns is only safe under codegen (each occurrence gets
+    # its own counter); an interpreted-projection fallback would bump
+    # one shared counter per occurrence and desynchronize _lpid/_lpos.
+    with_id = src.withColumn("_mid", F.monotonically_increasing_id())
+    tagged = with_id.select(
         *df.columns,
-        F.shiftright(mid, 33).alias("_lpid"),
-        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_lpos"),
+        F.shiftright(F.col("_mid"), 33).alias("_lpid"),
+        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_lpos"),
     )
     pid, lpos = F.col("_lpid"), F.col("_lpos")
 

@@ -10,11 +10,17 @@ the IVF "read only the probed lists" property expressed in the format
 layer instead of an in-memory inverted file.
 
 Centroids are the same deterministic corpus sample ``ivf_topk`` uses
-(id % mod == rem, swap in k-means in production — only the build
-changes), assignment uses the same argmax-cosine / smallest-id
-tie-break, and the query path reranks candidates with the same
-sequential-fold cosine — so ``IVFIndex.topk`` is value-identical to
-``ivf_topk`` for the same parameters (pinned by pytest).
+(id % mod == rem; swap in k-means in production — only the build
+changes), assignment and probe selection call the SAME helpers
+(search.cosine_to_centroids / nearest_centroids — parity by
+construction, not by copied code), and the query path reranks
+candidates with the same sequential-fold cosine — so
+``IVFIndex.topk`` is value-identical to ``ivf_topk`` for the same
+parameters (pinned by pytest).
+
+All index IO goes through the session's Hadoop filesystem, so
+``path`` may be any supported scheme (local, hdfs://, s3a://), not
+just the driver's local disk.
 """
 
 from __future__ import annotations
@@ -33,7 +39,40 @@ from marketdatapipeline_spark.similarity.search import (
     _pair_dot_col,
     _query_matrix,
     _seq_dot_np,
+    cosine_to_centroids,
+    nearest_centroids,
 )
+
+
+def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API (any scheme)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        chunks = []
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def build_ivf_index(
@@ -46,8 +85,11 @@ def build_ivf_index(
 ) -> "IVFIndex":
     """Assign every vector to its nearest centroid and persist the
     corpus partitioned by centroid id (plus the centroid table and a
-    JSON manifest). One corpus pass; the shuffle-free write puts each
-    task's rows into its partitions directly."""
+    JSON manifest). ONE corpus pass: the centroid table is written
+    from the already-collected driver matrix, never by re-running the
+    centroid filter — a live source changing between two scans could
+    otherwise persist centroids inconsistent with the assignment."""
+    spark = corpus.sparkSession
     cents = corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
     cent_ids, cent_mat, cent_norm = _query_matrix(
         cents.orderBy(id_col), id_col, vec_col
@@ -72,10 +114,7 @@ def build_ivf_index(
                 continue
             mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
             norms = np.sqrt(_seq_dot_np(mat, mat))
-            acc = np.zeros((len(pdf), len(cent_ids)), dtype=np.float64)
-            for d in range(mat.shape[1]):
-                acc = acc + mat[:, d : d + 1] * cent_mat[:, d]
-            cos = acc / (norms[:, None] * cent_norm[None, :])
+            cos = cosine_to_centroids(mat, norms, cent_mat, cent_norm)
             # argmax keeps the FIRST maximum; cent rows are id-sorted,
             # so ties break to the smallest centroid id (ivf_topk's rule)
             assigned = np.asarray(cent_ids)[np.argmax(cos, axis=1)]
@@ -94,17 +133,28 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("_cent").parquet(
         os.path.join(path, "lists")
     )
-    cents.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "centroids"))
+    cent_rows = [
+        (cid.item() if hasattr(cid, "item") else cid, list(map(float, vec)))
+        for cid, vec in zip(cent_ids, cent_mat)
+    ]
+    spark.createDataFrame(
+        cent_rows,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, idt),
+                T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     manifest = {
         "id_col": id_col,
         "vec_col": vec_col,
         "centroid_mod": centroid_mod,
         "centroid_rem": centroid_rem,
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    _hadoop_write_text(
+        spark, os.path.join(path, "manifest.json"), json.dumps(manifest)
+    )
     return IVFIndex(path=path, **manifest)
 
 
@@ -117,9 +167,10 @@ class IVFIndex:
     centroid_rem: int
 
     @classmethod
-    def load(cls, path: str) -> "IVFIndex":
-        with open(os.path.join(path, "manifest.json")) as f:
-            return cls(path=path, **json.load(f))
+    def load(cls, path: str, spark: SparkSession | None = None) -> "IVFIndex":
+        spark = spark or SparkSession.getActiveSession()
+        text = _hadoop_read_text(spark, os.path.join(path, "manifest.json"))
+        return cls(path=path, **json.loads(text))
 
     def topk(
         self,
@@ -134,8 +185,9 @@ class IVFIndex:
         are computed driver-side from the centroid table, then the
         lists scan filters ``_cent`` to the probed ids — a partition-
         column filter, so only those directories are read. Candidates
-        join to their probing queries on ``_cent`` (broadcast) and the
-        exact sequential-fold cosine reranks, same tie-break as
+        join to their probing queries on ``_cent`` (broadcast, with
+        the query vector AND its precomputed norm riding along) and
+        the exact sequential-fold cosine reranks, same tie-break as
         ivf_topk (rank by cosine desc, then corpus id)."""
         cent_ids, cent_mat, cent_norm = _query_matrix(
             spark.read.parquet(os.path.join(self.path, "centroids")).orderBy(
@@ -147,20 +199,21 @@ class IVFIndex:
         ids, qmat, qn = _query_matrix(queries, self.id_col, self.vec_col)
         probes = []  # (query pos, centroid id)
         if len(ids):
-            acc = np.zeros((len(ids), len(cent_ids)), dtype=np.float64)
-            for d in range(qmat.shape[1]):
-                acc = acc + qmat[:, d : d + 1] * cent_mat[:, d]
-            qcos = acc / (qn[:, None] * cent_norm[None, :])
+            qcos = cosine_to_centroids(qmat, qn, cent_mat, cent_norm)
             for qi in range(len(ids)):
-                order = sorted(
-                    range(len(cent_ids)),
-                    key=lambda ci: (-qcos[qi, ci], cent_ids[ci]),
-                )[:nprobe]
-                probes.extend((qi, int(cent_ids[ci])) for ci in order)
+                probes.extend(
+                    (qi, int(cent_ids[ci]))
+                    for ci in nearest_centroids(qcos[qi], cent_ids, nprobe)
+                )
 
         qrows = queries.sparkSession.createDataFrame(
             [
-                (ids[qi].item() if hasattr(ids[qi], "item") else ids[qi], cent, list(map(float, qmat[qi])))
+                (
+                    ids[qi].item() if hasattr(ids[qi], "item") else ids[qi],
+                    cent,
+                    list(map(float, qmat[qi])),
+                    float(qn[qi]),
+                )
                 for qi, cent in probes
             ],
             schema=T.StructType(
@@ -168,6 +221,7 @@ class IVFIndex:
                     T.StructField("query_id", queries.schema[self.id_col].dataType),
                     T.StructField("_cent", T.LongType()),
                     T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                    T.StructField("_qnorm", T.DoubleType()),
                 ]
             ),
         )
@@ -179,7 +233,7 @@ class IVFIndex:
             F.col(self.id_col) != F.col("query_id")
         )
         cos = _pair_dot_col(v, F.col("_qv")) / (
-            F.sqrt(_pair_dot_col(v, v)) * F.sqrt(_pair_dot_col(F.col("_qv"), F.col("_qv")))
+            F.sqrt(_pair_dot_col(v, v)) * F.col("_qnorm")
         )
         scored = cand.select(
             "query_id",

@@ -102,6 +102,29 @@ def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     return ids, mat, qn
 
 
+def cosine_to_centroids(
+    mat: np.ndarray, norms: np.ndarray, cent_mat: np.ndarray, cent_norm: np.ndarray
+) -> np.ndarray:
+    """(n, dim) rows vs (c, dim) centroids -> (n, c) cosine matrix with
+    the sequential-fold accumulation every exactness contract in this
+    package uses. ONE definition shared by ivf_topk and the persisted
+    index (similarity/index.py) so assignment stays value-identical by
+    construction."""
+    acc = np.zeros((mat.shape[0], cent_mat.shape[0]), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc = acc + mat[:, d : d + 1] * cent_mat[:, d]
+    return acc / (norms[:, None] * cent_norm[None, :])
+
+
+def nearest_centroids(qcos_row: np.ndarray, cent_ids, nprobe: int) -> list[int]:
+    """Positions of the ``nprobe`` nearest centroids for one query's
+    cosine row — ties to the smallest centroid id (the assignment and
+    oracle tie-break)."""
+    return sorted(
+        range(len(cent_ids)), key=lambda ci: (-qcos_row[ci], cent_ids[ci])
+    )[:nprobe]
+
+
 def _scored_schema(corpus: DataFrame, id_col: str):
     idt = corpus.schema[id_col].dataType
     return T.StructType(
@@ -410,21 +433,12 @@ def ivf_topk(
         )
     ids, qmat, qn = _query_matrix(queries, id_col, vec_col)
 
-    def _cos_to_cents(mat: np.ndarray, norms: np.ndarray) -> np.ndarray:
-        acc = np.zeros((mat.shape[0], len(cent_ids)), dtype=np.float64)
-        for d in range(mat.shape[1]):
-            acc = acc + mat[:, d : d + 1] * cent_mat[:, d]
-        return acc / (norms[:, None] * cent_norm[None, :])
-
     # centroid id -> probing query positions
     cmap: dict[int, list[int]] = {}
     if len(ids):
-        qcos = _cos_to_cents(qmat, qn)
+        qcos = cosine_to_centroids(qmat, qn, cent_mat, cent_norm)
         for qi in range(len(ids)):
-            probe = sorted(
-                range(len(cent_ids)), key=lambda ci: (-qcos[qi, ci], cent_ids[ci])
-            )[:nprobe]
-            for ci in probe:
+            for ci in nearest_centroids(qcos[qi], cent_ids, nprobe):
                 cmap.setdefault(int(cent_ids[ci]), []).append(qi)
 
     def assign_match_score(batches):
@@ -437,7 +451,7 @@ def ivf_topk(
             # argmax keeps the FIRST maximum; cent_mat rows are sorted
             # by centroid id, so ties break to the smallest id.
             assigned = np.asarray(cent_ids)[
-                np.argmax(_cos_to_cents(cmat, cn), axis=1)
+                np.argmax(cosine_to_centroids(cmat, cn, cent_mat, cent_norm), axis=1)
             ]
             cid = pdf["_id"].to_numpy()
             rows_idx: list[int] = []

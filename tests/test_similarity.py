@@ -133,7 +133,9 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     from marketdatapipeline_spark.similarity import IVFIndex, build_ivf_index, ivf_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    queries = emb.filter("vec_id % 100 = 7").limit(5)
+    # deterministic query set: limit() without order is re-executed per
+    # action and could pick different rows in the two collects below
+    queries = emb.filter("vec_id % 100 = 7 AND vec_id < 450")
 
     want = (
         ivf_topk(emb, queries, k=5, nprobe=2, centroid_mod=29, centroid_rem=3)
