@@ -54,6 +54,12 @@ BASE_WAIT_SECONDS = 12.0
 RATE_LIMIT_PAUSE_SECONDS = 12.0
 
 
+class RateLimitError(Exception):
+    """API rate limit exhausted after retries (reference
+    ingestion.py:26-28) — raise or catch this to distinguish throttle
+    exhaustion from other fetch failures."""
+
+
 def handle_rate_limit(error: Exception, retry_count: int, *, sleep=time.sleep) -> bool:
     """True if the error is a rate limit and a retry should happen
     after backoff; False otherwise (reference ingestion.py:30-60)."""
@@ -129,6 +135,12 @@ def fetch_intraday_data(
             break
         except Exception as e:  # noqa: BLE001 — retry filter below
             if not handle_rate_limit(e, retry, sleep=_sleep):
+                msg = str(e).lower()
+                if "rate limit" in msg or "api call frequency" in msg:
+                    # throttle persisted past MAX_RETRIES: typed failure
+                    raise RateLimitError(
+                        f"rate limit for {symbol} after {retry} retries"
+                    ) from e
                 raise
             retry += 1
 

@@ -8,6 +8,7 @@ from marketdatapipeline_spark.ml.evaluation import (
     confusion_matrix,
     evaluate_model,
     feature_importance_top_k,
+    plot_feature_importance,
     regression_metrics,
     roc_auc,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "evaluate_model",
     "feature_columns",
     "feature_importance_top_k",
+    "plot_feature_importance",
     "load_model",
     "predict",
     "prepare_dataset",

@@ -118,3 +118,27 @@ def test_fetch_multiple_skips_failures(spark, tmp_path):
     pdf = df.toPandas()
     assert sorted(pdf["symbol"].unique()) == ["AAA", "BBB"]
     assert len(pdf) == 60
+
+
+def test_rate_limit_error_raised_when_retries_exhaust(spark):
+    """Persistent throttling surfaces as the typed RateLimitError
+    (reference ingestion.py:26-28), not a bare exception."""
+    import pytest
+
+    from marketdatapipeline_spark.ingestion import (
+        RateLimitError,
+        fetch_intraday_data,
+    )
+
+    def always_throttled(symbol, interval, outputsize):
+        raise RuntimeError("API rate limit exceeded, slow down")
+
+    with pytest.raises(RateLimitError, match="after 3 retries"):
+        fetch_intraday_data(
+            spark,
+            "THR",
+            fetcher=always_throttled,
+            use_cache=False,
+            save=False,
+            _sleep=lambda s: None,
+        )
