@@ -75,6 +75,21 @@ def _hadoop_read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _kmeans_centroids(
+    corpus: DataFrame, n_centroids: int, vec_col: str, seed: int
+) -> np.ndarray:
+    """Train the coarse quantizer distributed (pyspark.ml KMeans over
+    the vector column) and return the (k, dim) centroid matrix. The
+    fit is Spark jobs end to end; only k centroid vectors reach the
+    driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+    return np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -82,22 +97,41 @@ def build_ivf_index(
     centroid_rem: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
+    n_centroids: int = 16,
+    seed: int = 42,
 ) -> "IVFIndex":
     """Assign every vector to its nearest centroid and persist the
     corpus partitioned by centroid id (plus the centroid table and a
-    JSON manifest). ONE corpus pass: the centroid table is written
-    from the already-collected driver matrix, never by re-running the
-    centroid filter — a live source changing between two scans could
-    otherwise persist centroids inconsistent with the assignment."""
+    JSON manifest). ONE corpus pass for the assignment; the centroid
+    table is written from the already-collected driver matrix, never
+    by re-running the centroid filter — a live source changing between
+    two scans could otherwise persist centroids inconsistent with the
+    assignment.
+
+    ``centroids="sample"`` (default) is the deterministic id-sample
+    quantizer shared with ``ivf_topk`` (oracle-reproducible);
+    ``centroids="kmeans"`` trains the FAISS-style coarse quantizer
+    with distributed pyspark.ml KMeans (``n_centroids``, ``seed``) —
+    better-balanced lists on clustered corpora, identical plan shape
+    everywhere downstream (centroid ids become 0..k-1)."""
     spark = corpus.sparkSession
-    cents = corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
-    cent_ids, cent_mat, cent_norm = _query_matrix(
-        cents.orderBy(id_col), id_col, vec_col
-    )
-    if len(cent_ids) == 0:
-        raise ValueError(
-            f"no centroids: no {id_col} satisfies % {centroid_mod} == {centroid_rem}"
+    if centroids == "sample":
+        cents = corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
+        cent_ids, cent_mat, cent_norm = _query_matrix(
+            cents.orderBy(id_col), id_col, vec_col
         )
+        if len(cent_ids) == 0:
+            raise ValueError(
+                f"no centroids: no {id_col} satisfies "
+                f"% {centroid_mod} == {centroid_rem}"
+            )
+    elif centroids == "kmeans":
+        cent_mat = _kmeans_centroids(corpus, n_centroids, vec_col, seed)
+        cent_ids = np.arange(len(cent_mat))
+        cent_norm = np.sqrt(_seq_dot_np(cent_mat, cent_mat))
+    else:
+        raise ValueError(f"unknown centroids strategy: {centroids}")
 
     idt = corpus.schema[id_col].dataType
     out_schema = T.StructType(
@@ -141,7 +175,9 @@ def build_ivf_index(
         cent_rows,
         schema=T.StructType(
             [
-                T.StructField(id_col, idt),
+                # kmeans centroid ids are synthetic 0..k-1 longs; the
+                # sample strategy reuses corpus ids and their type
+                T.StructField(id_col, T.LongType() if centroids == "kmeans" else idt),
                 T.StructField(vec_col, T.ArrayType(T.DoubleType())),
             ]
         ),
@@ -151,6 +187,7 @@ def build_ivf_index(
         "vec_col": vec_col,
         "centroid_mod": centroid_mod,
         "centroid_rem": centroid_rem,
+        "centroids": centroids,
     }
     _hadoop_write_text(
         spark, os.path.join(path, "manifest.json"), json.dumps(manifest)
@@ -165,6 +202,7 @@ class IVFIndex:
     vec_col: str
     centroid_mod: int
     centroid_rem: int
+    centroids: str = "sample"  # quantizer strategy recorded at build
 
     @classmethod
     def load(cls, path: str, spark: SparkSession | None = None) -> "IVFIndex":
