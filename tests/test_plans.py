@@ -165,3 +165,22 @@ def test_asof_join_single_window_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # one window node computing one last(_pay) — not last() per payload
     assert plan.count("last(_pay") == 1
+
+
+def test_chunked_engine_python_boundary_only_in_kernel(spark, bars_df):
+    """The blocked engine's bookkeeping (block tagging + halo
+    duplication) must stay JVM-side: the only Python node in the plan
+    is the kernel's FlatMapGroupsInPandas — no MapInPandas pass over
+    the corpus (the r6 JVM-tagger guarantee)."""
+    from marketdatapipeline_spark.features.arrow_engine import (
+        compute_all_features_chunked,
+    )
+
+    out = compute_all_features_chunked(
+        bars_df, order_cols=("datetime",), target_horizon=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the kernel itself
+    assert "MapInPandas" not in plan  # no Python bookkeeping pass
+    # exactly one range exchange feeds the tagger
+    assert plan.count("rangepartitioning") <= 1 or plan.count("RangePartitioning") <= 1
