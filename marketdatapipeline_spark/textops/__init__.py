@@ -8,6 +8,7 @@ candidate generation via bucket joins (LSH bands), never all-pairs.
 """
 
 from marketdatapipeline_spark.textops.analysis import (
+    add_web_noise_signals,
     add_fingerprints,
     add_language_id,
     add_quality_signals,
@@ -27,6 +28,7 @@ from marketdatapipeline_spark.textops.dedup import (
 )
 
 __all__ = [
+    "add_web_noise_signals",
     "add_fingerprints",
     "add_language_id",
     "add_quality_signals",

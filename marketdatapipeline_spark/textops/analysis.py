@@ -157,3 +157,39 @@ def add_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": roll})
+
+
+def add_web_noise_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Web-corpus noise signals used by standard pre-training filters
+    alongside :func:`add_quality_signals`:
+
+    - ``url_count`` / ``email_count`` — scheme-anchored URL and
+      name@host.tld counts (boilerplate / link-farm indicator);
+    - ``digit_ratio`` — digit characters over all characters
+      (tables, serial dumps, logspam);
+    - ``upper_ratio`` — uppercase letters over cased letters
+      (shouting / headline scrapes; cased-letter denominator so
+      CJK or digit-heavy text is not penalized).
+
+    All scan-side ``regexp_count``/``length`` expressions (no
+    higher-order functions, no lookarounds) with direct DuckDB
+    equivalents, same style as the other signal builders here.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_digits = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    n_lower = n_chars - F.length(F.regexp_replace(text, r"[a-z]", ""))
+    cased = n_upper + n_lower
+    return df.withColumns(
+        {
+            "url_count": F.regexp_count(text, F.lit(r"https?://[^\s]+")),
+            "email_count": F.regexp_count(
+                text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+            ),
+            "digit_ratio": n_digits / n_chars.cast("double"),
+            "upper_ratio": F.when(cased > 0, n_upper / cased.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        }
+    )

@@ -210,3 +210,44 @@ def test_embedding_near_duplicates_on_fixture_embeddings(spark):
     if len(dropped):
         # every drop names a smaller surviving-or-dropped id
         assert (dropped["dup_of"] < dropped["vec_id"]).all()
+
+
+def test_web_noise_signals(spark):
+    from marketdatapipeline_spark.textops import add_web_noise_signals
+
+    rows = [
+        (1, "visit https://example.com and http://foo.org/x?y=1 now"),
+        (2, "mail me at bob.smith+tag@sub.example.co.uk please"),
+        (3, "ROW 123 456 789 0"),
+        (4, "ALL CAPS SHOUTING TEXT"),
+        (5, "плюс 中文 no latin letters 123"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in add_web_noise_signals(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].url_count == 2 and out[1].email_count == 0
+    assert out[2].email_count == 1 and out[2].url_count == 0
+    t3 = rows[2][1]
+    assert abs(out[3].digit_ratio - sum(c.isdigit() for c in t3) / len(t3)) < 1e-12
+    assert out[4].upper_ratio == 1.0
+    # no cased latin letters at all -> ratio defined as 0, not null/нан
+    assert out[5].upper_ratio == 0.0 or out[5].upper_ratio < 0.5
+    # duckdb parity for every signal (the oracle-expressibility claim)
+    import duckdb
+
+    pdf = duckdb.sql(
+        r"""
+        SELECT doc_id,
+               length(regexp_extract_all(text, 'https?://[^\s]+')) AS url_count,
+               length(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_count
+        FROM (VALUES """
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    ).df()
+    for _, r in pdf.iterrows():
+        assert out[r["doc_id"]].url_count == r["url_count"]
+        assert out[r["doc_id"]].email_count == r["email_count"]
