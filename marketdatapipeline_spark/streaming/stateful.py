@@ -151,12 +151,38 @@ def _scan_closes(closes, st: tuple, coeffs: tuple):
     )
 
 
+def _ttl_ms(ttl: str | int) -> int:
+    """'30 minutes' / '1 hour' / raw ms int -> milliseconds (pyspark's
+    GroupState.setTimeoutDuration accepts only an int)."""
+    if isinstance(ttl, int):
+        return ttl
+    n, unit = ttl.strip().split()
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s").lower()]
+    return int(n) * mult
+
+
 def _indicator_func(
-    rsi_period: int, macd_fast: int, macd_slow: int, macd_signal: int
+    rsi_period: int,
+    macd_fast: int,
+    macd_slow: int,
+    macd_signal: int,
+    state_ttl: str | int | None = None,
 ):
     coeffs = _coeffs(rsi_period, macd_fast, macd_slow, macd_signal)
 
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # symbol went quiet past the TTL: evict its 12 doubles.
+            # If it later resumes, indicators restart from fresh state
+            # (same convention as a new symbol appearing).
+            state.remove()
+            return
         st = tuple(state.get) if state.exists else _FRESH_STATE
 
         for pdf in pdfs:
@@ -188,6 +214,8 @@ def _indicator_func(
             yield out
 
         state.update(st)
+        if state_ttl is not None:
+            state.setTimeoutDuration(_ttl_ms(state_ttl))
 
     return func
 
@@ -198,6 +226,7 @@ def online_indicators(
     macd_fast: int = 12,
     macd_slow: int = 26,
     macd_signal: int = 9,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Continuous RSI/MACD over a stream of per-symbol prices.
 
@@ -206,13 +235,22 @@ def online_indicators(
     the indicator columns, emitted in append mode. The groupBy(symbol)
     is the only shuffle; state-store partitioning then pins each
     symbol's scan to one task per micro-batch.
+
+    ``state_ttl`` (e.g. ``"30 minutes"``) enables processing-time
+    eviction: a symbol with no ticks for the TTL drops its state
+    vector and restarts fresh if it resumes. State is 12 doubles per
+    symbol either way; the TTL matters when the SYMBOL SPACE itself
+    churns (delisted tickers, session-scoped ids) — without it, a
+    year of churn accumulates state for every symbol ever seen.
     """
     return ticks.groupBy("symbol").applyInPandasWithState(
-        _indicator_func(rsi_period, macd_fast, macd_slow, macd_signal),
+        _indicator_func(
+            rsi_period, macd_fast, macd_slow, macd_signal, state_ttl
+        ),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if state_ttl else "NoTimeout",
     )
 
 

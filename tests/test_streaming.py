@@ -342,3 +342,75 @@ def test_dedup_stream_horizon_evicts_state(spark, tmp_path):
     a_rows = got[got["symbol"] == "A"].sort_values("ts")
     assert len(a_rows) == 2  # original + beyond-horizon re-emission
     assert list(a_rows["price"]) == [1.0, 3.0]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the handler directly."""
+
+    def __init__(self, has_timed_out=False, existing=None):
+        self.hasTimedOut = has_timed_out
+        self.exists = existing is not None
+        self.get = existing
+        self.removed = False
+        self.updated = None
+        self.timeout = None
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, st):
+        self.updated = st
+
+    def setTimeoutDuration(self, d):
+        self.timeout = d
+
+
+def test_indicator_handler_timeout_evicts_state():
+    """On a TTL timeout invocation the handler must remove the state
+    and emit nothing; on a normal pass with a TTL it must re-arm the
+    timer after updating state."""
+    from marketdatapipeline_spark.streaming.stateful import _indicator_func
+
+    func = _indicator_func(14, 12, 26, 9, state_ttl="30 minutes")
+
+    timed_out = _FakeState(has_timed_out=True, existing=(1,) * 11)
+    out = list(func(("A",), iter([]), timed_out))
+    assert out == [] and timed_out.removed and timed_out.updated is None
+
+    import datetime as dt
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A", "A"],
+            "ts": [dt.datetime(2024, 1, 1, 9, 0), dt.datetime(2024, 1, 1, 9, 1)],
+            "price": [100.0, 101.0],
+        }
+    )
+    out = list(func(("A",), iter([pdf]), st))
+    assert len(out) == 1 and len(out[0]) == 2
+    assert st.updated is not None and st.timeout == 30 * 60_000
+
+
+def test_online_indicators_with_ttl_matches_no_ttl_on_live_feed(spark, bars_pdf, tmp_path):
+    """With every symbol active inside the TTL, output is identical to
+    the no-TTL run (the TTL only changes eviction of quiet keys)."""
+    path = str(tmp_path / "ttlticks")
+    pdf = bars_pdf.rename(
+        columns={"datetime": "ts", "close": "price", "volume": "size"}
+    )[["symbol", "ts", "price", "size"]]
+    spark.createDataFrame(pdf, TICK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(path)
+    with_ttl = _run_stream_to_memory(
+        spark, online_indicators(stream, state_ttl="1 hour"), "ttl_on"
+    ).toPandas()
+    stream2 = spark.readStream.schema(TICK_SCHEMA).parquet(path)
+    without = _run_stream_to_memory(
+        spark, online_indicators(stream2), "ttl_off"
+    ).toPandas()
+    key = ["symbol", "ts"]
+    a = with_ttl.sort_values(key).reset_index(drop=True)
+    b = without.sort_values(key).reset_index(drop=True)[with_ttl.columns]
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
