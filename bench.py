@@ -149,19 +149,16 @@ def main() -> None:
         spark, bars_from_events(spark, sf_dir)
     )
 
-    # the baseline's scaling curve (BASELINE.md: 1.79 s @ 1M, 9.34 s
-    # @ 5M, 20.33 s @ 10M): Spark's fixed overhead amortizes with
-    # size, so the ratio improves as rows grow — measured, not
-    # claimed. Same plan shape as the 1M run (already JIT-warm).
-    scaling: dict[str, float] = {}
-    for label, mult in (("feature_pipeline_5m", 5), ("feature_pipeline_10m", 10)):
-        bars_n = replicated_bars(spark, sf_dir, copies * mult, multi_symbol=True)
-        timings[label] = run_feature_pipeline(spark, bars_n, repeats=3, warmups=1)
-        scaling[f"rows_per_sec_{mult}m"] = round(
-            mult * 1_000_000 / timings[label]
-        )
-
     from marketdatapipeline_spark.caching import release_caches
+
+    # collect heap debt from the headline runs before the frozen
+    # per-query series (the 5M/10M scaling runs execute AFTER the
+    # series for the same reason — ~60M rows of materialization would
+    # otherwise inflate the series' single-sample timings).
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
 
     cold: dict[str, float] = {}
     for name, spec in REGISTRY.items():
@@ -176,6 +173,19 @@ def main() -> None:
         cold[name] = materialize(df)
         timings[name] = materialize(df)
     release_caches()  # last query's scoped persists
+
+    # the baseline's scaling curve (BASELINE.md: 1.79 s @ 1M, 9.34 s
+    # @ 5M, 20.33 s @ 10M): Spark's fixed overhead amortizes with
+    # size, so the ratio improves as rows grow — measured, not
+    # claimed. Same plan shape as the 1M run (already JIT-warm). Runs
+    # LAST so its heap churn cannot contaminate the frozen series.
+    scaling: dict[str, float] = {}
+    for label, mult in (("feature_pipeline_5m", 5), ("feature_pipeline_10m", 10)):
+        bars_n = replicated_bars(spark, sf_dir, copies * mult, multi_symbol=True)
+        timings[label] = run_feature_pipeline(spark, bars_n, repeats=3, warmups=1)
+        scaling[f"rows_per_sec_{mult}m"] = round(
+            mult * 1_000_000 / timings[label]
+        )
 
     result = {
         "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",

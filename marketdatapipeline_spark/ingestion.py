@@ -60,11 +60,18 @@ class RateLimitError(Exception):
     exhaustion from other fetch failures."""
 
 
+def _is_rate_limit(error: Exception) -> bool:
+    """ONE definition of what counts as a throttle response — shared by
+    the backoff filter and the typed-exhaustion raise so the two can
+    never drift apart."""
+    msg = str(error).lower()
+    return "rate limit" in msg or "api call frequency" in msg
+
+
 def handle_rate_limit(error: Exception, retry_count: int, *, sleep=time.sleep) -> bool:
     """True if the error is a rate limit and a retry should happen
     after backoff; False otherwise (reference ingestion.py:30-60)."""
-    msg = str(error).lower()
-    if "rate limit" not in msg and "api call frequency" not in msg:
+    if not _is_rate_limit(error):
         return False
     if retry_count >= MAX_RETRIES:
         return False
@@ -135,8 +142,7 @@ def fetch_intraday_data(
             break
         except Exception as e:  # noqa: BLE001 — retry filter below
             if not handle_rate_limit(e, retry, sleep=_sleep):
-                msg = str(e).lower()
-                if "rate limit" in msg or "api call frequency" in msg:
+                if _is_rate_limit(e):
                     # throttle persisted past MAX_RETRIES: typed failure
                     raise RateLimitError(
                         f"rate limit for {symbol} after {retry} retries"

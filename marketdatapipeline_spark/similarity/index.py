@@ -81,11 +81,22 @@ def _kmeans_centroids(
     """Train the coarse quantizer distributed (pyspark.ml KMeans over
     the vector column) and return the (k, dim) centroid matrix. The
     fit is Spark jobs end to end; only k centroid vectors reach the
-    driver."""
+    driver.
+
+    Vectors are L2-NORMALIZED before the fit: assignment and probing
+    use cosine, and Euclidean k-means on raw vectors splits clusters
+    by magnitude — several centroids in one angular direction, lumpy
+    lists, probe misses. On the unit sphere Euclidean and cosine
+    order agree (the FAISS convention for IP/cosine indexes)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    unit = F.transform(v, lambda x: F.when(norm > 0, x / norm).otherwise(x))
+    feat = corpus.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
     return np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
 

@@ -4,7 +4,7 @@ Streaming counterpart of the batch EWM stage
 (features/ewm.py:add_technical_ewm_features — itself the Spark
 re-expression of reference src/features/engineering.py:36-57). Where
 the batch path needs each symbol's full history in hand, this operator
-carries a **12-double state vector per symbol** across micro-batches
+carries an **11-field state vector per symbol** (9 doubles + 2 longs) across micro-batches
 via ``applyInPandasWithState``, so an unbounded tick feed gets
 RSI/MACD continuously with O(symbols) state, not O(rows).
 
@@ -156,15 +156,21 @@ def _ttl_ms(ttl: str | int) -> int:
     GroupState.setTimeoutDuration accepts only an int)."""
     if isinstance(ttl, int):
         return ttl
-    n, unit = ttl.strip().split()
-    mult = {
-        "millisecond": 1,
-        "second": 1000,
-        "minute": 60_000,
-        "hour": 3_600_000,
-        "day": 86_400_000,
-    }[unit.rstrip("s").lower()]
-    return int(n) * mult
+    try:
+        n, unit = ttl.strip().split()
+        mult = {
+            "millisecond": 1,
+            "second": 1000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+        }[unit.lower().rstrip("s")]
+        return int(n) * mult
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"unparseable state_ttl {ttl!r}: expected '<int> "
+            "milliseconds|seconds|minutes|hours|days' or raw ms int"
+        ) from e
 
 
 def _indicator_func(
@@ -178,7 +184,7 @@ def _indicator_func(
 
     def func(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # symbol went quiet past the TTL: evict its 12 doubles.
+            # symbol went quiet past the TTL: evict its state row.
             # If it later resumes, indicators restart from fresh state
             # (same convention as a new symbol appearing).
             state.remove()
@@ -238,11 +244,13 @@ def online_indicators(
 
     ``state_ttl`` (e.g. ``"30 minutes"``) enables processing-time
     eviction: a symbol with no ticks for the TTL drops its state
-    vector and restarts fresh if it resumes. State is 12 doubles per
+    vector and restarts fresh if it resumes. State is 11 fields per
     symbol either way; the TTL matters when the SYMBOL SPACE itself
     churns (delisted tickers, session-scoped ids) — without it, a
     year of churn accumulates state for every symbol ever seen.
     """
+    if state_ttl is not None:
+        _ttl_ms(state_ttl)  # fail fast at call time, not mid-stream
     return ticks.groupBy("symbol").applyInPandasWithState(
         _indicator_func(
             rsi_period, macd_fast, macd_slow, macd_signal, state_ttl

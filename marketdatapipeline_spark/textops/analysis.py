@@ -187,7 +187,9 @@ def add_web_noise_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "email_count": F.regexp_count(
                 text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
             ),
-            "digit_ratio": n_digits / n_chars.cast("double"),
+            "digit_ratio": F.when(
+                n_chars > 0, n_digits / n_chars.cast("double")
+            ).otherwise(F.lit(0.0)),
             "upper_ratio": F.when(cased > 0, n_upper / cased.cast("double")).otherwise(
                 F.lit(0.0)
             ),

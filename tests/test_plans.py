@@ -183,4 +183,4 @@ def test_chunked_engine_python_boundary_only_in_kernel(spark, bars_df):
     assert "FlatMapGroupsInPandas" in plan  # the kernel itself
     assert "MapInPandas" not in plan  # no Python bookkeeping pass
     # exactly one range exchange feeds the tagger
-    assert plan.count("rangepartitioning") <= 1 or plan.count("RangePartitioning") <= 1
+    assert plan.count("rangepartitioning") + plan.count("RangePartitioning") <= 1

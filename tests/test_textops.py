@@ -220,7 +220,7 @@ def test_web_noise_signals(spark):
         (2, "mail me at bob.smith+tag@sub.example.co.uk please"),
         (3, "ROW 123 456 789 0"),
         (4, "ALL CAPS SHOUTING TEXT"),
-        (5, "плюс 中文 no latin letters 123"),
+        (5, "плюс 中文 123"),  # truly caseless: no latin letters at all
     ]
     out = {
         r.doc_id: r
@@ -233,8 +233,8 @@ def test_web_noise_signals(spark):
     t3 = rows[2][1]
     assert abs(out[3].digit_ratio - sum(c.isdigit() for c in t3) / len(t3)) < 1e-12
     assert out[4].upper_ratio == 1.0
-    # no cased latin letters at all -> ratio defined as 0, not null/нан
-    assert out[5].upper_ratio == 0.0 or out[5].upper_ratio < 0.5
+    # no cased latin letters at all -> ratio defined as exactly 0, not null
+    assert out[5].upper_ratio == 0.0
     # duckdb parity for every signal (the oracle-expressibility claim)
     import duckdb
 
