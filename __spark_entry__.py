@@ -58,3 +58,38 @@ def oracle_sql() -> dict[str, str]:
         for name, spec in ordered_registry().items()
         if spec.sql is not None
     }
+
+
+# --------------------------------------------------------------------------
+# Beyond the driver contract: the post-gate extended catalog
+# (corpus-preparation operators). Not part of queries()/oracle_sql()
+# because the external 50-query gate is full and its exempt tail is
+# frozen; every entry is instead value-checked cell-exactly against
+# DuckDB on each pytest run (tests/test_corpus_oracle.py). Exposed
+# here with the same shapes so a harness (or reviewer) can run them
+# identically.
+# --------------------------------------------------------------------------
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_configure(spark), sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in EXTENDED_REGISTRY.items()}
+
+
+def extended_oracle_sql() -> dict[str, str]:
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
+
+    return {
+        name: spec.sql
+        for name, spec in EXTENDED_REGISTRY.items()
+        if spec.sql is not None
+    }

@@ -14,6 +14,15 @@ from marketdatapipeline_spark.textops.analysis import (
     add_quality_signals,
     add_token_count,
 )
+from marketdatapipeline_spark.textops.corpus import (
+    add_repetition_signals,
+    assign_splits,
+    bm25_scores,
+    chunk_documents,
+    hash_sample,
+    pack_shards,
+    top_bigram_stats,
+)
 from marketdatapipeline_spark.textops.dedup import (
     deduplicate_exact,
     exact_duplicate_groups,
@@ -28,7 +37,14 @@ from marketdatapipeline_spark.textops.dedup import (
 )
 
 __all__ = [
+    "add_repetition_signals",
     "add_web_noise_signals",
+    "assign_splits",
+    "bm25_scores",
+    "chunk_documents",
+    "hash_sample",
+    "pack_shards",
+    "top_bigram_stats",
     "add_fingerprints",
     "add_language_id",
     "add_quality_signals",

@@ -1,0 +1,217 @@
+"""Unit tests for the corpus-preparation operators
+(textops/corpus.py): semantics on crafted frames plus the invariants
+the DuckDB oracle can't express (stability under repartitioning,
+chunk reconstruction, shard balance bounds).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.textops.corpus import (
+    SPLIT_BUCKETS,
+    add_repetition_signals,
+    assign_splits,
+    bm25_scores,
+    chunk_documents,
+    hash_sample,
+    pack_shards,
+    top_bigram_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta alpha beta alpha", 27),
+        (1, "x\ny\nx\nz", 7),
+        (2, "", 0),
+        (3, "solo", 4),
+        (4, "data " * 50, 250),
+        (5, "the quick brown fox jumps over the lazy dog", 44),
+    ] + [(i, f"filler text body number {i} " * (i % 7 + 1), 0) for i in range(10, 60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    return df.withColumn("n_chars", F.length("text"))
+
+
+def test_repetition_signals(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in add_repetition_signals(docs).select(
+            "doc_id", "n_lines", "n_distinct_lines", "dup_line_frac"
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 4
+    assert out[1]["n_distinct_lines"] == 3
+    assert out[1]["dup_line_frac"] == pytest.approx(0.25)
+    assert out[3]["dup_line_frac"] == 0.0
+    # empty text is one (empty) line, no duplicates
+    assert out[2]["n_lines"] == 1 and out[2]["dup_line_frac"] == 0.0
+
+
+def test_top_bigram_stats(spark, docs):
+    out = {r["doc_id"]: r for r in top_bigram_stats(docs).collect()}
+    # "alpha beta alpha beta alpha": bigrams ab, ba, ab, ba -> top 2 of 4
+    assert out[0]["n_bigrams"] == 4
+    assert out[0]["top_bigram_n"] == 2
+    assert out[0]["top_bigram_frac"] == pytest.approx(0.5)
+    # "data "*50 -> 50 tokens, 49 identical bigrams
+    assert out[4]["n_bigrams"] == 49 and out[4]["top_bigram_n"] == 49
+    # docs with < 2 tokens produce no row
+    assert 2 not in out and 3 not in out
+
+
+def test_assign_splits_stable_and_complete(spark, docs):
+    a = assign_splits(docs).select("doc_id", "split_bucket", "split")
+    # same assignment regardless of physical layout
+    b = assign_splits(docs.repartition(7).sortWithinPartitions("text")).select(
+        "doc_id", "split_bucket", "split"
+    )
+    assert sorted(a.collect()) == sorted(b.collect())
+    rows = a.collect()
+    assert all(0 <= r["split_bucket"] < SPLIT_BUCKETS for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # thresholds respected
+    for r in rows:
+        expected = (
+            "train" if r["split_bucket"] < 980
+            else "val" if r["split_bucket"] < 990
+            else "test"
+        )
+        assert r["split"] == expected
+
+
+def test_assign_splits_validates(spark, docs):
+    with pytest.raises(ValueError):
+        assign_splits(docs, train=0)
+    with pytest.raises(ValueError):
+        assign_splits(docs, train=995, val=990)
+
+
+def test_hash_sample_matches_bucket_flag(spark, docs):
+    kept = {r["doc_id"] for r in hash_sample(docs, 500).select("doc_id").collect()}
+    from marketdatapipeline_spark.textops.corpus import _bucket
+
+    flags = {
+        r["doc_id"]
+        for r in docs.select("doc_id")
+        .withColumn("b", _bucket("doc_id"))
+        .filter(F.col("b") < 500)
+        .collect()
+    }
+    assert kept == flags
+    # supersets nest: a 300-mille sample is contained in the 500-mille one
+    kept300 = {r["doc_id"] for r in hash_sample(docs, 300).select("doc_id").collect()}
+    assert kept300 <= kept
+
+
+def test_chunk_documents_reconstructs(spark, docs):
+    chunk_chars, overlap = 10, 4
+    stride = chunk_chars - overlap
+    chunks = chunk_documents(
+        docs, chunk_chars=chunk_chars, overlap=overlap
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty doc -> no chunks
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        text = texts[doc_id]
+        # ids are dense from 0 and every chunk matches its window
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        for r in rs:
+            start = r["chunk_id"] * stride
+            assert r["chunk_text"] == text[start : start + chunk_chars]
+            assert r["chunk_len"] == len(r["chunk_text"])
+        # full coverage: stitching chunk[0] + tail of each later chunk
+        rebuilt = rs[0]["chunk_text"] + "".join(
+            r["chunk_text"][overlap:] for r in rs[1:]
+        )
+        assert rebuilt == text
+        # last chunk is never redundant (starts before the text ends)
+        assert (len(rs) - 1) * stride < len(text)
+
+
+def test_chunk_documents_validates(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=5, overlap=5)
+
+
+def test_pack_shards_balance_and_stability(spark, docs):
+    target = 300
+    out = pack_shards(docs, target_chars=target).collect()
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + r["n_chars"]
+    shards = sorted(sizes)
+    assert shards == list(range(len(shards)))  # dense shard ids from 0
+    max_doc = max(r["n_chars"] for r in out)
+    # every shard except the last is filled to target within one doc
+    for s in shards[:-1]:
+        assert sizes[s] + max_doc >= target
+        assert sizes[s] < target + max_doc
+    # deterministic under physical layout changes
+    again = pack_shards(
+        docs.repartition(5).sortWithinPartitions("n_chars"), target_chars=target
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "completely different words here now"),
+            (3, "alpha beta gamma unrelated tail words"),
+            (4, "xy"),  # < n tokens -> no shingles -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    from marketdatapipeline_spark.textops.corpus import decontaminate
+
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: shingles abg, bgd, gde; bench has abg, bgd -> 2/3
+    assert out[1]["n_shingles"] == 3 and out[1]["n_contaminated"] == 2
+    assert out[1]["contamination_frac"] == pytest.approx(2 / 3)
+    assert out[1]["contaminated"] is True
+    assert out[2]["n_contaminated"] == 0 and out[2]["contaminated"] is False
+    # doc 3: abg only -> 1 of 4
+    assert out[3]["n_contaminated"] == 1 and out[3]["n_shingles"] == 4
+
+
+def test_duplicate_clusters_chain_and_singletons(spark):
+    from marketdatapipeline_spark.textops.corpus import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    # a diameter-4 chain (forces several propagation rounds), one
+    # separate pair, and two singletons
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (7, 6)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r for r in duplicate_clusters(nodes, pairs).collect()}
+    assert {d: r["cluster_id"] for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8,
+    }
+    assert out[3]["cluster_size"] == 5
+    assert out[6]["cluster_size"] == 2
+    assert out[8]["cluster_size"] == 1
+
+
+def test_bm25_scores(spark, docs):
+    out = {r["doc_id"]: r for r in bm25_scores(docs, ("data", "fox")).collect()}
+    # only docs containing a term appear
+    assert set(out) == {4, 5}
+    assert out[4]["tf_data"] == 50 and out[4]["tf_fox"] == 0
+    assert out[5]["tf_fox"] == 1
+    assert out[4]["bm25"] > 0 and out[5]["bm25"] > 0
+    # tf saturation: 50 hits score more than 1 hit of an equally-rare term
+    assert out[4]["bm25"] > out[5]["bm25"]
+    with pytest.raises(ValueError):
+        bm25_scores(docs, ())

@@ -78,10 +78,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
-    from marketdatapipeline_spark.catalog import REGISTRY
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY, REGISTRY
     from marketdatapipeline_spark.session import get_spark
 
     spark = get_spark(app_name="check_oracle")
@@ -95,7 +96,7 @@ def main() -> int:
         )
 
     failures = 0
-    for name, spec in REGISTRY.items():
+    for name, spec in {**REGISTRY, **EXTENDED_REGISTRY}.items():
         if only and name not in only:
             continue
         try:
