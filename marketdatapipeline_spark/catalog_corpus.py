@@ -18,15 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.catalog import _r6, register_extended
-from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs
+from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs, _emb
+from marketdatapipeline_spark.similarity.quantize import quantization_summary
 from marketdatapipeline_spark.textops.corpus import (
+    BPE_TOKEN_PATTERN,
+    PII_PATTERNS,
     add_repetition_signals,
+    add_token_estimate,
     assign_splits,
     bm25_scores,
     chunk_documents,
     decontaminate,
     duplicate_clusters,
     pack_shards,
+    redact_pii,
     top_bigram_stats,
 )
 from marketdatapipeline_spark.textops.dedup import jaccard_similar_pairs
@@ -299,6 +304,144 @@ def q_corpus_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return duplicate_clusters(nodes, pairs)
+
+
+_BPE_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+@register_extended(
+    "corpus_token_estimate",
+    f"""
+    WITH c AS (
+        SELECT doc_id, length(text) AS n_chars_t,
+               len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_bpe AS INT) AS n_tokens_bpe,
+           round(CASE WHEN n_bpe > 0
+                 THEN n_chars_t / CAST(n_bpe AS DOUBLE) ELSE 0.0 END, 6)
+               + 0.0 AS chars_per_token
+    FROM c
+    """,
+)
+def q_corpus_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer token counts (the budget metric for
+    sequence packing / training-cost planning), scan-side regexp_count
+    with a pattern restricted to the Java-regex/RE2 common subset so
+    both engines tokenize identically."""
+    docs = _docs(spark, sf_dir)
+    out = add_token_estimate(docs)
+    return out.select(
+        "doc_id", "n_tokens_bpe",
+        _r6(F.col("chars_per_token")).alias("chars_per_token"),
+    )
+
+
+@register_extended(
+    "embeddings_quantize_int8",
+    """
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+               list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, x, scale, len(x) AS dim,
+               CASE WHEN scale > 0
+                    THEN list_transform(x, v -> CAST(round(v / scale, 0) AS INT))
+                    ELSE list_transform(x, v -> 0) END AS qv
+        FROM s
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           round(scale, 6) + 0.0 AS scale,
+           CAST(list_sum(qv) AS INT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS INT) AS q_l1,
+           round(list_max(list_transform(range(1, dim + 1),
+                 i -> abs(qv[i] * scale - x[i]))), 6) + 0.0 AS max_abs_err
+    FROM q
+    """,
+)
+def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit (similarity/
+    quantize.py): integer checksums q_sum/q_l1 pin every quantized
+    element; max_abs_err <= scale/2 by construction. Element-wise
+    array arithmetic — no cross-element association, exact across
+    engines."""
+    emb = _emb(spark, sf_dir)
+    out = quantization_summary(emb)
+    return out.select(
+        "vec_id", "dim",
+        _r6(F.col("scale")).alias("scale"),
+        "q_sum", "q_l1",
+        _r6(F.col("max_abs_err")).alias("max_abs_err"),
+    )
+
+
+#: PII suffix injected into every 7th doc (the synthetic corpus is
+#: PII-free, so the redactor needs planted evidence — same trick as
+#: dedup_exact_groups' injected duplicates). The doc_id lands in the
+#: email local-part so every injected span is unique.
+_PII_SUFFIX = (
+    " contact: user{id}@example.com or +1 (555) 123-4567; "
+    "host 192.168.0.1; ssn 123-45-6789"
+)
+
+
+def _pii_sql() -> str:
+    head, tail = _PII_SUFFIX.split("{id}")
+    step = (
+        "SELECT doc_id, {counts}, "
+        "regexp_replace(text, '{pat}', '[PII]', 'g') AS text FROM {src}"
+    )
+    ctes = [
+        "injected AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        f"THEN text || '{head}' || CAST(doc_id AS VARCHAR) || '{tail}' "
+        "ELSE text END AS text FROM documents)"
+    ]
+    src = "injected"
+    carried: list[str] = []
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        counts = ", ".join(
+            carried
+            + [f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"]
+        )
+        ctes.append(f"r{i} AS ({step.format(counts=counts, pat=pat, src=src)})")
+        src = f"r{i}"
+        carried = [f"n_{n}" for n, _ in PII_PATTERNS[: i + 1]]
+    cols = ", ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {cols}, md5(text) AS redacted_md5 FROM {src}"
+    )
+
+
+@register_extended("corpus_pii_redaction", _pii_sql())
+def q_corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with planted evidence: per-class
+    match counts plus md5 of the redacted text, which pins every
+    replaced byte without shipping documents through the compare."""
+    docs = _docs(spark, sf_dir)
+    head, tail = _PII_SUFFIX.split("{id}")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(head),
+                F.col("doc_id").cast("string"),
+                F.lit(tail),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = redact_pii(injected)
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        F.md5(F.col("text")).alias("redacted_md5"),
+    )
 
 
 #: BM25 constants shared between the Spark plan and the SQL text —

@@ -1,6 +1,10 @@
 """Embedding similarity search over array<float> columns."""
 
 from marketdatapipeline_spark.similarity.index import IVFIndex, build_ivf_index
+from marketdatapipeline_spark.similarity.quantize import (
+    quantization_summary,
+    quantize_embeddings_int8,
+)
 from marketdatapipeline_spark.similarity.search import (
     add_vector_norm,
     cosine_pairs_above,
@@ -17,4 +21,6 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_topk",
     "ivf_topk",
+    "quantization_summary",
+    "quantize_embeddings_int8",
 ]

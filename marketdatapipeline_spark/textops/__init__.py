@@ -15,8 +15,12 @@ from marketdatapipeline_spark.textops.analysis import (
     add_token_count,
 )
 from marketdatapipeline_spark.textops.corpus import (
+    BPE_TOKEN_PATTERN,
+    PII_PATTERNS,
     add_repetition_signals,
+    add_token_estimate,
     assign_splits,
+    redact_pii,
     bm25_scores,
     chunk_documents,
     hash_sample,
@@ -37,7 +41,11 @@ from marketdatapipeline_spark.textops.dedup import (
 )
 
 __all__ = [
+    "BPE_TOKEN_PATTERN",
+    "PII_PATTERNS",
+    "redact_pii",
     "add_repetition_signals",
+    "add_token_estimate",
     "add_web_noise_signals",
     "assign_splits",
     "bm25_scores",

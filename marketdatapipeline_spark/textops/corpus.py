@@ -290,6 +290,92 @@ def pack_shards(
 
 
 # ---------------------------------------------------------------------------
+# token estimation
+# ---------------------------------------------------------------------------
+
+#: BPE-style pre-tokenizer pattern (GPT-2-shaped, simplified to the
+#: regex subset Java's engine and RE2 agree on: no lookarounds, no
+#: unicode property classes): contractions, space-prefixed letter
+#: runs, digit runs, punctuation runs, residual whitespace runs.
+#: Alternation is ordered longest-priority-first; every character of
+#: the input belongs to exactly one match, so both engines produce
+#: the same count.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def add_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenizer-based token-count estimate — the budget metric a
+    training pipeline actually plans against (sequence packing, cost
+    estimates), closer to BPE token counts than whitespace words.
+
+    Adds ``n_tokens_bpe`` (matches of :data:`BPE_TOKEN_PATTERN`) and
+    ``chars_per_token`` (document length over that count). Scan-side
+    ``regexp_count`` — codegen, no explode, no shuffle.
+    """
+    text = F.col(text_col)
+    n_bpe = F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+    return df.withColumns(
+        {
+            "n_tokens_bpe": n_bpe.cast("int"),
+            "chars_per_token": F.when(
+                n_bpe > 0, F.length(text) / n_bpe.cast("double")
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied in THIS order (emails before phones so
+#: digits inside a local-part are claimed by the email rule first).
+#: Restricted to the Java-regex/RE2 common subset: ASCII classes,
+#: ``\b`` word boundaries, no lookarounds.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", token: str = "[PII]"
+) -> DataFrame:
+    """Scrub personally identifiable spans — the compliance step every
+    web-scale training corpus runs before anything else sees the text.
+
+    For each pattern class (email, SSN, IPv4, phone — in that order,
+    so earlier classes claim overlapping spans deterministically) adds
+    ``n_<class>`` (match count on the text as it stood when that rule
+    ran) and rewrites the text with ``token``. The redacted text
+    replaces ``text_col``.
+
+    Scan-side ``regexp_count`` + ``regexp_replace`` chain — one
+    codegen stage, no shuffle, no Python. Both engines apply the same
+    greedy leftmost semantics, so counts and the redacted bytes are
+    bit-identical (the catalog oracle pins ``md5(redacted)``).
+    """
+    out = df
+    text = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumns(
+            {
+                f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("int"),
+                text_col: F.regexp_replace(text, pat, token),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # decontamination (benchmark n-gram overlap)
 # ---------------------------------------------------------------------------
 
@@ -326,7 +412,11 @@ def decontaminate(
             .distinct()
         )
 
-    corpus_sh = hashed(corpus)
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    # two consumers (sizes + hits) — persist the hashed shingle table
+    # so the corpus text is scanned and exploded once
+    corpus_sh = scoped_persist(hashed(corpus))
     bench_sh = hashed(benchmark).select("_h").distinct()
     sizes = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     hits = (
@@ -388,10 +478,17 @@ def duplicate_clusters(
         )
         .distinct()
     )
+    def label_sum(frame: DataFrame):
+        # decimal(38,0) so the fixed-point check cannot wrap at
+        # billions-of-docs x large-id scale (bigint sum could)
+        return frame.agg(
+            F.sum(F.col("_lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels = nodes.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -414,7 +511,7 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("_lbl")).collect()[0][0]
+        s = label_sum(labels)
         if s == prev_sum:  # labels are monotone ⇒ equal sum ⇒ fixed point
             break
         prev_sum = s

@@ -160,6 +160,74 @@ def test_pack_shards_balance_and_stability(spark, docs):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_add_token_estimate(spark):
+    from marketdatapipeline_spark.textops.corpus import add_token_estimate
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),      # "hello", " world" -> 2
+            (2, "it's 42 tokens!"),  # it / 's / ' 42' / ' tokens' / '!' -> 5
+            (3, ""),                 # no tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in add_token_estimate(df).collect()}
+    assert out[1]["n_tokens_bpe"] == 2
+    assert out[2]["n_tokens_bpe"] == 5
+    assert out[3]["n_tokens_bpe"] == 0 and out[3]["chars_per_token"] == 0.0
+    assert out[1]["chars_per_token"] == pytest.approx(11 / 2)
+
+
+def test_quantization_summary(spark):
+    from marketdatapipeline_spark.similarity.quantize import (
+        quantization_summary,
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, q all 0
+        ],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    q = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert q[1]["q"] == [127, -64, 32, 0]  # 0.25/ (1/127) = 31.75 -> 32
+    assert q[1]["scale"] == pytest.approx(1.0 / 127)
+    assert q[2]["scale"] == 0.0 and q[2]["q"] == [0, 0, 0, 0]
+    s = {r["vec_id"]: r for r in quantization_summary(df).collect()}
+    assert s[1]["dim"] == 4
+    assert s[1]["q_sum"] == 127 - 64 + 32
+    assert s[1]["q_l1"] == 127 + 64 + 32
+    # reconstruction error bounded by half a quantization step
+    assert s[1]["max_abs_err"] <= s[1]["scale"] / 2 + 1e-12
+    assert s[2]["max_abs_err"] == 0.0
+
+
+def test_redact_pii(spark):
+    from marketdatapipeline_spark.textops.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org or call +1 (555) 123-4567"),
+            (2, "server 10.0.0.1 leaked ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "jo.doe" not in out[1]["text"] and "555" not in out[1]["text"]
+    assert out[1]["text"].count("[PII]") == 2
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1
+    assert out[2]["text"] == "server [PII] leaked ssn [PII]"
+    assert out[3]["text"] == "nothing sensitive here"
+    assert (
+        out[3]["n_email"] == out[3]["n_phone"]
+        == out[3]["n_ipv4"] == out[3]["n_ssn"] == 0
+    )
+
+
 def test_decontaminate(spark):
     corpus = spark.createDataFrame(
         [
