@@ -167,7 +167,7 @@ def main() -> None:
     # timings go to bench_detail.json only (the slim stdout line is
     # already near the driver's 2000-char capture window).
     ext_timings: dict[str, float] = {}
-    for name, spec in {**REGISTRY, **EXTENDED_REGISTRY}.items():
+    for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
         # Steady-state timing, same methodology as the headline (which
         # the reference's published numbers also use): the first run
@@ -177,9 +177,18 @@ def main() -> None:
         # the series (frozen since r4 — do not change again); the first
         # is recorded separately as queries_cold so both signals exist.
         cold[name] = materialize(df)
-        (ext_timings if name in EXTENDED_REGISTRY else timings)[name] = (
-            materialize(df)
-        )
+        timings[name] = materialize(df)
+    for name, spec in EXTENDED_REGISTRY.items():
+        # extended queries time construction + materialization per run:
+        # corpus_dedup_clusters does its iterative work eagerly inside
+        # fn() (localCheckpoint rounds), so timing only the final
+        # materialize would hide almost all of its cost. REGISTRY
+        # queries keep the r4-frozen materialize-only definition for
+        # series comparability (their construction is milliseconds).
+        for dest in (cold, ext_timings):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            dest[name] = (time.perf_counter() - t0) + materialize(df)
     release_caches()  # last query's scoped persists
 
     # the baseline's scaling curve (BASELINE.md: 1.79 s @ 1M, 9.34 s

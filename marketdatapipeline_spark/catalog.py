@@ -50,23 +50,29 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, sql: str | None = None):
-    def deco(fn):
-        @wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Catalog queries run sequentially in every harness (driver
-            # gate, bench, check_oracle); by the time query N+1 is
-            # invoked, query N's actions are done, so its scoped
-            # persists can be freed. Unpersist is recompute-safe, so
-            # even an out-of-order caller only loses cache hits.
-            release_caches()
-            return fn(spark, sf_dir)
+def _make_register(registry: dict[str, QuerySpec]):
+    def register(name: str, sql: str | None = None):
+        def deco(fn):
+            @wraps(fn)
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                # Catalog queries run sequentially in every harness
+                # (driver gate, bench, check_oracle); by the time query
+                # N+1 is invoked, query N's actions are done, so its
+                # scoped persists can be freed. Unpersist is
+                # recompute-safe, so even an out-of-order caller only
+                # loses cache hits.
+                release_caches()
+                return fn(spark, sf_dir)
 
-        REGISTRY[name] = QuerySpec(wrapped, sql)
-        return fn
+            registry[name] = QuerySpec(wrapped, sql)
+            return fn
 
-    return deco
+        return deco
 
+    return register
+
+
+register = _make_register(REGISTRY)
 
 #: Post-gate catalog: operators added after the 50-query external gate
 #: filled (GATE_LIMIT below). These are NOT exposed through the driver
@@ -78,18 +84,7 @@ def register(name: str, sql: str | None = None):
 #: tools/check_oracle.py covers them at any tier on demand.
 EXTENDED_REGISTRY: dict[str, QuerySpec] = {}
 
-
-def register_extended(name: str, sql: str | None = None):
-    def deco(fn):
-        @wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            release_caches()
-            return fn(spark, sf_dir)
-
-        EXTENDED_REGISTRY[name] = QuerySpec(wrapped, sql)
-        return fn
-
-    return deco
+register_extended = _make_register(EXTENDED_REGISTRY)
 
 
 #: The external correctness gate hash-checks the FIRST ``GATE_LIMIT``

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.catalog import _r6, register_extended
-from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs, _emb
+from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs, _emb, tokens3_cte
 from marketdatapipeline_spark.similarity.quantize import quantization_summary
 from marketdatapipeline_spark.textops.corpus import (
     BPE_TOKEN_PATTERN,
@@ -196,31 +196,11 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH_H = _H_SQL.format(x="shingle")
 
-#: word-3-gram distinct shingles (mirrors textops.dedup.word_shingles
-#: n=3, same fragment shape as catalog_pipeline._TOKENS3_CTE), with an
-#: optional corpus bound for the pairwise consumer
-def _tokens3_cte(where: str = "") -> str:
-    return rf"""
-tokens AS (
-    SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                   range(1, greatest(len(words) - 1, 1)),
-                   i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
-               )) AS shingle
-        FROM (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-            FROM documents {where}
-        )
-    )
-)
-"""
-
 
 @register_extended(
     "corpus_decontaminate",
     f"""
-    WITH {_tokens3_cte()},
+    WITH {tokens3_cte()},
     th AS (SELECT DISTINCT doc_id, {_SH_H} AS h FROM tokens),
     bench AS (SELECT DISTINCT h FROM th WHERE doc_id % 97 = 0),
     sizes AS (
@@ -261,7 +241,7 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_extended(
     "corpus_dedup_clusters",
     f"""
-    WITH RECURSIVE {_tokens3_cte("WHERE doc_id < 1000")},
+    WITH RECURSIVE {tokens3_cte("WHERE doc_id < 1000")},
     th AS (SELECT DISTINCT doc_id, {_SH_H} AS h FROM tokens),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
     inter AS (

@@ -61,7 +61,11 @@ tokens AS (
 #: 3-grams are discriminative on this corpus (unigrams are not: at
 #: tau=0.5 ~74% of all doc pairs are true near-dups, so any candidate
 #: pruner degenerates to all-pairs — see dedup_minhash_lsh_ngram).
-_TOKENS3_CTE = r"""
+def tokens3_cte(where: str = "") -> str:
+    """Distinct word-3-gram shingle CTE, optionally corpus-bounded —
+    the single source of the shingle SQL shared by this module and
+    catalog_corpus.py (a second copy could drift)."""
+    return rf"""
 tokens AS (
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
@@ -71,11 +75,14 @@ tokens AS (
                )) AS shingle
         FROM (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-            FROM documents
+            FROM documents {where}
         )
     )
 )
 """
+
+
+_TOKENS3_CTE = tokens3_cte()
 
 
 @register(

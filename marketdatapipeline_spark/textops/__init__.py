@@ -23,6 +23,8 @@ from marketdatapipeline_spark.textops.corpus import (
     redact_pii,
     bm25_scores,
     chunk_documents,
+    decontaminate,
+    duplicate_clusters,
     hash_sample,
     pack_shards,
     top_bigram_stats,
@@ -50,6 +52,8 @@ __all__ = [
     "assign_splits",
     "bm25_scores",
     "chunk_documents",
+    "decontaminate",
+    "duplicate_clusters",
     "hash_sample",
     "pack_shards",
     "top_bigram_stats",

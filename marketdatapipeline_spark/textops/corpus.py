@@ -23,13 +23,18 @@ bucketed prefix sum instead of a single-partition window.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.textops.dedup import md5_int
 
 __all__ = [
+    "BPE_TOKEN_PATTERN",
+    "PII_PATTERNS",
     "add_repetition_signals",
+    "add_token_estimate",
     "assign_splits",
     "bm25_scores",
     "chunk_documents",
@@ -37,6 +42,7 @@ __all__ = [
     "duplicate_clusters",
     "hash_sample",
     "pack_shards",
+    "redact_pii",
     "top_bigram_stats",
 ]
 
@@ -337,12 +343,19 @@ def add_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: Redaction patterns, applied in THIS order (emails before phones so
 #: digits inside a local-part are claimed by the email rule first).
 #: Restricted to the Java-regex/RE2 common subset: ASCII classes,
-#: ``\b`` word boundaries, no lookarounds.
+#: ``\b`` word boundaries, no lookarounds. The phone pattern demands
+#: the NANP 3-3-4 digit grouping with at most short separators — an
+#: open-ended "digits and spaces" run would mass-redact numeric
+#: tables and year lists ("2021 2022 2023 2024"), which group 4-4 and
+#: therefore cannot satisfy the 3-3-4 alignment.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    (
+        "phone",
+        r"(?:\+?[0-9]{1,3}[ .(\-]{0,2})?[0-9]{3}[ .)\-]{0,2}[0-9]{3}[ .\-]?[0-9]{4}\b",
+    ),
 )
 
 
@@ -515,6 +528,13 @@ def duplicate_clusters(
         if s == prev_sum:  # labels are monotone ⇒ equal sum ⇒ fixed point
             break
         prev_sum = s
+    else:
+        # still moving when the budget ran out — the labelling is NOT
+        # a fixed point and cluster ids would be silently wrong
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     sizes = labels.groupBy("_lbl").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "_lbl")
@@ -559,6 +579,14 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
+    for t in terms:
+        # terms are embedded verbatim in a regex and matched against
+        # LOWERED text — metacharacters would crash or silently
+        # mis-count, uppercase could never match
+        if not _re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(
+                f"BM25 term {t!r} must be lowercase alphanumeric"
+            )
     text = F.col(text_col)
     padded = F.concat(
         F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", "  "), F.lit(" ")

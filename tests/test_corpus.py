@@ -212,10 +212,15 @@ def test_redact_pii(spark):
             (1, "mail me at jo.doe+x@site.org or call +1 (555) 123-4567"),
             (2, "server 10.0.0.1 leaked ssn 123-45-6789"),
             (3, "nothing sensitive here"),
+            (4, "revenue 2021 2022 2023 2024 and 555-123-4567 direct"),
         ],
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    # 4-4-4-4 year runs must NOT be swallowed as phone numbers; the
+    # bare 3-3-4 number next to them must
+    assert out[4]["n_phone"] == 1
+    assert out[4]["text"] == "revenue 2021 2022 2023 2024 and [PII] direct"
     assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
     assert "jo.doe" not in out[1]["text"] and "555" not in out[1]["text"]
     assert out[1]["text"].count("[PII]") == 2
