@@ -184,3 +184,76 @@ def test_chunked_engine_python_boundary_only_in_kernel(spark, bars_df):
     assert "MapInPandas" not in plan  # no Python bookkeeping pass
     # exactly one range exchange feeds the tagger
     assert plan.count("rangepartitioning") + plan.count("RangePartitioning") <= 1
+
+
+def test_chunker_is_narrow(spark):
+    """chunk_documents must add ZERO exchanges: chunks inherit the
+    parent row's partition (explode + substring are narrow). Any
+    shuffle here would move the whole corpus body."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(chunk_documents(docs, chunk_chars=400, overlap=80))
+    assert "Exchange" not in plan
+
+
+def test_split_sample_is_scan_side(spark):
+    """assign_splits / hash_sample are pure row expressions — no
+    exchange, and the sample filter sits in the scanned stage so later
+    consumers prune work before any shuffle."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import assign_splits, hash_sample
+
+    docs = load_table(spark, SF, "documents")
+    assert "Exchange" not in _plan(assign_splits(docs))
+    assert "Exchange" not in _plan(hash_sample(docs, 500))
+
+
+def test_bm25_broadcasts_single_stats_row(spark):
+    """bm25_scores must join the 1-row corpus stats back via broadcast
+    (BroadcastNestedLoopJoin over a single row), never a shuffled
+    cross join, and must not exchange document text."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import bm25_scores
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(bm25_scores(docs, ("data", "spark")))
+    assert "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle-hash set must reach the corpus via a
+    broadcast join — shuffling the corpus side against a tiny eval set
+    is the classic skew/scale mistake this operator exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import decontaminate
+
+    docs = load_table(spark, SF, "documents")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_shards_no_global_sort_of_rows(spark):
+    """pack_shards' per-row running sums must be computed under a
+    bucketed partitioning (hashpartitioning on _b), never a
+    single-partition global sort of the corpus; only the tiny
+    per-bucket offsets frame may single-partition."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import pack_shards
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(pack_shards(docs, target_chars=50_000))
+    assert "hashpartitioning(_b" in plan
+    # the offsets frame is broadcast back, not shuffle-joined
+    assert "BroadcastHashJoin" in plan
