@@ -19,6 +19,12 @@ Scale notes are per-operator; the common theme is that nothing here
 shuffles document text except the chunker (whose output *is* text)
 and nothing does a global sort — the shard packer uses a two-pass
 bucketed prefix sum instead of a single-partition window.
+
+The row-expression operators (redact_pii, add_token_estimate,
+add_repetition_signals, assign_splits, hash_sample, chunk_documents)
+are stateless and run unchanged on Structured Streaming inputs
+(pinned by tests/test_corpus.py); the aggregating ones (bm25,
+decontaminate, pack_shards, duplicate_clusters) are batch operators.
 """
 
 from __future__ import annotations

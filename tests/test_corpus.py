@@ -277,6 +277,55 @@ def test_duplicate_clusters_chain_and_singletons(spark):
     assert out[8]["cluster_size"] == 1
 
 
+def test_stateless_corpus_ops_run_on_streams(spark, docs, tmp_path):
+    """The scrub/estimate/split/chunk operators are pure row
+    expressions, so the same code must run unchanged on a streaming
+    ingest (readStream) — the deployment mode of a live corpus
+    pipeline. Aggregating operators (bm25, decontaminate, clusters)
+    are batch-only by design."""
+    from marketdatapipeline_spark.textops.corpus import (
+        add_repetition_signals,
+        add_token_estimate,
+        assign_splits,
+        chunk_documents,
+        redact_pii,
+    )
+
+    src = str(tmp_path / "docs")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    )
+    pipe = chunk_documents(
+        assign_splits(
+            add_token_estimate(add_repetition_signals(redact_pii(stream)))
+        ),
+        chunk_chars=40,
+        overlap=8,
+    )
+    assert pipe.isStreaming
+    q = (
+        pipe.writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM corpus_stream").collect()[0]["n"]
+    batch = chunk_documents(
+        assign_splits(
+            add_token_estimate(add_repetition_signals(redact_pii(docs)))
+        ),
+        chunk_chars=40,
+        overlap=8,
+    ).count()
+    assert got == batch > 0
+
+
 def test_bm25_scores(spark, docs):
     out = {r["doc_id"]: r for r in bm25_scores(docs, ("data", "fox")).collect()}
     # only docs containing a term appear
