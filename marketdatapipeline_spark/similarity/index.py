@@ -111,6 +111,7 @@ def build_ivf_index(
     centroids: str = "sample",
     n_centroids: int = 16,
     seed: int = 42,
+    storage: str = "float64",
 ) -> "IVFIndex":
     """Assign every vector to its nearest centroid and persist the
     corpus partitioned by centroid id (plus the centroid table and a
@@ -125,7 +126,18 @@ def build_ivf_index(
     ``centroids="kmeans"`` trains the FAISS-style coarse quantizer
     with distributed pyspark.ml KMeans (``n_centroids``, ``seed``) —
     better-balanced lists on clustered corpora, identical plan shape
-    everywhere downstream (centroid ids become 0..k-1)."""
+    everywhere downstream (centroid ids become 0..k-1).
+
+    ``storage="int8"`` persists the lists scalar-quantized (FAISS
+    ``SQ8``-style: per-vector ``scale`` + ``array<tinyint>`` codes,
+    same away-from-zero rounding as similarity/quantize.py) — 8x
+    smaller list files than float64, the difference between in-memory
+    and spilled lists at corpus scale. Search then scores DEQUANTIZED
+    codes (approximate by the quantization error only); pass
+    ``refine=<original corpus>`` to ``topk`` to exactly rerank the
+    approximate candidates against the true vectors."""
+    if storage not in ("float64", "int8"):
+        raise ValueError(f"unknown storage: {storage}")
     spark = corpus.sparkSession
     if centroids == "sample":
         cents = corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
@@ -145,12 +157,15 @@ def build_ivf_index(
         raise ValueError(f"unknown centroids strategy: {centroids}")
 
     idt = corpus.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, idt),
-            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
-            T.StructField("_cent", T.LongType()),
+    if storage == "int8":
+        payload_fields = [
+            T.StructField("scale", T.DoubleType()),
+            T.StructField("_q", T.ArrayType(T.ByteType())),
         ]
+    else:
+        payload_fields = [T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
+    out_schema = T.StructType(
+        [T.StructField(id_col, idt), *payload_fields, T.StructField("_cent", T.LongType())]
     )
 
     def assign(batches):
@@ -163,13 +178,20 @@ def build_ivf_index(
             # argmax keeps the FIRST maximum; cent rows are id-sorted,
             # so ties break to the smallest centroid id (ivf_topk's rule)
             assigned = np.asarray(cent_ids)[np.argmax(cos, axis=1)]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf["_id"].to_numpy(),
-                    vec_col: list(mat),
-                    "_cent": assigned.astype(np.int64),
-                }
-            )
+            out = {id_col: pdf["_id"].to_numpy()}
+            if storage == "int8":
+                scales = np.abs(mat).max(axis=1) / 127.0
+                safe = np.where(scales > 0, scales, 1.0)
+                y = mat / safe[:, None]
+                # away-from-zero half rounding — the exact rule
+                # similarity/quantize.py uses, so codes agree
+                q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int8)
+                out["scale"] = scales
+                out["_q"] = list(q)
+            else:
+                out[vec_col] = list(mat)
+            out["_cent"] = assigned.astype(np.int64)
+            yield pd.DataFrame(out)
 
     assigned = corpus.select(
         F.col(id_col).alias("_id"),
@@ -199,6 +221,7 @@ def build_ivf_index(
         "centroid_mod": centroid_mod,
         "centroid_rem": centroid_rem,
         "centroids": centroids,
+        "storage": storage,
     }
     _hadoop_write_text(
         spark, os.path.join(path, "manifest.json"), json.dumps(manifest)
@@ -214,6 +237,7 @@ class IVFIndex:
     centroid_mod: int
     centroid_rem: int
     centroids: str = "sample"  # quantizer strategy recorded at build
+    storage: str = "float64"  # list payload: float64 | int8 (SQ8)
 
     @classmethod
     def load(cls, path: str, spark: SparkSession | None = None) -> "IVFIndex":
@@ -227,6 +251,8 @@ class IVFIndex:
         queries: DataFrame,
         k: int = 5,
         nprobe: int = 2,
+        refine: DataFrame | None = None,
+        refine_factor: int = 4,
     ) -> DataFrame:
         """Approximate top-k against the persisted lists.
 
@@ -236,8 +262,16 @@ class IVFIndex:
         column filter, so only those directories are read. Candidates
         join to their probing queries on ``_cent`` (broadcast, with
         the query vector AND its precomputed norm riding along) and
-        the exact sequential-fold cosine reranks, same tie-break as
-        ivf_topk (rank by cosine desc, then corpus id)."""
+        the sequential-fold cosine reranks, same tie-break as
+        ivf_topk (rank by cosine desc, then corpus id).
+
+        On an ``int8`` index the fold runs over DEQUANTIZED codes —
+        exact up to the stored precision. Pass ``refine`` (the
+        original full-precision corpus) to rerank the top
+        ``k * refine_factor`` approximate candidates against their
+        true vectors: candidate ids join back to the corpus (a
+        k*refine_factor-row broadcast side — never a corpus shuffle)
+        and the final ranking is exact."""
         cent_ids, cent_mat, cent_norm = _query_matrix(
             spark.read.parquet(os.path.join(self.path, "centroids")).orderBy(
                 self.id_col
@@ -277,7 +311,14 @@ class IVFIndex:
         lists = spark.read.parquet(os.path.join(self.path, "lists")).filter(
             F.col("_cent").isin([c for _, c in probes] or [-1])
         )
-        v = F.col(self.vec_col)
+        if self.storage == "int8":
+            # dequantize in-plan: x̂_i = q_i * scale (JVM transform, no
+            # Python); the same fold then scores x̂ against the query
+            v = F.transform(
+                F.col("_q"), lambda b: b.cast("double") * F.col("scale")
+            )
+        else:
+            v = F.col(self.vec_col)
         cand = lists.join(F.broadcast(qrows), "_cent").filter(
             F.col(self.id_col) != F.col("query_id")
         )
@@ -292,8 +333,57 @@ class IVFIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.col("corpus_id")
         )
-        return (
+        out_k = k * refine_factor if refine is not None else k
+        approx = (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= out_k)
+            .select("query_id", "corpus_id", "cosine", "rank")
+        )
+        if refine is None:
+            return approx
+        # exact rerank: candidate ids (tiny) broadcast against the
+        # full-precision corpus, then the same per-query window
+        qvecs = queries.sparkSession.createDataFrame(
+            [
+                (
+                    ids[qi].item() if hasattr(ids[qi], "item") else ids[qi],
+                    list(map(float, qmat[qi])),
+                    float(qn[qi]),
+                )
+                for qi in range(len(ids))
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[self.id_col].dataType),
+                    T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                    T.StructField("_qnorm", T.DoubleType()),
+                ]
+            ),
+        )
+        cand_ids = approx.select("query_id", "corpus_id")
+        truth = refine.select(
+            F.col(self.id_col).alias("corpus_id"),
+            F.col(self.vec_col).cast("array<double>").alias("_tv"),
+        )
+        exact = (
+            truth.join(
+                F.broadcast(cand_ids), "corpus_id"
+            )  # corpus-side scan joins the tiny candidate list
+            .join(F.broadcast(qvecs), "query_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                (
+                    _pair_dot_col(F.col("_tv"), F.col("_qv"))
+                    / (
+                        F.sqrt(_pair_dot_col(F.col("_tv"), F.col("_tv")))
+                        * F.col("_qnorm")
+                    )
+                ).alias("cosine"),
+            )
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "cosine", "rank")
         )

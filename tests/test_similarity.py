@@ -193,3 +193,71 @@ def test_persisted_ivf_index_kmeans_quantizer(spark, tmp_path):
     import numpy as np
 
     assert np.allclose(sample["cosine_g"], sample["cosine_t"], atol=1e-12)
+
+
+def test_persisted_ivf_index_int8_storage(spark, tmp_path):
+    """SQ8 list storage: 8x-smaller payload files, dequantized scoring
+    within quantization error of the float64 index, and refine=corpus
+    restores EXACT ranking (equal to the float64 index's output)."""
+    import os
+
+    import numpy as np
+
+    from marketdatapipeline_spark.similarity import IVFIndex, build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 7 AND vec_id < 450")
+
+    p64 = str(tmp_path / "f64")
+    p8 = str(tmp_path / "i8")
+    build_ivf_index(emb, p64, centroid_mod=29, centroid_rem=3)
+    idx8 = build_ivf_index(
+        emb, p8, centroid_mod=29, centroid_rem=3, storage="int8"
+    )
+    assert idx8.storage == "int8"
+    assert IVFIndex.load(p8).storage == "int8"
+
+    def lists_bytes(path):
+        total = 0
+        for root, _, files in os.walk(os.path.join(path, "lists")):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    # 64 float64 dims (512 B/row) -> 64 int8 codes + one double scale
+    # (72 B/row): ~7x on payload, but at 500 fixture rows parquet
+    # per-file framing dominates (observed ~2.9x) — assert 2x; the
+    # ratio only improves as files grow toward real list sizes
+    assert lists_bytes(p8) * 2 < lists_bytes(p64)
+
+    want = (
+        IVFIndex.load(p64)
+        .topk(spark, queries, k=5, nprobe=2)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    approx = (
+        idx8.topk(spark, queries, k=5, nprobe=2)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    # approximate scores stay within the quantization error envelope
+    m = approx.merge(
+        want, on=["query_id", "corpus_id"], suffixes=("_a", "_e")
+    )
+    assert len(m) > 0
+    assert np.allclose(m["cosine_a"], m["cosine_e"], atol=0.02)
+
+    # refine against the original corpus -> exact cosines and ranking
+    exact = (
+        idx8.topk(spark, queries, k=5, nprobe=2, refine=emb)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert len(exact) == len(want)
+    pdt = exact.merge(want, on=["query_id", "rank"], suffixes=("_g", "_w"))
+    assert (pdt["corpus_id_g"] == pdt["corpus_id_w"]).all()
+    assert np.allclose(pdt["cosine_g"], pdt["cosine_w"], rtol=0, atol=1e-12)
