@@ -1,6 +1,9 @@
-"""Extended catalog: corpus-preparation operators (textops/corpus.py)
-over the ``documents`` table — repetition signals, deterministic
-split/sample assignment, chunking, shard packing, BM25 scoring.
+"""Extended catalog: corpus-preparation operators (textops/corpus.py,
+similarity/quantize.py) over the ``documents`` and ``embeddings``
+tables — repetition signals, deterministic split/sample assignment,
+chunking, shard packing, BM25 scoring, benchmark decontamination,
+duplicate-cluster connected components, BPE-style token estimation,
+PII redaction, and int8 embedding quantization.
 
 These register into ``EXTENDED_REGISTRY`` (catalog.py): the external
 50-query gate is full, so instead of growing the gate-exempt tail

@@ -135,6 +135,31 @@ def test_chunk_documents_reconstructs(spark, docs):
         assert (len(rs) - 1) * stride < len(text)
 
 
+def test_chunk_documents_unicode_parity_with_duckdb(spark):
+    """Chunk windows are CODEPOINT-indexed in both engines (Spark
+    substring and DuckDB substr): multi-byte text must chunk to
+    byte-identical strings or the corpus_chunks oracle would break on
+    any non-ASCII corpus."""
+    import duckdb
+
+    text = "héllo wörld ☃ 日本語のテキスト " * 7  # multi-byte, > 2 chunks
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_chars=40, overlap=8).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT i AS chunk_id, substr(t, i * 32 + 1, 40) AS chunk_text
+            FROM (SELECT '{text}' AS t),
+                 unnest(range(0, CAST(floor((length('{text}') - 1) / 32) AS INT) + 1)) AS u(i)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_chunk_documents_validates(spark, docs):
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_chars=5, overlap=5)
