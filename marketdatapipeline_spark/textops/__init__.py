@@ -29,6 +29,10 @@ from marketdatapipeline_spark.textops.corpus import (
     pack_shards,
     top_bigram_stats,
 )
+from marketdatapipeline_spark.textops.incremental import (
+    LSHDedupStore,
+    build_lsh_store,
+)
 from marketdatapipeline_spark.textops.dedup import (
     deduplicate_exact,
     exact_duplicate_groups,
@@ -44,7 +48,9 @@ from marketdatapipeline_spark.textops.dedup import (
 
 __all__ = [
     "BPE_TOKEN_PATTERN",
+    "LSHDedupStore",
     "PII_PATTERNS",
+    "build_lsh_store",
     "redact_pii",
     "add_repetition_signals",
     "add_token_estimate",

@@ -1,0 +1,282 @@
+"""Incremental near-duplicate ingestion: a persisted MinHash-LSH
+store that new corpus batches are deduplicated AGAINST, then appended
+to — the production shape of corpus curation, where data arrives in
+crawls/drops and each batch must be checked against everything
+already accepted without ever rescanning the accepted corpus text.
+
+The store keeps two tables (parquet under one root + a JSON manifest):
+
+- ``keys/``  — (band_key, doc_id): the LSH band keys of every
+  accepted document. Candidate generation against a new batch is ONE
+  equi-join on band_key — never a scan of accepted text.
+- ``sets/``  — (doc_id, _sh, n_sh): each accepted document's hashed
+  shingle set (32-bit md5-derived bigints, the repo's hashed-set
+  Jaccard convention) for exact verification of candidates.
+
+Cost per batch: build the batch's fused doc table once (one explode +
+one aggregation), one band-key join against ``keys/``, one
+verification join against ``sets/`` restricted to candidates, one
+append of the accepted rows. Accepted text itself is never stored or
+shuffled — only signatures and hash sets (~100 bytes/doc at the
+default parameters, independent of document length).
+
+Single-writer batch semantics: ``ingest`` appends after verdicts are
+computed; concurrent ingests against one store are not coordinated
+(front a queue in production, exactly like any other table append).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.caching import scoped_persist
+from marketdatapipeline_spark.similarity.index import (
+    _hadoop_read_text,
+    _hadoop_write_text,
+)
+from marketdatapipeline_spark.textops.dedup import (
+    MERSENNE_P,
+    hash_coeffs,
+    md5_int,
+    word_shingles,
+)
+
+__all__ = ["LSHDedupStore", "build_lsh_store"]
+
+
+def _doc_table(
+    df: DataFrame, num_hashes: int, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Fused per-doc build (same shape as minhash_near_duplicates):
+    ONE explode + ONE aggregation emits the MinHash signature, the
+    hashed shingle set, and its size. Docs with < n tokens vanish
+    (no shingles — they cannot near-duplicate anything)."""
+    sh = word_shingles(df, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col), md5_int(F.col("shingle")).alias("_h")
+    )
+    h = F.col("_h")
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(hash_coeffs(num_hashes))
+    ]
+    aggs += [F.collect_list("_h").alias("_sh"), F.count("*").alias("n_sh")]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _band_key_rows(
+    doc_table: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band_key) — one row per band, same key layout as
+    lsh_candidate_pairs (band index prefix so bands never collide)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rpb = num_hashes // bands
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[F.col(f"mh_{i}") for i in range(b * rpb, (b + 1) * rpb)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return doc_table.select(F.col(id_col), F.explode(keys).alias("band_key"))
+
+
+def build_lsh_store(
+    docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "LSHDedupStore":
+    """Initialize a store from the already-accepted corpus (pass an
+    empty frame to start from nothing). The seed corpus is taken as-is
+    — deduplicate it first (minhash_near_duplicates) if needed."""
+    spark = docs.sparkSession
+    store = LSHDedupStore(
+        path=path,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        id_col=id_col,
+    )
+    tab = scoped_persist(_doc_table(docs, num_hashes, n, id_col, text_col))
+    store._write(tab, mode="overwrite")
+    _hadoop_write_text(
+        spark,
+        os.path.join(path, "manifest.json"),
+        json.dumps(
+            {
+                "threshold": threshold,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "n": n,
+                "id_col": id_col,
+            }
+        ),
+    )
+    return store
+
+
+@dataclass
+class LSHDedupStore:
+    path: str
+    threshold: float
+    num_hashes: int
+    bands: int
+    n: int
+    id_col: str
+
+    @classmethod
+    def load(cls, path: str, spark: SparkSession | None = None) -> "LSHDedupStore":
+        spark = spark or SparkSession.getActiveSession()
+        text = _hadoop_read_text(spark, os.path.join(path, "manifest.json"))
+        return cls(path=path, **json.loads(text))
+
+    @staticmethod
+    def _snapshot(spark: SparkSession, directory: str) -> DataFrame:
+        """Read the table pinned to the files present NOW. A plain
+        directory read is resolved lazily at each downstream action —
+        after ``ingest`` appends, a late verdict collection would see
+        the batch's own rows in the 'accepted' side and every accepted
+        doc would match itself. Enumerating the part files up front
+        gives snapshot isolation (the same move a table format's
+        snapshot would provide)."""
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(directory)
+        fs = p.getFileSystem(conf)
+        files = [
+            f.getPath().toString()
+            for f in fs.listStatus(p)
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        if not files:  # freshly-initialized empty store
+            return spark.read.parquet(directory).limit(0)
+        return spark.read.parquet(*files)
+
+    def _write(self, doc_table: DataFrame, mode: str) -> None:
+        _band_key_rows(
+            doc_table, self.num_hashes, self.bands, self.id_col
+        ).repartition(F.col("band_key")).write.mode(mode).parquet(
+            os.path.join(self.path, "keys")
+        )
+        doc_table.select(self.id_col, "_sh", "n_sh").write.mode(mode).parquet(
+            os.path.join(self.path, "sets")
+        )
+
+    def ingest(self, new_docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Deduplicate a batch against the store (and against itself),
+        append the accepted documents' signatures, and return per-doc
+        verdicts: ``is_duplicate``, ``dup_of`` (the accepted doc it
+        collided with, smallest-id best match), ``jaccard``.
+
+        Within the batch, keep-min-id applies: a doc near-duplicating
+        any smaller-id batch doc is dropped (``dup_of`` may itself be
+        a dropped doc — chains resolve conservatively; follow them or
+        run duplicate_clusters for canonical survivors). Docs with
+        fewer than ``n`` tokens carry no shingles and are accepted
+        with a null-match verdict."""
+        spark = new_docs.sparkSession
+        id_col = self.id_col
+        tab = scoped_persist(
+            _doc_table(new_docs, self.num_hashes, self.n, id_col, text_col)
+        )
+        new_keys = _band_key_rows(tab, self.num_hashes, self.bands, id_col)
+        old_keys = self._snapshot(spark, os.path.join(self.path, "keys"))
+        old_sets = self._snapshot(spark, os.path.join(self.path, "sets"))
+
+        def best_match(cand: DataFrame, right_sets: DataFrame) -> DataFrame:
+            """cand(new_id, old_id) -> (new_id, dup_of, jaccard), the
+            highest-jaccard (ties: smallest id) verified match."""
+            left = tab.select(
+                F.col(id_col).alias("new_id"),
+                F.col("_sh").alias("_sh_a"),
+                F.col("n_sh").alias("n_a"),
+            )
+            right = right_sets.select(
+                F.col(id_col).alias("old_id"),
+                F.col("_sh").alias("_sh_b"),
+                F.col("n_sh").alias("n_b"),
+            )
+            inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+            scored = (
+                cand.join(left, "new_id")
+                .join(right, "old_id")
+                .select(
+                    "new_id",
+                    "old_id",
+                    (
+                        inter
+                        / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= self.threshold)
+            )
+            w = Window.partitionBy("new_id").orderBy(
+                F.desc("jaccard"), F.col("old_id")
+            )
+            return (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
+            )
+
+        # vs the store: band-key equi-join, then exact verification
+        cand_store = (
+            new_keys.join(
+                old_keys.withColumnRenamed(id_col, "old_id"), "band_key"
+            )
+            .select(F.col(id_col).alias("new_id"), "old_id")
+            .distinct()
+        )
+        store_dups = best_match(cand_store, old_sets)
+
+        # within the batch: same machinery, keep-min-id — any verified
+        # match to a SMALLER batch id drops a doc, whatever that
+        # smaller doc's own fate (conservative: near-dup of a dropped
+        # doc is dropped too; follow dup_of chains or run
+        # duplicate_clusters for canonical survivors)
+        left_keys = new_keys.select(F.col(id_col).alias("new_id"), "band_key")
+        right_keys = new_keys.select(F.col(id_col).alias("old_id"), "band_key")
+        cand_batch = (
+            left_keys.join(right_keys, "band_key")
+            .filter(F.col("old_id") < F.col("new_id"))
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        batch_dups = best_match(cand_batch, tab.select(id_col, "_sh", "n_sh"))
+
+        dups = scoped_persist(
+            store_dups.unionByName(
+                batch_dups.join(
+                    store_dups.select("new_id"), "new_id", "left_anti"
+                )
+            )
+        )
+        verdicts = (
+            new_docs.select(id_col)
+            .join(dups.withColumnRenamed("new_id", id_col), id_col, "left")
+            .select(
+                id_col,
+                F.col("dup_of").isNotNull().alias("is_duplicate"),
+                "dup_of",
+                "jaccard",
+            )
+        )
+        accepted = tab.join(
+            dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+        )
+        self._write(accepted, mode="append")
+        return verdicts

@@ -1,0 +1,83 @@
+"""Incremental LSH dedup store: cross-batch near-dup detection,
+within-batch keep-min-id, store growth, manifest round-trip."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.textops.incremental import (
+    LSHDedupStore,
+    build_lsh_store,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+DIFF = "completely unrelated content about spark joins and shuffle plans here"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    seed = spark.createDataFrame(
+        [(1, BASE), (2, DIFF)], ["doc_id", "text"]
+    )
+    return build_lsh_store(
+        seed, str(tmp_path / "store"), threshold=0.5, num_hashes=16, bands=8
+    )
+
+
+def test_manifest_roundtrip(spark, store):
+    loaded = LSHDedupStore.load(store.path, spark)
+    assert loaded == store
+
+
+def test_ingest_flags_cross_batch_duplicates(spark, store):
+    batch = spark.createDataFrame(
+        [
+            (10, BASE + " extra"),          # near-dup of accepted doc 1
+            (11, "fresh novel text that shares nothing with the corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    v = {r["doc_id"]: r for r in store.ingest(batch).collect()}
+    assert v[10]["is_duplicate"] and v[10]["dup_of"] == 1
+    assert v[10]["jaccard"] >= 0.5
+    assert not v[11]["is_duplicate"] and v[11]["dup_of"] is None
+
+    # the accepted doc (11) is now in the store: re-ingesting it dups
+    again = spark.createDataFrame(
+        [(20, "fresh novel text that shares nothing with the corpus at all")],
+        ["doc_id", "text"],
+    )
+    v2 = {r["doc_id"]: r for r in store.ingest(again).collect()}
+    assert v2[20]["is_duplicate"] and v2[20]["dup_of"] == 11
+    # ...and the rejected doc (10) never entered the store
+    sets = spark.read.parquet(os.path.join(store.path, "sets"))
+    ids = {r["doc_id"] for r in sets.select("doc_id").collect()}
+    assert ids == {1, 2, 11}
+
+
+def test_ingest_within_batch_keep_min_id(spark, store):
+    batch = spark.createDataFrame(
+        [
+            (30, "entirely new passage with many distinctive tokens inside it"),
+            (31, "entirely new passage with many distinctive tokens inside it too"),
+        ],
+        ["doc_id", "text"],
+    )
+    v = {r["doc_id"]: r for r in store.ingest(batch).collect()}
+    assert not v[30]["is_duplicate"]
+    assert v[31]["is_duplicate"] and v[31]["dup_of"] == 30
+
+
+def test_short_docs_accepted_with_null_verdict(spark, store):
+    batch = spark.createDataFrame([(40, "too short")], ["doc_id", "text"])
+    v = {r["doc_id"]: r for r in store.ingest(batch).collect()}
+    assert not v[40]["is_duplicate"] and v[40]["jaccard"] is None
+
+
+def test_store_never_holds_text(spark, store):
+    for sub in ("keys", "sets"):
+        cols = spark.read.parquet(os.path.join(store.path, sub)).columns
+        assert "text" not in cols, sub
