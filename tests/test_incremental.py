@@ -77,6 +77,51 @@ def test_short_docs_accepted_with_null_verdict(spark, store):
     assert not v[40]["is_duplicate"] and v[40]["jaccard"] is None
 
 
+def test_streaming_ingest_via_foreach_batch(spark, store, tmp_path):
+    """The store slots straight into Structured Streaming as the
+    foreachBatch sink: each micro-batch dedups against everything
+    accepted before it (earlier batches included) — the streaming form
+    of corpus ingestion, complementing the watermarked exact dedup."""
+    src = str(tmp_path / "stream_src")
+    b1 = spark.createDataFrame(
+        [(50, "streaming passage with plenty of distinctive words in it")],
+        ["doc_id", "text"],
+    )
+    b1.write.mode("overwrite").parquet(src)
+
+    verdicts = []
+
+    def sink(batch_df, batch_id):
+        verdicts.extend(store.ingest(batch_df).collect())
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second file lands; the shared checkpoint means the restarted
+    # query processes ONLY it — and its doc near-dups batch one's
+    spark.createDataFrame(
+        [(51, "streaming passage with plenty of distinctive words in it also")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    by_id = {r["doc_id"]: r for r in verdicts}
+    assert len(verdicts) == 2  # checkpoint prevented re-ingesting 50
+    assert not by_id[50]["is_duplicate"]
+    assert by_id[51]["is_duplicate"] and by_id[51]["dup_of"] == 50
+
+
 def test_store_never_holds_text(spark, store):
     for sub in ("keys", "sets"):
         cols = spark.read.parquet(os.path.join(store.path, sub)).columns
