@@ -176,6 +176,38 @@ class LSHDedupStore:
             os.path.join(self.path, "sets")
         )
 
+    def compact(self, spark: SparkSession | None = None) -> dict[str, int]:
+        """Rewrite ``keys/`` and ``sets/`` into few large files. Every
+        ``ingest`` appends a task's worth of small part files; after
+        many batches the snapshot listing and the band-key join pay a
+        per-file open cost that dwarfs the data (the classic small-
+        files problem). Returns {table: files_after}.
+
+        Swap is write-tmp → delete-old → rename: a crash between the
+        last two steps loses no data (tmp holds the full rewrite) but
+        needs a manual rename to recover — the same contract as any
+        non-transactional table compaction; a table format's atomic
+        commit is the production upgrade."""
+        spark = spark or SparkSession.getActiveSession()
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        out: dict[str, int] = {}
+        for sub, key in (("keys", "band_key"), ("sets", self.id_col)):
+            directory = os.path.join(self.path, sub)
+            df = self._snapshot(spark, directory)
+            rows = df.count()
+            # ~1M rows per output file; at least one
+            n_files = max(1, rows // 1_000_000)
+            tmp = directory + "__compact_tmp"
+            df.repartition(n_files, key).write.mode("overwrite").parquet(tmp)
+            p_old = jvm.org.apache.hadoop.fs.Path(directory)
+            p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            fs = p_old.getFileSystem(conf)
+            fs.delete(p_old, True)
+            fs.rename(p_tmp, p_old)
+            out[sub] = n_files
+        return out
+
     def ingest(self, new_docs: DataFrame, text_col: str = "text") -> DataFrame:
         """Deduplicate a batch against the store (and against itself),
         append the accepted documents' signatures, and return per-doc

@@ -122,6 +122,44 @@ def test_streaming_ingest_via_foreach_batch(spark, store, tmp_path):
     assert by_id[51]["is_duplicate"] and by_id[51]["dup_of"] == 50
 
 
+def test_compact_preserves_contents_and_shrinks_files(spark, store, tmp_path):
+    import glob
+
+    for i in range(3):  # several appends -> several part-file waves
+        store.ingest(
+            spark.createDataFrame(
+                [(100 + i, f"unique batch number {i} text with its own words {i}")],
+                ["doc_id", "text"],
+            )
+        ).collect()
+    sets_dir = os.path.join(store.path, "sets")
+    before_files = glob.glob(os.path.join(sets_dir, "*.parquet"))
+    before = {
+        (r["doc_id"], r["n_sh"])
+        for r in spark.read.parquet(sets_dir).select("doc_id", "n_sh").collect()
+    }
+    res = store.compact(spark)
+    after_files = glob.glob(os.path.join(sets_dir, "*.parquet"))
+    assert res == {"keys": 1, "sets": 1}
+    assert len(after_files) < len(before_files)
+    after = {
+        (r["doc_id"], r["n_sh"])
+        for r in spark.read.parquet(sets_dir).select("doc_id", "n_sh").collect()
+    }
+    assert after == before
+    # the store still works post-compact: a dup of an old doc is caught
+    v = {
+        r["doc_id"]: r
+        for r in store.ingest(
+            spark.createDataFrame(
+                [(200, "unique batch number 0 text with its own words 0 yes")],
+                ["doc_id", "text"],
+            )
+        ).collect()
+    }
+    assert v[200]["is_duplicate"] and v[200]["dup_of"] == 100
+
+
 def test_store_never_holds_text(spark, store):
     for sub in ("keys", "sets"):
         cols = spark.read.parquet(os.path.join(store.path, sub)).columns
