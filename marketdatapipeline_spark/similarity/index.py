@@ -112,6 +112,9 @@ def build_ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     storage: str = "float64",
+    pq_m: int = 8,
+    pq_k: int = 256,
+    pq_sample: int = 10_000,
 ) -> "IVFIndex":
     """Assign every vector to its nearest centroid and persist the
     corpus partitioned by centroid id (plus the centroid table and a
@@ -135,8 +138,16 @@ def build_ivf_index(
     and spilled lists at corpus scale. Search then scores DEQUANTIZED
     codes (approximate by the quantization error only); pass
     ``refine=<original corpus>`` to ``topk`` to exactly rerank the
-    approximate candidates against the true vectors."""
-    if storage not in ("float64", "int8"):
+    approximate candidates against the true vectors.
+
+    ``storage="pq"`` goes a tier further: product quantization
+    (similarity/pq.py) stores ``pq_m`` one-byte codes per vector
+    (64x smaller at d=64, m=8). Codebooks train driver-side on the
+    first ``pq_sample`` id-ordered vectors (the FAISS sample-training
+    convention, made deterministic) and persist beside the lists;
+    search scores candidates via per-query ADC lookup tables. Coarser
+    than int8 — pair with ``refine`` when exact ranking matters."""
+    if storage not in ("float64", "int8", "pq"):
         raise ValueError(f"unknown storage: {storage}")
     spark = corpus.sparkSession
     if centroids == "sample":
@@ -156,12 +167,31 @@ def build_ivf_index(
     else:
         raise ValueError(f"unknown centroids strategy: {centroids}")
 
+    books = None
+    if storage == "pq":
+        from marketdatapipeline_spark.similarity.pq import train_codebooks
+
+        sample_rows = (
+            corpus.orderBy(id_col)
+            .limit(pq_sample)
+            .select(F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        books = train_codebooks(
+            np.array([r[0] for r in sample_rows], dtype=np.float64),
+            m=pq_m,
+            k=pq_k,
+            seed=seed,
+        )
+
     idt = corpus.schema[id_col].dataType
     if storage == "int8":
         payload_fields = [
             T.StructField("scale", T.DoubleType()),
             T.StructField("_q", T.ArrayType(T.ByteType())),
         ]
+    elif storage == "pq":
+        payload_fields = [T.StructField("_code", T.ArrayType(T.ShortType()))]
     else:
         payload_fields = [T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
     out_schema = T.StructType(
@@ -188,6 +218,10 @@ def build_ivf_index(
                 q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int8)
                 out["scale"] = scales
                 out["_q"] = list(q)
+            elif storage == "pq":
+                from marketdatapipeline_spark.similarity.pq import encode
+
+                out["_code"] = list(encode(mat, books).astype(np.int16))
             else:
                 out[vec_col] = list(mat)
             out["_cent"] = assigned.astype(np.int64)
@@ -215,6 +249,22 @@ def build_ivf_index(
             ]
         ),
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    if storage == "pq":
+        spark.createDataFrame(
+            [
+                (s, c, [float(x) for x in books[s, c]])
+                for s in range(books.shape[0])
+                for c in range(books.shape[1])
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("s", T.IntegerType()),
+                    T.StructField("c", T.IntegerType()),
+                    T.StructField("vec", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
+
     manifest = {
         "id_col": id_col,
         "vec_col": vec_col,
@@ -222,6 +272,7 @@ def build_ivf_index(
         "centroid_rem": centroid_rem,
         "centroids": centroids,
         "storage": storage,
+        "pq_m": pq_m if storage == "pq" else None,
     }
     _hadoop_write_text(
         spark, os.path.join(path, "manifest.json"), json.dumps(manifest)
@@ -237,13 +288,28 @@ class IVFIndex:
     centroid_mod: int
     centroid_rem: int
     centroids: str = "sample"  # quantizer strategy recorded at build
-    storage: str = "float64"  # list payload: float64 | int8 (SQ8)
+    storage: str = "float64"  # list payload: float64 | int8 (SQ8) | pq
+    pq_m: int | None = None  # PQ subspace count (storage == "pq")
 
     @classmethod
     def load(cls, path: str, spark: SparkSession | None = None) -> "IVFIndex":
         spark = spark or SparkSession.getActiveSession()
         text = _hadoop_read_text(spark, os.path.join(path, "manifest.json"))
         return cls(path=path, **json.loads(text))
+
+    def _load_codebooks(self, spark: SparkSession) -> np.ndarray:
+        rows = (
+            spark.read.parquet(os.path.join(self.path, "pq_codebooks"))
+            .orderBy("s", "c")
+            .collect()
+        )
+        m = max(r["s"] for r in rows) + 1
+        k = max(r["c"] for r in rows) + 1
+        dsub = len(rows[0]["vec"])
+        books = np.empty((m, k, dsub), dtype=np.float64)
+        for r in rows:
+            books[r["s"], r["c"]] = r["vec"]
+        return books
 
     def topk(
         self,
@@ -311,25 +377,83 @@ class IVFIndex:
         lists = spark.read.parquet(os.path.join(self.path, "lists")).filter(
             F.col("_cent").isin([c for _, c in probes] or [-1])
         )
-        if self.storage == "int8":
-            # dequantize in-plan: x̂_i = q_i * scale (JVM transform, no
-            # Python); the same fold then scores x̂ against the query
-            v = F.transform(
-                F.col("_q"), lambda b: b.cast("double") * F.col("scale")
+        if self.storage == "pq":
+            # ADC: per-query (m, k) lookup table in the task closure;
+            # each candidate costs m byte lookups, never a d-term fold
+            from marketdatapipeline_spark.similarity.pq import adc_tables
+
+            books = self._load_codebooks(spark)
+            cn2 = (books**2).sum(axis=2)
+            luts = {}
+            for qi in range(len(ids)):
+                lut, _ = adc_tables(qmat[qi], books)
+                luts[int(ids[qi])] = (lut, float(qn[qi]))
+            m = books.shape[0]
+            srange = np.arange(m)
+
+            cand = lists.join(
+                F.broadcast(qrows.select("query_id", "_cent")), "_cent"
+            ).filter(F.col(self.id_col) != F.col("query_id"))
+
+            def adc_score(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    codes = np.stack(pdf["_code"].to_numpy()).astype(np.int64)
+                    qid = pdf["query_id"].to_numpy()
+                    cos = np.empty(len(pdf), dtype=np.float64)
+                    for q in np.unique(qid):
+                        mask = qid == q
+                        lut, qnorm = luts[int(q)]
+                        sub = codes[mask]
+                        qdot = lut[srange[None, :], sub].sum(axis=1)
+                        xn = np.sqrt(cn2[srange[None, :], sub].sum(axis=1))
+                        denom = xn * qnorm
+                        cos[mask] = np.where(denom > 0, qdot / np.where(denom > 0, denom, 1.0), 0.0)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "corpus_id": pdf[self.id_col].to_numpy(),
+                            "cosine": cos,
+                        }
+                    )
+
+            scored = cand.select(
+                "query_id", self.id_col, "_code"
+            ).mapInPandas(
+                adc_score,
+                schema=T.StructType(
+                    [
+                        T.StructField(
+                            "query_id", queries.schema[self.id_col].dataType
+                        ),
+                        T.StructField(
+                            "corpus_id", queries.schema[self.id_col].dataType
+                        ),
+                        T.StructField("cosine", T.DoubleType()),
+                    ]
+                ),
             )
         else:
-            v = F.col(self.vec_col)
-        cand = lists.join(F.broadcast(qrows), "_cent").filter(
-            F.col(self.id_col) != F.col("query_id")
-        )
-        cos = _pair_dot_col(v, F.col("_qv")) / (
-            F.sqrt(_pair_dot_col(v, v)) * F.col("_qnorm")
-        )
-        scored = cand.select(
-            "query_id",
-            F.col(self.id_col).alias("corpus_id"),
-            cos.alias("cosine"),
-        )
+            if self.storage == "int8":
+                # dequantize in-plan: x̂_i = q_i * scale (JVM transform,
+                # no Python); the same fold scores x̂ against the query
+                v = F.transform(
+                    F.col("_q"), lambda b: b.cast("double") * F.col("scale")
+                )
+            else:
+                v = F.col(self.vec_col)
+            cand = lists.join(F.broadcast(qrows), "_cent").filter(
+                F.col(self.id_col) != F.col("query_id")
+            )
+            cos = _pair_dot_col(v, F.col("_qv")) / (
+                F.sqrt(_pair_dot_col(v, v)) * F.col("_qnorm")
+            )
+            scored = cand.select(
+                "query_id",
+                F.col(self.id_col).alias("corpus_id"),
+                cos.alias("cosine"),
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.col("corpus_id")
         )

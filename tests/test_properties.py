@@ -129,3 +129,39 @@ def test_scan_closes_state_resumption(closes, split):
         for x, y in zip(a, b):
             assert (np.isnan(x) and np.isnan(y)) or x == y
     assert st_end == st_whole
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=arrays(
+        dtype=np.float64,
+        shape=st.tuples(st.integers(20, 60), st.sampled_from([8, 16])),
+        elements=st.floats(-5, 5, allow_nan=False),
+    ),
+    m=st.sampled_from([2, 4]),
+)
+def test_pq_adc_equals_reconstruction(data, m):
+    """ADC lookup-table scoring must equal the explicit dot product
+    against the reconstructed (decoded) vector — the identity the PQ
+    search path relies on."""
+    from marketdatapipeline_spark.similarity.pq import (
+        adc_tables,
+        encode,
+        train_codebooks,
+    )
+
+    books = train_codebooks(data, m=m, k=8, seed=1)
+    codes = encode(data, books)
+    q = data[0]
+    lut, cn2 = adc_tables(q, books)
+    mseq = np.arange(books.shape[0])
+    dsub = data.shape[1] // m
+    for i in range(min(5, len(data))):
+        recon = np.concatenate(
+            [books[s, codes[i, s]] for s in range(books.shape[0])]
+        )
+        qdot_lut = lut[mseq, codes[i]].sum()
+        n2_lut = cn2[mseq, codes[i]].sum()
+        assert abs(qdot_lut - recon @ q) < 1e-9
+        assert abs(n2_lut - recon @ recon) < 1e-9
+        assert len(recon) == dsub * m

@@ -261,3 +261,78 @@ def test_persisted_ivf_index_int8_storage(spark, tmp_path):
     pdt = exact.merge(want, on=["query_id", "rank"], suffixes=("_g", "_w"))
     assert (pdt["corpus_id_g"] == pdt["corpus_id_w"]).all()
     assert np.allclose(pdt["cosine_g"], pdt["cosine_w"], rtol=0, atol=1e-12)
+
+
+def test_persisted_ivf_index_pq_storage(spark, tmp_path):
+    """PQ lists (m=16 one-byte codes per 64-dim vector): deterministic
+    rebuild, large payload shrink vs float64, useful recall via ADC
+    scoring, and refine=corpus restoring exact top-k."""
+    import os
+
+    import numpy as np
+
+    from marketdatapipeline_spark.similarity import (
+        IVFIndex,
+        build_ivf_index,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 7 AND vec_id < 450")
+
+    p = str(tmp_path / "pq")
+    idx = build_ivf_index(
+        emb, p, centroid_mod=29, centroid_rem=3,
+        storage="pq", pq_m=16, pq_k=256,
+    )
+    assert idx.storage == "pq" and idx.pq_m == 16
+    loaded = IVFIndex.load(p)
+    assert loaded.storage == "pq" and loaded.pq_m == 16
+
+    p64 = str(tmp_path / "f64")
+    build_ivf_index(emb, p64, centroid_mod=29, centroid_rem=3)
+
+    def lists_bytes(path):
+        total = 0
+        for root, _, files in os.walk(os.path.join(path, "lists")):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    # 512 B/row of float64 -> 16 shorts of codes; parquet framing and
+    # the fixture's 500 rows eat much of the 32x — demand 3x
+    assert lists_bytes(p) * 3 < lists_bytes(p64)
+
+    truth = cosine_topk(emb, queries, k=5).toPandas()
+    approx = loaded.topk(spark, queries, k=5, nprobe=3).toPandas()
+    merged = approx.merge(truth, on=["query_id", "corpus_id"], how="inner")
+    recall = len(merged) / len(truth)
+    # the probe subset caps recall, not the codes: PQ must match the
+    # float64 index probing the same lists to within one hit in ten
+    f64 = (
+        IVFIndex.load(p64)
+        .topk(spark, queries, k=5, nprobe=3)
+        .toPandas()
+        .merge(truth, on=["query_id", "corpus_id"], how="inner")
+    )
+    recall_f64 = len(f64) / len(truth)
+    assert recall >= recall_f64 - 0.1, (recall, recall_f64)
+
+    # refine restores exact cosines for whatever candidates PQ surfaced
+    exact = loaded.topk(spark, queries, k=5, nprobe=3, refine=emb).toPandas()
+    sample = exact.merge(truth, on=["query_id", "corpus_id"], suffixes=("_g", "_t"))
+    assert len(sample) > 0
+    assert np.allclose(sample["cosine_g"], sample["cosine_t"], atol=1e-12)
+
+    # deterministic rebuild: same codes byte-for-byte
+    p2 = str(tmp_path / "pq2")
+    build_ivf_index(
+        emb, p2, centroid_mod=29, centroid_rem=3,
+        storage="pq", pq_m=16, pq_k=256,
+    )
+    a = spark.read.parquet(os.path.join(p, "lists")).orderBy("vec_id").collect()
+    b = spark.read.parquet(os.path.join(p2, "lists")).orderBy("vec_id").collect()
+    assert [r["_code"] for r in a] == [r["_code"] for r in b]
