@@ -485,3 +485,98 @@ def q_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"tf_{t}" for t in _BM25_TERMS],
         _r6(F.col("bm25")).alias("bm25"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-data extensions (operators/vwap.py, operators/resample.py)
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.catalog import _bars_sql  # noqa: E402
+from marketdatapipeline_spark.operators.resample import resample_ffill  # noqa: E402
+from marketdatapipeline_spark.operators.vwap import anchored_vwap  # noqa: E402
+
+
+@register_extended(
+    "bars_vwap_anchored",
+    _bars_sql(
+        """
+        SELECT symbol, datetime, bar_id, close, volume,
+               round(CAST(sum(CAST(close * volume AS DECIMAL(28,10))) OVER w
+                          AS DOUBLE)
+                     / CAST(sum(CAST(volume AS DECIMAL(28,10))) OVER w
+                            AS DOUBLE), 6) + 0.0 AS vwap,
+               round(close
+                     - CAST(sum(CAST(close * volume AS DECIMAL(28,10))) OVER w
+                            AS DOUBLE)
+                       / CAST(sum(CAST(volume AS DECIMAL(28,10))) OVER w
+                              AS DOUBLE), 6) + 0.0 AS vwap_dev
+        FROM bars
+        WINDOW w AS (
+            PARTITION BY symbol, date_trunc('day', datetime)
+            ORDER BY datetime, bar_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+        """
+    ),
+)
+def q_bars_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-anchored running VWAP + deviation (operators/vwap.py):
+    one window exchange on (symbol, day). exact_decimal accumulation —
+    double window sums hit a round-to-6 boundary once in 100k rows at
+    sf0.1 (engines associate differently); decimal sums are exact in
+    both, so the compare is boundary-proof at any tier."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = anchored_vwap(bars, anchor="day", exact_decimal=True)
+    return out.select(
+        "symbol", "datetime", "bar_id", "close", "volume",
+        _r6(F.col("vwap")).alias("vwap"),
+        _r6(F.col("vwap_dev")).alias("vwap_dev"),
+    )
+
+
+@register_extended(
+    "bars_resample_ffill",
+    _bars_sql(
+        """
+        SELECT g.symbol, g.bucket,
+               l.last_close IS NOT NULL AS observed,
+               last_value(l.last_close IGNORE NULLS) OVER (
+                   PARTITION BY g.symbol ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS close_ffill
+        FROM (
+            SELECT symbol,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM (
+                SELECT symbol,
+                       min(date_trunc('hour', datetime)) AS lo,
+                       max(date_trunc('hour', datetime)) AS hi
+                FROM bars GROUP BY symbol
+            )
+        ) g
+        LEFT JOIN (
+            -- scalar last-by key: this DuckDB build's arg_max takes no
+            -- struct ordering key; epoch_us * 1e10 + bar_id orders
+            -- identically to Spark's (datetime, bar_id) struct for any
+            -- bar_id < 1e10 (HUGEINT, no overflow)
+            SELECT symbol, date_trunc('hour', datetime) AS bucket,
+                   arg_max(close,
+                           CAST(epoch_us(datetime) AS HUGEINT)
+                               * 10000000000 + bar_id) AS last_close
+            FROM bars GROUP BY symbol, date_trunc('hour', datetime)
+        ) l ON l.symbol = g.symbol AND l.bucket = g.bucket
+        """
+    ),
+)
+def q_bars_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly calendar resample with forward fill
+    (operators/resample.py): dense grid from sequence-explode over
+    per-symbol bounds, in-bucket last observation via max_by on the
+    (time, id) struct, fill via last(ignorenulls). Values pass through
+    unaggregated, so the compare is exact — no rounding needed."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    return resample_ffill(bars, every="hour", value_col="close")

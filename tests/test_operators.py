@@ -523,3 +523,60 @@ def test_rollup_matches_pandas_reference_on_random_data(spark):
     )
     want["n_bars"] = want["n_bars"].astype(got["n_bars"].dtype)
     pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-12)
+
+
+def test_anchored_vwap_resets_at_day_boundary(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators.vwap import anchored_vwap
+
+    rows = [
+        # day 1: prices 10, 20 with volumes 1, 3 -> vwap 10, then 17.5
+        ("A", datetime(2024, 1, 1, 10), 1, 10.0, 1.0),
+        ("A", datetime(2024, 1, 1, 11), 2, 20.0, 3.0),
+        # day 2 restarts the anchor: first bar's vwap is its own price
+        ("A", datetime(2024, 1, 2, 10), 3, 50.0, 2.0),
+        # other symbol isolated
+        ("B", datetime(2024, 1, 1, 10), 4, 7.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "close", "volume"]
+    )
+    out = {
+        r["bar_id"]: r
+        for r in anchored_vwap(df, anchor="day").collect()
+    }
+    assert out[1]["vwap"] == pytest.approx(10.0)
+    assert out[2]["vwap"] == pytest.approx((10 * 1 + 20 * 3) / 4)
+    assert out[3]["vwap"] == pytest.approx(50.0)  # new day, fresh anchor
+    assert out[4]["vwap"] == pytest.approx(7.0)
+    assert out[2]["vwap_dev"] == pytest.approx(20.0 - 17.5)
+    with pytest.raises(ValueError, match="anchor"):
+        anchored_vwap(df, anchor="year")
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators.resample import resample_ffill
+
+    rows = [
+        # hours 10 and 13 observed; 11 and 12 must be filled with the
+        # hour-10 close; two bars inside hour 10 -> last one wins
+        ("A", datetime(2024, 1, 1, 10, 5), 1, 100.0),
+        ("A", datetime(2024, 1, 1, 10, 45), 2, 105.0),
+        ("A", datetime(2024, 1, 1, 13, 30), 3, 130.0),
+        ("B", datetime(2024, 1, 1, 10, 0), 4, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    out = resample_ffill(df, every="hour").collect()
+    a = sorted(
+        (r for r in out if r["symbol"] == "A"), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"].hour for r in a] == [10, 11, 12, 13]
+    assert [r["observed"] for r in a] == [True, False, False, True]
+    assert [r["close_ffill"] for r in a] == [105.0, 105.0, 105.0, 130.0]
+    b = [r for r in out if r["symbol"] == "B"]
+    assert len(b) == 1 and b[0]["close_ffill"] == 7.0
+    with pytest.raises(ValueError, match="every"):
+        resample_ffill(df, every="fortnight")
