@@ -580,3 +580,216 @@ def q_bars_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bars = bars_from_events(spark, sf_dir)
     return resample_ffill(bars, every="hour", value_col="close")
+
+
+from marketdatapipeline_spark.operators.correlation import (  # noqa: E402
+    pairwise_return_correlation,
+)
+from marketdatapipeline_spark.operators.cross_section import (  # noqa: E402
+    cross_sectional,
+)
+from marketdatapipeline_spark.operators.drawdown import (  # noqa: E402
+    running_drawdown,
+)
+from marketdatapipeline_spark.operators.ohlc_vol import (  # noqa: E402
+    GK_COEF,
+    LN2,
+    ohlc_volatility,
+)
+
+#: The window-sum CTE both vol estimators' SQL shares: per-bar terms
+#: as doubles (multiplication order mirrors the Spark expressions
+#: token-for-token), decimal(28,14) window sums (association-free),
+#: and the frame-fill count. Constants come from ohlc_vol.py — ONE
+#: Python definition feeds both engines.
+_OHLC_VOL_SQL_BODY = f"""
+    SELECT symbol, datetime, bar_id,
+           CASE WHEN cnt = 20 THEN
+               round(sqrt(greatest(CAST(pk_s AS DOUBLE) / 20 / {4.0 * LN2!r},
+                                   0.0)), 6) + 0.0
+           END AS vol_parkinson,
+           CASE WHEN cnt = 20 THEN
+               round(sqrt(greatest(CAST(gk_s AS DOUBLE) / 20, 0.0)), 6) + 0.0
+           END AS vol_garman_klass,
+           CASE WHEN cnt = 20 THEN
+               round(sqrt(greatest(CAST(rs_s AS DOUBLE) / 20, 0.0)), 6) + 0.0
+           END AS vol_rogers_satchell
+    FROM (
+        SELECT symbol, datetime, bar_id,
+               sum(CAST(ln(high/low) * ln(high/low)
+                        AS DECIMAL(28,14))) OVER w AS pk_s,
+               sum(CAST(0.5 * ln(high/low) * ln(high/low)
+                        - {GK_COEF!r} * ln(close/open) * ln(close/open)
+                        AS DECIMAL(28,14))) OVER w AS gk_s,
+               sum(CAST(ln(high/close) * ln(high/open)
+                        + ln(low/close) * ln(low/open)
+                        AS DECIMAL(28,14))) OVER w AS rs_s,
+               count(*) OVER w AS cnt
+        FROM bars
+        WINDOW w AS (
+            PARTITION BY symbol ORDER BY datetime, bar_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+        )
+    )
+"""
+
+
+@register_extended("bars_ohlc_volatility", _bars_sql(_OHLC_VOL_SQL_BODY))
+def q_bars_ohlc_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-20 Parkinson / Garman-Klass / Rogers-Satchell range
+    volatility (operators/ohlc_vol.py): three estimators off one
+    window exchange, decimal-exact sums under the oracle (per-bar ln
+    terms are doubles whose 1-ulp libm spread is ~1e-19 — far inside
+    round-6; the decimal sums remove the association error that
+    actually bites, the vwap lesson)."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = ohlc_volatility(bars, window=20, exact_decimal=True)
+    return out.select(
+        "symbol", "datetime", "bar_id",
+        _r6(F.col("vol_parkinson")).alias("vol_parkinson"),
+        _r6(F.col("vol_garman_klass")).alias("vol_garman_klass"),
+        _r6(F.col("vol_rogers_satchell")).alias("vol_rogers_satchell"),
+    )
+
+
+@register_extended(
+    "bars_cross_sectional",
+    _bars_sql(
+        """
+        SELECT symbol, datetime, bar_id, close,
+               cnt AS cs_n,
+               rnk AS cs_rank,
+               sx / cnt AS cs_mean,
+               close - sx / cnt AS cs_demean,
+               CASE WHEN cnt > 1
+                         AND (sxx - sx * sx / cnt) / (cnt - 1) > 0 THEN
+                   (close - sx / cnt)
+                       / sqrt((sxx - sx * sx / cnt) / (cnt - 1))
+               END AS cs_zscore
+        FROM (
+            SELECT symbol, datetime, bar_id, close,
+                   count(*) OVER b AS cnt,
+                   rank() OVER (
+                       PARTITION BY date_trunc('hour', datetime)
+                       ORDER BY close
+                   ) AS rnk,
+                   -- close is 2-decimal quantized: scaled-integer
+                   -- sums are EXACT in any engine (decimal casts
+                   -- tie-break differently when double ulp ~= the
+                   -- decimal quantum — bit ties observed on close^2)
+                   CAST(sum(CAST(round(close * 100.0) AS BIGINT)) OVER b
+                        AS DOUBLE) / 100.0 AS sx,
+                   CAST(sum(CAST(round(close * close * 10000.0) AS BIGINT))
+                        OVER b AS DOUBLE) / 10000.0 AS sxx
+            FROM bars
+            WINDOW b AS (PARTITION BY date_trunc('hour', datetime))
+        )
+        """
+    ),
+)
+def q_bars_cross_sectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cross-sectional rank / mean / demean / z-score of close
+    (operators/cross_section.py): one exchange on the bucket serves
+    every output. NO rounding: mean/std assemble from decimal-exact
+    sums and the remaining scalar IEEE ops order identically in both
+    engines, so the compare is bit-exact — round-6 was WORSE here,
+    because 2-decimal-quantized closes put bucket means exactly on
+    round-6 half boundaries where Spark (BigDecimal HALF_UP) and
+    DuckDB (scaled-double round) legitimately disagree (12 one-ulp@6
+    ties in 100k rows at sf0.1)."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = cross_sectional(
+        bars, value_col="close", bucket="hour", value_decimals=2
+    )
+    return out.select(
+        "symbol", "datetime", "bar_id", "close", "cs_n", "cs_rank",
+        "cs_mean", "cs_demean", "cs_zscore",
+    )
+
+
+@register_extended(
+    "bars_drawdown",
+    _bars_sql(
+        """
+        SELECT symbol, datetime, bar_id, close,
+               max(close) OVER w AS peak,
+               close / max(close) OVER w - 1.0 AS drawdown
+        FROM bars
+        WINDOW w AS (
+            PARTITION BY symbol ORDER BY datetime, bar_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+        """
+    ),
+)
+def q_bars_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak + fractional drawdown (operators/drawdown.py).
+    No rounding: cumulative MAX is association-free and the remaining
+    scalar division/subtraction is identically ordered IEEE arithmetic
+    in both engines, so the compare is bit-exact."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = running_drawdown(bars)
+    return out.select(
+        "symbol", "datetime", "bar_id", "close", "peak", "drawdown"
+    )
+
+
+@register_extended(
+    "bars_return_correlation",
+    _bars_sql(
+        """
+        , rets AS (
+            SELECT symbol AS _sym,
+                   row_number() OVER w AS _idx,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS _ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        nn AS (SELECT * FROM rets WHERE _ret IS NOT NULL),
+        g AS (
+            SELECT a._sym AS symbol_a, b._sym AS symbol_b,
+                   count(*) AS n_obs,
+                   CAST(sum(CAST(a._ret AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sx,
+                   CAST(sum(CAST(b._ret AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sy,
+                   CAST(sum(CAST(a._ret * a._ret AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(b._ret * b._ret AS DECIMAL(38,12)))
+                        AS DOUBLE) AS syy,
+                   CAST(sum(CAST(a._ret * b._ret AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxy
+            FROM nn a JOIN nn b
+              ON a._idx = b._idx AND a._sym < b._sym
+            GROUP BY a._sym, b._sym
+        )
+        SELECT symbol_a, symbol_b, n_obs,
+               CASE WHEN n_obs * sxx - sx * sx > 0
+                         AND n_obs * syy - sy * sy > 0 THEN
+                   round((n_obs * sxy - sx * sy)
+                         / sqrt((n_obs * sxx - sx * sx)
+                                * (n_obs * syy - sy * sy)), 6) + 0.0
+               END AS corr
+        FROM g
+        WHERE n_obs >= 2
+        """
+    ),
+)
+def q_bars_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise return correlation over bar-index alignment
+    (operators/correlation.py): one window exchange, one self
+    equi-join on the index, one co-moment aggregation per pair —
+    S(S-1)/2 output rows, decimal-exact sums under round-6."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = pairwise_return_correlation(bars)
+    return out.select(
+        "symbol_a", "symbol_b", "n_obs", _r6(F.col("corr")).alias("corr")
+    )

@@ -7,11 +7,23 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`point_in_interval_join` — bin-bucketed range join;
 - :func:`anchored_vwap` — day/week/month-anchored running VWAP;
 - :func:`resample_ffill` — dense calendar grid with forward fill;
+- :func:`ohlc_volatility` — rolling Parkinson / Garman-Klass /
+  Rogers-Satchell range volatility;
+- :func:`cross_sectional` — per-time-bucket rank / z-score / demean;
+- :func:`running_drawdown` — cumulative peak + fractional drawdown;
+- :func:`pairwise_return_correlation` — bar-index-aligned sample
+  correlation for every symbol pair;
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
 
 from marketdatapipeline_spark.operators.asof import asof_join
+from marketdatapipeline_spark.operators.correlation import (
+    pairwise_return_correlation,
+)
+from marketdatapipeline_spark.operators.cross_section import cross_sectional
+from marketdatapipeline_spark.operators.drawdown import running_drawdown
+from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
 from marketdatapipeline_spark.operators.range_join import point_in_interval_join
 from marketdatapipeline_spark.operators.resample import resample_ffill
 from marketdatapipeline_spark.operators.rollup import rollup_bars
@@ -25,9 +37,13 @@ from marketdatapipeline_spark.operators.sessions import sessionize
 __all__ = [
     "anchored_vwap",
     "asof_join",
+    "cross_sectional",
+    "ohlc_volatility",
+    "pairwise_return_correlation",
     "point_in_interval_join",
     "resample_ffill",
     "rollup_bars",
+    "running_drawdown",
     "salted_collect_list",
     "salted_join_left_hot",
     "sessionize",

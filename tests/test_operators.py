@@ -580,3 +580,143 @@ def test_resample_ffill_fills_gaps(spark):
     assert len(b) == 1 and b[0]["close_ffill"] == 7.0
     with pytest.raises(ValueError, match="every"):
         resample_ffill(df, every="fortnight")
+
+
+def test_ohlc_volatility_matches_numpy(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.ohlc_vol import (
+        GK_COEF,
+        LN2,
+        ohlc_volatility,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = datetime(2024, 1, 1)
+    closes = 100.0 + np.cumsum(rng.randn(30))
+    for i, c in enumerate(closes):
+        h, l, o = c + abs(rng.randn()), c - abs(rng.randn()) - 0.01, c + 0.1
+        rows.append(("A", base + timedelta(hours=i), i, float(o), float(h),
+                     float(l), float(c)))
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "open", "high", "low", "close"]
+    )
+    w = 5
+    out = sorted(
+        ohlc_volatility(df, window=w).collect(), key=lambda r: r["bar_id"]
+    )
+    # null until the frame fills
+    assert all(r["vol_parkinson"] is None for r in out[: w - 1])
+    # numpy oracle at a middle row
+    i = 17
+    sub = rows[i - w + 1 : i + 1]
+    pk = np.mean([math.log(r[4] / r[5]) ** 2 for r in sub]) / (4 * LN2)
+    gk = np.mean(
+        [0.5 * math.log(r[4] / r[5]) ** 2
+         - GK_COEF * math.log(r[6] / r[3]) ** 2 for r in sub]
+    )
+    rs = np.mean(
+        [math.log(r[4] / r[6]) * math.log(r[4] / r[3])
+         + math.log(r[5] / r[6]) * math.log(r[5] / r[3]) for r in sub]
+    )
+    assert out[i]["vol_parkinson"] == pytest.approx(math.sqrt(pk))
+    assert out[i]["vol_garman_klass"] == pytest.approx(math.sqrt(max(gk, 0)))
+    assert out[i]["vol_rogers_satchell"] == pytest.approx(
+        math.sqrt(max(rs, 0))
+    )
+
+
+def test_cross_sectional_zscore_and_rank(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators.cross_section import (
+        cross_sectional,
+    )
+
+    rows = [
+        # one 10:00 bucket with values 1, 2, 3, 6 -> mean 3, std sqrt(14/3)
+        ("A", datetime(2024, 1, 1, 10, 1), 1, 1.0),
+        ("B", datetime(2024, 1, 1, 10, 2), 2, 2.0),
+        ("C", datetime(2024, 1, 1, 10, 3), 3, 3.0),
+        ("D", datetime(2024, 1, 1, 10, 4), 4, 6.0),
+        # singleton bucket: zscore null, rank 1
+        ("A", datetime(2024, 1, 1, 11, 0), 5, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    out = {
+        r["bar_id"]: r
+        for r in cross_sectional(df, value_col="close", bucket="hour").collect()
+    }
+    import math
+
+    std = math.sqrt(14.0 / 3.0)
+    assert out[1]["cs_n"] == 4 and out[1]["cs_rank"] == 1
+    assert out[4]["cs_rank"] == 4
+    assert out[1]["cs_mean"] == pytest.approx(3.0)
+    assert out[4]["cs_demean"] == pytest.approx(3.0)
+    assert out[4]["cs_zscore"] == pytest.approx(3.0 / std)
+    assert out[5]["cs_zscore"] is None and out[5]["cs_rank"] == 1
+    # integer-exact accumulation path agrees with the decimal path
+    out2 = {
+        r["bar_id"]: r
+        for r in cross_sectional(
+            df, value_col="close", bucket="hour", value_decimals=2
+        ).collect()
+    }
+    assert out2[4]["cs_zscore"] == pytest.approx(out[4]["cs_zscore"])
+
+
+def test_running_drawdown(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators.drawdown import running_drawdown
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 10), 1, 100.0),
+        ("A", datetime(2024, 1, 1, 11), 2, 80.0),   # -20% off the peak
+        ("A", datetime(2024, 1, 1, 12), 3, 120.0),  # new peak -> 0.0
+        ("A", datetime(2024, 1, 1, 13), 4, 90.0),   # -25% off 120
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    out = {r["bar_id"]: r for r in running_drawdown(df).collect()}
+    assert out[1]["drawdown"] == 0.0
+    assert out[2]["drawdown"] == pytest.approx(-0.2)
+    assert out[3]["drawdown"] == 0.0 and out[3]["peak"] == 120.0
+    assert out[4]["drawdown"] == pytest.approx(-0.25)
+
+
+def test_pairwise_return_correlation(spark):
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators.correlation import (
+        pairwise_return_correlation,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # A and B move in lockstep (corr 1), C is exactly inverse of A's
+    # returns (corr -1); B is one bar shorter than A (length alignment)
+    a_prices = [100.0, 110.0, 99.0, 108.9, 120.0]
+    c_prices = [100.0]
+    for p0, p1 in zip(a_prices, a_prices[1:]):
+        r = p1 / p0 - 1.0
+        c_prices.append(c_prices[-1] * (1.0 - r))
+    for i, p in enumerate(a_prices):
+        rows.append(("A", base + timedelta(hours=i), i, p))
+    for i, p in enumerate([x * 2 for x in a_prices[:-1]]):
+        rows.append(("B", base + timedelta(hours=i), i, p))
+    for i, p in enumerate(c_prices):
+        rows.append(("C", base + timedelta(hours=i), i, p))
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    out = {
+        (r["symbol_a"], r["symbol_b"]): r
+        for r in pairwise_return_correlation(df).collect()
+    }
+    assert out[("A", "B")]["corr"] == pytest.approx(1.0)
+    assert out[("A", "B")]["n_obs"] == 3  # shorter series bounds the pair
+    assert out[("A", "C")]["corr"] == pytest.approx(-1.0)
+    assert out[("A", "C")]["n_obs"] == 4
