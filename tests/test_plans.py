@@ -257,3 +257,44 @@ def test_pack_shards_no_global_sort_of_rows(spark):
     assert "hashpartitioning(_b" in plan
     # the offsets frame is broadcast back, not shuffle-joined
     assert "BroadcastHashJoin" in plan
+
+
+def test_ohlc_volatility_single_exchange(spark, bars_df):
+    """All three range-vol estimators ride ONE window exchange on
+    symbol — adding estimators must never add exchanges."""
+    from marketdatapipeline_spark.operators import ohlc_volatility
+
+    plan = _plan(ohlc_volatility(bars_df, window=20, exact_decimal=True, order_cols=("datetime",)))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cross_sectional_single_exchange(spark, bars_df):
+    """Rank + count + both sums share the bucket partitioning: one
+    exchange serves every cross-sectional output."""
+    from marketdatapipeline_spark.operators import cross_sectional
+
+    plan = _plan(cross_sectional(bars_df, value_decimals=2))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_drawdown_single_exchange(spark, bars_df):
+    from marketdatapipeline_spark.operators import running_drawdown
+
+    assert _plan(running_drawdown(bars_df, order_cols=("datetime",))).count(
+        "Exchange hashpartitioning"
+    ) == 1
+
+
+def test_correlation_carries_only_returns_through_join(spark, bars_df):
+    """The pair join must carry (symbol, idx, return) — never the bar
+    payload (open/high/low/volume) — and aggregate partially before
+    the final pair exchange."""
+    from marketdatapipeline_spark.operators import pairwise_return_correlation
+
+    out = pairwise_return_correlation(bars_df, order_cols=("datetime",))
+    plan = _plan(out)
+    opt = _optimized(out)
+    # map-side partial aggregation before the pair shuffle
+    assert "partial" in plan.lower()
+    # the join operands project only the return columns
+    assert "open" not in opt and "volume" not in opt
