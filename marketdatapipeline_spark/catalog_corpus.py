@@ -793,3 +793,90 @@ def q_bars_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol_a", "symbol_b", "n_obs", _r6(F.col("corr")).alias("corr")
     )
+
+
+from marketdatapipeline_spark.operators.interval_join import (  # noqa: E402
+    interval_overlap_join,
+)
+from marketdatapipeline_spark.operators.sessions import (  # noqa: E402
+    session_stats,
+)
+
+
+def _sessions_sql(alias: str, gap_sql: str) -> str:
+    """Session-bounds CTE pair for one gap setting (the
+    catalog_operators._SESSIONS_CTE convention: strictly-beyond-gap
+    starts a session; ties broken by event_id)."""
+    return f"""
+        {alias}_f AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + {gap_sql}
+                        THEN 1 ELSE 0 END AS st
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        {alias}_n AS (
+            SELECT user_id, ts,
+                   sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM {alias}_f
+        ),
+        {alias} AS (
+            SELECT user_id, CAST(sid AS BIGINT) AS {alias}_id,
+                   min(ts) AS {alias}_start, max(ts) AS {alias}_end
+            FROM {alias}_n GROUP BY user_id, sid
+        )
+    """
+
+
+@register_extended(
+    "interval_overlap_sessions",
+    f"""
+    WITH {_sessions_sql("fine", "INTERVAL 30 MINUTE")},
+         {_sessions_sql("coarse", "INTERVAL 2 HOUR")}
+    SELECT f.user_id, fine_id, fine_start, fine_end,
+           coarse_id, coarse_start, coarse_end
+    FROM fine f JOIN coarse c
+      ON f.user_id = c.user_id
+     AND f.fine_start <= c.coarse_end
+     AND c.coarse_start <= f.fine_end
+    """,
+)
+def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/interval_join.py):
+    every 30-minute-gap session paired with the 2-hour-gap session(s)
+    it overlaps, per user. The bin-bucketed equi-join never plans a
+    nested loop (the oracle's inequality join DOES — fine at oracle
+    scale, fatal at ours), and the responsibility-bin trick emits each
+    pair exactly once with no distinct. Timestamps and ids compare
+    exactly — no floats anywhere."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def bounds(gap: str, alias: str) -> DataFrame:
+        return session_stats(
+            ev, F.expr(gap), tie_break=("event_id",)
+        ).select(
+            "user_id",
+            F.col("session_id").alias(f"{alias}_id"),
+            F.col("session_start").alias(f"{alias}_start"),
+            F.col("session_end").alias(f"{alias}_end"),
+        )
+
+    fine = bounds("INTERVAL 30 MINUTES", "fine")
+    coarse = bounds("INTERVAL 2 HOURS", "coarse")
+    return interval_overlap_join(
+        fine,
+        coarse,
+        left_bounds=("fine_start", "fine_end"),
+        right_bounds=("coarse_start", "coarse_end"),
+        by=("user_id",),
+        bin_width="1 day",
+    ).select(
+        "user_id", "fine_id", "fine_start", "fine_end",
+        "coarse_id", "coarse_start", "coarse_end",
+    )

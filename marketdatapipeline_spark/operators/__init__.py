@@ -5,6 +5,8 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`sessionize` — gap-based session assignment;
 - :func:`rollup_bars` — multi-granularity OHLCV rollup;
 - :func:`point_in_interval_join` — bin-bucketed range join;
+- :func:`interval_overlap_join` — bin-bucketed interval×interval
+  overlap join (responsibility-bin dedup, no distinct);
 - :func:`anchored_vwap` — day/week/month-anchored running VWAP;
 - :func:`resample_ffill` — dense calendar grid with forward fill;
 - :func:`ohlc_volatility` — rolling Parkinson / Garman-Klass /
@@ -23,6 +25,9 @@ from marketdatapipeline_spark.operators.correlation import (
 )
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
 from marketdatapipeline_spark.operators.drawdown import running_drawdown
+from marketdatapipeline_spark.operators.interval_join import (
+    interval_overlap_join,
+)
 from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
 from marketdatapipeline_spark.operators.range_join import point_in_interval_join
 from marketdatapipeline_spark.operators.resample import resample_ffill
@@ -38,6 +43,7 @@ __all__ = [
     "anchored_vwap",
     "asof_join",
     "cross_sectional",
+    "interval_overlap_join",
     "ohlc_volatility",
     "pairwise_return_correlation",
     "point_in_interval_join",

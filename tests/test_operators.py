@@ -720,3 +720,49 @@ def test_pairwise_return_correlation(spark):
     assert out[("A", "B")]["n_obs"] == 3  # shorter series bounds the pair
     assert out[("A", "C")]["corr"] == pytest.approx(-1.0)
     assert out[("A", "C")]["n_obs"] == 4
+
+
+def test_interval_overlap_join(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators import interval_overlap_join
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            ("u1", 1, t(1), t(3)),    # overlaps r1 (touching) and r2
+            ("u1", 2, t(10), t(11)),  # disjoint from everything
+            ("u2", 3, t(1), t(3)),    # same span, other key: only r3
+        ],
+        ["user", "lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 1, t(0), t(1)),    # touches left 1 at 1:00 -> match
+            ("u1", 2, t(2, 30), t(9)),
+            ("u2", 3, t(2), t(2, 30)),
+        ],
+        ["user", "rid", "rs", "re"],
+    )
+    out = interval_overlap_join(
+        left, right,
+        left_bounds=("ls", "le"), right_bounds=("rs", "re"),
+        by=("user",), bin_width="30 minutes",
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert pairs == [(1, 1), (1, 2), (3, 3)]
+    # responsibility-bin dedup: a pair spanning many shared bins is
+    # emitted exactly once even at a tiny bin width
+    wide = interval_overlap_join(
+        left, right,
+        left_bounds=("ls", "le"), right_bounds=("rs", "re"),
+        by=("user",), bin_width="1 minute",
+    )
+    pairs2 = sorted((r["lid"], r["rid"]) for r in wide.collect())
+    assert pairs2 == pairs
+    with pytest.raises(ValueError, match="rename"):
+        interval_overlap_join(
+            left, left.withColumnRenamed("lid", "x"),
+            left_bounds=("ls", "le"), right_bounds=("ls", "le"),
+            by=("user",),
+        )

@@ -298,3 +298,27 @@ def test_correlation_carries_only_returns_through_join(spark, bars_df):
     assert "partial" in plan.lower()
     # the join operands project only the return columns
     assert "open" not in opt and "volume" not in opt
+
+
+def test_interval_overlap_join_never_nested_loop(spark):
+    """The overlap join must plan as a shuffled/broadcast HASH join on
+    (key, bin) — a raw inequality predicate would fall back to a
+    nested-loop walk, the exact scale-killer this operator exists to
+    avoid."""
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators import interval_overlap_join
+
+    iv = spark.createDataFrame(
+        [("u", 1, datetime(2024, 1, 1, 1), datetime(2024, 1, 1, 2))],
+        ["user", "iid", "s", "e"],
+    )
+    out = interval_overlap_join(
+        iv,
+        iv.select("user", F.col("iid").alias("jid"),
+                  F.col("s").alias("s2"), F.col("e").alias("e2")),
+        left_bounds=("s", "e"), right_bounds=("s2", "e2"), by=("user",),
+    )
+    plan = _plan(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
