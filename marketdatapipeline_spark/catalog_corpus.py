@@ -880,3 +880,56 @@ def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "fine_id", "fine_start", "fine_end",
         "coarse_id", "coarse_start", "coarse_end",
     )
+
+
+from marketdatapipeline_spark.textops.corpus import domain_mix_sample  # noqa: E402
+
+#: Target language mix for the catalog's mixing query — en-heavy with
+#: equal minority shares, the standard multilingual-assembly shape.
+DOMAIN_MIX_WEIGHTS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+_MIX_VALUES = ", ".join(
+    f"('{g}', CAST({w!r} AS DOUBLE))"
+    for g, w in sorted(DOMAIN_MIX_WEIGHTS.items())
+)
+_MIX_H = _H_SQL.format(x="CAST(doc_id AS VARCHAR)")
+
+
+@register_extended(
+    "corpus_domain_mix",
+    f"""
+    WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+    c AS (
+        SELECT d.lang, count(*) AS n, any_value(wt) AS wt
+        FROM documents d JOIN w USING (lang) GROUP BY d.lang
+    ),
+    t AS (SELECT min(CAST(n AS DOUBLE) / wt) AS t FROM c),
+    caps AS (
+        SELECT lang, n AS group_n,
+               CAST(floor(wt * t) AS BIGINT) AS group_cap
+        FROM c CROSS JOIN t
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY {_MIX_H}, doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.sample_rank AS INT) AS sample_rank,
+           caps.group_n, caps.group_cap,
+           r.sample_rank <= caps.group_cap AS kept
+    FROM r JOIN caps USING (lang)
+    """,
+)
+def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix sampling (textops/corpus.py
+    domain_mix_sample): the scarcest weighted language binds the
+    total, every weighted row carries its hash rank / cap / verdict.
+    T and the caps are the same scalar double ops in both engines, so
+    the integer caps — and therefore every verdict — compare exactly."""
+    docs = _docs(spark, sf_dir)
+    out = domain_mix_sample(docs, DOMAIN_MIX_WEIGHTS, group_col="lang")
+    return out.select(
+        "doc_id", "lang", "sample_rank", "group_n", "group_cap", "kept"
+    )

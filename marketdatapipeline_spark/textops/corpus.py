@@ -45,6 +45,7 @@ __all__ = [
     "bm25_scores",
     "chunk_documents",
     "decontaminate",
+    "domain_mix_sample",
     "duplicate_clusters",
     "hash_sample",
     "pack_shards",
@@ -181,6 +182,63 @@ def hash_sample(
     if not 0 <= keep_per_mille <= SPLIT_BUCKETS:
         raise ValueError("keep_per_mille out of range")
     return df.filter(_bucket(id_col) < keep_per_mille)
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample hitting a target domain mix —
+    the "data mixing" step of LLM corpus assembly (e.g. 40% en / 15%
+    each of four other languages), taking as much data as the mix
+    allows.
+
+    The scarcest domain relative to its weight binds the total:
+    ``T = min_g(N_g / w_g)`` over the weighted groups present, and
+    each group keeps its ``floor(w_g · T)`` smallest-hash documents
+    (ranked by md5-of-id, ties by id) — so the output is the LARGEST
+    corpus achieving the exact requested proportions (up to floor),
+    reproducible across runs/engines, and monotone under appends in
+    the hash-rank sense. Weights are relative (need not sum to 1);
+    groups missing from ``weights`` are dropped.
+
+    Emits every weighted-group row with its verdict rather than
+    filtering, so audits (and the oracle) see both sides of the cut:
+    ``sample_rank``, ``group_n``, ``group_cap``, ``kept``. Filter
+    ``kept`` for the sample itself.
+
+    Scale shape: one window exchange on the group for the rank; the
+    per-group counts (G rows) and the single global T row ride
+    broadcast joins — no driver collect, no second pass over data.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        sorted(weights.items()), schema=f"{group_col} string, _w double"
+    )
+    counts = df.groupBy(group_col).count().join(w_df, group_col)
+    t = counts.agg(
+        F.min(F.col("count").cast("double") / F.col("_w")).alias("_t")
+    )
+    caps = counts.crossJoin(F.broadcast(t)).select(
+        group_col,
+        F.col("count").alias("group_n"),
+        F.floor(F.col("_w") * F.col("_t")).alias("group_cap"),
+    )
+    h = md5_int(F.col(id_col).cast("string"))
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    )
+    return (
+        df.withColumn("sample_rank", rank)
+        .join(F.broadcast(caps), group_col)
+        .withColumn("kept", F.col("sample_rank") <= F.col("group_cap"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -362,3 +362,40 @@ def test_bm25_scores(spark, docs):
     assert out[4]["bm25"] > out[5]["bm25"]
     with pytest.raises(ValueError):
         bm25_scores(docs, ())
+
+
+def test_domain_mix_sample_caps_and_determinism(spark):
+    from marketdatapipeline_spark.textops.corpus import domain_mix_sample
+
+    rows = []
+    # 10 en docs, 4 fr docs, 3 zz docs (zz unweighted -> dropped)
+    for i in range(10):
+        rows.append((i, "en"))
+    for i in range(10, 14):
+        rows.append((i, "fr"))
+    for i in range(14, 17):
+        rows.append((i, "zz"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # fr binds: T = min(10/0.6, 4/0.4) = 10 -> caps en 6, fr 4
+    out = domain_mix_sample(df, {"en": 0.6, "fr": 0.4}).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"en", "fr"}  # zz dropped entirely
+    caps = {r["lang"]: r["group_cap"] for r in out}
+    assert caps == {"en": 6, "fr": 4}
+    kept = [r for r in out if r["kept"]]
+    assert sum(1 for r in kept if r["lang"] == "en") == 6
+    assert sum(1 for r in kept if r["lang"] == "fr") == 4
+    # deterministic: same ids kept on a rerun
+    again = {
+        r["doc_id"]
+        for r in domain_mix_sample(df, {"en": 0.6, "fr": 0.4}).collect()
+        if r["kept"]
+    }
+    assert again == {r["doc_id"] for r in kept}
+    # scarce group takes everything it has
+    ranks = {r["doc_id"]: r["sample_rank"] for r in out if r["lang"] == "fr"}
+    assert sorted(ranks.values()) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="non-empty"):
+        domain_mix_sample(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        domain_mix_sample(df, {"en": 0.0})
