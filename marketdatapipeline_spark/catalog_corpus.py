@@ -933,3 +933,75 @@ def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "sample_rank", "group_n", "group_cap", "kept"
     )
+
+
+from marketdatapipeline_spark.operators.beta import rolling_beta  # noqa: E402
+
+
+@register_extended(
+    "bars_rolling_beta",
+    _bars_sql(
+        """
+        , rets AS (
+            SELECT symbol AS _sym, row_number() OVER w AS _idx,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS _ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        nn AS (SELECT * FROM rets WHERE _ret IS NOT NULL),
+        mkt AS (
+            SELECT _idx,
+                   CAST(sum(CAST(_ret AS DECIMAL(38,12))) AS DOUBLE)
+                       / count(*) AS _m
+            FROM nn GROUP BY _idx
+        ),
+        j AS (
+            SELECT nn._sym, nn._idx, nn._ret, mkt._m
+            FROM nn JOIN mkt USING (_idx)
+        ),
+        acc AS (
+            SELECT _sym, _idx, _ret, _m,
+                   count(*) OVER v AS n,
+                   CAST(sum(CAST(_ret AS DECIMAL(38,12))) OVER v
+                        AS DOUBLE) AS sr,
+                   CAST(sum(CAST(_m AS DECIMAL(38,12))) OVER v
+                        AS DOUBLE) AS sm,
+                   CAST(sum(CAST(_ret * _m AS DECIMAL(38,12))) OVER v
+                        AS DOUBLE) AS srm,
+                   CAST(sum(CAST(_m * _m AS DECIMAL(38,12))) OVER v
+                        AS DOUBLE) AS smm
+            FROM j
+            WINDOW v AS (PARTITION BY _sym ORDER BY _idx
+                         ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        )
+        SELECT _sym AS symbol, CAST(_idx AS INT) AS bar_index,
+               _ret AS ret,
+               round(_m, 6) + 0.0 AS mkt_ret,
+               CASE WHEN n = 60 AND n * smm - sm * sm > 0 THEN
+                   round((n * srm - sr * sm) / (n * smm - sm * sm), 6)
+                       + 0.0
+               END AS beta
+        FROM acc
+        """
+    ),
+)
+def q_bars_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-60 equal-weight-market beta (operators/beta.py): one
+    symbol window, one index aggregation (the market series SHUFFLES —
+    never broadcast, so the plan survives an arbitrarily long series),
+    one equi-join, one rolling window. Decimal co-moment sums under a
+    round-6 guard (the decimal→double cast can tie-break differently
+    across engines ~1e-12, so a bit-exact compare would be fragile —
+    the opposite trade-off from bars_cross_sectional, whose integer
+    sums never tie)."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = rolling_beta(bars, window=60)
+    return out.select(
+        "symbol",
+        F.col("bar_index").cast("int").alias("bar_index"),
+        "ret",
+        _r6(F.col("mkt_ret")).alias("mkt_ret"),
+        _r6(F.col("beta")).alias("beta"),
+    )

@@ -27,7 +27,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_return_correlation"]
+__all__ = ["bar_index_returns", "pairwise_return_correlation"]
+
+
+def bar_index_returns(
+    df: DataFrame,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """(_sym, _idx, _ret): simple returns with the per-symbol bar
+    index — the aligned-series building block this module and
+    :mod:`beta` share. Index 1 (no prior bar) is dropped, so retained
+    indexes start at 2. One window exchange on the symbol."""
+    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    prev = F.lag(F.col(price_col)).over(w)
+    return df.select(
+        F.col(symbol_col).alias("_sym"),
+        F.row_number().over(w).alias("_idx"),
+        ((F.col(price_col) - prev) / prev).alias("_ret"),
+    ).filter(F.col("_ret").isNotNull())
 
 
 def pairwise_return_correlation(
@@ -39,13 +58,7 @@ def pairwise_return_correlation(
 ) -> DataFrame:
     """(symbol_a, symbol_b, n_obs, corr) for every unordered symbol
     pair with at least ``min_obs`` aligned return observations."""
-    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
-    prev = F.lag(F.col(price_col)).over(w)
-    rets = df.select(
-        F.col(symbol_col).alias("_sym"),
-        F.row_number().over(w).alias("_idx"),
-        ((F.col(price_col) - prev) / prev).alias("_ret"),
-    ).filter(F.col("_ret").isNotNull())
+    rets = bar_index_returns(df, price_col, symbol_col, order_cols)
 
     a = rets.select(
         F.col("_sym").alias("symbol_a"),

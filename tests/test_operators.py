@@ -766,3 +766,49 @@ def test_interval_overlap_join(spark):
             left_bounds=("ls", "le"), right_bounds=("ls", "le"),
             by=("user",),
         )
+
+
+def test_rolling_beta_vs_numpy(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.beta import rolling_beta
+
+    rng = np.random.RandomState(3)
+    base = datetime(2024, 1, 1)
+    n = 40
+    mret = rng.randn(n) * 0.01
+    rows = []
+    # A has true beta 2 vs the market-mover pair, B beta ~0 (noiseless
+    # construction: market = mean of A's and B's returns)
+    pa, pb = 100.0, 100.0
+    a_rets, b_rets = [], []
+    for i in range(n):
+        ra = 2.0 * mret[i]
+        rb = rng.randn() * 0.001
+        a_rets.append(ra)
+        b_rets.append(rb)
+        rows.append(("A", base + timedelta(hours=i), i, float(pa)))
+        rows.append(("B", base + timedelta(hours=i), i, float(pb)))
+        pa *= 1.0 + ra
+        pb *= 1.0 + rb
+    rows.append(("A", base + timedelta(hours=n), n, float(pa)))
+    rows.append(("B", base + timedelta(hours=n), n, float(pb)))
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    w = 20
+    out = rolling_beta(df, window=w).collect()
+    a = sorted(
+        (r for r in out if r["symbol"] == "A"), key=lambda r: r["bar_index"]
+    )
+    # null until the window fills
+    assert all(r["beta"] is None for r in a[: w - 1])
+    # numpy oracle at the last row: beta of A's returns vs the
+    # equal-weight market over the trailing window
+    ra = np.array([r["ret"] for r in a[-w:]])
+    rm = np.array([r["mkt_ret"] for r in a[-w:]])
+    expect = np.cov(ra, rm, ddof=1)[0, 1] / np.var(rm, ddof=1)
+    assert a[-1]["beta"] == pytest.approx(expect, rel=1e-9)
+    # construction: market = (rA + rB)/2 with rA = 2*m dominating ->
+    # beta of A vs market close to 2 within the noise scale
+    assert 1.5 < a[-1]["beta"] < 2.5
