@@ -101,6 +101,69 @@ def _kmeans_centroids(
     return np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
 
 
+def _assigned_frame(
+    corpus: DataFrame,
+    cent_ids,
+    cent_mat,
+    cent_norm,
+    storage: str,
+    books,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The list-encoding pass shared by build and append: assign every
+    vector to its nearest centroid (argmax keeps the FIRST maximum;
+    cent rows are id-sorted, so ties break to the smallest centroid id
+    — ivf_topk's rule) and encode the payload per the storage tier.
+    One Arrow-batched corpus pass, no shuffle (the partitioned write
+    downstream does the clustering)."""
+    idt = corpus.schema[id_col].dataType
+    if storage == "int8":
+        payload_fields = [
+            T.StructField("scale", T.DoubleType()),
+            T.StructField("_q", T.ArrayType(T.ByteType())),
+        ]
+    elif storage == "pq":
+        payload_fields = [T.StructField("_code", T.ArrayType(T.ShortType()))]
+    else:
+        payload_fields = [T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
+    out_schema = T.StructType(
+        [T.StructField(id_col, idt), *payload_fields, T.StructField("_cent", T.LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            norms = np.sqrt(_seq_dot_np(mat, mat))
+            cos = cosine_to_centroids(mat, norms, cent_mat, cent_norm)
+            assigned = np.asarray(cent_ids)[np.argmax(cos, axis=1)]
+            out = {id_col: pdf["_id"].to_numpy()}
+            if storage == "int8":
+                scales = np.abs(mat).max(axis=1) / 127.0
+                safe = np.where(scales > 0, scales, 1.0)
+                y = mat / safe[:, None]
+                # away-from-zero half rounding — the exact rule
+                # similarity/quantize.py uses, so codes agree
+                q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int8)
+                out["scale"] = scales
+                out["_q"] = list(q)
+            elif storage == "pq":
+                from marketdatapipeline_spark.similarity.pq import encode
+
+                out["_code"] = list(encode(mat, books).astype(np.int16))
+            else:
+                out[vec_col] = list(mat)
+            out["_cent"] = assigned.astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(assign, schema=out_schema)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -185,52 +248,9 @@ def build_ivf_index(
         )
 
     idt = corpus.schema[id_col].dataType
-    if storage == "int8":
-        payload_fields = [
-            T.StructField("scale", T.DoubleType()),
-            T.StructField("_q", T.ArrayType(T.ByteType())),
-        ]
-    elif storage == "pq":
-        payload_fields = [T.StructField("_code", T.ArrayType(T.ShortType()))]
-    else:
-        payload_fields = [T.StructField(vec_col, T.ArrayType(T.DoubleType()))]
-    out_schema = T.StructType(
-        [T.StructField(id_col, idt), *payload_fields, T.StructField("_cent", T.LongType())]
+    assigned = _assigned_frame(
+        corpus, cent_ids, cent_mat, cent_norm, storage, books, id_col, vec_col
     )
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
-            norms = np.sqrt(_seq_dot_np(mat, mat))
-            cos = cosine_to_centroids(mat, norms, cent_mat, cent_norm)
-            # argmax keeps the FIRST maximum; cent rows are id-sorted,
-            # so ties break to the smallest centroid id (ivf_topk's rule)
-            assigned = np.asarray(cent_ids)[np.argmax(cos, axis=1)]
-            out = {id_col: pdf["_id"].to_numpy()}
-            if storage == "int8":
-                scales = np.abs(mat).max(axis=1) / 127.0
-                safe = np.where(scales > 0, scales, 1.0)
-                y = mat / safe[:, None]
-                # away-from-zero half rounding — the exact rule
-                # similarity/quantize.py uses, so codes agree
-                q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int8)
-                out["scale"] = scales
-                out["_q"] = list(q)
-            elif storage == "pq":
-                from marketdatapipeline_spark.similarity.pq import encode
-
-                out["_code"] = list(encode(mat, books).astype(np.int16))
-            else:
-                out[vec_col] = list(mat)
-            out["_cent"] = assigned.astype(np.int64)
-            yield pd.DataFrame(out)
-
-    assigned = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).mapInPandas(assign, schema=out_schema)
     assigned.write.mode("overwrite").partitionBy("_cent").parquet(
         os.path.join(path, "lists")
     )
@@ -311,6 +331,73 @@ class IVFIndex:
             books[r["s"], r["c"]] = r["vec"]
         return books
 
+    def _centroid_matrix(self, spark: SparkSession):
+        return _query_matrix(
+            spark.read.parquet(os.path.join(self.path, "centroids")).orderBy(
+                self.id_col
+            ),
+            self.id_col,
+            self.vec_col,
+        )
+
+    def append(self, new_corpus: DataFrame) -> None:
+        """Add vectors to the persisted lists WITHOUT rebuilding: the
+        coarse quantizer (centroids) — and the PQ codebooks, when
+        ``storage='pq'`` — stay frozen (the FAISS incremental-add
+        convention), new vectors are assigned and encoded by the
+        identical pass the build used, and the rows land as an append
+        into the same ``_cent``-partitioned layout. Search sees them
+        on its next scan with no index-level invalidation.
+
+        Frozen-quantizer caveat: if the data distribution drifts far
+        from the build sample, list balance degrades — rebuild (or
+        re-train centroids) on a cadence, exactly as with FAISS.
+        Single-writer batch semantics, like LSHDedupStore.ingest:
+        front a queue for concurrent producers. Appends accumulate
+        small part files; see :meth:`compact`.
+        """
+        spark = new_corpus.sparkSession
+        cent_ids, cent_mat, cent_norm = self._centroid_matrix(spark)
+        books = (
+            self._load_codebooks(spark) if self.storage == "pq" else None
+        )
+        _assigned_frame(
+            new_corpus,
+            cent_ids,
+            cent_mat,
+            cent_norm,
+            self.storage,
+            books,
+            self.id_col,
+            self.vec_col,
+        ).write.mode("append").partitionBy("_cent").parquet(
+            os.path.join(self.path, "lists")
+        )
+
+    def compact(self, spark: SparkSession | None = None) -> int:
+        """Rewrite the lists into one file per centroid directory —
+        every :meth:`append` adds a wave of small part files per
+        touched list, and probe-time scan cost grows with file count,
+        not data. Same write-tmp → delete → rename swap (and the same
+        crash contract) as LSHDedupStore.compact. Returns the number
+        of list rows rewritten."""
+        spark = spark or SparkSession.getActiveSession()
+        directory = os.path.join(self.path, "lists")
+        df = spark.read.parquet(directory)
+        rows = df.count()
+        tmp = directory + "__compact_tmp"
+        df.repartition(F.col("_cent")).write.mode("overwrite").partitionBy(
+            "_cent"
+        ).parquet(tmp)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p_old = jvm.org.apache.hadoop.fs.Path(directory)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_old.getFileSystem(conf)
+        fs.delete(p_old, True)
+        fs.rename(p_tmp, p_old)
+        return rows
+
     def topk(
         self,
         spark: SparkSession,
@@ -338,13 +425,7 @@ class IVFIndex:
         true vectors: candidate ids join back to the corpus (a
         k*refine_factor-row broadcast side — never a corpus shuffle)
         and the final ranking is exact."""
-        cent_ids, cent_mat, cent_norm = _query_matrix(
-            spark.read.parquet(os.path.join(self.path, "centroids")).orderBy(
-                self.id_col
-            ),
-            self.id_col,
-            self.vec_col,
-        )
+        cent_ids, cent_mat, cent_norm = self._centroid_matrix(spark)
         ids, qmat, qn = _query_matrix(queries, self.id_col, self.vec_col)
         probes = []  # (query pos, centroid id)
         if len(ids):
