@@ -222,13 +222,17 @@ def domain_mix_sample(
         sorted(weights.items()), schema=f"{group_col} string, _w double"
     )
     counts = df.groupBy(group_col).count().join(w_df, group_col)
-    t = counts.agg(
-        F.min(F.col("count").cast("double") / F.col("_w")).alias("_t")
+    # T via a global window over the G-row counts frame — NOT a
+    # separate agg + crossJoin, which would duplicate the counts
+    # subtree in the plan and scan the corpus twice (the counts frame
+    # is G rows by contract, so the single-partition window is free)
+    t = F.min(F.col("count").cast("double") / F.col("_w")).over(
+        Window.partitionBy()
     )
-    caps = counts.crossJoin(F.broadcast(t)).select(
+    caps = counts.select(
         group_col,
         F.col("count").alias("group_n"),
-        F.floor(F.col("_w") * F.col("_t")).alias("group_cap"),
+        F.floor(F.col("_w") * t).alias("group_cap"),
     )
     h = md5_int(F.col(id_col).cast("string"))
     rank = F.row_number().over(
