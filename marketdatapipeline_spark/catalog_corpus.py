@@ -604,27 +604,34 @@ from marketdatapipeline_spark.operators.ohlc_vol import (  # noqa: E402
 #: Python definition feeds both engines.
 _OHLC_VOL_SQL_BODY = f"""
     SELECT symbol, datetime, bar_id,
-           CASE WHEN cnt = 20 THEN
+           CASE WHEN pk_c = 20 THEN
                round(sqrt(greatest(CAST(pk_s AS DOUBLE) / 20 / {4.0 * LN2!r},
                                    0.0)), 6) + 0.0
            END AS vol_parkinson,
-           CASE WHEN cnt = 20 THEN
+           CASE WHEN gk_c = 20 THEN
                round(sqrt(greatest(CAST(gk_s AS DOUBLE) / 20, 0.0)), 6) + 0.0
            END AS vol_garman_klass,
-           CASE WHEN cnt = 20 THEN
+           CASE WHEN rs_c = 20 THEN
                round(sqrt(greatest(CAST(rs_s AS DOUBLE) / 20, 0.0)), 6) + 0.0
            END AS vol_rogers_satchell
     FROM (
+        -- min_periods counts NON-NULL terms per estimator, matching
+        -- the operator's gate (a degenerate bar nulls its ln-term)
         SELECT symbol, datetime, bar_id,
                sum(CAST(ln(high/low) * ln(high/low)
                         AS DECIMAL(28,14))) OVER w AS pk_s,
+               count(ln(high/low) * ln(high/low)) OVER w AS pk_c,
                sum(CAST(0.5 * ln(high/low) * ln(high/low)
                         - {GK_COEF!r} * ln(close/open) * ln(close/open)
                         AS DECIMAL(28,14))) OVER w AS gk_s,
+               count(0.5 * ln(high/low) * ln(high/low)
+                     - {GK_COEF!r} * ln(close/open) * ln(close/open))
+                   OVER w AS gk_c,
                sum(CAST(ln(high/close) * ln(high/open)
                         + ln(low/close) * ln(low/open)
                         AS DECIMAL(28,14))) OVER w AS rs_s,
-               count(*) OVER w AS cnt
+               count(ln(high/close) * ln(high/open)
+                     + ln(low/close) * ln(low/open)) OVER w AS rs_c
         FROM bars
         WINDOW w AS (
             PARTITION BY symbol ORDER BY datetime, bar_id
@@ -660,7 +667,8 @@ def q_bars_ohlc_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT symbol, datetime, bar_id, close,
                cnt AS cs_n,
-               rnk AS cs_rank,
+               CASE WHEN close IS NOT NULL THEN CAST(rnk AS INT) END
+                   AS cs_rank,
                sx / cnt AS cs_mean,
                close - sx / cnt AS cs_demean,
                CASE WHEN cnt > 1
@@ -669,8 +677,11 @@ def q_bars_ohlc_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / sqrt((sxx - sx * sx / cnt) / (cnt - 1))
                END AS cs_zscore
         FROM (
+            -- count(close): non-null count, matching the operator;
+            -- DuckDB ASC ranks NULLS LAST by default = the operator's
+            -- pinned asc_nulls_last
             SELECT symbol, datetime, bar_id, close,
-                   count(*) OVER b AS cnt,
+                   count(close) OVER b AS cnt,
                    rank() OVER (
                        PARTITION BY date_trunc('hour', datetime)
                        ORDER BY close
@@ -740,19 +751,26 @@ def q_bars_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extended(
-    "bars_return_correlation",
-    _bars_sql(
-        """
+#: Shared bar-index-return CTE pair — ONE definition of the aligned
+#: return series (operators/correlation.py bar_index_returns's SQL
+#: twin) feeds both the correlation and beta oracles.
+_RETS_NN_SQL = """
         , rets AS (
-            SELECT symbol AS _sym,
-                   row_number() OVER w AS _idx,
+            SELECT symbol AS _sym, row_number() OVER w AS _idx,
                    (close - lag(close) OVER w) / lag(close) OVER w AS _ret
             FROM bars
             WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
         ),
-        nn AS (SELECT * FROM rets WHERE _ret IS NOT NULL),
-        g AS (
+        nn AS (SELECT * FROM rets WHERE _ret IS NOT NULL)
+"""
+
+
+@register_extended(
+    "bars_return_correlation",
+    _bars_sql(
+        _RETS_NN_SQL
+        + """
+        , g AS (
             SELECT a._sym AS symbol_a, b._sym AS symbol_b,
                    count(*) AS n_obs,
                    CAST(sum(CAST(a._ret AS DECIMAL(38,12)))
@@ -804,28 +822,20 @@ from marketdatapipeline_spark.operators.sessions import (  # noqa: E402
 
 
 def _sessions_sql(alias: str, gap_sql: str) -> str:
-    """Session-bounds CTE pair for one gap setting (the
-    catalog_operators._SESSIONS_CTE convention: strictly-beyond-gap
-    starts a session; ties broken by event_id)."""
+    """Session-bounds CTE chain for one gap setting: the shared
+    session-numbering template (catalog_operators.session_numbering_sql
+    — ONE definition of the boundary convention) plus a bounds
+    aggregation."""
+    from marketdatapipeline_spark.catalog_operators import (
+        session_numbering_sql,
+    )
+
     return f"""
-        {alias}_f AS (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts > lag(ts) OVER w + {gap_sql}
-                        THEN 1 ELSE 0 END AS st
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        {alias}_n AS (
-            SELECT user_id, ts,
-                   sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-            FROM {alias}_f
-        ),
+        {session_numbering_sql(gap_sql, f"{alias}_f", f"{alias}_n")},
         {alias} AS (
-            SELECT user_id, CAST(sid AS BIGINT) AS {alias}_id,
+            SELECT user_id, CAST(session_id AS BIGINT) AS {alias}_id,
                    min(ts) AS {alias}_start, max(ts) AS {alias}_end
-            FROM {alias}_n GROUP BY user_id, sid
+            FROM {alias}_n GROUP BY user_id, session_id
         )
     """
 
@@ -941,15 +951,9 @@ from marketdatapipeline_spark.operators.beta import rolling_beta  # noqa: E402
 @register_extended(
     "bars_rolling_beta",
     _bars_sql(
-        """
-        , rets AS (
-            SELECT symbol AS _sym, row_number() OVER w AS _idx,
-                   (close - lag(close) OVER w) / lag(close) OVER w AS _ret
-            FROM bars
-            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
-        ),
-        nn AS (SELECT * FROM rets WHERE _ret IS NOT NULL),
-        mkt AS (
+        _RETS_NN_SQL
+        + """
+        , mkt AS (
             SELECT _idx,
                    CAST(sum(CAST(_ret AS DECIMAL(38,12))) AS DOUBLE)
                        / count(*) AS _m

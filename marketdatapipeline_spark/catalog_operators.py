@@ -75,25 +75,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared session-numbering CTE chain (30-minute gap, session_window
-#: boundary convention: STRICTLY beyond last + gap starts a new
-#: session — events exactly gap apart merge).
-_SESSIONS_CTE = """
-    flagged AS (
+def session_numbering_sql(
+    gap_sql: str, flagged: str = "flagged", numbered: str = "numbered"
+) -> str:
+    """The session-numbering CTE chain, parameterized by gap and CTE
+    names — ONE definition of the boundary convention (session_window
+    semantics: STRICTLY beyond last + gap starts a new session, events
+    exactly gap apart merge; ties broken by event_id) feeds every
+    session oracle in the catalog (here and catalog_corpus.py)."""
+    return f"""
+    {flagged} AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                         OR ts > lag(ts) OVER w + {gap_sql}
                     THEN 1 ELSE 0 END AS st
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
-    numbered AS (
+    {numbered} AS (
         SELECT user_id, ts,
                sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM flagged
+        FROM {flagged}
     )
 """
+
+
+#: the main catalog's 30-minute instantiation
+_SESSIONS_CTE = session_numbering_sql("INTERVAL 30 MINUTE")
 
 
 @register(

@@ -15,11 +15,13 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`running_drawdown` — cumulative peak + fractional drawdown;
 - :func:`pairwise_return_correlation` — bar-index-aligned sample
   correlation for every symbol pair;
+- :func:`rolling_beta` — trailing equal-weight-market beta per symbol;
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
 
 from marketdatapipeline_spark.operators.asof import asof_join
+from marketdatapipeline_spark.operators.beta import rolling_beta
 from marketdatapipeline_spark.operators.correlation import (
     pairwise_return_correlation,
 )
@@ -48,6 +50,7 @@ __all__ = [
     "pairwise_return_correlation",
     "point_in_interval_join",
     "resample_ffill",
+    "rolling_beta",
     "rollup_bars",
     "running_drawdown",
     "salted_collect_list",

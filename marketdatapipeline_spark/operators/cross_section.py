@@ -45,6 +45,11 @@ def cross_sectional(
     - ``cs_zscore``— (value - mean) / sample std (ddof=1); null when
       the bucket has one row or zero variance
 
+    Null values are excluded from ``cs_n``/mean/std (matching the
+    null-skipping sums) and receive a null ``cs_rank``; non-null rows
+    rank with nulls sorted last, so ranks match any engine's
+    NULLS LAST convention.
+
     ``value_decimals=d`` declares the value column decimal-quantized
     to ``d`` places (prices usually are): sums then accumulate over
     ``round(x·10^d)`` longs — EXACT integer arithmetic, so any engine
@@ -58,10 +63,15 @@ def cross_sectional(
         raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
     key = F.date_trunc(_BUCKETS[bucket], F.col(time_col))
     w = Window.partitionBy(key)
-    w_rank = w.orderBy(F.col(value_col))
+    # nulls sort LAST explicitly: Spark's ascending default is
+    # NULLS FIRST, DuckDB's is NULLS LAST — pinning the order keeps
+    # non-null ranks engine-independent when values are missing
+    w_rank = w.orderBy(F.col(value_col).asc_nulls_last())
 
     x = F.col(value_col)
-    n = F.count(F.lit(1)).over(w)
+    # count NON-NULL values: the sums skip nulls, so a row-count n
+    # would skew mean/var on buckets with missing values
+    n = F.count(x).over(w)
     if value_decimals is not None:
         s1 = float(10**value_decimals)
         s2 = float(10 ** (2 * value_decimals))
@@ -85,7 +95,7 @@ def cross_sectional(
     return df.withColumns(
         {
             "cs_n": n,
-            "cs_rank": F.rank().over(w_rank),
+            "cs_rank": F.when(x.isNotNull(), F.rank().over(w_rank)),
             "cs_mean": mean,
             "cs_demean": x - mean,
             "cs_zscore": F.when(

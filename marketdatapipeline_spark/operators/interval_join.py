@@ -56,6 +56,11 @@ def interval_overlap_join(
             f"right column(s) {collide} already exist on the left side; "
             "rename before joining"
         )
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError(
+            "column name _bin is reserved by interval_overlap_join; "
+            "rename before joining"
+        )
     bw = _interval_to_us(left.sparkSession, bin_width)
 
     def exploded(df: DataFrame, s: str, e: str) -> DataFrame:

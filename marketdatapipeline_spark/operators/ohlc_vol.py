@@ -70,8 +70,6 @@ def ohlc_volatility(
         .rowsBetween(-(window - 1), 0)
     )
 
-    full = F.count(F.lit(1)).over(w) == window
-
     def vol(term: Column, scale: float | None = None) -> Column:
         t = term.cast("decimal(28,14)") if exact_decimal else term
         s = F.sum(t).over(w)
@@ -80,8 +78,12 @@ def ohlc_volatility(
         mean = s / window
         if scale is not None:
             mean = mean / F.lit(scale)
-        # gate BEFORE greatest: greatest() skips nulls, so an ungated
-        # null mean would silently become 0.0 on partial windows
+        # the min_periods gate counts NON-NULL terms (a null/degenerate
+        # price makes its ln-term null; counting rows instead would
+        # emit a silently-understated vol from the surviving terms),
+        # and it sits BEFORE greatest: greatest() skips nulls, so an
+        # ungated null mean would become 0.0 on partial windows
+        full = F.count(term).over(w) == window
         return F.when(full, F.sqrt(F.greatest(mean, F.lit(0.0))))
 
     return df.withColumns(

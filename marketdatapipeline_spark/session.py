@@ -74,3 +74,15 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def active_or(spark):
+    """``spark`` if given, else the active session — with a clear
+    error instead of a downstream ``NoneType`` AttributeError when
+    neither exists (fresh process, non-driver thread)."""
+    from pyspark.sql import SparkSession
+
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession; pass spark= explicitly")
+    return s

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from marketdatapipeline_spark.session import active_or
 from marketdatapipeline_spark.similarity.search import (
     _pair_dot_col,
     _query_matrix,
@@ -313,7 +314,7 @@ class IVFIndex:
 
     @classmethod
     def load(cls, path: str, spark: SparkSession | None = None) -> "IVFIndex":
-        spark = spark or SparkSession.getActiveSession()
+        spark = active_or(spark)
         text = _hadoop_read_text(spark, os.path.join(path, "manifest.json"))
         return cls(path=path, **json.loads(text))
 
@@ -381,7 +382,7 @@ class IVFIndex:
         not data. Same write-tmp → delete → rename swap (and the same
         crash contract) as LSHDedupStore.compact. Returns the number
         of list rows rewritten."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = active_or(spark)
         directory = os.path.join(self.path, "lists")
         df = spark.read.parquet(directory)
         rows = df.count()

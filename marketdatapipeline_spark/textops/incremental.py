@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.caching import scoped_persist
+from marketdatapipeline_spark.session import active_or
 from marketdatapipeline_spark.similarity.index import (
     _hadoop_read_text,
     _hadoop_write_text,
@@ -140,7 +141,7 @@ class LSHDedupStore:
 
     @classmethod
     def load(cls, path: str, spark: SparkSession | None = None) -> "LSHDedupStore":
-        spark = spark or SparkSession.getActiveSession()
+        spark = active_or(spark)
         text = _hadoop_read_text(spark, os.path.join(path, "manifest.json"))
         return cls(path=path, **json.loads(text))
 
@@ -188,7 +189,7 @@ class LSHDedupStore:
         needs a manual rename to recover — the same contract as any
         non-transactional table compaction; a table format's atomic
         commit is the production upgrade."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = active_or(spark)
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         out: dict[str, int] = {}

@@ -812,3 +812,54 @@ def test_rolling_beta_vs_numpy(spark):
     # construction: market = (rA + rB)/2 with rA = 2*m dominating ->
     # beta of A vs market close to 2 within the noise scale
     assert 1.5 < a[-1]["beta"] < 2.5
+
+
+def test_cross_sectional_null_values(spark):
+    """Nulls are excluded from n/mean/std, rank null, non-null ranks
+    NULLS-LAST stable — the any-engine convention."""
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators.cross_section import (
+        cross_sectional,
+    )
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 10, 1), 1, 1.0),
+        ("B", datetime(2024, 1, 1, 10, 2), 2, None),
+        ("C", datetime(2024, 1, 1, 10, 3), 3, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, datetime timestamp, bar_id long, close double")
+    out = {
+        r["bar_id"]: r
+        for r in cross_sectional(df, value_col="close", bucket="hour").collect()
+    }
+    assert out[1]["cs_n"] == 2 and out[1]["cs_mean"] == pytest.approx(2.0)
+    assert out[2]["cs_rank"] is None and out[2]["cs_zscore"] is None
+    assert out[1]["cs_rank"] == 1 and out[3]["cs_rank"] == 2
+
+
+def test_ohlc_volatility_null_term_blocks_window(spark):
+    """A bar whose ln-term is null (non-positive low here) must null
+    every window containing it — not bias the mean over fewer terms."""
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(8):
+        low = -1.0 if i == 3 else 99.0  # ln(high/low) null at i=3
+        rows.append(
+            ("A", base + timedelta(hours=i), i, 100.0, 101.0, low, 100.0)
+        )
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "open", "high", "low", "close"]
+    )
+    out = sorted(
+        ohlc_volatility(df, window=3).collect(), key=lambda r: r["bar_id"]
+    )
+    # windows covering index 3 (rows 3,4,5) have only 2 valid terms
+    assert out[2]["vol_parkinson"] is not None
+    for i in (3, 4, 5):
+        assert out[i]["vol_parkinson"] is None
+    assert out[7]["vol_parkinson"] is not None
