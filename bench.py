@@ -204,11 +204,23 @@ def main() -> None:
             mult * 1_000_000 / timings[label]
         )
 
+    # The slim stdout line carries ONLY the r4-frozen series keys
+    # (REGISTRY + headline + 1sym + sf-native): the r6 additions
+    # (cached-input headline, 5M/10M scaling) pushed the line to
+    # ~1915 chars — inside the driver's ~1900-2000 char capture
+    # window's failure band (r5 recorded parsed:null at ~2600). They
+    # live in bench_detail.json and the detail stdout line instead.
+    slim_only = {"feature_pipeline_1m_cached", "feature_pipeline_5m",
+                 "feature_pipeline_10m"}
     result = {
         "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",
         "value": round(timings["feature_pipeline_1m"], 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {
+            k: round(v, 3)
+            for k, v in timings.items()
+            if k not in slim_only
+        },
         "sf": sf,
         "rows_per_sec_1m": round(1_000_000 / timings["feature_pipeline_1m"]),
     }
@@ -233,12 +245,10 @@ def main() -> None:
     print(json.dumps(detail))
 
     line = json.dumps(result)
-    if len(line) > 1800:  # stay inside the capture window with margin
-        result["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(result)
-    if len(line) > 1950:  # last resort: scaling points live in detail
-        for k in ("feature_pipeline_5m", "feature_pipeline_10m"):
-            result["queries"].pop(k, None)
+    if len(line) > 1750:  # stay inside the capture window with margin
+        result["queries"] = {
+            k: round(v, 2) for k, v in result["queries"].items()
+        }
         line = json.dumps(result)
     print(line)
 
