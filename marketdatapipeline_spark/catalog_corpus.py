@@ -803,7 +803,14 @@ def q_bars_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise return correlation over bar-index alignment
     (operators/correlation.py): one window exchange, one self
     equi-join on the index, one co-moment aggregation per pair —
-    S(S-1)/2 output rows, decimal-exact sums under round-6."""
+    S(S-1)/2 output rows, decimal-exact sums under round-6.
+
+    Local timing note (bench ~3 s warm at sf0.1): the single-file
+    events scan plus AQE coalescing the small shuffles serializes the
+    stages to one task each — a tiny-input artifact, not a plan
+    property; at real scale the index shuffle spreads across the
+    cluster and the pair join's S^2-per-index fan-out (bounded by the
+    symbol universe) is the only superlinear term."""
     from marketdatapipeline_spark.sources.tables import bars_from_events
 
     bars = bars_from_events(spark, sf_dir)
