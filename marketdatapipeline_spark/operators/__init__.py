@@ -6,7 +6,7 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`rollup_bars` — multi-granularity OHLCV rollup;
 - :func:`point_in_interval_join` — bin-bucketed range join;
 - :func:`interval_overlap_join` — bin-bucketed interval×interval
-  overlap join (responsibility-bin dedup, no distinct);
+  overlap join (responsibility-bin dedup, no distinct; inner/left);
 - :func:`anchored_vwap` — day/week/month-anchored running VWAP;
 - :func:`resample_ffill` — dense calendar grid with forward fill;
 - :func:`ohlc_volatility` — rolling Parkinson / Garman-Klass /
@@ -14,7 +14,7 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`cross_sectional` — per-time-bucket rank / z-score / demean;
 - :func:`running_drawdown` — cumulative peak + fractional drawdown;
 - :func:`pairwise_return_correlation` — bar-index-aligned sample
-  correlation for every symbol pair;
+  correlation for every symbol pair (``lag=k`` for lead-lag);
 - :func:`rolling_beta` — trailing equal-weight-market beta per symbol;
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.

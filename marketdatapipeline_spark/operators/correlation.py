@@ -55,9 +55,17 @@ def pairwise_return_correlation(
     symbol_col: str = "symbol",
     order_cols: tuple[str, ...] = ("datetime", "bar_id"),
     min_obs: int = 2,
+    lag: int = 0,
 ) -> DataFrame:
     """(symbol_a, symbol_b, n_obs, corr) for every unordered symbol
-    pair with at least ``min_obs`` aligned return observations."""
+    pair with at least ``min_obs`` aligned return observations.
+
+    ``lag=k`` computes the LEAD-LAG cross-correlation: a's return at
+    index i pairs with b's at index i+k (does a lead b by k bars?).
+    With a nonzero lag the pair is ordered, so both (a, b) and (b, a)
+    rows are emitted — corr(a_t, b_{t+k}) and corr(b_t, a_{t+k}) are
+    different questions; at lag 0 they coincide and only the
+    symbol_a < symbol_b half is kept."""
     rets = bar_index_returns(df, price_col, symbol_col, order_cols)
 
     a = rets.select(
@@ -67,10 +75,15 @@ def pairwise_return_correlation(
     )
     b = rets.select(
         F.col("_sym").alias("symbol_b"),
-        F.col("_idx"),
+        (F.col("_idx") - F.lit(lag)).alias("_idx"),
         F.col("_ret").alias("_rb"),
     )
-    pairs = a.join(b, "_idx").filter(F.col("symbol_a") < F.col("symbol_b"))
+    pair_filter = (
+        F.col("symbol_a") < F.col("symbol_b")
+        if lag == 0
+        else F.col("symbol_a") != F.col("symbol_b")
+    )
+    pairs = a.join(b, "_idx").filter(pair_filter)
 
     dec = "decimal(38,12)"
     g = pairs.groupBy("symbol_a", "symbol_b").agg(

@@ -41,11 +41,17 @@ def interval_overlap_join(
     right_bounds: tuple[str, str] = ("start", "end"),
     by: tuple[str, ...] = (),
     bin_width: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join interval rows whose CLOSED spans overlap:
+    """Join interval rows whose CLOSED spans overlap:
     ``l.start <= r.end AND r.start <= l.end`` (touching endpoints
-    match), plus equal ``by`` keys. Column names (outside ``by``)
-    must not collide across the two sides."""
+    match), plus equal ``by`` keys. ``how`` is ``"inner"`` or
+    ``"left"`` (left intervals overlapping nothing kept with null
+    right columns — the null-safe anti-join recovery
+    :func:`point_in_interval_join` uses). Column names (outside
+    ``by``) must not collide across the two sides."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
     ls, le = left_bounds
     rs, re = right_bounds
     collide = [
@@ -81,8 +87,25 @@ def interval_overlap_join(
         F.greatest(F.col(ls).cast("timestamp"), F.col(rs).cast("timestamp")),
         bw,
     )
-    return (
+    matched = (
         l.join(r, on=[*by, "_bin"])
         .filter(overlap & responsible)
         .drop("_bin")
     )
+    if how == "inner":
+        return matched
+    # left: append left intervals that matched nothing, null-padded.
+    # The anti-join is NULL-SAFE per column (plain equality would emit
+    # a null-bearing left row twice — matched AND "unmatched").
+    m = matched.select(*left.columns).distinct()
+    cond = None
+    for c in left.columns:
+        e = left[c].eqNullSafe(m[c])
+        cond = e if cond is None else cond & e
+    rdt = dict(right.dtypes)
+    pad = [c for c in matched.columns if c not in left.columns]
+    unmatched = left.join(m, on=cond, how="left_anti").select(
+        *left.columns,
+        *[F.lit(None).cast(rdt[c]).alias(c) for c in pad],
+    )
+    return matched.unionByName(unmatched.select(*matched.columns))

@@ -863,3 +863,62 @@ def test_ohlc_volatility_null_term_blocks_window(spark):
     for i in (3, 4, 5):
         assert out[i]["vol_parkinson"] is None
     assert out[7]["vol_parkinson"] is not None
+
+
+def test_interval_overlap_join_left(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators import interval_overlap_join
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u1", 1, t(1), t(2)), ("u1", 2, t(10), t(11))],
+        ["user", "lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 7, t(1), t(3))], ["user", "rid", "rs", "re"]
+    )
+    out = interval_overlap_join(
+        left, right,
+        left_bounds=("ls", "le"), right_bounds=("rs", "re"),
+        by=("user",), how="left",
+    ).collect()
+    got = {r["lid"]: r["rid"] for r in out}
+    assert got == {1: 7, 2: None}
+    with pytest.raises(ValueError, match="how"):
+        interval_overlap_join(
+            left, right, left_bounds=("ls", "le"),
+            right_bounds=("rs", "re"), by=("user",), how="outer",
+        )
+
+
+def test_pairwise_correlation_lead_lag(spark):
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators import (
+        pairwise_return_correlation,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # B's returns replay A's returns one bar later: corr(a_t, b_{t+1})
+    # must be exactly 1 while the contemporaneous corr is the shifted
+    # overlap (not 1)
+    a_prices = [100.0, 110.0, 99.0, 113.85, 102.465, 117.83475]
+    b_prices = [50.0]
+    a_rets = [p1 / p0 - 1.0 for p0, p1 in zip(a_prices, a_prices[1:])]
+    for r in [0.5] + a_rets[:-1]:  # b_1 differs, then replays a
+        b_prices.append(b_prices[-1] * (1.0 + r))
+    for i, p in enumerate(a_prices):
+        rows.append(("A", base + timedelta(hours=i), i, p))
+    for i, p in enumerate(b_prices):
+        rows.append(("B", base + timedelta(hours=i), i, p))
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    lagged = {
+        (r["symbol_a"], r["symbol_b"]): r
+        for r in pairwise_return_correlation(df, lag=1).collect()
+    }
+    assert lagged[("A", "B")]["corr"] == pytest.approx(1.0)
+    # the reverse direction is a DIFFERENT series pairing, not 1
+    assert lagged[("B", "A")]["corr"] != pytest.approx(1.0)
+    assert lagged[("A", "B")]["n_obs"] == 4
