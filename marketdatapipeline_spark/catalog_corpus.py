@@ -773,15 +773,15 @@ _RETS_NN_SQL = """
         , g AS (
             SELECT a._sym AS symbol_a, b._sym AS symbol_b,
                    count(*) AS n_obs,
-                   CAST(sum(CAST(a._ret AS DECIMAL(38,12)))
+                   CAST(sum(CAST(a._ret AS DECIMAL(38,18)))
                         AS DOUBLE) AS sx,
-                   CAST(sum(CAST(b._ret AS DECIMAL(38,12)))
+                   CAST(sum(CAST(b._ret AS DECIMAL(38,18)))
                         AS DOUBLE) AS sy,
-                   CAST(sum(CAST(a._ret * a._ret AS DECIMAL(38,12)))
+                   CAST(sum(CAST(a._ret * a._ret AS DECIMAL(38,18)))
                         AS DOUBLE) AS sxx,
-                   CAST(sum(CAST(b._ret * b._ret AS DECIMAL(38,12)))
+                   CAST(sum(CAST(b._ret * b._ret AS DECIMAL(38,18)))
                         AS DOUBLE) AS syy,
-                   CAST(sum(CAST(a._ret * b._ret AS DECIMAL(38,12)))
+                   CAST(sum(CAST(a._ret * b._ret AS DECIMAL(38,18)))
                         AS DOUBLE) AS sxy
             FROM nn a JOIN nn b
               ON a._idx = b._idx AND a._sym < b._sym
@@ -962,7 +962,7 @@ from marketdatapipeline_spark.operators.beta import rolling_beta  # noqa: E402
         + """
         , mkt AS (
             SELECT _idx,
-                   CAST(sum(CAST(_ret AS DECIMAL(38,12))) AS DOUBLE)
+                   CAST(sum(CAST(_ret AS DECIMAL(38,18))) AS DOUBLE)
                        / count(*) AS _m
             FROM nn GROUP BY _idx
         ),
@@ -973,13 +973,13 @@ from marketdatapipeline_spark.operators.beta import rolling_beta  # noqa: E402
         acc AS (
             SELECT _sym, _idx, _ret, _m,
                    count(*) OVER v AS n,
-                   CAST(sum(CAST(_ret AS DECIMAL(38,12))) OVER v
+                   CAST(sum(CAST(_ret AS DECIMAL(38,18))) OVER v
                         AS DOUBLE) AS sr,
-                   CAST(sum(CAST(_m AS DECIMAL(38,12))) OVER v
+                   CAST(sum(CAST(_m AS DECIMAL(38,18))) OVER v
                         AS DOUBLE) AS sm,
-                   CAST(sum(CAST(_ret * _m AS DECIMAL(38,12))) OVER v
+                   CAST(sum(CAST(_ret * _m AS DECIMAL(38,18))) OVER v
                         AS DOUBLE) AS srm,
-                   CAST(sum(CAST(_m * _m AS DECIMAL(38,12))) OVER v
+                   CAST(sum(CAST(_m * _m AS DECIMAL(38,18))) OVER v
                         AS DOUBLE) AS smm
             FROM j
             WINDOW v AS (PARTITION BY _sym ORDER BY _idx

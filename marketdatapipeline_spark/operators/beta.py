@@ -14,7 +14,7 @@ to the market series (an exchange on the index; the market frame has
 rows/S rows — it shuffles, it is NOT broadcast, so the plan holds
 when the series itself is huge), one equi-join back on the index, and
 one final rolling window per symbol. Co-moments accumulate as
-``decimal(38,12)`` window sums (association-free); the beta assembles
+``decimal(38,18)`` window sums (association-free); the beta assembles
 from the five sums with identically-ordered scalar double arithmetic:
 
     beta = (n·srm - sr·sm) / (n·smm - sm·sm)
@@ -31,7 +31,7 @@ from marketdatapipeline_spark.operators.correlation import bar_index_returns
 
 __all__ = ["rolling_beta"]
 
-_DEC = "decimal(38,12)"
+_DEC = "decimal(38,18)"
 
 
 def rolling_beta(

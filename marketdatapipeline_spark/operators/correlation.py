@@ -13,7 +13,7 @@ equi-join on the bar index with ``symbol_a < symbol_b`` (no diagonal,
 no mirror), one aggregation to co-moment sums per pair. For S symbols
 that is S·(S-1)/2 output rows and the join carries only (index,
 symbol, return) — never the raw bars. Co-moments accumulate as
-``decimal(38,12)`` sums (association-free, so any engine agrees
+``decimal(38,18)`` sums (association-free, so any engine agrees
 bit-for-bit); the correlation itself is assembled driver-free from
 the five sums with identically-ordered scalar double arithmetic:
 
@@ -85,7 +85,7 @@ def pairwise_return_correlation(
     )
     pairs = a.join(b, "_idx").filter(pair_filter)
 
-    dec = "decimal(38,12)"
+    dec = "decimal(38,18)"
     g = pairs.groupBy("symbol_a", "symbol_b").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(F.col("_ra").cast(dec)).cast("double").alias("_sx"),

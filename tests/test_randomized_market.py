@@ -1,0 +1,238 @@
+"""Randomized pandas-parity tests for the market-operator wave.
+
+The DuckDB oracles pin these operators cell-exactly on the synthetic
+corpora, but synthetic layouts can miss edge geometry (ragged symbol
+lengths, duplicate timestamps, null values, all-equal buckets). These
+tests replay seeded-random frames through an independent pandas
+implementation of each definition — the same hardening wave r5 applied
+to RollingPlan/as-of/rollup (commits a62cc53..ae2d4fd).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _random_bars(seed: int, n_symbols: int = 4) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    bar_id = 0
+    for s in range(n_symbols):
+        n = int(rng.randint(5, 60))
+        close = 100.0 + np.cumsum(rng.randn(n))
+        # ragged, duplicate-prone timestamps: minute steps with repeats
+        steps = rng.randint(0, 3, size=n).cumsum()
+        for i in range(n):
+            c = float(close[i])
+            h = c + float(abs(rng.randn())) + 0.01
+            low = c - float(abs(rng.randn())) - 0.01
+            rows.append(
+                {
+                    "symbol": f"S{s}",
+                    "datetime": base + dt.timedelta(minutes=int(steps[i])),
+                    "bar_id": bar_id,
+                    "open": c + float(rng.randn()) * 0.1,
+                    "high": h,
+                    "low": max(low, 0.01),
+                    "close": c,
+                }
+            )
+            bar_id += 1
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_ohlc_volatility_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.ohlc_vol import (
+        GK_COEF,
+        LN2,
+        ohlc_volatility,
+    )
+
+    pdf = _random_bars(seed)
+    w = 7
+    got = (
+        ohlc_volatility(spark.createDataFrame(pdf), window=w)
+        .toPandas()
+        .sort_values("bar_id")
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["symbol", "datetime", "bar_id"]).reset_index(
+        drop=True
+    )
+    ln = np.log
+    pk = ln(pdf["high"] / pdf["low"]) ** 2
+    gk = 0.5 * pk - GK_COEF * ln(pdf["close"] / pdf["open"]) ** 2
+    rs = ln(pdf["high"] / pdf["close"]) * ln(pdf["high"] / pdf["open"]) + ln(
+        pdf["low"] / pdf["close"]
+    ) * ln(pdf["low"] / pdf["open"])
+    g = pdf.assign(pk=pk, gk=gk, rs=rs).groupby("symbol")
+    want = pdf.assign(
+        vol_parkinson=np.sqrt(
+            g["pk"].rolling(w, min_periods=w).mean().droplevel(0) / (4 * LN2)
+        ),
+        vol_garman_klass=np.sqrt(
+            g["gk"].rolling(w, min_periods=w).mean().droplevel(0).clip(lower=0)
+        ),
+        vol_rogers_satchell=np.sqrt(
+            g["rs"].rolling(w, min_periods=w).mean().droplevel(0).clip(lower=0)
+        ),
+    ).sort_values("bar_id")
+    for col in ("vol_parkinson", "vol_garman_klass", "vol_rogers_satchell"):
+        np.testing.assert_allclose(
+            got.sort_values("bar_id")[col].to_numpy(dtype=float),
+            want[col].to_numpy(dtype=float),
+            rtol=1e-9,
+            err_msg=f"{col} seed={seed}",
+        )
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_cross_sectional_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.cross_section import (
+        cross_sectional,
+    )
+
+    rng = np.random.RandomState(seed)
+    pdf = _random_bars(seed)
+    # inject nulls
+    mask = rng.rand(len(pdf)) < 0.1
+    pdf.loc[mask, "close"] = np.nan
+    got = (
+        cross_sectional(spark.createDataFrame(pdf), bucket="minute")
+        .toPandas()
+        .sort_values("bar_id")
+        .reset_index(drop=True)
+    )
+    key = pdf["datetime"].dt.floor("min")
+    g = pdf.groupby(key)["close"]
+    want_mean = g.transform("mean")
+    want_n = g.transform("count")
+    want_std = g.transform(lambda x: x.std(ddof=1))
+    want_rank = g.rank(method="min")  # pandas: NaNs get NaN rank
+    z = (pdf["close"] - want_mean) / want_std
+    z[(want_n <= 1) | ~(want_std > 0)] = np.nan
+    order = pdf.sort_values("bar_id").index
+    np.testing.assert_array_equal(
+        got["cs_n"].to_numpy(), want_n[order].to_numpy(dtype=int)
+    )
+    np.testing.assert_allclose(
+        got["cs_mean"].to_numpy(dtype=float),
+        want_mean[order].to_numpy(dtype=float),
+        rtol=1e-12,
+    )
+    # decimal(28,10) accumulation quantizes unquantized doubles at
+    # 1e-10/term; through the variance cancellation that surfaces as
+    # ~1e-7 relative on the zscore — the documented default-path
+    # trade-off (the value_decimals path below is exact)
+    np.testing.assert_allclose(
+        got["cs_zscore"].to_numpy(dtype=float),
+        z[order].to_numpy(dtype=float),
+        rtol=1e-5,
+    )
+    got_rank = got["cs_rank"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(
+        np.isnan(got_rank), want_rank[order].isna().to_numpy()
+    )
+    both = ~want_rank[order].isna().to_numpy()
+    np.testing.assert_array_equal(
+        got_rank[both], want_rank[order].to_numpy(dtype=float)[both]
+    )
+
+    # with 2-decimal-quantized values the scaled-integer path sums
+    # exactly; the residual vs pandas is only the co-moment formula's
+    # cancellation (sxx - sx^2/n at mean>>std) vs pandas's two-pass
+    # std — ~1e-10 relative, orders tighter than the decimal path
+    pdf2 = pdf.assign(close=pdf["close"].round(2))
+    got2 = (
+        cross_sectional(
+            spark.createDataFrame(pdf2), bucket="minute", value_decimals=2
+        )
+        .toPandas()
+        .sort_values("bar_id")
+        .reset_index(drop=True)
+    )
+    g2 = pdf2.groupby(pdf2["datetime"].dt.floor("min"))["close"]
+    m2 = g2.transform("mean")
+    s2 = g2.transform(lambda x: x.std(ddof=1))
+    n2 = g2.transform("count")
+    z2 = (pdf2["close"] - m2) / s2
+    z2[(n2 <= 1) | ~(s2 > 0)] = np.nan
+    np.testing.assert_allclose(
+        got2["cs_zscore"].to_numpy(dtype=float),
+        z2[order].to_numpy(dtype=float),
+        rtol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_drawdown_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.drawdown import running_drawdown
+
+    pdf = _random_bars(seed)
+    got = (
+        running_drawdown(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("bar_id")
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["symbol", "datetime", "bar_id"]).reset_index(
+        drop=True
+    )
+    peak = pdf.groupby("symbol")["close"].cummax()
+    want = pdf.assign(
+        peak=peak, drawdown=pdf["close"] / peak - 1.0
+    ).sort_values("bar_id")
+    np.testing.assert_allclose(
+        got["peak"].to_numpy(), want["peak"].to_numpy(), rtol=0
+    )
+    np.testing.assert_allclose(
+        got["drawdown"].to_numpy(), want["drawdown"].to_numpy(), rtol=0
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_rolling_beta_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.beta import rolling_beta
+
+    pdf = _random_bars(seed, n_symbols=5)
+    w = 9
+    got = rolling_beta(spark.createDataFrame(pdf), window=w).toPandas()
+
+    pdf = pdf.sort_values(["symbol", "datetime", "bar_id"]).reset_index(
+        drop=True
+    )
+    pdf["_idx"] = pdf.groupby("symbol").cumcount() + 1
+    pdf["_ret"] = pdf.groupby("symbol")["close"].pct_change()
+    nn = pdf.dropna(subset=["_ret"])
+    mkt = nn.groupby("_idx")["_ret"].mean().rename("_m")
+    j = nn.merge(mkt, on="_idx").sort_values(["symbol", "_idx"])
+
+    def beta_series(grp: pd.DataFrame) -> pd.Series:
+        r, m = grp["_ret"], grp["_m"]
+        cov = r.rolling(w, min_periods=w).cov(m, ddof=1)
+        var = m.rolling(w, min_periods=w).var(ddof=1)
+        return cov / var
+
+    j["beta"] = (
+        j.groupby("symbol", group_keys=False).apply(
+            beta_series, include_groups=False
+        )
+    )
+    merged = got.merge(
+        j[["symbol", "_idx", "beta"]],
+        left_on=["symbol", "bar_index"],
+        right_on=["symbol", "_idx"],
+        suffixes=("_got", "_want"),
+    )
+    assert len(merged) == len(got) > 0
+    gb = merged["beta_got"].to_numpy(dtype=float)
+    wb = merged["beta_want"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.isnan(gb), np.isnan(wb))
+    ok = ~np.isnan(gb)
+    np.testing.assert_allclose(gb[ok], wb[ok], rtol=1e-8)
