@@ -27,6 +27,10 @@ from marketdatapipeline_spark.streaming.stateful import (
     online_indicators,
     online_indicators_batch,
 )
+from marketdatapipeline_spark.streaming.vwap import (
+    online_vwap,
+    online_vwap_batch,
+)
 
 __all__ = [
     "TICK_SCHEMA",
@@ -38,6 +42,8 @@ __all__ = [
     "dedup_batch",
     "online_indicators",
     "online_indicators_batch",
+    "online_vwap",
+    "online_vwap_batch",
     "sessionize_batch",
     "sessionize_stream",
 ]

@@ -414,3 +414,88 @@ def test_online_indicators_with_ttl_matches_no_ttl_on_live_feed(spark, bars_pdf,
     a = with_ttl.sort_values(key).reset_index(drop=True)
     b = without.sort_values(key).reset_index(drop=True)[with_ttl.columns]
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_online_vwap_closes_parity_triangle(spark, bars_df, tick_dir):
+    """stream == batch-twin == the batch window operator, bit-exact:
+    all three add the same IEEE products in the same order."""
+    from marketdatapipeline_spark.operators.vwap import anchored_vwap
+    from marketdatapipeline_spark.streaming import (
+        online_vwap,
+        online_vwap_batch,
+    )
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_vwap(ticks_stream, anchor="day"), "online_vwap"
+    ).toPandas()
+
+    ticks_batch = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    twin = online_vwap_batch(ticks_batch, anchor="day").toPandas()
+
+    # the batch WINDOW operator on the bar-shaped frame (close/volume)
+    want = (
+        anchored_vwap(
+            bars_df, anchor="day", order_cols=("datetime",)
+        )
+        .select("symbol", "datetime", "close", "vwap", "vwap_dev")
+        .toPandas()
+        .rename(columns={"datetime": "ts", "close": "price"})
+    )
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    twin = twin.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(twin) == len(want) > 0
+    for col in ("vwap", "vwap_dev"):
+        assert (got[col].to_numpy() == twin[col].to_numpy()).all(), col
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    # day boundary actually resets: first bar of each (symbol, day)
+    # has vwap == its own price
+    got["day"] = got["ts"].dt.floor("D")
+    firsts = got.sort_values(key).groupby(["symbol", "day"]).first()
+    assert (firsts["vwap"] == firsts["price"]).all()
+
+
+def test_online_vwap_state_carries_across_batches(spark, bars_pdf, tmp_path):
+    """Two file drops inside one anchor day: the second batch must
+    CONTINUE the day's sums, not restart them."""
+    from marketdatapipeline_spark.streaming import (
+        online_vwap,
+        online_vwap_batch,
+    )
+
+    pdf = bars_pdf.rename(
+        columns={"datetime": "ts", "close": "price", "volume": "size"}
+    )[["symbol", "ts", "price", "size"]].sort_values("ts")
+    half = len(pdf) // 2
+    path = str(tmp_path / "drops")
+    # one file per drop with distinct mtimes: the file source orders
+    # batches by modification time, and the in-order-per-symbol
+    # contract must hold ACROSS the two drops
+    spark.createDataFrame(pdf.iloc[:half], schema=TICK_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(pdf.iloc[half:], schema=TICK_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = _run_stream_to_memory(
+        spark, online_vwap(stream, anchor="day"), "vwap_carry"
+    ).toPandas()
+    want = online_vwap_batch(
+        spark.read.schema(TICK_SCHEMA).parquet(path), anchor="day"
+    ).toPandas()
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert (got["vwap"].to_numpy() == want["vwap"].to_numpy()).all()
