@@ -499,3 +499,42 @@ def test_online_vwap_state_carries_across_batches(spark, bars_pdf, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert (got["vwap"].to_numpy() == want["vwap"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("anchor", ["week", "month"])
+def test_online_vwap_week_month_anchor_matches_window_operator(
+    spark, anchor
+):
+    """The pandas anchor truncation must draw the SAME period
+    boundaries as Spark's date_trunc (week starts Monday) — pinned by
+    running both paths over a span crossing several boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.operators.vwap import anchored_vwap
+    from marketdatapipeline_spark.streaming import online_vwap_batch
+
+    rows = []
+    t = dt.datetime(2023, 12, 25)  # Monday, crosses a year boundary
+    for i in range(300):  # ~50 days of 4-hourly ticks
+        rows.append(
+            ("A", t + dt.timedelta(hours=4 * i), float(100 + i % 7),
+             float(1 + i % 5))
+        )
+    ticks = spark.createDataFrame(rows, ["symbol", "ts", "price", "size"])
+    got = online_vwap_batch(ticks, anchor=anchor).toPandas()
+    bars = ticks.select(
+        "symbol", F.col("ts").alias("datetime"), F.lit(0).alias("bar_id"),
+        F.col("price").alias("close"), F.col("size").alias("volume"),
+    )
+    want = (
+        anchored_vwap(bars, anchor=anchor, order_cols=("datetime",))
+        .select("symbol", F.col("datetime").alias("ts"), "vwap")
+        .toPandas()
+    )
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) == 300
+    assert (got["vwap"].to_numpy() == want["vwap"].to_numpy()).all()
