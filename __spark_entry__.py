@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
@@ -73,6 +75,8 @@ def oracle_sql() -> dict[str, str]:
 
 def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
 
     def wrap(fn):
@@ -86,6 +90,8 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extended_oracle_sql() -> dict[str, str]:
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
 
     return {

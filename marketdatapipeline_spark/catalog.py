@@ -859,7 +859,10 @@ def q_ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/ml/evaluation.py:25-63) over a deterministic momentum-rule
     predictor (close > previous close), so both engines score identical
     (label, pred) pairs. Ratios of exact integer counts —
-    bit-identical division."""
+    bit-identical division. The output carries the four confusion-matrix
+    cells (tp/fp/fn/tn) verbatim, so this one gate row also value-checks
+    the matrix; the standalone ``ml_confusion_matrix`` entry moved to the
+    extended catalog in r7 (same oracle, pytest cell-exact)."""
     from marketdatapipeline_spark.features import generate_targets
     from marketdatapipeline_spark.ml import classification_metrics
 
@@ -934,10 +937,19 @@ _CONFUSION_SQL = _bars_sql(
 )
 
 
-@register("ml_confusion_matrix", _CONFUSION_SQL)
+@register_extended("ml_confusion_matrix", _CONFUSION_SQL)
 def q_ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix = groupBy(label, pred).count() (reference
-    evaluation.py:56) — exact integer counts."""
+    evaluation.py:56) — exact integer counts.
+
+    Moved out of the external gate in r7 (consolidation, not removal):
+    ``ml_classification_metrics`` already carries the four matrix cells
+    (tp/fp/fn/tn) as output columns under the same gate, so this entry
+    duplicated its coverage. It keeps the full oracle here and is
+    cell-exact-checked on every pytest run (tests/test_corpus_oracle.py,
+    stricter than the driver hash); the freed slot went to
+    ``bars_vwap_anchored`` / ``interval_overlap_sessions`` /
+    ``bars_return_correlation``."""
     from marketdatapipeline_spark.features import generate_targets
     from marketdatapipeline_spark.ml import confusion_matrix
 

@@ -5,14 +5,17 @@ chunking, shard packing, BM25 scoring, benchmark decontamination,
 duplicate-cluster connected components, BPE-style token estimation,
 PII redaction, and int8 embedding quantization.
 
-These register into ``EXTENDED_REGISTRY`` (catalog.py): the external
-50-query gate is full, so instead of growing the gate-exempt tail
-(frozen by review in r5) every entry here is value-checked
+Most entries register into ``EXTENDED_REGISTRY`` (catalog.py): the
+external 50-query gate is full, so instead of growing the gate-exempt
+tail (frozen by review in r5) every entry here is value-checked
 cell-exactly against its DuckDB oracle inside the ordinary pytest run
 (tests/test_corpus_oracle.py) — a stricter check than the driver's
-order-insensitive hash. Same two disciplines as the main catalog:
-identical aliases both sides, association-fixed double arithmetic
-with round-to-6 only guarding libm division/log.
+order-insensitive hash. Three market operators (bars_vwap_anchored,
+bars_return_correlation, interval_overlap_sessions) were promoted to
+the main ``REGISTRY`` in r7 after consolidation freed gate slots —
+they use ``@register`` below. Same two disciplines as the main
+catalog: identical aliases both sides, association-fixed double
+arithmetic with round-to-6 only guarding libm division/log.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marketdatapipeline_spark.catalog import _r6, register_extended
+from marketdatapipeline_spark.catalog import _r6, register, register_extended
 from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs, _emb, tokens3_cte
 from marketdatapipeline_spark.similarity.quantize import quantization_summary
 from marketdatapipeline_spark.textops.corpus import (
@@ -63,7 +66,7 @@ _WS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
         SELECT doc_id,
                unnest(CASE WHEN len(ws) >= 2
                    THEN list_transform(range(1, len(ws)),
-                                       i -> ws[i] || ' ' || ws[i + 1])
+                                       i -> {_H_SQL.format(x="ws[i] || ' ' || ws[i + 1]")})
                    ELSE [] END) AS bg
         FROM w
     ),
@@ -496,7 +499,8 @@ from marketdatapipeline_spark.operators.resample import resample_ffill  # noqa: 
 from marketdatapipeline_spark.operators.vwap import anchored_vwap  # noqa: E402
 
 
-@register_extended(
+@register(  # r7: promoted to the external gate (slot freed by the
+    # ml_confusion_matrix consolidation) — the flagship r6 market operator.
     "bars_vwap_anchored",
     _bars_sql(
         """
@@ -765,7 +769,8 @@ _RETS_NN_SQL = """
 """
 
 
-@register_extended(
+@register(  # r7: promoted to the external gate (slot freed by demoting
+    # dedup_minhash_lsh_ngram — its machinery stays gated via the word twin).
     "bars_return_correlation",
     _bars_sql(
         _RETS_NN_SQL
@@ -847,7 +852,8 @@ def _sessions_sql(alias: str, gap_sql: str) -> str:
     """
 
 
-@register_extended(
+@register(  # r7: promoted to the external gate (slot freed by demoting
+    # the trivial multimodal_frame_sample explode).
     "interval_overlap_sessions",
     f"""
     WITH {_sessions_sql("fine", "INTERVAL 30 MINUTE")},

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marketdatapipeline_spark.catalog import register
+from marketdatapipeline_spark.catalog import register, register_extended
 from marketdatapipeline_spark.multimodal import (
     decode_media,
     extract_media_features,
@@ -52,7 +52,7 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, decoder="fake").select("doc_id", "mime", "byte_len")
 
 
-@register(
+@register_extended(
     "multimodal_frame_sample",
     f"""
     SELECT doc_id,
@@ -68,7 +68,12 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video rows exploded to every-2nd-frame rows, JVM-side
-    sequence+explode (no Python, no shuffle)."""
+    sequence+explode (no Python, no shuffle).
+
+    r7: moved from the external gate to the extended catalog — the
+    plan is a trivial filter + sequence/explode, the cheapest coverage
+    in the gate; the freed slot went to the r6 market operators. Still
+    cell-exact-checked every pytest run (tests/test_corpus_oracle.py)."""
     media = media_from_documents(spark, sf_dir)
     frames = sample_frames(media, every_n=2)
     return frames.select(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marketdatapipeline_spark.catalog import _r6, register
+from marketdatapipeline_spark.catalog import _r6, register, register_extended
 from marketdatapipeline_spark.sources.tables import load_table
 from marketdatapipeline_spark.textops.dedup import (
     MERSENNE_P,
@@ -286,7 +286,7 @@ def _lsh_annotated_pairs_sql(
     """
 
 
-@register("dedup_minhash_lsh_ngram", _lsh_annotated_pairs_sql())
+@register_extended("dedup_minhash_lsh_ngram", _lsh_annotated_pairs_sql())
 def q_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs on DISCRIMINATIVE 3-gram shingles over the
     FULL corpus, annotated with LSH-candidate recovery — the r6
@@ -306,7 +306,13 @@ def q_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from 12.5M possible pairs), banding prunes 5 orders of magnitude,
     and the LSH pipeline beats the exact path while scanning the
     whole 5x corpus. Pick the path by expected duplicate density; at
-    100 TB real-web density is the sparse regime shown here."""
+    100 TB real-web density is the sparse regime shown here.
+
+    r7: moved from the external gate to the extended catalog
+    (cell-exact pytest oracle, tests/test_corpus_oracle.py) to free a
+    gate slot — its word-shingle twin ``dedup_minhash_lsh`` keeps the
+    identical signature/banding machinery under the gate, so external
+    coverage of the hash family is unchanged."""
     from marketdatapipeline_spark.textops.dedup import jaccard_pairs_with_lsh_flag
 
     docs = _docs(spark, sf_dir)
