@@ -60,7 +60,13 @@ def anchored_vwap(
     v = F.sum(v_term).over(w)
     if exact_decimal:
         pv, v = pv.cast("double"), v.cast("double")
-    vwap = pv / v
+    # Explicit zero-volume guard: NULL when the running volume is zero.
+    # Unguarded division would CRASH under ANSI mode (Spark 4 default)
+    # the first time a period opens on zero-volume ticks — a
+    # data-dependent failure at scale — and the streaming twin
+    # (streaming/vwap.py) emits None for the same rows, so NULL is the
+    # documented convention across the whole parity triangle.
+    vwap = F.when(v != 0, pv / v)
     return df.withColumns(
         {"vwap": vwap, "vwap_dev": F.col(price_col) - vwap}
     )

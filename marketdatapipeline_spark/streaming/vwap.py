@@ -87,7 +87,10 @@ def _scan_vwap(pdf: pd.DataFrame, st: tuple, anchor: str):
             a, pv, v = int(per), 0.0, 0.0
         pv += p * s
         v += s
-        vwaps.append(pv / v if v != 0 else float("nan"))
+        # None (not NaN) on zero volume: Spark's window-sum division by
+        # a zero sum yields NULL, so the stream==batch parity triangle
+        # must use the same null convention on degenerate periods.
+        vwaps.append(pv / v if v != 0 else None)
     return vwaps, (a, pv, v)
 
 
@@ -110,7 +113,10 @@ def _vwap_func(anchor: str, state_ttl: str | int | None):
                     "ts": pdf["ts"].to_numpy(),
                     "price": pdf["price"].to_numpy(),
                     "size": pdf["size"].to_numpy(),
-                    "vwap": vwaps,
+                    # nullable Float64 so zero-volume None reaches Spark
+                    # as NULL (a plain float64 column would coerce it to
+                    # NaN and break the null-convention parity)
+                    "vwap": pd.array(vwaps, dtype="Float64"),
                 }
             )
             out["vwap_dev"] = out["price"] - out["vwap"]
@@ -155,7 +161,8 @@ def online_vwap_batch(ticks: DataFrame, anchor: str = "day") -> DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         vwaps, _ = _scan_vwap(pdf, _FRESH, anchor)
         out = pdf[["symbol", "ts", "price", "size"]].copy()
-        out["vwap"] = vwaps
+        # same nullable dtype as the streaming side: None ⇒ NULL
+        out["vwap"] = pd.array(vwaps, dtype="Float64")
         out["vwap_dev"] = out["price"] - out["vwap"]
         return out
 

@@ -458,6 +458,59 @@ def test_online_vwap_closes_parity_triangle(spark, bars_df, tick_dir):
     assert (firsts["vwap"] == firsts["price"]).all()
 
 
+def test_online_vwap_zero_volume_yields_null_everywhere(spark, tmp_path):
+    """A period that opens on zero-volume ticks must yield NULL vwap
+    (not NaN, not a crash) on ALL THREE triangle paths: Spark 4's ANSI
+    mode turns an unguarded division into a runtime DIVIDE_BY_ZERO the
+    first time real data hits this, and the streaming scan previously
+    emitted NaN where the batch paths emit NULL (ADVICE r6)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.operators.vwap import anchored_vwap
+    from marketdatapipeline_spark.streaming import (
+        online_vwap,
+        online_vwap_batch,
+    )
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 9, 30), 10.0, 0.0),  # day opens empty
+        ("A", dt.datetime(2024, 1, 1, 9, 31), 11.0, 5.0),
+        ("A", dt.datetime(2024, 1, 2, 9, 30), 12.0, 0.0),  # fully empty day
+    ]
+    ticks = spark.createDataFrame(rows, TICK_SCHEMA)
+
+    def null_mask(df, time_col):
+        out = df.select(
+            time_col, F.col("vwap").isNull().alias("vn"),
+            F.col("vwap_dev").isNull().alias("dn"),
+        ).orderBy(time_col).collect()
+        return [(r["vn"], r["dn"]) for r in out]
+
+    want = [(True, True), (False, False), (True, True)]
+
+    twin = online_vwap_batch(ticks, anchor="day")
+    assert null_mask(twin, "ts") == want
+
+    bars = ticks.selectExpr(
+        "symbol", "ts as datetime",
+        "monotonically_increasing_id() as bar_id",
+        "price as close", "size as volume",
+    )
+    for exact in (False, True):
+        op = anchored_vwap(bars, anchor="day", exact_decimal=exact)
+        assert null_mask(op, "datetime") == want, f"exact_decimal={exact}"
+
+    path = str(tmp_path / "zvticks")
+    ticks.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(path)
+    got = _run_stream_to_memory(
+        spark, online_vwap(stream, anchor="day"), "zv_vwap"
+    )
+    assert null_mask(got, "ts") == want
+
+
 def test_online_vwap_state_carries_across_batches(spark, bars_pdf, tmp_path):
     """Two file drops inside one anchor day: the second batch must
     CONTINUE the day's sums, not restart them."""
