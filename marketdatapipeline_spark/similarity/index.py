@@ -466,10 +466,17 @@ class IVFIndex:
 
             books = self._load_codebooks(spark)
             cn2 = (books**2).sum(axis=2)
+
+            # key the per-query LUTs by the id's PYTHON value (numpy
+            # scalars unwrap via .item()) — int(...) broke string
+            # id_cols that the float64/int8 paths handle fine
+            def _idkey(x):
+                return x.item() if hasattr(x, "item") else x
+
             luts = {}
             for qi in range(len(ids)):
                 lut, _ = adc_tables(qmat[qi], books)
-                luts[int(ids[qi])] = (lut, float(qn[qi]))
+                luts[_idkey(ids[qi])] = (lut, float(qn[qi]))
             m = books.shape[0]
             srange = np.arange(m)
 
@@ -486,7 +493,7 @@ class IVFIndex:
                     cos = np.empty(len(pdf), dtype=np.float64)
                     for q in np.unique(qid):
                         mask = qid == q
-                        lut, qnorm = luts[int(q)]
+                        lut, qnorm = luts[_idkey(q)]
                         sub = codes[mask]
                         qdot = lut[srange[None, :], sub].sum(axis=1)
                         xn = np.sqrt(cn2[srange[None, :], sub].sum(axis=1))

@@ -57,8 +57,15 @@ def _doc_table(
     ONE explode + ONE aggregation emits the MinHash signature, the
     hashed shingle set, and its size. Docs with < n tokens vanish
     (no shingles — they cannot near-duplicate anything)."""
-    sh = word_shingles(df, id_col=id_col, text_col=text_col, n=n).select(
-        F.col(id_col), md5_int(F.col("shingle")).alias("_h")
+    sh = (
+        word_shingles(df, id_col=id_col, text_col=text_col, n=n)
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("_h"))
+        # distinct AFTER hashing (the hashed-set Jaccard convention,
+        # mirroring minhash_near_duplicates): word_shingles dedups the
+        # strings, but a 32-bit hash collision between two distinct
+        # shingles would otherwise duplicate a hash in _sh and inflate
+        # n_sh, diverging from the batch pipeline's verdicts
+        .distinct()
     )
     h = F.col("_h")
     aggs = [

@@ -338,6 +338,125 @@ def test_persisted_ivf_index_pq_storage(spark, tmp_path):
     assert [r["_code"] for r in a] == [r["_code"] for r in b]
 
 
+def test_ivf_recall_floor_matrix(spark, tmp_path):
+    """Pinned retrieval-quality floor for the IVF family: recall@10 vs
+    exact cosine_topk at sf0.1 (2000 vectors, 21 queries, 21 coarse
+    cells), across storage={float64, int8, pq} × nprobe={1, 2, 4}.
+
+    The index family's exactness tests verify encode/decode round
+    trips; nothing before this pinned that the INDEX still finds the
+    right neighbors — a quantizer regression (bad codebook training,
+    wrong scale, broken ADC tables) would have passed the suite.
+
+    Floors are measured-and-documented (r7, deterministic hash family
+    so exactly reproducible), set one hit below measurement:
+      nprobe=1: 0.181 → floor 0.15; nprobe=2: 0.281 → 0.25;
+      nprobe=4: 0.410 (pq 0.390) → 0.34.
+    Absolute values are LOW by design — the synthetic embeddings are
+    near-uniform random (little cluster structure), so coarse-cell
+    recall ≈ probed-cell mass; the pin is the regression floor plus
+    two structural invariants: recall grows with nprobe, and the
+    compressed tiers stay within 0.1 of float64 (quantization must
+    not change WHICH cells/neighbors win, only shave rank edges)."""
+    import os
+
+    from marketdatapipeline_spark.similarity import (
+        build_ivf_index,
+        cosine_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 tier absent")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 97 = 11")
+    truth = cosine_topk(emb, queries, k=10).toPandas()
+    n_truth = len(truth)
+    assert n_truth >= 200
+
+    floors = {1: 0.15, 2: 0.25, 4: 0.34}
+    recalls: dict[tuple[str, int], float] = {}
+    for storage in ("float64", "int8", "pq"):
+        p = str(tmp_path / storage)
+        kw = dict(storage=storage)
+        if storage == "pq":
+            kw.update(pq_m=16, pq_k=256)
+        idx = build_ivf_index(
+            emb, p, centroid_mod=97, centroid_rem=3, **kw
+        )
+        for nprobe in (1, 2, 4):
+            approx = idx.topk(spark, queries, k=10, nprobe=nprobe).toPandas()
+            hit = approx.merge(
+                truth, on=["query_id", "corpus_id"], how="inner"
+            )
+            recalls[(storage, nprobe)] = len(hit) / n_truth
+
+    for (storage, nprobe), r in recalls.items():
+        assert r >= floors[nprobe], (storage, nprobe, r)
+    for storage in ("float64", "int8", "pq"):
+        assert (
+            recalls[(storage, 1)]
+            <= recalls[(storage, 2)]
+            <= recalls[(storage, 4)]
+        ), storage
+    for nprobe in (1, 2, 4):
+        base = recalls[("float64", nprobe)]
+        for storage in ("int8", "pq"):
+            assert recalls[(storage, nprobe)] >= base - 0.1, (storage, nprobe)
+
+
+def test_pq_topk_handles_string_ids(spark, tmp_path):
+    """String id_col on a PQ index: the per-query ADC lookup tables
+    were keyed with int(id), raising ValueError on string ids that the
+    float64/int8 paths handle fine (ADVICE r6). Results must match the
+    same index searched with the underlying numeric ids."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.similarity import IVFIndex, build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb_s = emb.select(
+        F.format_string("doc-%05d", "vec_id").alias("vec_id"), "embedding"
+    )
+    queries_s = emb_s.filter("vec_id IN ('doc-00007', 'doc-00107')")
+
+    # kmeans coarse quantizer: the "sample" strategy is an id-modulus,
+    # numeric by design; kmeans is the id-type-agnostic path (and with
+    # a fixed seed both builds below train identical centroids)
+    p = str(tmp_path / "pqs")
+    build_ivf_index(
+        emb_s, p, centroids="kmeans", n_centroids=8, seed=42,
+        storage="pq", pq_m=16, pq_k=256,
+    )
+    got = (
+        IVFIndex.load(p)
+        .topk(spark, queries_s, k=5, nprobe=3)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert got["query_id"].str.startswith("doc-").all()
+    assert got["corpus_id"].str.startswith("doc-").all()
+
+    # same search through numeric ids: identical (id, rank, cosine)
+    p_n = str(tmp_path / "pqn")
+    build_ivf_index(
+        emb, p_n, centroids="kmeans", n_centroids=8, seed=42,
+        storage="pq", pq_m=16, pq_k=256,
+    )
+    want = (
+        IVFIndex.load(p_n)
+        .topk(spark, emb.filter("vec_id IN (7, 107)"), k=5, nprobe=3)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    got["qnum"] = got["query_id"].str[4:].astype(int)
+    got["cnum"] = got["corpus_id"].str[4:].astype(int)
+    assert got["qnum"].tolist() == want["query_id"].tolist()
+    assert got["cnum"].tolist() == want["corpus_id"].tolist()
+    assert np.allclose(got["cosine"], want["cosine"], atol=0)
+
+
 def test_ivf_index_append_equals_full_build(spark, tmp_path):
     """Incremental add: build on half the corpus, append the other
     half — search results equal the index built on everything in one
