@@ -98,9 +98,15 @@ def top_bigram_stats(
     (count of the modal bigram), and ``top_bigram_frac``.
 
     One explode + one two-level aggregation, both keyed by ``id_col``
-    — per-doc work, fully parallel, map-side combinable. The bigram
-    strings themselves never leave the first aggregation (only counts
-    shuffle upward), so the wide rows are short-lived.
+    — per-doc work, fully parallel, map-side combinable. Each bigram is
+    hashed to a bigint (``md5_int``) INSIDE the explode projection, so
+    the shuffle between the two aggregation levels carries 8-byte keys,
+    never the bigram strings — on mostly-unique web text the map-side
+    partial agg barely compacts, and shipping strings would move nearly
+    the full text volume over the wire at 100 TB. The modal-bigram
+    count is unchanged modulo 32-bit hash collisions (the repo's
+    hashed-set convention, same as dedup.py's Jaccard); the oracle
+    hashes identically in lockstep.
     """
     ws = _words(text_col)
     # pairs (i, i+1) for i in 1..L-1; guarded so L<2 yields no bigrams
@@ -109,11 +115,13 @@ def top_bigram_stats(
         F.size(ws) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            lambda i: md5_int(
+                F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                )
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     exploded = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
     per_bigram = exploded.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
     stats = per_bigram.groupBy(id_col).agg(

@@ -210,6 +210,32 @@ def test_split_sample_is_scan_side(spark):
     assert "Exchange" not in _plan(hash_sample(docs, 500))
 
 
+def test_top_bigram_shuffle_carries_longs(spark):
+    """top_bigram_stats must hash each bigram to a bigint inside the
+    explode projection so the inter-aggregation exchange ships 8-byte
+    keys — on mostly-unique web text the partial agg barely compacts,
+    and string keys would move nearly the full text volume at 100 TB."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import top_bigram_stats
+
+    import re
+
+    docs = load_table(spark, SF, "documents")
+    out = top_bigram_stats(docs)
+    plan = _plan(out)
+    saw_bg_exchange = False
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" not in line or "bg#" not in line:
+            continue
+        saw_bg_exchange = True
+        # Spark prints long attributes as name#idL — every shuffled bg
+        # reference must carry the L suffix (bigint), never a bare
+        # string attribute
+        refs = re.findall(r"bg#\d+(L?)", line)
+        assert refs and all(r == "L" for r in refs), line
+    assert saw_bg_exchange, plan
+
+
 def test_bm25_broadcasts_single_stats_row(spark):
     """bm25_scores must join the 1-row corpus stats back via broadcast
     (BroadcastNestedLoopJoin over a single row), never a shuffled
