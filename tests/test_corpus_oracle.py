@@ -1,11 +1,18 @@
 """Cell-exact DuckDB oracle checks for the EXTENDED (post-gate)
-catalog (catalog_corpus.py).
+catalog (catalog_corpus.py + the entries demoted from the gate in r7).
 
 These queries sit outside the driver's 50-query gate by necessity —
 the gate is full and its exempt tail is frozen — so this test holds
 them to a STRICTER standard on every pytest run: cell-exact value
 comparison after canonical sorting (tools/check_oracle.py), the same
 machinery test_gate_tail.py uses for the gate-exempt tail.
+
+Two tiers run by default: sf0.001 (fast) AND sf0.1 — rounding-boundary
+divergence from cross-engine sum association provably appears only at
+volume (the r6 vwap round-to-6 flip hit one row in 100k at sf0.1 and
+was invisible below), so a tier this size must be in CI, not a manual
+per-round sweep. Set SPARK_GRAFT_EXT_TIERS (colon-separated dirs) to
+override, e.g. a quick local loop on sf0.001 only.
 """
 
 from __future__ import annotations
@@ -25,45 +32,59 @@ sys.path.insert(
 
 from check_oracle import compare  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TAIL_SF_DIR", "/root/testdata/sf0.001")
+_env = os.environ.get("SPARK_GRAFT_EXT_TIERS")
+if _env:
+    _TIERS = _env.split(":")
+else:
+    _TIERS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+TIERS = [d for d in dict.fromkeys(_TIERS) if os.path.isdir(d)]
+
+
+def _tier_id(d: str) -> str:
+    return d.rstrip("/").split("/")[-1]
 
 
 @pytest.fixture(scope="module")
 def extended_registry():
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
 
     return EXTENDED_REGISTRY
 
 
-@pytest.fixture(scope="module")
-def oracle_con():
+@pytest.fixture(scope="module", params=TIERS, ids=_tier_id)
+def tier_con(request):
+    """(sf_dir, DuckDB connection with the tier's tables as views)."""
     from marketdatapipeline_spark.sources.tables import TABLES
 
+    sf_dir = request.param
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    yield con
+    yield sf_dir, con
     con.close()
 
 
 def _extended_names():
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
 
     return list(EXTENDED_REGISTRY)
 
 
-@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata tier absent")
+@pytest.mark.skipif(not TIERS, reason="no testdata tier present")
 @pytest.mark.parametrize("name", _extended_names())
-def test_extended_cell_exact(name, extended_registry, oracle_con, spark):
+def test_extended_cell_exact(name, extended_registry, tier_con, spark):
+    sf_dir, oracle_con = tier_con
     spec = extended_registry[name]
     assert spec.sql is not None, f"{name} registered without an oracle"
-    sdf = spec.fn(spark, SF_DIR).toPandas()
+    sdf = spec.fn(spark, sf_dir).toPandas()
     odf = oracle_con.sql(spec.sql).df()
     problems = [p for p in compare(name, sdf, odf) if not p.endswith("(warn)")]
-    assert not problems, f"{name} diverged from oracle: {problems}"
-    assert len(sdf) > 0, f"{name} returned no rows at {SF_DIR}"
+    assert not problems, f"{name} diverged from oracle at {sf_dir}: {problems}"
+    assert len(sdf) > 0, f"{name} returned no rows at {sf_dir}"
