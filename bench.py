@@ -167,17 +167,34 @@ def main() -> None:
     # timings go to bench_detail.json only (the slim stdout line is
     # already near the driver's 2000-char capture window).
     ext_timings: dict[str, float] = {}
+    # r7: single-sample warm timings taken mid-session proved
+    # untrustworthy as a regression signal (r6: warm measured SLOWER
+    # than cold on queries whose code hadn't changed — session GC/host
+    # debt landing on whichever sample drew the short straw). The
+    # robust series is queries_med: median of 3 post-cold runs per
+    # query, recorded additively in bench_detail.json. The r4-frozen
+    # single-sample keys keep emitting exactly as before (first
+    # post-cold run) for series continuity.
+    med: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
         # Steady-state timing, same methodology as the headline (which
         # the reference's published numbers also use): the first run
         # pays Janino codegen + C2 JIT + whatever GC debt the session
         # accumulated — observed 3-5x run-to-run outliers on queries
-        # whose code had not changed. Run twice, record the second as
-        # the series (frozen since r4 — do not change again); the first
-        # is recorded separately as queries_cold so both signals exist.
+        # whose code had not changed. The first post-cold run stays the
+        # frozen series key; the median of all 3 is the robust signal.
         cold[name] = materialize(df)
-        timings[name] = materialize(df)
+        runs = [materialize(df) for _ in range(3)]
+        timings[name] = runs[0]
+        med[name] = sorted(runs)[1]
+    # collect the REGISTRY loop's heap debt before the extended family
+    # so its first queries don't absorb it (same rationale as the gc
+    # before the series).
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
     for name, spec in EXTENDED_REGISTRY.items():
         # extended queries time construction + materialization per run:
         # corpus_dedup_clusters does its iterative work eagerly inside
@@ -185,10 +202,15 @@ def main() -> None:
         # materialize would hide almost all of its cost. REGISTRY
         # queries keep the r4-frozen materialize-only definition for
         # series comparability (their construction is milliseconds).
-        for dest in (cold, ext_timings):
+        def _run(spec=spec):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            dest[name] = (time.perf_counter() - t0) + materialize(df)
+            return (time.perf_counter() - t0) + materialize(df)
+
+        cold[name] = _run()
+        runs = [_run() for _ in range(3)]
+        ext_timings[name] = runs[0]
+        med[name] = sorted(runs)[1]
     release_caches()  # last query's scoped persists
 
     # the baseline's scaling curve (BASELINE.md: 1.79 s @ 1M, 9.34 s
@@ -225,11 +247,18 @@ def main() -> None:
         "rows_per_sec_1m": round(1_000_000 / timings["feature_pipeline_1m"]),
     }
     detail = dict(result)
+    # detail carries the UNFILTERED warm series: the slim_only keys
+    # (cached-input headline, 5M/10M scaling) are excluded only from
+    # the slim stdout line for capture-window reasons — dropping them
+    # from detail too lost the r6 warm numbers entirely (ADVICE r6).
     detail["queries"] = {
-        **detail["queries"],
+        **{k: round(v, 3) for k, v in timings.items()},
         **{k: round(v, 3) for k, v in ext_timings.items()},
     }
     detail["queries_cold"] = {k: round(v, 3) for k, v in cold.items()}
+    # robust per-query series: median of 3 post-cold runs (r7; the
+    # single-sample warm keys above stay frozen for continuity)
+    detail["queries_med"] = {k: round(v, 3) for k, v in med.items()}
     detail.update(scaling)  # 5M/10M throughputs vs BASELINE.md's curve
 
     # The driver captures only the LAST ~2000 chars of stdout and parses
