@@ -19,6 +19,11 @@ from marketdatapipeline_spark.streaming.ingestion import (
     rate_tick_stream,
     read_tick_stream,
 )
+from marketdatapipeline_spark.streaming.pipeline import (
+    DOC_SCHEMA,
+    IngestionPipeline,
+    start_ingestion,
+)
 from marketdatapipeline_spark.streaming.sessions import (
     sessionize_batch,
     sessionize_stream,
@@ -33,6 +38,9 @@ from marketdatapipeline_spark.streaming.vwap import (
 )
 
 __all__ = [
+    "DOC_SCHEMA",
+    "IngestionPipeline",
+    "start_ingestion",
     "TICK_SCHEMA",
     "read_tick_stream",
     "rate_tick_stream",
