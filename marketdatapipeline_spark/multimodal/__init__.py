@@ -6,10 +6,11 @@ with typed metadata, decode/feature/resize/frame-sample run as
 Arrow-batched ``mapInPandas`` stages, and everything metadata-level
 stays in native Spark expressions.
 
-``decoder="real"`` is REAL for PNG and WAV via the zero-dependency
-built-in codecs (codecs.py: chunk/zlib/filter PNG decode + encode,
-stdlib-wave PCM) — decode, stats-over-decoded-bytes, and the full
-decode→resample→re-encode resize round-trip all run inside
+``decoder="real"`` is REAL for PNG, JPEG and WAV via the
+zero-dependency built-in codecs (codecs.py: chunk/zlib/filter PNG
+decode + encode; jpeg.py: baseline T.81 Huffman/DCT decode + 4:4:4
+encode; stdlib-wave PCM) — decode, stats-over-decoded-bytes, and the
+full decode→resample→re-encode resize round-trip all run inside
 mapInPandas. Video keeps a documented NotImplementedError slot (no
 in-container MP4 demuxer). The deterministic fake decoder (byte-level
 stats over the raw payload) remains the default and the oracle target,
@@ -17,8 +18,10 @@ keeping schemas, batch shapes, and partitioning checkable end-to-end.
 """
 
 from marketdatapipeline_spark.multimodal.codecs import (
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     encode_png,
     encode_wav,
     resize_nearest,
@@ -41,6 +44,8 @@ __all__ = [
     "sample_frames",
     "decode_png",
     "encode_png",
+    "decode_jpeg",
+    "encode_jpeg",
     "decode_wav",
     "encode_wav",
     "resize_nearest",

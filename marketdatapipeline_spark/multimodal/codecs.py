@@ -11,6 +11,10 @@ the standard library alone:
   decode→transform→re-encode pipelines (resize_images) real.
 * **WAV** (RIFF PCM): the stdlib ``wave`` module, 16-bit PCM to int16
   numpy and back.
+* **JPEG** (ITU-T T.81 baseline, multimodal/jpeg.py, re-exported
+  here): Huffman + DCT decoder for 1/3-component 8-bit streams with
+  1x1/2x2 sampling, and a 4:4:4 baseline encoder — the DCT runs as
+  one einsum over all blocks; only the bit-serial entropy layer loops.
 
 Video stays a documented NotImplementedError slot (an MP4 demuxer is
 not reasonably reimplementable here); its metadata/frame-index
@@ -30,6 +34,11 @@ import wave
 import zlib
 
 import numpy as np
+
+from marketdatapipeline_spark.multimodal.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

@@ -175,6 +175,7 @@ def _decode_media_real(df: DataFrame, on_error: str) -> DataFrame:
         raise ValueError(f"unknown on_error: {on_error}")
 
     from marketdatapipeline_spark.multimodal.codecs import (
+        decode_jpeg,
         decode_png,
         decode_wav,
     )
@@ -188,6 +189,8 @@ def _decode_media_real(df: DataFrame, on_error: str) -> DataFrame:
                 try:
                     if mime == "image/png":
                         flat = decode_png(bytes(content or b"")).reshape(-1)
+                    elif mime in ("image/jpeg", "image/jpg"):
+                        flat = decode_jpeg(bytes(content or b"")).reshape(-1)
                     elif mime == "audio/wav":
                         pcm, _rate = decode_wav(bytes(content or b""))
                         flat = np.frombuffer(pcm.tobytes(), dtype=np.uint8)
@@ -276,12 +279,13 @@ def resize_images(
     """Resize image rows; passthrough for non-images.
 
     ``decoder="real"`` runs the full decode → nearest-neighbor
-    resample → re-encode round trip with the built-in PNG codec
+    resample → re-encode round trip with the built-in PNG/JPEG codecs
     (multimodal/codecs.py) inside ``mapInPandas``, updating both the
-    payload bytes and the metadata. Only ``image/png`` rows are
-    convertible; other ``image/*`` mimes and corrupt payloads follow
-    ``on_error``: ``"raise"`` (default) or ``"skip"`` (leave the row
-    untouched — the permissive corpus mode, mirroring decode_media's
+    payload bytes and the metadata (JPEG rows re-encode as baseline
+    JPEG, PNG rows as PNG — the format is preserved). Other
+    ``image/*`` mimes and corrupt payloads follow ``on_error``:
+    ``"raise"`` (default) or ``"skip"`` (leave the row untouched — the
+    permissive corpus mode, mirroring decode_media's
     ``on_error="null"``). The fake path updates only the metadata
     columns and keeps the payload — the narrow no-shuffle bookkeeping
     mode the oracle checks.
@@ -291,11 +295,18 @@ def resize_images(
         if on_error not in ("raise", "skip"):
             raise ValueError(f"unknown on_error: {on_error}")
         from marketdatapipeline_spark.multimodal.codecs import (
+            decode_jpeg,
             decode_png,
+            encode_jpeg,
             encode_png,
             resize_nearest,
         )
 
+        codecs = {
+            "image/png": (decode_png, encode_png),
+            "image/jpeg": (decode_jpeg, encode_jpeg),
+            "image/jpg": (decode_jpeg, encode_jpeg),
+        }
         schema = df.schema
         cols = [f.name for f in schema.fields]
 
@@ -307,16 +318,17 @@ def resize_images(
                     if not mime.startswith("image/"):
                         continue
                     try:
-                        if mime != "image/png":
+                        if mime not in codecs:
                             raise ValueError(
                                 f"no in-container codec for {mime}"
                             )
-                        arr = decode_png(bytes(pdf.at[i, "content"] or b""))
+                        dec, enc = codecs[mime]
+                        arr = dec(bytes(pdf.at[i, "content"] or b""))
                     except ValueError:
                         if on_error == "raise":
                             raise
                         continue  # skip: leave the row untouched
-                    pdf.at[i, "content"] = encode_png(
+                    pdf.at[i, "content"] = enc(
                         resize_nearest(arr, width, height)
                     )
                     pdf.at[i, "width"] = width

@@ -250,3 +250,120 @@ def test_real_resize_skip_mode_leaves_bad_rows(spark):
     assert decode_png(bytes(got.loc[1, "content"])).shape == (4, 4, 3)
     # bad rows untouched, payload preserved
     assert got.loc[2, "width"] == 8 and bytes(got.loc[3, "content"]) == b"corrupt"
+
+
+# ---------------------------------------------------------------------------
+# JPEG (multimodal/jpeg.py)
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.multimodal.codecs import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth_image(h, w, ch):
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256]
+    return np.stack(planes[:ch], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_flat_image_roundtrips_exactly():
+    """A uniform image is DC-only: quantization cannot lose anything,
+    so even a lossy codec must round-trip it bit-exact."""
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert out.shape == (16, 24, 3)
+    assert np.array_equal(out, flat)
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+def test_jpeg_roundtrip_psnr_floor(ch):
+    """JPEG is lossy by construction — the pin is PSNR at a measured
+    floor (smooth content at q=85 measured 51.0 dB color / 55.7 dB
+    gray in r7), plus non-multiple-of-8 dimensions surviving the
+    block padding."""
+    img = _smooth_image(41, 53, ch)
+    out = decode_jpeg(encode_jpeg(img, quality=85))
+    assert out.shape == (41, 53, ch)
+    assert _psnr(img, out) > 45.0
+
+
+def test_jpeg_quality_monotone_on_noise():
+    """Higher quality => finer quantization => higher fidelity, on the
+    hardest content (deterministic pseudo-random pixels)."""
+    img = _image(33, 41, 3, seed=3)
+    p = [_psnr(img, decode_jpeg(encode_jpeg(img, quality=q))) for q in (30, 70, 95)]
+    assert p[0] < p[1] < p[2]
+    assert p[2] > 30.0
+
+
+def test_jpeg_decodes_external_real_world_file():
+    """Interop: a JPEG produced by a REAL encoder (CPython's test-suite
+    python.jpg ships in every pyenv CPython) must decode — this pins
+    marker parsing, standard Huffman/quant table handling, and chroma
+    subsampling against an independent implementation's output."""
+    import glob
+
+    candidates = glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/python.jpg"
+    ) + glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/test/test_email/data/python.jpg"
+    )
+    if not candidates:
+        pytest.skip("no CPython test JPEG on this host")
+    img = decode_jpeg(open(candidates[0], "rb").read())
+    assert img.shape == (16, 16, 3)
+    assert 0 < float(img.mean()) < 255
+
+
+def test_jpeg_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"definitely not a jpeg")
+    good = bytearray(encode_jpeg(_smooth_image(16, 16, 3)))
+    # flip SOF0 -> SOF2 (progressive): must be a clean ValueError
+    i = bytes(good).index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+    # truncated scan
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) // 2]))
+
+
+def test_spark_real_decode_and_resize_jpeg(spark):
+    """image/jpeg payloads through decode_media(decoder='real') and the
+    real resize path: stats come from DECODED pixels, resize re-encodes
+    as JPEG, and the re-encoded payload decodes to the resized shape."""
+    from marketdatapipeline_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_images,
+    )
+
+    img = _smooth_image(24, 16, 3)
+    jpg = encode_jpeg(img, quality=90)
+    rows = [(1, "image/jpeg", bytearray(jpg), 16, 24, None, None)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    got = decode_media(media, decoder="real").toPandas().set_index("doc_id")
+    assert got.loc[1, "byte_len"] == 24 * 16 * 3  # decoded pixel count
+    decoded = decode_jpeg(jpg)
+    assert abs(got.loc[1, "byte_mean"] - decoded.reshape(-1).mean()) < 1e-4
+
+    resized = (
+        resize_images(media, 8, 12, decoder="real").toPandas().set_index("doc_id")
+    )
+    assert resized.loc[1, "width"] == 8 and resized.loc[1, "height"] == 12
+    out_img = decode_jpeg(bytes(resized.loc[1, "content"]))
+    assert out_img.shape == (12, 8, 3)
+    # re-encode is lossy; the content must still resemble the resample
+    from marketdatapipeline_spark.multimodal.codecs import resize_nearest
+
+    assert _psnr(out_img, resize_nearest(decoded, 8, 12)) > 35.0
