@@ -1022,3 +1022,226 @@ def q_bars_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mkt_ret")).alias("mkt_ret"),
         _r6(F.col("beta")).alias("beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market microstructure wave (r7): moments, autocorrelation,
+# candlestick census, Amihud illiquidity
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.operators.candles import (  # noqa: E402
+    candlestick_census,
+)
+from marketdatapipeline_spark.operators.liquidity import (  # noqa: E402
+    amihud_illiquidity,
+)
+from marketdatapipeline_spark.operators.moments import (  # noqa: E402
+    realized_moments,
+    return_autocorrelation,
+)
+
+
+@register_extended(
+    "bars_realized_moments",
+    _bars_sql(
+        _RETS_NN_SQL
+        + """
+        , g AS (
+            SELECT _sym AS symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(_ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(_ret * _ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS s2,
+                   CAST(sum(CAST(_ret * _ret * _ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS s3,
+                   CAST(sum(CAST(_ret * _ret * _ret * _ret
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS s4
+            FROM nn GROUP BY _sym
+        ),
+        m AS (
+            SELECT symbol, n_obs, s1, s2, s3, s4,
+                   CAST(n_obs AS DOUBLE) AS n,
+                   s1 / CAST(n_obs AS DOUBLE) AS mean
+            FROM g
+        ),
+        c AS (
+            SELECT symbol, n_obs, n, mean,
+                   s2 / n - mean * mean AS m2,
+                   s3 / n - 3.0 * mean * (s2 / n)
+                       + 2.0 * mean * mean * mean AS m3,
+                   s4 / n - 4.0 * mean * (s3 / n)
+                       + 6.0 * mean * mean * (s2 / n)
+                       - 3.0 * mean * mean * mean * mean AS m4,
+                   (s2 - s1 * s1 / n) / (n - 1.0) AS var_s
+            FROM m
+        )
+        SELECT symbol, n_obs,
+               round(mean, 6) + 0.0 AS ret_mean,
+               CASE WHEN n_obs >= 2
+                    THEN round(sqrt(var_s), 6) + 0.0 END AS ret_std,
+               CASE WHEN n_obs >= 2 AND m2 > 0
+                    THEN round(m3 / pow(m2, 1.5), 6) + 0.0 END AS ret_skew,
+               CASE WHEN n_obs >= 2 AND m2 > 0
+                    THEN round(m4 / (m2 * m2) - 3.0, 6) + 0.0 END AS ret_kurt
+        FROM c
+        """
+    ),
+)
+def q_bars_realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol return moment estimators (operators/moments.py):
+    one window exchange + one power-sum aggregation. The four raw
+    power sums accumulate as decimal(38,18) (association-free) and
+    every moment is assembled with identically-ordered double
+    arithmetic in both engines under round-6."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = realized_moments(bars)
+    return out.select(
+        "symbol", "n_obs",
+        _r6(F.col("ret_mean")).alias("ret_mean"),
+        _r6(F.col("ret_std")).alias("ret_std"),
+        _r6(F.col("ret_skew")).alias("ret_skew"),
+        _r6(F.col("ret_kurt")).alias("ret_kurt"),
+    )
+
+
+@register_extended(
+    "bars_return_autocorr",
+    _bars_sql(
+        _RETS_NN_SQL
+        + """
+        , pairs AS (
+            SELECT a._sym, a._ret AS _ra, b._ret AS _rb
+            FROM nn a JOIN nn b
+              ON a._sym = b._sym AND a._idx = b._idx + 1
+        ),
+        g AS (
+            SELECT _sym AS symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(_ra AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(_rb AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(_ra * _ra AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(_rb * _rb AS DECIMAL(38,18)))
+                        AS DOUBLE) AS syy,
+                   CAST(sum(CAST(_ra * _rb AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sxy
+            FROM pairs GROUP BY _sym
+        ),
+        r AS (
+            SELECT symbol, n_obs,
+                   CASE WHEN n_obs * sxx - sx * sx > 0
+                             AND n_obs * syy - sy * sy > 0 THEN
+                       (n_obs * sxy - sx * sy)
+                       / sqrt((n_obs * sxx - sx * sx)
+                              * (n_obs * syy - sy * sy))
+                   END AS rho
+            FROM g WHERE n_obs >= 3
+        )
+        SELECT symbol, n_obs,
+               round(rho, 6) + 0.0 AS autocorr,
+               CASE WHEN rho > 0 AND rho < 1
+                    THEN round(-ln(2.0) / ln(rho), 6) + 0.0 END AS half_life
+        FROM r
+        """
+    ),
+)
+def q_bars_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 return autocorrelation + AR(1) mean-reversion half-life
+    (operators/moments.py): the self-lag pairing is a second ``lag``
+    window over the same per-symbol partitioning — no join, ONE
+    exchange, S output rows. Decimal co-moment sums, round-6.
+
+    The oracle expresses the identical pairing as a self equi-join on
+    a._idx = b._idx + 1 (DuckDB has no such single-pass idiom) —
+    identical pairs, and the sums are join-order-free."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = return_autocorrelation(bars, lag=1)
+    return out.select(
+        "symbol", "n_obs",
+        _r6(F.col("autocorr")).alias("autocorr"),
+        _r6(F.col("half_life")).alias("half_life"),
+    )
+
+
+@register_extended(
+    "bars_candlestick_census",
+    _bars_sql(
+        """
+        SELECT symbol,
+               CAST(count(*) AS BIGINT) AS n_bars,
+               CAST(sum(CASE WHEN abs(close - open) * 10.0 <= high - low
+                             THEN 1 ELSE 0 END) AS BIGINT) AS doji_n,
+               CAST(sum(CASE WHEN high - low >= abs(close - open) * 3.0
+                              AND least(open, close) - low
+                                  >= abs(close - open) * 2.0
+                              AND high - greatest(open, close)
+                                  <= abs(close - open)
+                              AND high - low > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hammer_n,
+               CAST(sum(CASE WHEN pc < po AND close > open
+                              AND open <= pc AND close >= po
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bull_engulf_n,
+               CAST(sum(CASE WHEN pc > po AND close < open
+                              AND open >= pc AND close <= po
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bear_engulf_n
+        FROM (
+            SELECT symbol, open, high, low, close,
+                   lag(open) OVER w AS po, lag(close) OVER w AS pc
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        )
+        GROUP BY symbol
+        """
+    ),
+)
+def q_bars_candlestick_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern census (operators/candles.py): one symbol
+    window for the previous body, division-free comparison flags, one
+    aggregation — exact integer counts, no rounding anywhere."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    return candlestick_census(bars)
+
+
+@register_extended(
+    "bars_amihud_illiquidity",
+    _bars_sql(
+        """
+        SELECT symbol,
+               count(*) AS n_obs,
+               round(1000000.0 * CAST(sum(CAST(abs(_ret) / _dv
+                                              AS DECIMAL(38,18)))
+                                      AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS amihud,
+               round(CAST(sum(CAST(_dv AS DECIMAL(38,18))) AS DOUBLE), 6)
+                   + 0.0 AS dollar_volume
+        FROM (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS _ret,
+                   close * volume AS _dv
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        )
+        WHERE _ret IS NOT NULL AND _dv > 0
+        GROUP BY symbol
+        """
+    ),
+)
+def q_bars_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity + dollar volume (operators/liquidity.py):
+    one window for returns, one decimal-sum aggregation; the per-bar
+    |ret|/dollar_volume term is computed in double then quantized to
+    decimal identically in both engines, so the grouped sum is
+    association-free under round-6."""
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir)
+    out = amihud_illiquidity(bars)
+    return out.select(
+        "symbol", "n_obs",
+        _r6(F.col("amihud")).alias("amihud"),
+        _r6(F.col("dollar_volume")).alias("dollar_volume"),
+    )

@@ -16,12 +16,23 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`pairwise_return_correlation` — bar-index-aligned sample
   correlation for every symbol pair (``lag=k`` for lead-lag);
 - :func:`rolling_beta` — trailing equal-weight-market beta per symbol;
+- :func:`realized_moments` / :func:`return_autocorrelation` — exact
+  power-sum return moments (mean/std/skew/kurtosis) and lag-k
+  autocorrelation with the AR(1) mean-reversion half-life;
+- :func:`candlestick_flags` / :func:`candlestick_census` — per-bar
+  OHLC pattern flags (doji/hammer/engulfing) and the per-symbol
+  pattern counts;
+- :func:`amihud_illiquidity` — price impact per dollar volume;
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
 
 from marketdatapipeline_spark.operators.asof import asof_join
 from marketdatapipeline_spark.operators.beta import rolling_beta
+from marketdatapipeline_spark.operators.candles import (
+    candlestick_census,
+    candlestick_flags,
+)
 from marketdatapipeline_spark.operators.correlation import (
     pairwise_return_correlation,
 )
@@ -29,6 +40,11 @@ from marketdatapipeline_spark.operators.cross_section import cross_sectional
 from marketdatapipeline_spark.operators.drawdown import running_drawdown
 from marketdatapipeline_spark.operators.interval_join import (
     interval_overlap_join,
+)
+from marketdatapipeline_spark.operators.liquidity import amihud_illiquidity
+from marketdatapipeline_spark.operators.moments import (
+    realized_moments,
+    return_autocorrelation,
 )
 from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
 from marketdatapipeline_spark.operators.range_join import point_in_interval_join
@@ -42,14 +58,19 @@ from marketdatapipeline_spark.operators.salting import (
 from marketdatapipeline_spark.operators.sessions import sessionize
 
 __all__ = [
+    "amihud_illiquidity",
     "anchored_vwap",
     "asof_join",
+    "candlestick_census",
+    "candlestick_flags",
     "cross_sectional",
     "interval_overlap_join",
     "ohlc_volatility",
     "pairwise_return_correlation",
     "point_in_interval_join",
+    "realized_moments",
     "resample_ffill",
+    "return_autocorrelation",
     "rolling_beta",
     "rollup_bars",
     "running_drawdown",

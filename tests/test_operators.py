@@ -922,3 +922,114 @@ def test_pairwise_correlation_lead_lag(spark):
     # the reverse direction is a DIFFERENT series pairing, not 1
     assert lagged[("B", "A")]["corr"] != pytest.approx(1.0)
     assert lagged[("A", "B")]["n_obs"] == 4
+
+
+def test_realized_moments_vs_numpy(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.moments import realized_moments
+
+    got = {r["symbol"]: r for r in realized_moments(bars_df, order_cols=("datetime",)).collect()}
+    for sym, grp in bars_pdf.sort_values(["symbol", "datetime"]).groupby("symbol"):
+        r = grp["close"].to_numpy()
+        rets = r[1:] / r[:-1] - 1.0
+        n = len(rets)
+        mean = rets.mean()
+        m2 = ((rets - mean) ** 2).mean()
+        m3 = ((rets - mean) ** 3).mean()
+        m4 = ((rets - mean) ** 4).mean()
+        row = got[sym]
+        assert row["n_obs"] == n
+        assert row["ret_mean"] == pytest.approx(mean, rel=1e-9)
+        assert row["ret_std"] == pytest.approx(rets.std(ddof=1), rel=1e-9)
+        assert row["ret_skew"] == pytest.approx(m3 / m2**1.5, rel=1e-7)
+        assert row["ret_kurt"] == pytest.approx(m4 / m2**2 - 3.0, rel=1e-7)
+
+
+def test_return_autocorrelation_vs_numpy(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.moments import (
+        return_autocorrelation,
+    )
+
+    for lag in (1, 3):
+        got = {
+            r["symbol"]: r
+            for r in return_autocorrelation(
+                bars_df, lag=lag, order_cols=("datetime",)
+            ).collect()
+        }
+        for sym, grp in bars_pdf.sort_values(["symbol", "datetime"]).groupby(
+            "symbol"
+        ):
+            r = grp["close"].to_numpy()
+            rets = r[1:] / r[:-1] - 1.0
+            x, y = rets[:-lag], rets[lag:]
+            # Spark pairs a (later return) with b (lag earlier): x is the
+            # lagged side, y the current — corrcoef is symmetric anyway
+            rho = np.corrcoef(x, y)[0, 1]
+            row = got[sym]
+            assert row["n_obs"] == len(x)
+            assert row["autocorr"] == pytest.approx(rho, rel=1e-9)
+            if 0 < rho < 1:
+                assert row["half_life"] == pytest.approx(
+                    -np.log(2.0) / np.log(rho), rel=1e-9
+                )
+            else:
+                assert row["half_life"] is None
+
+
+def test_candlestick_flags_hand_cases(spark):
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators.candles import candlestick_flags
+
+    base = datetime(2024, 1, 1)
+    #               open   high   low    close
+    bars = [
+        ("doji",    100.0, 105.0, 95.0, 100.4),   # body 0.4 <= range/10 1.0
+        ("hammer",  100.0, 100.5, 97.0, 100.3),   # lower 3.0 >= 2*0.3, upper 0.2 <= 0.3
+        ("red",     102.0, 103.0, 99.0, 100.0),   # plain down bar
+        ("bull",     99.8, 104.0, 99.0, 103.0),   # engulfs the red body
+        ("bear",    103.5, 104.0, 99.0,  99.5),   # engulfs the bull body
+    ]
+    rows = [
+        ("X", base + timedelta(hours=i), i, o, h, lo, c)
+        for i, (_, o, h, lo, c) in enumerate(bars)
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "open", "high", "low", "close"]
+    )
+    out = candlestick_flags(df).orderBy("bar_id").collect()
+    flags = [
+        (r["is_doji"], r["is_hammer"], r["is_bull_engulf"], r["is_bear_engulf"])
+        for r in out
+    ]
+    assert flags[0][0] == 1  # doji
+    assert flags[1][1] == 1  # hammer
+    assert flags[3][2] == 1 and flags[3][3] == 0  # bullish engulfing
+    assert flags[4][3] == 1 and flags[4][2] == 0  # bearish engulfing
+    # first bar can never be an engulfing (no previous body)
+    assert flags[0][2] == 0 and flags[0][3] == 0
+
+
+def test_amihud_vs_numpy(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.liquidity import (
+        amihud_illiquidity,
+    )
+
+    got = {r["symbol"]: r for r in amihud_illiquidity(bars_df, order_cols=("datetime",)).collect()}
+    for sym, grp in bars_pdf.sort_values(["symbol", "datetime"]).groupby("symbol"):
+        p = grp["close"].to_numpy()
+        v = grp["volume"].to_numpy()
+        rets = p[1:] / p[:-1] - 1.0
+        dv = (p * v)[1:]
+        keep = dv > 0
+        want = 1e6 * np.mean(np.abs(rets[keep]) / dv[keep])
+        row = got[sym]
+        assert row["n_obs"] == int(keep.sum())
+        assert row["amihud"] == pytest.approx(want, rel=1e-9)
+        assert row["dollar_volume"] == pytest.approx(dv[keep].sum(), rel=1e-9)

@@ -210,6 +210,35 @@ def test_split_sample_is_scan_side(spark):
     assert "Exchange" not in _plan(hash_sample(docs, 500))
 
 
+def test_market_moment_operators_single_exchange(spark):
+    """realized_moments / return_autocorrelation / candlestick_census /
+    amihud_illiquidity must each be ONE symbol exchange: the groupBy
+    reuses the window's partitioning (an aliased group key silently
+    costs a second exchange — the r7 regression this pins), and the
+    self-lag autocorrelation must plan ZERO joins (it is a window,
+    not the pairwise join)."""
+    from marketdatapipeline_spark.operators.candles import candlestick_census
+    from marketdatapipeline_spark.operators.liquidity import (
+        amihud_illiquidity,
+    )
+    from marketdatapipeline_spark.operators.moments import (
+        realized_moments,
+        return_autocorrelation,
+    )
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, SF)
+    for name, out in (
+        ("moments", realized_moments(bars)),
+        ("autocorr", return_autocorrelation(bars)),
+        ("census", candlestick_census(bars)),
+        ("amihud", amihud_illiquidity(bars)),
+    ):
+        plan = _plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
 def test_top_bigram_shuffle_carries_longs(spark):
     """top_bigram_stats must hash each bigram to a bigint inside the
     explode projection so the inter-aggregation exchange ships 8-byte
