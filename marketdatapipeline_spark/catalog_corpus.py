@@ -1245,3 +1245,60 @@ def q_bars_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("amihud")).alias("amihud"),
         _r6(F.col("dollar_volume")).alias("dollar_volume"),
     )
+
+
+@register_extended(
+    "ml_walk_forward_folds",
+    """
+    WITH ranked AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS total
+        FROM events
+    ),
+    seg AS (
+        SELECT event_id, CAST(((rn - 1) * 6) // total AS INT) AS s
+        FROM ranked
+    ),
+    f AS (SELECT CAST(unnest(range(1, 6)) AS INT) AS fold)
+    SELECT f.fold,
+           CASE WHEN seg.s < f.fold THEN 'train' ELSE 'val' END AS role,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM seg JOIN f ON seg.s <= f.fold
+    GROUP BY 1, 2
+    """,
+)
+def q_ml_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV fold census (ml/preparation.py
+    assign_time_segments / walk_forward_folds): 6 equal time segments
+    over events, fold i trains on segments < i and validates on
+    segment i. The oracle is the global row_number definition with
+    integer DIV — n + id_sum per (fold, role) pin every row's
+    membership including boundary ties. The distributed path never
+    sorts the data globally (cumulative counts over the key table +
+    per-key tie windows, same machinery as chronological_split's
+    cutkey method)."""
+    from marketdatapipeline_spark.ml.preparation import assign_time_segments
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    seg = assign_time_segments(
+        ev, 6, order_cols=("ts",), tie_break_cols=("event_id",),
+        segment_col="_s",
+    )
+    folds = spark.range(1, 6).select(F.col("id").cast("int").alias("fold"))
+    j = seg.join(folds, F.col("_s") <= F.col("fold"))
+    return (
+        j.withColumn(
+            "role",
+            F.when(F.col("_s") < F.col("fold"), F.lit("train")).otherwise(
+                F.lit("val")
+            ),
+        )
+        .groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )

@@ -14,14 +14,18 @@ from marketdatapipeline_spark.ml.evaluation import (
 )
 from marketdatapipeline_spark.ml.prediction import load_model, predict
 from marketdatapipeline_spark.ml.preparation import (
+    assign_time_segments,
     chronological_split,
+    walk_forward_folds,
     feature_columns,
     prepare_dataset,
 )
 from marketdatapipeline_spark.ml.training import save_model, train_model
 
 __all__ = [
+    "assign_time_segments",
     "chronological_split",
+    "walk_forward_folds",
     "classification_metrics",
     "classification_report_dict",
     "confusion_matrix",

@@ -176,6 +176,95 @@ def _cutkey_split(
     return below.unionByName(at_train), at_test.unionByName(above)
 
 
+def assign_time_segments(
+    df: DataFrame,
+    n_segments: int,
+    order_cols: tuple[str, ...] = ("datetime",),
+    tie_break_cols: tuple[str, ...] | None = None,
+    segment_col: str = "segment",
+) -> DataFrame:
+    """Add ``segment_col``: which of ``n_segments`` equal-row-count
+    time-ordered segments each row falls in (0-based; segment s holds
+    global ranks r with ``floor((r-1) * k / n) == s`` — the exact
+    row_number definition, so an oracle can pin every assignment).
+
+    Distributed like ``chronological_split(method="cutkey")``: global
+    rank is assembled as (cumulative count of strictly-earlier keys) +
+    (row_number within the row's own key by the tie-break), so no
+    global sort of the DATA ever runs — the only ordered window is
+    over the per-key count table, and the per-key tie window is
+    bounded by key multiplicity. One count job; NULL order keys rank
+    first (NULLS FIRST), matching the split's convention."""
+    if n_segments < 1:
+        raise ValueError("n_segments must be >= 1")
+    if tie_break_cols is None:
+        tie_break_cols = tuple(c for c in df.columns if c not in order_cols)
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
+    ties = [F.col(c) for c in tie_break_cols]
+    n = df.count()
+    if n == 0:
+        return df.withColumn(segment_col, F.lit(0))
+
+    counts = df.groupBy(*order_cols).agg(F.count("*").alias("_cnt"))
+    wk = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # rename the key columns on the count side so the join is
+    # unambiguous (self-referencing attributes through a join +
+    # window otherwise trip Catalyst's resolver)
+    cum = counts.withColumn(
+        "_cum_before", (F.sum("_cnt").over(wk) - F.col("_cnt")).cast("long")
+    ).select(
+        *[F.col(c).alias(f"_k_{i}") for i, c in enumerate(order_cols)],
+        "_cum_before",
+    )
+    # join on the order key; <=> so NULL keys pair up too
+    cond = None
+    for i, c in enumerate(order_cols):
+        eq = F.col(c).eqNullSafe(F.col(f"_k_{i}"))
+        cond = eq if cond is None else (cond & eq)
+    wt = Window.partitionBy(*order_cols).orderBy(*(ties or [F.lit(1)]))
+    joined = df.join(cum, cond, "inner")
+    rank = F.col("_cum_before") + F.row_number().over(wt)
+    # integer DIV, not double /: at boundary ranks a double quotient can
+    # round up to the next integer before floor and misplace one row
+    seg = joined.withColumn("_rank", rank).withColumn(
+        segment_col,
+        F.expr(f"CAST(((_rank - 1) * {int(n_segments)}) DIV {int(n)} AS INT)"),
+    )
+    return seg.drop(
+        "_cum_before", "_rank", *[f"_k_{i}" for i in range(len(order_cols))]
+    )
+
+
+def walk_forward_folds(
+    df: DataFrame,
+    n_folds: int,
+    order_cols: tuple[str, ...] = ("datetime",),
+    tie_break_cols: tuple[str, ...] | None = None,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Expanding-window (walk-forward) cross-validation: the frame is
+    cut into ``n_folds + 1`` equal time segments; fold i (1-based)
+    trains on segments [0, i) and validates on segment i — the only
+    leakage-free CV scheme for serially-dependent market data (random
+    K-fold trains on the future).
+
+    Returns ``n_folds`` (train, validation) pairs sharing ONE
+    segment-assignment plan — materialize the assignment (cache or
+    write) before iterating if the folds run as separate jobs."""
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    seg = assign_time_segments(
+        df, n_folds + 1, order_cols, tie_break_cols, segment_col="_seg"
+    )
+    folds = []
+    for i in range(1, n_folds + 1):
+        train = seg.filter(F.col("_seg") < i).drop("_seg")
+        val = seg.filter(F.col("_seg") == i).drop("_seg")
+        folds.append((train, val))
+    return folds
+
+
 def prepare_dataset(
     df: DataFrame,
     feature_cols: list[str] | None = None,

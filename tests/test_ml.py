@@ -223,3 +223,62 @@ def test_roc_auc_known_values_and_ties(spark):
     assert _roc_auc_np([1, 1], [0.1, 0.9]) == 0.0
     # empty input: sums are NULL, the guard must coalesce, not crash
     assert roc_auc(df.filter(F.lit(False))).first()[0] == 0.0
+
+
+def test_walk_forward_folds_expanding_and_leak_free(spark):
+    """walk_forward_folds: folds partition time correctly — train
+    grows by exactly one segment per fold, validation segments are
+    disjoint and consecutive, and no validation row predates any of
+    its fold's train rows (leakage check)."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.ml.preparation import (
+        assign_time_segments,
+        walk_forward_folds,
+    )
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts"
+    )
+    total = ev.count()
+    folds = walk_forward_folds(
+        ev, 3, order_cols=("ts",), tie_break_cols=("event_id",)
+    )
+    assert len(folds) == 3
+
+    seg = assign_time_segments(
+        ev, 4, order_cols=("ts",), tie_break_cols=("event_id",),
+        segment_col="s",
+    )
+    seg_sizes = {
+        r["s"]: r["n"]
+        for r in seg.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(seg_sizes.values()) == total
+    assert max(seg_sizes.values()) - min(seg_sizes.values()) <= 1  # balanced
+
+    prev_train = 0
+    seen_val_ids: set[int] = set()
+    for i, (train, val) in enumerate(folds, start=1):
+        n_train, n_val = train.count(), val.count()
+        assert n_train == sum(seg_sizes[s] for s in range(i))
+        assert n_val == seg_sizes[i]
+        assert n_train > prev_train  # expanding window
+        prev_train = n_train
+        # leakage: every val timestamp >= the max train timestamp's
+        # segment boundary — check via max(train.ts) <= min over val
+        # of the boundary ordering (ties split by event_id, so compare
+        # the (ts, event_id) structs)
+        t_max = train.select(
+            F.max(F.struct("ts", "event_id")).alias("m")
+        ).collect()[0]["m"]
+        v_min = val.select(
+            F.min(F.struct("ts", "event_id")).alias("m")
+        ).collect()[0]["m"]
+        assert (t_max["ts"], t_max["event_id"]) < (
+            v_min["ts"], v_min["event_id"]
+        )
+        val_ids = {r["event_id"] for r in val.select("event_id").collect()}
+        assert not (val_ids & seen_val_ids)  # disjoint validation sets
+        seen_val_ids |= val_ids
