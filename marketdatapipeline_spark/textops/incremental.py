@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -120,7 +121,8 @@ def build_lsh_store(
         id_col=id_col,
     )
     tab = scoped_persist(_doc_table(docs, num_hashes, n, id_col, text_col))
-    store._write(tab, mode="overwrite")
+    gens = store._write_generation(tab)
+    store._publish({"keys": [gens["keys"]], "sets": [gens["sets"]]})
     _hadoop_write_text(
         spark,
         os.path.join(path, "manifest.json"),
@@ -152,68 +154,155 @@ class LSHDedupStore:
         text = _hadoop_read_text(spark, os.path.join(path, "manifest.json"))
         return cls(path=path, **json.loads(text))
 
+    # ------------------------------------------------------------------
+    # manifest-committed storage (r7): every mutation writes its data
+    # files into fresh generation directories (invisible to readers),
+    # then publishes ONE numbered commit file naming the exact
+    # generation set of BOTH tables. Readers resolve the highest
+    # commit. Consequences:
+    #
+    # * atomic multi-table commits — the old append wrote keys/ then
+    #   sets/; a crash between the two left a store whose candidates
+    #   could not verify. Now either a batch's keys AND sets are both
+    #   visible or neither is.
+    # * crash-safe compaction — the old tmp-swap had a documented
+    #   window (delete-old before rename-tmp) needing manual recovery.
+    #   Now a crash at ANY point leaves the previous commit fully
+    #   intact; half-written generations are unreferenced orphans.
+    # * snapshot isolation for free — a reader pins a commit, and no
+    #   later append can leak into its scan (generations are never
+    #   modified in place).
+    #
+    # Single writer, as documented in the module docstring: commit
+    # numbers are allocated by listing, not by consensus.
+    # ------------------------------------------------------------------
+
     @staticmethod
-    def _snapshot(spark: SparkSession, directory: str) -> DataFrame:
-        """Read the table pinned to the files present NOW. A plain
-        directory read is resolved lazily at each downstream action —
-        after ``ingest`` appends, a late verdict collection would see
-        the batch's own rows in the 'accepted' side and every accepted
-        doc would match itself. Enumerating the part files up front
-        gives snapshot isolation (the same move a table format's
-        snapshot would provide)."""
+    def _fs(spark: SparkSession, path: str):
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(directory)
-        fs = p.getFileSystem(conf)
-        files = [
-            f.getPath().toString()
-            for f in fs.listStatus(p)
-            if f.getPath().getName().endswith(".parquet")
-        ]
-        if not files:  # freshly-initialized empty store
-            return spark.read.parquet(directory).limit(0)
-        return spark.read.parquet(*files)
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return jvm, p.getFileSystem(conf)
 
-    def _write(self, doc_table: DataFrame, mode: str) -> None:
+    def _latest_commit(
+        self, spark: SparkSession
+    ) -> tuple[int, dict[str, list[str]]]:
+        """(commit number, {table: [generation dir names]}); (-1, empty
+        lists) for a store with no commits yet."""
+        cdir = os.path.join(self.path, "_commits")
+        jvm, fs = self._fs(spark, cdir)
+        p = jvm.org.apache.hadoop.fs.Path(cdir)
+        if not fs.exists(p):
+            return -1, {"keys": [], "sets": []}
+        best = -1
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                try:
+                    best = max(best, int(name[:-5]))
+                except ValueError:
+                    continue
+        if best < 0:
+            return -1, {"keys": [], "sets": []}
+        payload = json.loads(
+            _hadoop_read_text(spark, os.path.join(cdir, f"{best:012d}.json"))
+        )
+        return best, payload
+
+    def _publish(
+        self, payload: dict[str, list[str]], spark: SparkSession | None = None
+    ) -> int:
+        """Atomically publish the next commit: write to a dot-tmp name,
+        then rename into place (rename within one directory is the
+        atomic primitive every Hadoop FS provides)."""
+        spark = active_or(spark)
+        n, _ = self._latest_commit(spark)
+        cdir = os.path.join(self.path, "_commits")
+        target = os.path.join(cdir, f"{n + 1:012d}.json")
+        tmp = os.path.join(cdir, f".{n + 1:012d}.json.tmp")
+        _hadoop_write_text(spark, tmp, json.dumps(payload))
+        jvm, fs = self._fs(spark, cdir)
+        ok = fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp),
+            jvm.org.apache.hadoop.fs.Path(target),
+        )
+        if not ok:
+            raise RuntimeError(f"commit rename failed: {target}")
+        return n + 1
+
+    def _write_generation(self, doc_table: DataFrame) -> dict[str, str]:
+        """Write one generation of both tables; returns the generation
+        dir name per table. Data is INVISIBLE until _publish names it."""
+        token = uuid.uuid4().hex[:16]
+        gen = f"gen-{token}"
         _band_key_rows(
             doc_table, self.num_hashes, self.bands, self.id_col
-        ).repartition(F.col("band_key")).write.mode(mode).parquet(
-            os.path.join(self.path, "keys")
+        ).repartition(F.col("band_key")).write.mode("overwrite").parquet(
+            os.path.join(self.path, "keys", gen)
         )
-        doc_table.select(self.id_col, "_sh", "n_sh").write.mode(mode).parquet(
-            os.path.join(self.path, "sets")
-        )
+        doc_table.select(self.id_col, "_sh", "n_sh").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.path, "sets", gen))
+        return {"keys": gen, "sets": gen}
+
+    def _snapshot(self, spark: SparkSession, sub: str) -> DataFrame:
+        """Read table ``sub`` pinned to the LATEST COMMIT's generation
+        set. The dir list is resolved eagerly here, so a later append
+        (new generations + new commit) can never leak into this scan —
+        after ``ingest`` appends, a late verdict collection would
+        otherwise see the batch's own rows in the 'accepted' side and
+        every accepted doc would match itself."""
+        _, payload = self._latest_commit(spark)
+        dirs = [
+            os.path.join(self.path, sub, g) for g in payload.get(sub, [])
+        ]
+        if not dirs:
+            raise ValueError(
+                f"store at {self.path} has no commits — build_lsh_store "
+                "publishes commit 0 even for an empty seed"
+            )
+        return spark.read.parquet(*dirs)
 
     def compact(self, spark: SparkSession | None = None) -> dict[str, int]:
-        """Rewrite ``keys/`` and ``sets/`` into few large files. Every
-        ``ingest`` appends a task's worth of small part files; after
-        many batches the snapshot listing and the band-key join pay a
-        per-file open cost that dwarfs the data (the classic small-
-        files problem). Returns {table: files_after}.
+        """Rewrite both tables into one generation of few large files.
+        Every ``ingest`` appends a generation of small part files;
+        after many batches the band-key join pays a per-file open cost
+        that dwarfs the data (the classic small-files problem).
+        Returns {table: files_after}.
 
-        Swap is write-tmp → delete-old → rename: a crash between the
-        last two steps loses no data (tmp holds the full rewrite) but
-        needs a manual rename to recover — the same contract as any
-        non-transactional table compaction; a table format's atomic
-        commit is the production upgrade."""
+        Crash-safe: the consolidated generation is written first
+        (invisible), the commit rename publishes it atomically, and
+        only then are the superseded generations deleted — a crash
+        anywhere leaves either the old commit (plus orphan files) or
+        the new one, never a broken store."""
         spark = active_or(spark)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        _, before = self._latest_commit(spark)
         out: dict[str, int] = {}
+        gens: dict[str, str] = {}
+        token = uuid.uuid4().hex[:16]
         for sub, key in (("keys", "band_key"), ("sets", self.id_col)):
-            directory = os.path.join(self.path, sub)
-            df = self._snapshot(spark, directory)
+            df = self._snapshot(spark, sub)
             rows = df.count()
             # ~1M rows per output file; at least one
             n_files = max(1, rows // 1_000_000)
-            tmp = directory + "__compact_tmp"
-            df.repartition(n_files, key).write.mode("overwrite").parquet(tmp)
-            p_old = jvm.org.apache.hadoop.fs.Path(directory)
-            p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-            fs = p_old.getFileSystem(conf)
-            fs.delete(p_old, True)
-            fs.rename(p_tmp, p_old)
+            gen = f"gen-{token}"
+            df.repartition(n_files, key).write.mode("overwrite").parquet(
+                os.path.join(self.path, sub, gen)
+            )
+            gens[sub] = gen
             out[sub] = n_files
+        self._publish({"keys": [gens["keys"]], "sets": [gens["sets"]]}, spark)
+        # vacuum the superseded generations (post-commit: losing a race
+        # here only leaves orphans, never dangling references)
+        for sub in ("keys", "sets"):
+            jvm, fs = self._fs(spark, self.path)
+            for g in before.get(sub, []):
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(self.path, sub, g)
+                    ),
+                    True,
+                )
         return out
 
     def ingest(self, new_docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -234,8 +323,8 @@ class LSHDedupStore:
             _doc_table(new_docs, self.num_hashes, self.n, id_col, text_col)
         )
         new_keys = _band_key_rows(tab, self.num_hashes, self.bands, id_col)
-        old_keys = self._snapshot(spark, os.path.join(self.path, "keys"))
-        old_sets = self._snapshot(spark, os.path.join(self.path, "sets"))
+        old_keys = self._snapshot(spark, "keys")
+        old_sets = self._snapshot(spark, "sets")
 
         def best_match(cand: DataFrame, right_sets: DataFrame) -> DataFrame:
             """cand(new_id, old_id) -> (new_id, dup_of, jaccard), the
@@ -318,5 +407,16 @@ class LSHDedupStore:
         accepted = tab.join(
             dups.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
         )
-        self._write(accepted, mode="append")
+        # append = write an (invisible) generation of both tables, then
+        # publish one commit naming old + new generations — either the
+        # batch's keys AND sets both land or neither does
+        _, current = self._latest_commit(spark)
+        gens = self._write_generation(accepted)
+        self._publish(
+            {
+                "keys": [*current["keys"], gens["keys"]],
+                "sets": [*current["sets"], gens["sets"]],
+            },
+            spark,
+        )
         return verdicts

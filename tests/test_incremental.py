@@ -133,20 +133,22 @@ def test_compact_preserves_contents_and_shrinks_files(spark, store, tmp_path):
             )
         ).collect()
     sets_dir = os.path.join(store.path, "sets")
-    before_files = glob.glob(os.path.join(sets_dir, "*.parquet"))
+    before_files = glob.glob(os.path.join(sets_dir, "gen-*", "*.parquet"))
     before = {
         (r["doc_id"], r["n_sh"])
-        for r in spark.read.parquet(sets_dir).select("doc_id", "n_sh").collect()
+        for r in store._snapshot(spark, "sets").select("doc_id", "n_sh").collect()
     }
     res = store.compact(spark)
-    after_files = glob.glob(os.path.join(sets_dir, "*.parquet"))
+    after_files = glob.glob(os.path.join(sets_dir, "gen-*", "*.parquet"))
     assert res == {"keys": 1, "sets": 1}
     assert len(after_files) < len(before_files)
     after = {
         (r["doc_id"], r["n_sh"])
-        for r in spark.read.parquet(sets_dir).select("doc_id", "n_sh").collect()
+        for r in store._snapshot(spark, "sets").select("doc_id", "n_sh").collect()
     }
     assert after == before
+    # compact vacuums the superseded generations — only the new one left
+    assert len(glob.glob(os.path.join(sets_dir, "gen-*"))) == 1
     # the store still works post-compact: a dup of an old doc is caught
     v = {
         r["doc_id"]: r
@@ -162,5 +164,43 @@ def test_compact_preserves_contents_and_shrinks_files(spark, store, tmp_path):
 
 def test_store_never_holds_text(spark, store):
     for sub in ("keys", "sets"):
-        cols = spark.read.parquet(os.path.join(store.path, sub)).columns
+        cols = store._snapshot(spark, sub).columns
         assert "text" not in cols, sub
+
+
+def test_uncommitted_generation_is_invisible(spark, store):
+    """The manifest-commit contract: data files written without a
+    published commit (= a writer that crashed mid-append) must be
+    invisible to every reader, and the next successful ingest must
+    simply strand them as orphans."""
+    from marketdatapipeline_spark.textops.incremental import _doc_table
+
+    n_before = store._snapshot(spark, "sets").count()
+    commit_before, _ = store._latest_commit(spark)
+
+    # simulate the crash: generation written, no commit published
+    ghost = _doc_table(
+        spark.createDataFrame(
+            [(999, "ghost document words that never commit anywhere")],
+            ["doc_id", "text"],
+        ),
+        store.num_hashes, store.n, store.id_col, "text",
+    )
+    store._write_generation(ghost)
+
+    assert store._snapshot(spark, "sets").count() == n_before
+    v = {
+        r["doc_id"]: r
+        for r in store.ingest(
+            spark.createDataFrame(
+                [(300, "ghost document words that never commit anywhere")],
+                ["doc_id", "text"],
+            )
+        ).collect()
+    }
+    # the ghost was never accepted, so its near-dup is NOT a duplicate
+    assert not v[300]["is_duplicate"]
+    commit_after, payload = store._latest_commit(spark)
+    assert commit_after == commit_before + 1  # exactly one new commit
+    # both tables committed together, atomically
+    assert len(payload["keys"]) == len(payload["sets"])
