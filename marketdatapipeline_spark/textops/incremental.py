@@ -147,6 +147,12 @@ class LSHDedupStore:
     bands: int
     n: int
     id_col: str
+    # opt-in maintenance policy (NOT persisted in the manifest — an
+    # operational knob, not a store property): after every
+    # ``auto_compact_every``-th appended generation, ``ingest`` runs
+    # ``compact`` so the small-files debt never outgrows one policy
+    # window. None = manual compaction only.
+    auto_compact_every: int | None = None
 
     @classmethod
     def load(cls, path: str, spark: SparkSession | None = None) -> "LSHDedupStore":
@@ -245,6 +251,40 @@ class LSHDedupStore:
         ).parquet(os.path.join(self.path, "sets", gen))
         return {"keys": gen, "sets": gen}
 
+    def _migrate_legacy(self, spark: SparkSession) -> bool:
+        """Upgrade a pre-manifest-commit store (flat part files directly
+        under ``keys/`` and ``sets/``, no ``_commits/``) in place: move
+        each table's files into a ``gen-legacy-*`` generation directory
+        and publish commit 0 naming them. Returns True if a migration
+        ran. Single-writer, like every other mutation; a crash
+        mid-rename is recoverable by re-running (remaining flat files
+        migrate into a second legacy generation)."""
+        token = uuid.uuid4().hex[:16]
+        moved: dict[str, list[str]] = {}
+        for sub in ("keys", "sets"):
+            tdir = os.path.join(self.path, sub)
+            jvm, fs = self._fs(spark, tdir)
+            p = jvm.org.apache.hadoop.fs.Path(tdir)
+            if not fs.exists(p):
+                return False
+            flat = [
+                st.getPath()
+                for st in fs.listStatus(p)
+                if st.isFile()
+            ]
+            if not any(f.getName().endswith(".parquet") for f in flat):
+                return False
+            gen = f"gen-legacy-{token}"
+            gdir = jvm.org.apache.hadoop.fs.Path(os.path.join(tdir, gen))
+            fs.mkdirs(gdir)
+            for f in flat:
+                fs.rename(
+                    f, jvm.org.apache.hadoop.fs.Path(os.path.join(tdir, gen, f.getName()))
+                )
+            moved[sub] = [gen]
+        self._publish(moved, spark)
+        return True
+
     def _snapshot(self, spark: SparkSession, sub: str) -> DataFrame:
         """Read table ``sub`` pinned to the LATEST COMMIT's generation
         set. The dir list is resolved eagerly here, so a later append
@@ -252,7 +292,9 @@ class LSHDedupStore:
         after ``ingest`` appends, a late verdict collection would
         otherwise see the batch's own rows in the 'accepted' side and
         every accepted doc would match itself."""
-        _, payload = self._latest_commit(spark)
+        n, payload = self._latest_commit(spark)
+        if n < 0 and self._migrate_legacy(spark):
+            _, payload = self._latest_commit(spark)
         dirs = [
             os.path.join(self.path, sub, g) for g in payload.get(sub, [])
         ]
@@ -263,7 +305,62 @@ class LSHDedupStore:
             )
         return spark.read.parquet(*dirs)
 
-    def compact(self, spark: SparkSession | None = None) -> dict[str, int]:
+    # -- public committed-snapshot readers ------------------------------
+    # The supported way to inspect store contents: pinned to the latest
+    # commit, so they never see uncommitted generations, and they stay
+    # correct across compactions (a raw directory glob would
+    # double-count documents once a compaction-then-append history
+    # leaves both consolidated and superseded files on disk).
+
+    def keys(self, spark: SparkSession | None = None) -> DataFrame:
+        """(band_key, doc_id) rows of every accepted document, at the
+        latest commit."""
+        return self._snapshot(active_or(spark), "keys")
+
+    def sets(self, spark: SparkSession | None = None) -> DataFrame:
+        """(doc_id, _sh, n_sh) hashed shingle sets of every accepted
+        document, at the latest commit."""
+        return self._snapshot(active_or(spark), "sets")
+
+    def vacuum(
+        self, spark: SparkSession | None = None, older_than_seconds: float = 3600.0
+    ) -> int:
+        """Delete orphan generation directories — ones no longer (or
+        never) named by the latest commit: crash-stranded appends and
+        compaction leftovers. Age-gated (modification time older than
+        ``older_than_seconds``) so a concurrent writer's just-written,
+        not-yet-committed generation is never swept. Returns the number
+        of directories removed."""
+        import time
+
+        spark = active_or(spark)
+        _, payload = self._latest_commit(spark)
+        cutoff_ms = (time.time() - older_than_seconds) * 1000.0
+        removed = 0
+        for sub in ("keys", "sets"):
+            live = set(payload.get(sub, []))
+            tdir = os.path.join(self.path, sub)
+            jvm, fs = self._fs(spark, tdir)
+            p = jvm.org.apache.hadoop.fs.Path(tdir)
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if (
+                    st.isDirectory()
+                    and name.startswith("gen-")
+                    and name not in live
+                    and st.getModificationTime() <= cutoff_ms
+                ):
+                    fs.delete(st.getPath(), True)
+                    removed += 1
+        return removed
+
+    def compact(
+        self,
+        spark: SparkSession | None = None,
+        vacuum_superseded: bool = True,
+    ) -> dict[str, int]:
         """Rewrite both tables into one generation of few large files.
         Every ``ingest`` appends a generation of small part files;
         after many batches the band-key join pays a per-file open cost
@@ -293,16 +390,21 @@ class LSHDedupStore:
             out[sub] = n_files
         self._publish({"keys": [gens["keys"]], "sets": [gens["sets"]]}, spark)
         # vacuum the superseded generations (post-commit: losing a race
-        # here only leaves orphans, never dangling references)
-        for sub in ("keys", "sets"):
-            jvm, fs = self._fs(spark, self.path)
-            for g in before.get(sub, []):
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        os.path.join(self.path, sub, g)
-                    ),
-                    True,
-                )
+        # here only leaves orphans, never dangling references).
+        # ``vacuum_superseded=False`` defers this to ``vacuum()`` —
+        # required when a live reader (e.g. an uncollected verdict
+        # frame from the very ingest that triggered auto-compaction)
+        # is still pinned to the pre-compaction snapshot.
+        if vacuum_superseded:
+            for sub in ("keys", "sets"):
+                jvm, fs = self._fs(spark, self.path)
+                for g in before.get(sub, []):
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            os.path.join(self.path, sub, g)
+                        ),
+                        True,
+                    )
         return out
 
     def ingest(self, new_docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -419,4 +521,16 @@ class LSHDedupStore:
             },
             spark,
         )
+        # opt-in maintenance: once the appended generation count
+        # exceeds the policy window, consolidate (compact resets the
+        # count to one, so N more batches pass before the next one)
+        if (
+            self.auto_compact_every is not None
+            and len(current["sets"]) + 1 > self.auto_compact_every
+        ):
+            # deferred deletion: the verdicts frame below is lazy and
+            # pinned to the pre-append snapshot; sweeping the
+            # superseded generations now would pull its scan dirs out
+            # from under the caller. vacuum() reclaims them later.
+            self.compact(spark, vacuum_superseded=False)
         return verdicts

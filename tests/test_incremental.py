@@ -52,10 +52,18 @@ def test_ingest_flags_cross_batch_duplicates(spark, store):
     )
     v2 = {r["doc_id"]: r for r in store.ingest(again).collect()}
     assert v2[20]["is_duplicate"] and v2[20]["dup_of"] == 11
-    # ...and the rejected doc (10) never entered the store
-    sets = spark.read.parquet(os.path.join(store.path, "sets"))
-    ids = {r["doc_id"] for r in sets.select("doc_id").collect()}
+    # ...and the rejected doc (10) never entered the store. Read
+    # through the public committed-snapshot API — the raw directory
+    # tree is layout-private (generations, uncommitted orphans).
+    ids = {r["doc_id"] for r in store.sets(spark).select("doc_id").collect()}
     assert ids == {1, 2, 11}
+    # the snapshot reader stays correct across a compaction (a naive
+    # directory glob would double-count once consolidated and
+    # superseded generations coexist on disk)
+    store.compact(spark)
+    ids = {r["doc_id"] for r in store.sets(spark).select("doc_id").collect()}
+    assert ids == {1, 2, 11}
+    assert {r["doc_id"] for r in store.keys(spark).select("doc_id").collect()} == {1, 2, 11}
 
 
 def test_ingest_within_batch_keep_min_id(spark, store):
@@ -160,6 +168,103 @@ def test_compact_preserves_contents_and_shrinks_files(spark, store, tmp_path):
         ).collect()
     }
     assert v[200]["is_duplicate"] and v[200]["dup_of"] == 100
+
+
+def test_vacuum_removes_orphans_keeps_referenced(spark, store):
+    """Crash-stranded generations (written, never committed) are swept
+    by vacuum; everything the latest commit references survives."""
+    import glob
+
+    from marketdatapipeline_spark.textops.incremental import _doc_table
+
+    ghost = _doc_table(
+        spark.createDataFrame(
+            [(999, "orphan generation words never published to any commit")],
+            ["doc_id", "text"],
+        ),
+        store.num_hashes, store.n, store.id_col, "text",
+    )
+    store._write_generation(ghost)
+    before = {r["doc_id"] for r in store.sets(spark).select("doc_id").collect()}
+    assert len(glob.glob(os.path.join(store.path, "sets", "gen-*"))) == 2
+    # age gate: a freshly written generation (a writer mid-append) is
+    # never swept with the default 1h window...
+    assert store.vacuum(spark) == 0
+    # ...but is with the gate disabled
+    assert store.vacuum(spark, older_than_seconds=0.0) == 2  # keys + sets
+    assert len(glob.glob(os.path.join(store.path, "sets", "gen-*"))) == 1
+    after = {r["doc_id"] for r in store.sets(spark).select("doc_id").collect()}
+    assert after == before
+
+
+def test_auto_compact_policy(spark, tmp_path):
+    """auto_compact_every=N: N batches trigger exactly one compaction
+    (generation count collapses back to 1); verdicts from the
+    triggering ingest stay collectible (deferred vacuum)."""
+    import glob
+
+    seed = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    store = build_lsh_store(
+        seed, str(tmp_path / "auto"), threshold=0.5, num_hashes=16, bands=8
+    )
+    store.auto_compact_every = 3
+    verdicts = []
+    for i in range(3):
+        v = store.ingest(
+            spark.createDataFrame(
+                [(10 + i, f"distinct passage number {i} with words of its own {i}")],
+                ["doc_id", "text"],
+            )
+        )
+        verdicts.append(v.collect())  # collect AFTER ingest returned (post-compact on i==2)
+    _, payload = store._latest_commit(spark)
+    assert len(payload["sets"]) == 1  # exactly one compaction consolidated all 4 gens
+    assert all(not r[0]["is_duplicate"] for r in verdicts)
+    # superseded generations linger as orphans until vacuum
+    assert len(glob.glob(os.path.join(store.path, "sets", "gen-*"))) > 1
+    store.vacuum(spark, older_than_seconds=0.0)
+    assert len(glob.glob(os.path.join(store.path, "sets", "gen-*"))) == 1
+    ids = {r["doc_id"] for r in store.sets(spark).select("doc_id").collect()}
+    assert ids == {1, 10, 11, 12}
+
+
+def test_legacy_flat_layout_migrates_on_first_read(spark, store, tmp_path):
+    """A store persisted by the pre-manifest flat layout (part files
+    directly under keys/ and sets/, no _commits/) loads and upgrades
+    in place: first read migrates the files into a legacy generation
+    and publishes commit 0."""
+    legacy = str(tmp_path / "legacy")
+    # craft the old layout from the modern store's committed contents
+    store.keys(spark).write.parquet(os.path.join(legacy, "keys"))
+    store.sets(spark).write.parquet(os.path.join(legacy, "sets"))
+    import json as _json
+    import shutil
+
+    (tmp_path / "legacy" / "manifest.json").write_text(
+        _json.dumps(
+            {
+                "threshold": store.threshold,
+                "num_hashes": store.num_hashes,
+                "bands": store.bands,
+                "n": store.n,
+                "id_col": store.id_col,
+            }
+        )
+    )
+    old = LSHDedupStore.load(legacy, spark)
+    ids = {r["doc_id"] for r in old.sets(spark).select("doc_id").collect()}
+    assert ids == {1, 2}
+    n, payload = old._latest_commit(spark)
+    assert n == 0 and payload["sets"][0].startswith("gen-legacy-")
+    # and the migrated store dedups against its legacy contents
+    v = {
+        r["doc_id"]: r
+        for r in old.ingest(
+            spark.createDataFrame([(5, BASE + " more")], ["doc_id", "text"])
+        ).collect()
+    }
+    assert v[5]["is_duplicate"] and v[5]["dup_of"] == 1
+    shutil.rmtree(legacy, ignore_errors=True)
 
 
 def test_store_never_holds_text(spark, store):
