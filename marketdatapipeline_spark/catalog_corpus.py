@@ -1076,7 +1076,7 @@ from marketdatapipeline_spark.operators.moments import (  # noqa: E402
         )
         SELECT symbol, n_obs,
                round(mean, 6) + 0.0 AS ret_mean,
-               CASE WHEN n_obs >= 2
+               CASE WHEN n_obs >= 2 AND var_s >= 0
                     THEN round(sqrt(var_s), 6) + 0.0 END AS ret_std,
                CASE WHEN n_obs >= 2 AND m2 > 0
                     THEN round(m3 / pow(m2, 1.5), 6) + 0.0 END AS ret_skew,

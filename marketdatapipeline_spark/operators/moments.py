@@ -79,7 +79,13 @@ def realized_moments(
         symbol_col,
         "n_obs",
         mean.alias("ret_mean"),
-        F.when(F.col("n_obs") >= 2, F.sqrt(var_s)).alias("ret_std"),
+        # var_s >= 0 guard (ADVICE r7): a constant-price symbol's
+        # s2 - s1²/n can round to a tiny NEGATIVE double, and
+        # sqrt(negative) is NaN Spark-side but an error/NULL in the
+        # oracle — null the degenerate case explicitly on both sides
+        F.when((F.col("n_obs") >= 2) & (var_s >= 0), F.sqrt(var_s)).alias(
+            "ret_std"
+        ),
         F.when(ok, m3 / F.pow(m2, F.lit(1.5))).alias("ret_skew"),
         F.when(ok, m4 / (m2 * m2) - F.lit(3.0)).alias("ret_kurt"),
     )

@@ -13,6 +13,7 @@ equivalent batch computation on the same rows.
 """
 
 from marketdatapipeline_spark.streaming.bars import bars_from_ticks_batch, ticks_to_bars
+from marketdatapipeline_spark.streaming.combined import online_ticks
 from marketdatapipeline_spark.streaming.dedup import dedup_batch, dedup_stream
 from marketdatapipeline_spark.streaming.ingestion import (
     TICK_SCHEMA,
@@ -50,6 +51,7 @@ __all__ = [
     "dedup_batch",
     "online_indicators",
     "online_indicators_batch",
+    "online_ticks",
     "online_vwap",
     "online_vwap_batch",
     "sessionize_batch",

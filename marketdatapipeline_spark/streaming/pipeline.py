@@ -20,11 +20,14 @@ test (tests/test_pipeline_streaming.py) drives several file drops
 through ALL legs at once and re-checks every sink against the batch
 computation over the union of the drops.
 
-Scale notes. The two tick legs are independent streaming queries over
-the same file source — each maintains its own offsets/checkpoint, so
-one slow sink never backpressures the other; state is O(symbols) per
-leg. The dedup leg runs inside ``foreachBatch`` because the store is
-an external table (parquet keys/sets), not engine state. Its
+Scale notes. The tick legs share ONE streaming query: the fused
+stateful operator (streaming/combined.py) computes both legs in one
+sorted pass per symbol and ``foreachBatch`` fans the micro-batch out
+to both sinks — each dropped file is read, parsed, and shuffled once
+(r7 ran a query per leg, paying source I/O twice); state is O(symbols)
+with one state store. The dedup leg runs inside ``foreachBatch``
+because the store is an external table (parquet keys/sets), not
+engine state. Its
 append-then-verdict write is idempotent only per completed batch: a
 retried micro-batch re-ingests (at-least-once semantics) — exactly the
 contract documented on LSHDedupStore; a table format with atomic
@@ -46,9 +49,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from marketdatapipeline_spark.streaming.combined import online_ticks
 from marketdatapipeline_spark.streaming.ingestion import read_tick_stream
-from marketdatapipeline_spark.streaming.stateful import online_indicators
-from marketdatapipeline_spark.streaming.vwap import online_vwap
 from marketdatapipeline_spark.textops.incremental import (
     LSHDedupStore,
     build_lsh_store,
@@ -86,20 +88,14 @@ class IngestionPipeline:
 
     def await_any_termination(self, timeout: float | None = None):
         spark = SparkSession.getActiveSession()
-        return spark.streams.awaitAnyTermination(
-            int(timeout * 1000) if timeout is not None else None
-        )
-
-
-def _parquet_sink(df: DataFrame, out_dir: str, name: str) -> StreamingQuery:
-    return (
-        df.writeStream.format("parquet")
-        .option("path", os.path.join(out_dir, name))
-        .option("checkpointLocation", os.path.join(out_dir, "_chk", name))
-        .outputMode("append")
-        .queryName(f"ingest_{name}")
-        .start()
-    )
+        if spark is None:
+            raise ValueError(
+                "no active SparkSession — await_any_termination must run "
+                "on the driver that started the ingestion queries"
+            )
+        # PySpark's awaitAnyTermination takes SECONDS (it converts to
+        # ms internally) — passing ms here blocked 1000x too long
+        return spark.streams.awaitAnyTermination(timeout)
 
 
 def start_ingestion(
@@ -124,22 +120,45 @@ def start_ingestion(
     pipe = IngestionPipeline()
 
     if tick_dir is not None:
+        # ONE query for both tick legs: the fused stateful operator
+        # (streaming/combined.py) computes RSI/MACD and VWAP in one
+        # sorted pass per symbol, and foreachBatch projects the two
+        # sink schemas from the same micro-batch — each dropped tick
+        # file is read, parsed, and shuffled exactly once (the r7
+        # two-query layout paid all of that twice). Trade-off: the
+        # legs now share offsets/backpressure, and the parquet appends
+        # are at-least-once per retried batch (same contract as the
+        # dedup leg) rather than the file-sink's exactly-once.
         ticks = read_tick_stream(spark, tick_dir)
+        ind_path = os.path.join(out_dir, "indicators")
+        vwap_path = os.path.join(out_dir, "vwap")
+
+        def _tick_batch(batch: DataFrame, batch_id: int) -> None:
+            batch.persist()
+            try:
+                batch.select(
+                    "symbol",
+                    "ts",
+                    F.col("price").alias("close"),
+                    "rsi",
+                    "macd",
+                    "macd_signal",
+                    "macd_histogram",
+                ).write.mode("append").parquet(ind_path)
+                batch.select(
+                    "symbol", "ts", "price", "size", "vwap", "vwap_dev"
+                ).write.mode("append").parquet(vwap_path)
+            finally:
+                batch.unpersist()
+
         pipe.queries.append(
-            _parquet_sink(
-                online_indicators(ticks, state_ttl=state_ttl),
-                out_dir,
-                "indicators",
+            online_ticks(ticks, anchor=anchor, state_ttl=state_ttl)
+            .writeStream.foreachBatch(_tick_batch)
+            .option(
+                "checkpointLocation", os.path.join(out_dir, "_chk", "ticks")
             )
-        )
-        # independent query over the same source: own offsets/checkpoint
-        ticks2 = read_tick_stream(spark, tick_dir)
-        pipe.queries.append(
-            _parquet_sink(
-                online_vwap(ticks2, anchor=anchor, state_ttl=state_ttl),
-                out_dir,
-                "vwap",
-            )
+            .queryName("ingest_ticks")
+            .start()
         )
 
     if docs_dir is not None:

@@ -946,6 +946,41 @@ def test_realized_moments_vs_numpy(spark, bars_df, bars_pdf):
         assert row["ret_kurt"] == pytest.approx(m4 / m2**2 - 3.0, rel=1e-7)
 
 
+def test_realized_moments_constant_price_null_not_nan(spark):
+    """ADVICE r7: a constant-price symbol's s2 - s1²/n can round to a
+    tiny negative double; sqrt of it would be NaN Spark-side while the
+    oracle errors/diverges. The var_s >= 0 guard (mirrored in the
+    oracle SQL) makes every degenerate moment NULL on both sides."""
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators.moments import realized_moments
+
+    base = datetime(2024, 1, 1)
+    rows = [("C", base + timedelta(hours=i), i, 101.3) for i in range(6)]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    row = realized_moments(df, order_cols=("datetime",)).collect()[0]
+    assert row["n_obs"] == 5 and row["ret_mean"] == 0.0
+    # zero-variance: std is exactly 0 (decimal sums are exact here);
+    # skew/kurt are NULL (m2 == 0), never NaN
+    assert row["ret_std"] == 0.0
+    assert row["ret_skew"] is None and row["ret_kurt"] is None
+    # the var_s >= 0 guard itself: a synthetic tiny-negative variance
+    # must null out, not surface as sqrt(negative) = NaN
+    import math
+
+    from pyspark.sql import functions as F
+
+    neg = spark.createDataFrame([(5, -1e-30)], ["n_obs", "var_s"]).select(
+        F.when(
+            (F.col("n_obs") >= 2) & (F.col("var_s") >= 0),
+            F.sqrt(F.col("var_s")),
+        ).alias("ret_std")
+    ).collect()[0]
+    assert neg["ret_std"] is None and not (
+        isinstance(neg["ret_std"], float) and math.isnan(neg["ret_std"])
+    )
+
+
 def test_return_autocorrelation_vs_numpy(spark, bars_df, bars_pdf):
     import numpy as np
 

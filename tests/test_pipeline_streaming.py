@@ -86,6 +86,19 @@ def drops(spark, bars_pdf, tmp_path):
     return tick_dir, docs_dir, drop_ticks, drop_docs
 
 
+def test_await_any_termination_timeout_is_seconds(spark):
+    """Regression (ADVICE r7): the timeout is SECONDS, passed through
+    unchanged — the old ms conversion made a 1s wait block ~1000s."""
+    import time
+
+    from marketdatapipeline_spark.streaming.pipeline import IngestionPipeline
+
+    t0 = time.time()
+    res = IngestionPipeline().await_any_termination(timeout=1)
+    assert time.time() - t0 < 30
+    assert res is False  # no query terminated inside the window
+
+
 def test_streaming_ingestion_end_to_end(spark, bars_pdf, tmp_path, drops):
     from marketdatapipeline_spark.streaming import (
         online_indicators_batch,
@@ -102,6 +115,9 @@ def test_streaming_ingestion_end_to_end(spark, bars_pdf, tmp_path, drops):
         spark, out, tick_dir=tick_dir, docs_dir=docs_dir, anchor="day"
     )
     try:
+        # ONE query serves both tick sinks (fused operator + foreachBatch
+        # fan-out) and one serves dedup — each tick file is read once
+        assert len(pipe.queries) == 2
         pipe.process_all()
         drop_ticks(2)
         drop_docs(2)
