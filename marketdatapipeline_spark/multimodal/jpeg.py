@@ -298,6 +298,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker code — skip them (real-world files do this)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -536,13 +540,42 @@ def _block_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     quant = np.round(f / q).astype(np.int64)
     flat = quant.transpose(0, 1, 2, 3).reshape(-1, 64)
     # zigzag: scan position i takes flat position ZIGZAG[i]
-    return flat[:, ZIGZAG]
+    out = flat[:, ZIGZAG]
+    # clamp AC to the Annex K Huffman range (categories <= 10, i.e.
+    # |v| <= 1023): at quality≈100 the quant table clamps to 1 and a
+    # pathological high-frequency block can hit |AC| = 1024 →
+    # category 11, absent from the AC tables (KeyError mid-encode).
+    # DC stays unclamped — |DC| <= 1016 so the diff fits category 11,
+    # which the DC tables do carry.
+    np.clip(out[:, 1:], -1023, 1023, out=out[:, 1:])
+    return out
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+def _downsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
+    """Box-filter chroma downsample by (vs, hs); edge-pads to the
+    factor multiple first so partial groups average real pixels."""
+    h0, w0 = plane.shape
+    ph, pw = -(-h0 // vs) * vs, -(-w0 // hs) * hs
+    p = np.pad(plane, ((0, ph - h0), (0, pw - w0)), mode="edge")
+    return p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+
+
+#: sampling mode -> luma (hs, vs); chroma is always 1x1
+_SAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, sampling: str = "4:4:4"
+) -> bytes:
     """Encode a (H, W), (H, W, 1) or (H, W, 3) uint8 array as a
-    baseline 4:4:4 JFIF JPEG. Lossy: round-trips through decode_jpeg
-    within the quantization error for the given quality."""
+    baseline JFIF JPEG. Lossy: round-trips through decode_jpeg within
+    the quantization error for the given quality.
+
+    ``sampling`` (color only): ``"4:4:4"`` (1x1, every component full
+    resolution), ``"4:2:2"`` (2x1 luma — the sampling real-world
+    corpora carry most after 4:2:0), or ``"4:2:0"`` (2x2 luma); chroma
+    is box-filtered down and the decoder's nearest-neighbor upsampler
+    restores full resolution."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -551,6 +584,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         raise ValueError(f"unsupported channel count: {ch}")
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if sampling not in _SAMPLING:
+        raise ValueError(
+            f"sampling must be one of {sorted(_SAMPLING)}: {sampling!r}"
+        )
+    hs, vs = _SAMPLING[sampling] if ch == 3 else (1, 1)
     qy, qc = _quality_tables(quality)
 
     # color transform
@@ -565,34 +603,55 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     else:
         comps = [px[..., 0]]
 
-    # pad to block multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    comps = [
-        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps
-    ]
+    # MCU geometry: luma covers 8*hs x 8*vs pixels per MCU
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad_to(c: np.ndarray, th: int, tw: int) -> np.ndarray:
+        return np.pad(
+            c, ((0, th - c.shape[0]), (0, tw - c.shape[1])), mode="edge"
+        )
+
+    y_plane = pad_to(comps[0], mcuy * vs * 8, mcux * hs * 8)
+    if ch == 3:
+        chroma = [
+            pad_to(_downsample(c, hs, vs), mcuy * 8, mcux * 8)
+            for c in comps[1:]
+        ]
 
     dc_l = _canonical_codes(*_DC_LUMA)
     ac_l = _canonical_codes(*_AC_LUMA)
     dc_c = _canonical_codes(*_DC_CHROMA)
     ac_c = _canonical_codes(*_AC_CHROMA)
 
-    coeff_per_comp = [
-        _block_coeffs(c, qy if i == 0 else qc) for i, c in enumerate(comps)
-    ]
+    def grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """(nblocks_y, nblocks_x, 64) zigzagged quantized coeffs."""
+        c = _block_coeffs(plane, q)
+        return c.reshape(plane.shape[0] // 8, plane.shape[1] // 8, 64)
 
     writer = _BitWriter()
     if ch == 1:
-        _encode_component(writer, coeff_per_comp[0], dc_l, ac_l, 0)
+        _encode_component(writer, _block_coeffs(y_plane, qy), dc_l, ac_l, 0)
     else:
-        # 4:4:4, one 8x8 block per component per MCU, raster MCU order
+        # interleaved MCUs: hs*vs luma blocks then one of each chroma
+        yg = grid(y_plane, qy)
+        cbg, crg = (grid(c, qc) for c in chroma)
         preds = [0, 0, 0]
-        tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-        nb = coeff_per_comp[0].shape[0]
-        for bi in range(nb):
-            for ci in range(3):
-                dcs, acs = tables[ci]
-                preds[ci] = _encode_component(
-                    writer, coeff_per_comp[ci][bi : bi + 1], dcs, acs, preds[ci]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        preds[0] = _encode_component(
+                            writer,
+                            yg[my * vs + by, mx * hs + bx][None, :],
+                            dc_l,
+                            ac_l,
+                            preds[0],
+                        )
+                preds[1] = _encode_component(
+                    writer, cbg[my, mx][None, :], dc_c, ac_c, preds[1]
+                )
+                preds[2] = _encode_component(
+                    writer, crg[my, mx][None, :], dc_c, ac_c, preds[2]
                 )
     writer.flush()
 
@@ -615,7 +674,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += dqt(1, qc)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ch])
     for ci in range(ch):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hv = (hs << 4) | vs if ci == 0 else 0x11
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
     out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
     if ch == 3:

@@ -303,6 +303,73 @@ def test_jpeg_quality_monotone_on_noise():
     assert p[2] > 30.0
 
 
+@pytest.mark.parametrize("sampling", ["4:2:2", "4:2:0"])
+def test_jpeg_subsampled_roundtrip_psnr_floor(sampling):
+    """r8: encoder emits 2x1 (4:2:2) and 2x2 (4:2:0) luma sampling —
+    the factors real corpora actually carry — and the decoder's
+    general 1/2-factor MCU walk + nearest upsampler round-trips them.
+    Chroma is box-filtered down, so the floor is lower than 4:4:4 but
+    still high on smooth content; odd dimensions cross the MCU pad."""
+    img = _smooth_image(41, 53, 3)
+    out = decode_jpeg(encode_jpeg(img, quality=85, sampling=sampling))
+    assert out.shape == (41, 53, 3)
+    assert _psnr(img, out) > 38.0
+    # grayscale ignores sampling (single component, no chroma)
+    g = _smooth_image(17, 19, 1)
+    assert decode_jpeg(encode_jpeg(g, sampling=sampling)).shape == (17, 19, 1)
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg(img, sampling="4:1:1")
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF pad bytes may precede a marker
+    code; legal real-world files use them."""
+    good = bytearray(encode_jpeg(_smooth_image(16, 16, 3)))
+    i = bytes(good).index(b"\xff\xdb")  # pad before the first DQT
+    padded = bytes(good[:i]) + b"\xff\xff\xff" + bytes(good[i:])
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(bytes(good)))
+
+
+def test_jpeg_checkerboard_high_quality_no_keyerror():
+    """ADVICE r7: at quality ~100 the quant table clamps to 1 and a
+    checkerboard's AC hits ±1024 — category 11, absent from the Annex
+    K AC tables. The encoder clamps AC to ±1023 instead of KeyError."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[::2, 1::2] = 255
+    img[1::2, ::2] = 255
+    for q in (98, 100):
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        assert out.shape == (16, 16, 1)
+        # clamping one saturated coefficient still reconstructs closely
+        assert _psnr(img[:, :, None], out) > 25.0
+
+
+def test_progressive_jpeg_is_counted_error_in_decode_stats(spark):
+    """An unsupported SOF (progressive SOF2) payload flowing through
+    decode_media(on_error='null') becomes a counted null-stats row —
+    one bad image never crashes the mapInPandas task."""
+    from marketdatapipeline_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    good = bytearray(encode_jpeg(_smooth_image(16, 16, 3)))
+    i = bytes(good).index(b"\xff\xc0")
+    good[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    rows = [
+        (1, "image/jpeg", bytearray(bytes(good)), 16, 16, None, None),
+        (2, "image/jpeg", bytearray(encode_jpeg(_smooth_image(8, 8, 3))), 8, 8, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = (
+        decode_media(media, decoder="real", on_error="null")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "byte_len"] is None or np.isnan(got.loc[1, "byte_len"])
+    assert got.loc[2, "byte_len"] == 8 * 8 * 3
+
+
 def test_jpeg_decodes_external_real_world_file():
     """Interop: a JPEG produced by a REAL encoder (CPython's test-suite
     python.jpg ships in every pyenv CPython) must decode — this pins
