@@ -17,6 +17,8 @@ from marketdatapipeline_spark.streaming.combined import online_ticks
 from marketdatapipeline_spark.streaming.dedup import dedup_batch, dedup_stream
 from marketdatapipeline_spark.streaming.ingestion import (
     TICK_SCHEMA,
+    decode_tick_frames,
+    kafka_tick_stream,
     rate_tick_stream,
     read_tick_stream,
 )
@@ -45,6 +47,8 @@ __all__ = [
     "TICK_SCHEMA",
     "read_tick_stream",
     "rate_tick_stream",
+    "kafka_tick_stream",
+    "decode_tick_frames",
     "ticks_to_bars",
     "bars_from_ticks_batch",
     "dedup_stream",

@@ -8,6 +8,10 @@ sources. Two entry points:
   (the production shape: an upstream feed lands files, Spark picks them
   up incrementally; ``maxFilesPerTrigger`` is the streaming analogue of
   the reference's rate-limit throttle, ingestion.py:30-60).
+* ``kafka_tick_stream`` — a Kafka topic of JSON/CSV-encoded tick
+  frames (the real tick feed is a message bus; value decode is pure
+  column expressions shared with the batch-testable
+  ``decode_tick_frames``).
 * ``rate_tick_stream`` — the built-in ``rate`` source mapped onto a
   deterministic synthetic tick shape, for demos and load tests with no
   external feed.
@@ -59,6 +63,65 @@ def read_tick_stream(
     if format == "csv":
         reader = reader.option("header", True)
     return reader.load(path)
+
+
+#: DDL form of TICK_SCHEMA for from_csv (which takes a schema string)
+_TICK_DDL = "symbol STRING, ts TIMESTAMP, price DOUBLE, size DOUBLE"
+
+
+def decode_tick_frames(
+    frames: DataFrame, value_format: str = "json"
+) -> DataFrame:
+    """Decode message-bus frames (``value: binary`` — the Kafka wire
+    shape) into TICK_SCHEMA rows. Pure column expressions (from_json /
+    from_csv — JVM-side, whole-stage codegen), shared by streaming and
+    batch, so the parse contract is pinned batch-wise in pytest even
+    though the Kafka connector itself cannot run in-container.
+
+    ``value_format``: ``"json"`` ({"symbol":..., "ts":..., ...}) or
+    ``"csv"`` (``symbol,ts,price,size``). A malformed frame yields a
+    null-field row (PERMISSIVE mode) rather than killing the stream —
+    filter ``ts IS NULL`` downstream if the feed needs strictness."""
+    v = F.col("value").cast("string")
+    if value_format == "json":
+        parsed = F.from_json(v, TICK_SCHEMA)
+    elif value_format == "csv":
+        parsed = F.from_csv(v, _TICK_DDL)
+    else:
+        raise ValueError(f"value_format must be json or csv: {value_format!r}")
+    return frames.select(parsed.alias("_t")).select("_t.*")
+
+
+def kafka_tick_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    value_format: str = "json",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tick stream from a Kafka topic — the production message-bus
+    source (requires the ``spark-sql-kafka`` connector on the
+    classpath; not present in this container, so only the decode
+    expression is exercised by tests, via ``decode_tick_frames``).
+
+    Yields the same TICK_SCHEMA contract as ``read_tick_stream``, so
+    ``ticks_to_bars`` / ``online_ticks`` / ``start_ingestion`` run
+    unchanged on top. ``max_offsets_per_trigger`` is the bus analogue
+    of ``maxFilesPerTrigger`` (per-micro-batch rate cap);
+    ``starting_offsets`` is passed through (``"latest"``,
+    ``"earliest"``, or a per-partition JSON offset map)."""
+    if value_format not in ("json", "csv"):
+        raise ValueError(f"value_format must be json or csv: {value_format!r}")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return decode_tick_frames(reader.load(), value_format)
 
 
 def rate_tick_stream(

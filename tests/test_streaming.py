@@ -591,3 +591,60 @@ def test_online_vwap_week_month_anchor_matches_window_operator(
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want) == 300
     assert (got["vwap"].to_numpy() == want["vwap"].to_numpy()).all()
+
+
+def test_kafka_value_decode_json_and_csv(spark):
+    """The Kafka leg's value-parse expression (decode_tick_frames) is
+    pinned batch-wise against crafted binary frames in the Kafka wire
+    shape — the connector itself can't run in-container, but the only
+    custom logic in kafka_tick_stream IS this expression; source
+    options (subscribe/startingOffsets/maxOffsetsPerTrigger) are
+    engine pass-throughs."""
+    from datetime import datetime
+
+    from marketdatapipeline_spark.streaming import decode_tick_frames
+
+    wire = "key BINARY, value BINARY, topic STRING, partition INT, offset LONG"
+    frames_json = spark.createDataFrame(
+        [
+            (
+                b"AAPL",
+                b'{"symbol":"AAPL","ts":"2024-03-04T10:30:00","price":187.25,"size":300.0}',
+                "ticks",
+                0,
+                41,
+            ),
+            (b"BAD", b"{not json at all", "ticks", 0, 42),
+        ],
+        wire,
+    )
+    rows = decode_tick_frames(frames_json, "json").collect()
+    assert [f.name for f in decode_tick_frames(frames_json).schema.fields] == [
+        "symbol",
+        "ts",
+        "price",
+        "size",
+    ]
+    good = rows[0]
+    assert good["symbol"] == "AAPL"
+    assert good["ts"] == datetime(2024, 3, 4, 10, 30)
+    assert good["price"] == 187.25 and good["size"] == 300.0
+    # malformed frame -> null-field row, never a stream-killing error
+    assert rows[1]["symbol"] is None and rows[1]["ts"] is None
+
+    frames_csv = spark.createDataFrame(
+        [(None, b"MSFT,2024-03-04T10:31:00,401.5,12", "ticks", 1, 7)], wire
+    )
+    row = decode_tick_frames(frames_csv, "csv").collect()[0]
+    assert row["symbol"] == "MSFT" and row["ts"] == datetime(2024, 3, 4, 10, 31)
+    assert row["price"] == 401.5 and row["size"] == 12.0
+
+    with pytest.raises(ValueError, match="value_format"):
+        decode_tick_frames(frames_csv, "avro")
+
+
+def test_kafka_tick_stream_validates_format_eagerly(spark):
+    from marketdatapipeline_spark.streaming import kafka_tick_stream
+
+    with pytest.raises(ValueError, match="value_format"):
+        kafka_tick_stream(spark, "broker:9092", "ticks", value_format="xml")
