@@ -760,12 +760,17 @@ def q_bars_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: twin) feeds both the correlation and beta oracles.
 _RETS_NN_SQL = """
         , rets AS (
-            SELECT symbol AS _sym, row_number() OVER w AS _idx,
+            SELECT symbol AS _sym, datetime, bar_id,
                    (close - lag(close) OVER w) / lag(close) OVER w AS _ret
             FROM bars
             WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
         ),
-        nn AS (SELECT * FROM rets WHERE _ret IS NOT NULL)
+        nn AS (
+            SELECT _sym, _ret,
+                   row_number() OVER (PARTITION BY _sym
+                                      ORDER BY datetime, bar_id) AS _idx
+            FROM rets WHERE _ret IS NOT NULL
+        )
 """
 
 

@@ -8,14 +8,26 @@ order) — index i of symbol A pairs with index i of symbol B; the pair
 length is the shorter series. This is the dense, gap-free alignment;
 calendar alignment is ``resample_ffill`` composed in front.
 
-Plan shape: one window exchange for (return, index), one self
-equi-join on the bar index with ``symbol_a < symbol_b`` (no diagonal,
-no mirror), one aggregation to co-moment sums per pair. For S symbols
-that is S·(S-1)/2 output rows and the join carries only (index,
-symbol, return) — never the raw bars. Co-moments accumulate as
-``decimal(38,18)`` sums (association-free, so any engine agrees
-bit-for-bit); the correlation itself is assembled driver-free from
-the five sums with identically-ordered scalar double arithmetic:
+Plan shape (r8 pre-pivot + prefix decomposition): one window exchange
+for (return, index), then ONE groupBy(_idx) that pivots each bar
+index into a single row carrying an array of (symbol, return)
+structs, and a narrow upper-triangle explode (array_sort + posexplode
++ slice) into exactly the symbol_a < symbol_b pairs — the r7
+self-join on _idx is gone, so each return crosses the _idx exchange
+ONCE instead of twice. At lag 0 only the CROSS term sum(ra·rb) is
+aggregated from pair rows; the per-symbol sums come from per-symbol
+prefix sums looked up at each pair's length via two broadcast joins
+(see ``_corr_lag0_prefix``) — 5x less per-pair decimal arithmetic. A
+nonzero lag joins two pre-pivoted one-row-per-index tables (~N/S
+rows each), not the N-row return tables, and keeps the full
+five-sum pair aggregation. The pair explosion (S·(S-1)/2 rows per
+index — pairwise correlation IS quadratic in symbols) happens inside
+the stage, where map-side partial aggregation collapses it before
+the final pair exchange. Co-moments accumulate as ``decimal(38,18)``
+sums (association-free AND exact, so any engine, any collect_list
+order, and the prefix-vs-direct grouping all agree bit-for-bit); the
+correlation itself is assembled driver-free from the five sums with
+identically-ordered scalar double arithmetic:
 
     corr = (n·sxy - sx·sy) / sqrt((n·sxx - sx²)·(n·syy - sy²))
 
@@ -38,15 +50,116 @@ def bar_index_returns(
 ) -> DataFrame:
     """(_sym, _idx, _ret): simple returns with the per-symbol bar
     index — the aligned-series building block this module and
-    :mod:`beta` share. Index 1 (no prior bar) is dropped, so retained
-    indexes start at 2. One window exchange on the symbol."""
+    :mod:`beta` share.
+
+    The index is assigned AFTER dropping null returns (the first bar,
+    and any null-price gaps), so per-symbol indexes are contiguous
+    from 1 by construction. That contiguity is a load-bearing
+    invariant: the lag-0 correlation derives each pair's per-symbol
+    sums from prefix sums at the pair length (r8), which is only the
+    right subset when index k always means "the symbol's first k
+    returns". For null-free series this matches the r7 pre-filter
+    indexing shifted uniformly by one (identical alignment); with
+    mid-series null prices the series compacts — the dense alignment
+    the module docstring promises — instead of carrying holes.
+
+    Both window functions share one (symbol) exchange; the second sort
+    collapses into the first's ordering."""
     w = Window.partitionBy(symbol_col).orderBy(*order_cols)
     prev = F.lag(F.col(price_col)).over(w)
-    return df.select(
+    rets = df.select(
         F.col(symbol_col).alias("_sym"),
-        F.row_number().over(w).alias("_idx"),
+        *[F.col(c) for c in order_cols],
         ((F.col(price_col) - prev) / prev).alias("_ret"),
     ).filter(F.col("_ret").isNotNull())
+    w2 = Window.partitionBy("_sym").orderBy(*order_cols)
+    return rets.select(
+        "_sym", F.row_number().over(w2).alias("_idx"), "_ret"
+    )
+
+
+def _corr_lag0_prefix(
+    rets: DataFrame, min_obs: int, dec: str
+) -> DataFrame:
+    """Lag-0 pairwise correlation via the r8 prefix-sum decomposition.
+
+    Only the CROSS term sum(ra·rb) genuinely needs pair rows; the
+    per-symbol terms sum(ra), sum(ra²) over a pair's aligned range
+    [1, n_obs] are PREFIX sums of that symbol's own return series —
+    decimal addition is exact, so the running-window sum at index
+    n_obs is bit-identical to summing the same elements any other way
+    (which is why the DuckDB oracle can keep its direct per-pair sums
+    unchanged). That cuts the pair-row decimal work from five sums to
+    one: ~2x faster at sf0.1 and 5x less per-pair decimal arithmetic
+    at any scale.
+
+    Valid because ``bar_index_returns`` indexes post-filter, so index
+    k == "the symbol's first k returns" (contiguity by construction)
+    and a pair's aligned count n_obs == min(len_a, len_b).
+
+    Plan: window exchange (symbol) -> index pivot exchange ->
+    upper-triangle explode (array_sort + posexplode + slice emits
+    exactly the symbol_a < symbol_b pairs) -> ONE decimal sum per
+    pair; the tiny pair table then broadcast-joins back to the
+    prefix-sum rows at each pair's boundary index."""
+    entry = F.collect_list(F.struct("_sym", "_ret"))
+    sorted_e = rets.groupBy("_idx").agg(
+        F.array_sort(entry).alias("_ea")
+    )
+    pairs = (
+        sorted_e.select(
+            F.posexplode("_ea").alias("_i", "_a"), F.col("_ea")
+        )
+        .select(
+            F.col("_a._sym").alias("symbol_a"),
+            F.col("_a._ret").alias("_ra"),
+            F.explode(
+                F.slice("_ea", F.col("_i") + F.lit(2), F.size("_ea"))
+            ).alias("_b"),
+        )
+        .select(
+            "symbol_a",
+            F.col("_b._sym").alias("symbol_b"),
+            "_ra",
+            F.col("_b._ret").alias("_rb"),
+        )
+    )
+    g = pairs.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum((F.col("_ra") * F.col("_rb")).cast(dec))
+        .cast("double")
+        .alias("_sxy"),
+    ).filter(F.col("n_obs") >= min_obs)
+
+    w = Window.partitionBy("_sym").orderBy("_idx")
+    pre = rets.select(
+        "_sym",
+        "_idx",
+        F.sum(F.col("_ret").cast(dec)).over(w).alias("_cs"),
+        F.sum((F.col("_ret") * F.col("_ret")).cast(dec))
+        .over(w)
+        .alias("_css"),
+    )
+    # both joins broadcast the SMALL (pair-table) side and stream the
+    # prefix rows past it — at no point do the N prefix rows shuffle
+    first = pre.select(
+        F.col("_sym").alias("symbol_a"),
+        F.col("_idx").cast("long").alias("n_obs"),  # match count()'s type
+        F.col("_cs").cast("double").alias("_sx"),
+        F.col("_css").cast("double").alias("_sxx"),
+    ).join(F.broadcast(g), ["symbol_a", "n_obs"])
+    j = pre.select(
+        F.col("_sym").alias("symbol_b"),
+        F.col("_idx").cast("long").alias("n_obs"),
+        F.col("_cs").cast("double").alias("_sy"),
+        F.col("_css").cast("double").alias("_syy"),
+    ).join(F.broadcast(first), ["symbol_b", "n_obs"])
+    n = F.col("n_obs")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return j.select("symbol_a", "symbol_b", "n_obs", corr.alias("corr"))
 
 
 def pairwise_return_correlation(
@@ -67,25 +180,37 @@ def pairwise_return_correlation(
     different questions; at lag 0 they coincide and only the
     symbol_a < symbol_b half is kept."""
     rets = bar_index_returns(df, price_col, symbol_col, order_cols)
-
-    a = rets.select(
-        F.col("_sym").alias("symbol_a"),
-        F.col("_idx"),
-        F.col("_ret").alias("_ra"),
-    )
-    b = rets.select(
-        F.col("_sym").alias("symbol_b"),
-        (F.col("_idx") - F.lit(lag)).alias("_idx"),
-        F.col("_ret").alias("_rb"),
-    )
-    pair_filter = (
-        F.col("symbol_a") < F.col("symbol_b")
-        if lag == 0
-        else F.col("symbol_a") != F.col("symbol_b")
-    )
-    pairs = a.join(b, "_idx").filter(pair_filter)
-
     dec = "decimal(38,18)"
+
+    if lag == 0:
+        return _corr_lag0_prefix(rets, min_obs, dec)
+
+    entry = F.collect_list(F.struct("_sym", "_ret"))
+    a_idx = rets.groupBy("_idx").agg(entry.alias("_ea"))
+    b_idx = (
+        rets.select(
+            "_sym", (F.col("_idx") - F.lit(lag)).alias("_idx"), "_ret"
+        )
+        .groupBy("_idx")
+        .agg(entry.alias("_eb"))
+    )
+    pairs = (
+        a_idx.join(b_idx, "_idx")
+        .select(F.explode("_ea").alias("_a"), "_eb")
+        .select(
+            F.col("_a._sym").alias("symbol_a"),
+            F.col("_a._ret").alias("_ra"),
+            F.explode("_eb").alias("_b"),
+        )
+        .select(
+            "symbol_a",
+            F.col("_b._sym").alias("symbol_b"),
+            "_ra",
+            F.col("_b._ret").alias("_rb"),
+        )
+        .filter(F.col("symbol_a") != F.col("symbol_b"))
+    )
+
     g = pairs.groupBy("symbol_a", "symbol_b").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(F.col("_ra").cast(dec)).cast("double").alias("_sx"),

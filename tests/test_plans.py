@@ -340,19 +340,36 @@ def test_drawdown_single_exchange(spark, bars_df):
     ) == 1
 
 
-def test_correlation_carries_only_returns_through_join(spark, bars_df):
-    """The pair join must carry (symbol, idx, return) — never the bar
-    payload (open/high/low/volume) — and aggregate partially before
-    the final pair exchange."""
+def test_correlation_prepivot_no_join_and_narrow(spark, bars_df):
+    """r8 pre-pivot: at lag 0 the pairwise correlation plans ZERO
+    joins — one row per bar index carries an array of (symbol, return)
+    structs and a narrow double explode forms the pairs, so each
+    return crosses the _idx exchange once (the r7 self-join shuffled
+    both legs). Exactly three exchanges (window, index pivot, pair
+    agg), partial aggregation before the pair shuffle, and the bar
+    payload (open/volume) never moves."""
     from marketdatapipeline_spark.operators import pairwise_return_correlation
 
     out = pairwise_return_correlation(bars_df, order_cols=("datetime",))
     plan = _plan(out)
     opt = _optimized(out)
+    # no shuffled join anywhere: pairs come from the in-stage triangle
+    # explode, and the prefix-sum lookups broadcast the tiny pair table
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 2
     # map-side partial aggregation before the pair shuffle
     assert "partial" in plan.lower()
-    # the join operands project only the return columns
+    # only the return columns survive column pruning
     assert "open" not in opt and "volume" not in opt
+    # nonzero lag: the join is between two PRE-PIVOTED one-row-per-index
+    # tables, never the raw N-row return tables
+    lagged = pairwise_return_correlation(
+        bars_df, order_cols=("datetime",), lag=1
+    )
+    lplan = _plan(lagged)
+    assert "Join" in lplan
+    assert "collect_list" in lplan  # both legs pivot before joining
 
 
 def test_interval_overlap_join_never_nested_loop(spark):

@@ -207,9 +207,11 @@ def test_rolling_beta_random_parity(spark, seed):
     pdf = pdf.sort_values(["symbol", "datetime", "bar_id"]).reset_index(
         drop=True
     )
-    pdf["_idx"] = pdf.groupby("symbol").cumcount() + 1
     pdf["_ret"] = pdf.groupby("symbol")["close"].pct_change()
-    nn = pdf.dropna(subset=["_ret"])
+    nn = pdf.dropna(subset=["_ret"]).copy()
+    # post-filter indexing, mirroring bar_index_returns (r8): index k
+    # means "the symbol's first k returns"
+    nn["_idx"] = nn.groupby("symbol").cumcount() + 1
     mkt = nn.groupby("_idx")["_ret"].mean().rename("_m")
     j = nn.merge(mkt, on="_idx").sort_values(["symbol", "_idx"])
 
