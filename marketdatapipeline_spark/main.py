@@ -63,9 +63,16 @@ def run_pipeline(
     fixtures_dir: str | None = None,
     symbols: tuple[str, ...] | None = None,
     work_dir: str | None = None,
+    cv_folds: int = 0,
 ) -> dict:
     """The five reference phases; returns a summary dict (paths,
-    row counts, metrics) for programmatic use and tests."""
+    row counts, metrics) for programmatic use and tests.
+
+    ``cv_folds > 0`` additionally runs expanding-window walk-forward
+    cross-validation (ml/validation.py) on the featured frame and
+    reports per-fold + aggregate metrics under ``cross_validation`` —
+    the generalization estimate to trust over the single held-out
+    split when comparing hyperparameters."""
     from marketdatapipeline_spark.config import DEFAULT_CONFIG
     from marketdatapipeline_spark.features import compute_all_features, generate_targets
     from marketdatapipeline_spark.ingestion import fetch_multiple_symbols
@@ -229,9 +236,24 @@ def run_pipeline(
         model, feature_names, top_n=20,
         save_path=os.path.join(work_dir, "feature_importance.png"),
     )
+
+    # ---- optional: walk-forward CV (no reference counterpart) ----
+    cv = None
+    if cv_folds > 0:
+        from marketdatapipeline_spark.ml.validation import cross_validate
+
+        cv = cross_validate(
+            featured,
+            n_folds=cv_folds,
+            feature_cols=feature_names,
+            target_col="target",
+            model_type=cfg.target_type,
+            hyperparameters=hyper,
+        )
+        logger.info("walk-forward CV aggregate: %s", cv["aggregate"])
     featured.unpersist()
 
-    return {
+    summary = {
         "work_dir": work_dir,
         "model_path": model_path,
         "plot_path": plot_path,
@@ -240,6 +262,9 @@ def run_pipeline(
         "n_features": len(feature_names),
         "metrics": {k: float(v) for k, v in metrics.items()},
     }
+    if cv is not None:
+        summary["cross_validation"] = cv
+    return summary
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -254,6 +279,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--symbols", default=None, help="comma-separated symbols")
     parser.add_argument("--work-dir", default=None)
+    parser.add_argument(
+        "--cv-folds",
+        type=int,
+        default=0,
+        help="run expanding-window walk-forward CV with this many folds "
+        "and report per-fold + aggregate metrics (0 = off)",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="mdp-pipeline")
@@ -263,6 +295,7 @@ def main(argv: list[str] | None = None) -> None:
         fixtures_dir=args.fixtures or None,
         symbols=symbols,
         work_dir=args.work_dir,
+        cv_folds=args.cv_folds,
     )
     print(json.dumps(summary, default=str))
 

@@ -15,8 +15,15 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
         fixtures_dir="/root/testdata/sf0.001",
         symbols=("0", "1"),
         work_dir=str(tmp_path),
+        cv_folds=2,
     )
     assert summary["n_train"] > 0 and summary["n_test"] > 0
+    # walk-forward CV reported: per-fold + aggregate metric blocks
+    cv = summary["cross_validation"]
+    assert [f["fold"] for f in cv["folds"]] == [1, 2]
+    assert all(f["n_train"] > 0 and f["n_val"] > 0 for f in cv["folds"])
+    assert cv["folds"][1]["n_train"] > cv["folds"][0]["n_train"]  # expanding
+    assert 0.0 <= cv["aggregate"]["accuracy"] <= 1.0
     assert summary["n_features"] > 40
     assert os.path.exists(summary["model_path"])
     # the documented artifact: PNG with matplotlib, SVG fallback without

@@ -282,3 +282,88 @@ def test_walk_forward_folds_expanding_and_leak_free(spark):
         val_ids = {r["event_id"] for r in val.select("event_id").collect()}
         assert not (val_ids & seen_val_ids)  # disjoint validation sets
         seen_val_ids |= val_ids
+
+
+def test_cross_validate_matches_hand_split(spark, featured):
+    """ml.cross_validate == fold-by-fold hand computation: same
+    segment cuts, same (deterministic numpy) model fit on the train
+    slice, same metrics on the validation slice."""
+    import numpy as np
+
+    from marketdatapipeline_spark.ml.validation import cross_validate
+
+    n_folds = 2
+    feats = feature_columns(featured)
+    res = cross_validate(
+        featured,
+        n_folds=n_folds,
+        model_type="classification",
+        order_cols=("datetime",),
+    )
+    assert len(res["folds"]) == n_folds
+
+    # ---- hand computation on the driver ----
+    pdf = (
+        featured.select("datetime", *feats, "target")
+        .toPandas()
+        .dropna(subset=[*feats, "target"])
+    )
+    # assign_time_segments semantics: global rank by (datetime, ties by
+    # remaining cols) -> segment floor((r-1)*k/n). The fixture has a
+    # unique (symbol-free) datetime ordering per row only after tie
+    # break; replicate with a stable sort on datetime then all other
+    # columns, matching tie_break_cols = all non-order columns.
+    tie_cols = [c for c in pdf.columns if c != "datetime"]
+    pdf = pdf.sort_values(["datetime", *tie_cols]).reset_index(drop=True)
+    n = len(pdf)
+    k = n_folds + 1
+    pdf["_seg"] = ((np.arange(n)) * k) // n
+
+    for fold in res["folds"]:
+        i = fold["fold"]
+        tr = pdf[pdf["_seg"] < i]
+        va = pdf[pdf["_seg"] == i]
+        assert fold["n_train"] == len(tr)
+        assert fold["n_val"] == len(va)
+        model = train_model(
+            tr[feats].to_numpy("float64"),
+            tr["target"].to_numpy("float64"),
+            model_type="classification",
+        )
+        yv = va["target"].to_numpy("float64").astype(int)
+        pv = model.predict(va[feats].to_numpy("float64")).astype(int)
+        acc = float((yv == pv).mean())
+        assert fold["accuracy"] == pytest.approx(acc, abs=1e-12)
+        tp = int(((yv == 1) & (pv == 1)).sum())
+        fp = int(((yv == 0) & (pv == 1)).sum())
+        fn = int(((yv == 1) & (pv == 0)).sum())
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        assert fold["precision"] == pytest.approx(prec, abs=1e-12)
+        assert fold["recall"] == pytest.approx(rec, abs=1e-12)
+        assert 0.0 <= fold.get("roc_auc", 0.5) <= 1.0
+
+    # aggregate = unweighted mean across folds
+    for m in ("accuracy", "precision", "recall", "f1"):
+        want = sum(f[m] for f in res["folds"]) / n_folds
+        assert res["aggregate"][m] == pytest.approx(want, abs=1e-12)
+
+
+def test_cross_validate_regression_and_validation_errors(spark, featured):
+    from marketdatapipeline_spark.features.targets import generate_targets
+
+    from marketdatapipeline_spark.ml.validation import cross_validate
+
+    reg = generate_targets(
+        featured.drop("target"), horizon=1, target_type="regression"
+    )
+    res = cross_validate(reg, n_folds=2, model_type="regression")
+    for f in res["folds"]:
+        assert set(("mse", "rmse", "mae", "r2")) <= set(f)
+        assert f["mse"] >= 0 and f["rmse"] == pytest.approx(f["mse"] ** 0.5)
+    assert "roc_auc" not in res["aggregate"]
+
+    with pytest.raises(ValueError, match="n_folds"):
+        cross_validate(featured, n_folds=0)
+    with pytest.raises(ValueError, match="model type"):
+        cross_validate(featured, n_folds=2, model_type="ranking")
