@@ -247,12 +247,18 @@ def main() -> None:
     # live in bench_detail.json and the detail stdout line instead.
     slim_only = {"feature_pipeline_1m_cached", "feature_pipeline_5m",
                  "feature_pipeline_10m"}
+    # r8: the slim line's per-query values are the MEDIAN-of-3 series
+    # (the headline entries were already medians) — the first-post-cold
+    # single samples kept recording host noise as fake regressions
+    # (r6: momentum_features; r7: feature_pipeline_1m_1sym). The
+    # frozen single-sample series still ships, unchanged, as
+    # bench_detail.json "queries" for cross-round continuity.
     result = {
         "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",
         "value": round(timings["feature_pipeline_1m"], 3),
         "unit": "sec",
         "queries": {
-            k: round(v, 3)
+            k: round(med.get(k, v), 3)
             for k, v in timings.items()
             if k not in slim_only
         },

@@ -1307,3 +1307,170 @@ def q_ml_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 market-operator wave: variance ratio, anchored TWAP, pairs z-score
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.operators.pairs import (  # noqa: E402
+    pair_spread_zscore,
+)
+from marketdatapipeline_spark.operators.variance_ratio import (  # noqa: E402
+    variance_ratio,
+)
+from marketdatapipeline_spark.operators.vwap import anchored_twap  # noqa: E402
+from marketdatapipeline_spark.sources.tables import (  # noqa: E402
+    bars_from_events as _bars_from_events_r8,
+)
+
+
+@register_extended(
+    "bars_variance_ratio",
+    _bars_sql(
+        """
+        , rr AS (
+            SELECT symbol,
+                   ln(close / lag(close, 1) OVER w) AS r1,
+                   ln(close / lag(close, 5) OVER w) AS rk
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol,
+                   count(r1) AS n_obs_1, count(rk) AS n_obs_k,
+                   CAST(sum(CAST(r1 AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(r1 * r1 AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s11,
+                   CAST(sum(CAST(rk AS DECIMAL(38,18))) AS DOUBLE) AS sk,
+                   CAST(sum(CAST(rk * rk AS DECIMAL(38,18))) AS DOUBLE)
+                       AS skk
+            FROM rr GROUP BY symbol
+        ),
+        v AS (
+            SELECT symbol, n_obs_1, n_obs_k,
+                   (s11 - s1 * s1 / CAST(n_obs_1 AS DOUBLE))
+                       / (CAST(n_obs_1 AS DOUBLE) - 1.0) AS var1,
+                   (skk - sk * sk / CAST(n_obs_k AS DOUBLE))
+                       / (CAST(n_obs_k AS DOUBLE) - 1.0) AS vark
+            FROM g
+        )
+        SELECT symbol, n_obs_1, n_obs_k,
+               CASE WHEN n_obs_k >= 10 AND var1 > 0
+                    THEN round(vark / (5.0 * var1), 6) + 0.0 END AS vr
+        FROM v
+        """
+    ),
+)
+def q_bars_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay VR(5) per symbol (operators/variance_ratio.py):
+    one window computes both return lags, power sums accumulate as
+    decimal(38,18), and the ratio assembles with identically-ordered
+    double arithmetic in both engines under round-6."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = variance_ratio(bars, k=5)
+    return out.select(
+        "symbol", "n_obs_1", "n_obs_k", _r6(F.col("vr")).alias("vr")
+    )
+
+
+@register_extended(
+    "bars_twap_anchored",
+    _bars_sql(
+        """
+        SELECT symbol, datetime, bar_id, close,
+               CAST(sum(CAST(close AS DECIMAL(28,10))) OVER a
+                    AS DOUBLE) / (count(*) OVER a) AS twap,
+               close - CAST(sum(CAST(close AS DECIMAL(28,10))) OVER a
+                            AS DOUBLE) / (count(*) OVER a) AS twap_dev
+        FROM bars
+        WINDOW a AS (PARTITION BY symbol, date_trunc('day', datetime)
+                     ORDER BY datetime, bar_id ROWS UNBOUNDED PRECEDING)
+        """
+    ),
+)
+def q_bars_twap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-anchored running TWAP (operators/vwap.py:anchored_twap),
+    the volume-free benchmark next to VWAP: one (symbol, day) window
+    exchange, decimal(28,10) running sums for bit-identical
+    cross-engine accumulation (the vwap lesson).
+
+    Deliberately UNROUNDED — the only entry where round-6 would
+    create divergence instead of absorbing it: the exact decimal sums
+    make the raw doubles bit-identical across engines, but twap =
+    s/count is an integer-denominator rational whose double lands
+    EXACTLY on .5e-6 round boundaries far more often than any other
+    column (7 rows in 100k at sf0.1), and Spark's BigDecimal HALF_UP
+    disagrees with DuckDB's multiply-based tie behavior there."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = anchored_twap(bars, anchor="day", exact_decimal=True)
+    return out.select(
+        "symbol", "datetime", "bar_id", "close", "twap", "twap_dev"
+    )
+
+
+@register_extended(
+    "bars_pair_spread_zscore",
+    _bars_sql(
+        """
+        , two AS (
+            SELECT symbol AS _sym,
+                   row_number() OVER (PARTITION BY symbol
+                                      ORDER BY datetime, bar_id) AS _idx,
+                   close AS _p
+            FROM bars
+            WHERE symbol IN ('0', '1') AND close IS NOT NULL
+        ),
+        al AS (
+            SELECT _idx,
+                   max(CASE WHEN _sym = '0' THEN _p END) AS price_a,
+                   max(CASE WHEN _sym = '1' THEN _p END) AS price_b
+            FROM two GROUP BY _idx
+        ),
+        sp AS (
+            SELECT _idx, price_a, price_b,
+                   ln(price_a) - ln(price_b) AS spread
+            FROM al
+            WHERE price_a IS NOT NULL AND price_b IS NOT NULL
+        ),
+        r AS (
+            SELECT _idx, price_a, price_b, spread,
+                   CAST(sum(CAST(spread AS DECIMAL(38,18))) OVER rw
+                        AS DOUBLE) AS s,
+                   CAST(sum(CAST(spread * spread AS DECIMAL(38,18))) OVER rw
+                        AS DOUBLE) AS ss,
+                   count(*) OVER rw AS n
+            FROM sp
+            WINDOW rw AS (ORDER BY _idx
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(_idx AS INT) AS bar_index, price_a, price_b,
+               round(spread, 6) + 0.0 AS spread,
+               CASE WHEN n = 20 THEN round(s / n, 6) + 0.0 END
+                   AS spread_mean,
+               CASE WHEN n = 20 AND (ss - s * s / n) / (n - 1.0) >= 0
+                    THEN round(sqrt((ss - s * s / n) / (n - 1.0)), 6) + 0.0
+                    END AS spread_std,
+               CASE WHEN n = 20 AND (ss - s * s / n) / (n - 1.0) >= 0
+                         AND sqrt((ss - s * s / n) / (n - 1.0)) > 0
+                    THEN round((spread - s / n)
+                               / sqrt((ss - s * s / n) / (n - 1.0)), 6)
+                         + 0.0 END AS zscore
+        FROM r
+        """
+    ),
+)
+def q_bars_pair_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading log-spread rolling-20 z-score for symbols 0/1
+    (operators/pairs.py): bar-index alignment via conditional
+    aggregation (no self-join), decimal rolling sums, min_periods
+    nulls until the window fills."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = pair_spread_zscore(bars, "0", "1", window=20)
+    return out.select(
+        "bar_index", "price_a", "price_b",
+        _r6(F.col("spread")).alias("spread"),
+        _r6(F.col("spread_mean")).alias("spread_mean"),
+        _r6(F.col("spread_std")).alias("spread_std"),
+        _r6(F.col("zscore")).alias("zscore"),
+    )

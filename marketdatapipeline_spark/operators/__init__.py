@@ -23,6 +23,11 @@ of DataFrame primitives (never driver loops, never cross products):
   OHLC pattern flags (doji/hammer/engulfing) and the per-symbol
   pattern counts;
 - :func:`amihud_illiquidity` — price impact per dollar volume;
+- :func:`variance_ratio` — Lo-MacKinlay k-period variance ratio, the
+  random-walk / mean-reversion diagnostic;
+- :func:`anchored_twap` — time-weighted benchmark next to VWAP;
+- :func:`pair_spread_zscore` — pairs-trading log-spread rolling
+  z-score for one symbol pair;
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
@@ -50,7 +55,9 @@ from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
 from marketdatapipeline_spark.operators.range_join import point_in_interval_join
 from marketdatapipeline_spark.operators.resample import resample_ffill
 from marketdatapipeline_spark.operators.rollup import rollup_bars
-from marketdatapipeline_spark.operators.vwap import anchored_vwap
+from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
+from marketdatapipeline_spark.operators.variance_ratio import variance_ratio
+from marketdatapipeline_spark.operators.vwap import anchored_twap, anchored_vwap
 from marketdatapipeline_spark.operators.salting import (
     salted_collect_list,
     salted_join_left_hot,
@@ -59,7 +66,10 @@ from marketdatapipeline_spark.operators.sessions import sessionize
 
 __all__ = [
     "amihud_illiquidity",
+    "anchored_twap",
     "anchored_vwap",
+    "pair_spread_zscore",
+    "variance_ratio",
     "asof_join",
     "candlestick_census",
     "candlestick_flags",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["anchored_vwap"]
+__all__ = ["anchored_twap", "anchored_vwap"]
 
 _ANCHORS = {"day": "dd", "week": "week", "month": "month"}
 
@@ -69,4 +69,45 @@ def anchored_vwap(
     vwap = F.when(v != 0, pv / v)
     return df.withColumns(
         {"vwap": vwap, "vwap_dev": F.col(price_col) - vwap}
+    )
+
+
+def anchored_twap(
+    df: DataFrame,
+    anchor: str = "day",
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "datetime",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Add ``twap`` (running TIME-weighted average price since the
+    anchor boundary — the volume-free execution benchmark quoted next
+    to VWAP) and ``twap_dev`` (price minus twap).
+
+    ``twap_t = Σ price / n`` over the rows since the (symbol, period)
+    anchor: the same single (symbol, anchor) window exchange as
+    :func:`anchored_vwap`, cumulative frame, no Python. A TWAP is
+    never null (every row contributes weight 1, so the denominator is
+    the running row count >= 1). ``exact_decimal`` buys bit-identical
+    cross-engine accumulation exactly as documented on
+    :func:`anchored_vwap`.
+    """
+    if anchor not in _ANCHORS:
+        raise ValueError(f"anchor must be one of {sorted(_ANCHORS)}")
+    period: Column = F.date_trunc(_ANCHORS[anchor], F.col(time_col))
+    w = (
+        Window.partitionBy(symbol_col, period)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p_term = F.col(price_col)
+    if exact_decimal:
+        p_term = p_term.cast("decimal(28,10)")
+    s = F.sum(p_term).over(w)
+    if exact_decimal:
+        s = s.cast("double")
+    twap = s / F.count(F.lit(1)).over(w)
+    return df.withColumns(
+        {"twap": twap, "twap_dev": F.col(price_col) - twap}
     )

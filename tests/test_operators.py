@@ -1068,3 +1068,132 @@ def test_amihud_vs_numpy(spark, bars_df, bars_pdf):
         assert row["n_obs"] == int(keep.sum())
         assert row["amihud"] == pytest.approx(want, rel=1e-9)
         assert row["dollar_volume"] == pytest.approx(dv[keep].sum(), rel=1e-9)
+
+
+def test_variance_ratio_vs_numpy(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.variance_ratio import (
+        variance_ratio,
+    )
+
+    k = 5
+    got = {
+        r["symbol"]: r
+        for r in variance_ratio(
+            bars_df, k=k, order_cols=("datetime",)
+        ).collect()
+    }
+    for sym, grp in bars_pdf.sort_values(["symbol", "datetime"]).groupby(
+        "symbol"
+    ):
+        p = grp["close"].to_numpy()
+        r1 = np.log(p[1:] / p[:-1])
+        rk = np.log(p[k:] / p[:-k])
+        row = got[sym]
+        assert row["n_obs_1"] == len(r1) and row["n_obs_k"] == len(rk)
+        want = rk.var(ddof=1) / (k * r1.var(ddof=1))
+        assert row["vr"] == pytest.approx(want, rel=1e-9)
+    with pytest.raises(ValueError, match="k must"):
+        variance_ratio(bars_df, k=1)
+
+
+def test_variance_ratio_detects_regime(spark):
+    """Construction check: a perfectly trending series has VR(k) well
+    above 1 (k-period variance compounds), an alternating
+    mean-reverting series well below 1."""
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators.variance_ratio import (
+        variance_ratio,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    trend, revert = 100.0, 100.0
+    for i in range(80):
+        # momentum: 10-bar up regimes alternating with 10-bar down
+        # regimes — 4-period returns mostly compound within a regime,
+        # so Var(r_4) ~ 16*Var(r_1) and VR(4) >> 1
+        trend *= 1.02 if (i // 10) % 2 == 0 else 1 / 1.02
+        # mean reversion: every 4-period window of +- alternation
+        # telescopes to ~0, so VR(4) ~ 0
+        revert *= 1.02 if i % 2 == 0 else 1 / 1.02
+        rows.append(("T", base + timedelta(hours=i), i, trend))
+        rows.append(("R", base + timedelta(hours=i), i, revert))
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    got = {
+        r["symbol"]: r["vr"]
+        for r in variance_ratio(df, k=4, order_cols=("datetime",)).collect()
+    }
+    assert got["T"] > 1.5  # momentum
+    assert got["R"] < 0.2  # strong mean reversion
+
+
+def test_anchored_twap_vs_pandas(spark, bars_df, bars_pdf):
+    from marketdatapipeline_spark.operators.vwap import anchored_twap
+
+    got = (
+        anchored_twap(bars_df, anchor="day", order_cols=("datetime",))
+        .toPandas()
+        .sort_values(["symbol", "datetime"])
+        .reset_index(drop=True)
+    )
+    pdf = bars_pdf.sort_values(["symbol", "datetime"]).reset_index(drop=True)
+    grp = [pdf["symbol"], pdf["datetime"].dt.floor("D")]
+    want = pdf["close"].groupby(grp).transform(
+        lambda s: s.expanding().mean()
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["twap"].to_numpy(), want.to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["twap_dev"].to_numpy(),
+        (pdf["close"] - want).to_numpy(),
+        rtol=1e-9, atol=1e-12,
+    )
+    with pytest.raises(ValueError, match="anchor"):
+        anchored_twap(bars_df, anchor="year")
+
+
+def test_pair_spread_zscore_vs_pandas(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
+
+    w = 7
+    got = (
+        pair_spread_zscore(
+            bars_df, "A", "B", window=w, order_cols=("datetime",)
+        )
+        .toPandas()
+        .sort_values("bar_index")
+        .reset_index(drop=True)
+    )
+    pdf = bars_pdf.sort_values(["symbol", "datetime"])
+    pa = pdf[pdf["symbol"] == "A"]["close"].reset_index(drop=True)
+    pb = pdf[pdf["symbol"] == "B"]["close"].reset_index(drop=True)
+    n = min(len(pa), len(pb))
+    spread = np.log(pa[:n].to_numpy()) - np.log(pb[:n].to_numpy())
+    import pandas as pd
+
+    s = pd.Series(spread)
+    mean = s.rolling(w, min_periods=w).mean()
+    std = s.rolling(w, min_periods=w).std(ddof=1)
+    assert got["bar_index"].tolist() == list(range(1, n + 1))
+    np.testing.assert_allclose(got["spread"].to_numpy(), spread, rtol=1e-12)
+    np.testing.assert_allclose(
+        got["spread_mean"].to_numpy(), mean.to_numpy(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["spread_std"].to_numpy(), std.to_numpy(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["zscore"].to_numpy(),
+        ((s - mean) / std).to_numpy(),
+        rtol=1e-9,
+    )
+    with pytest.raises(ValueError, match="differ"):
+        pair_spread_zscore(bars_df, "A", "A")

@@ -93,6 +93,10 @@ def test_await_any_termination_timeout_is_seconds(spark):
 
     from marketdatapipeline_spark.streaming.pipeline import IngestionPipeline
 
+    # queries stopped by EARLIER tests stay in the manager's terminated
+    # set until reset — without this the call returns True instantly
+    # and proves nothing about the timeout path
+    spark.streams.resetTerminated()
     t0 = time.time()
     res = IngestionPipeline().await_any_termination(timeout=1)
     assert time.time() - t0 < 30
