@@ -1474,3 +1474,104 @@ def q_bars_pair_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("spread_std")).alias("spread_std"),
         _r6(F.col("zscore")).alias("zscore"),
     )
+
+
+from marketdatapipeline_spark.textops.corpus import (  # noqa: E402
+    remove_boilerplate_lines,
+)
+
+#: 60-bit line-hash (see remove_boilerplate_lines) in DuckDB form
+_H15_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+#: injected boilerplate line (appears in ~1/5 of docs -> removed) and
+#: per-doc unique line (df=1 -> kept) — repr-stable literals shared by
+#: the Spark plan and the SQL text
+_BOILER_LINE = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+
+
+@register_extended(
+    "corpus_boilerplate_lines",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || chr(10) || '{_BOILER_LINE}'
+                    ELSE text END AS t1
+        FROM documents
+    ),
+    inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN t1 || chr(10) || 'unique line '
+                         || CAST(doc_id AS VARCHAR)
+                    ELSE t1 END AS text
+        FROM base
+    ),
+    arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM inj),
+    lines AS (
+        SELECT doc_id, unnest(a) AS line,
+               unnest(range(1, len(a) + 1)) AS pos
+        FROM arr
+    ),
+    keyed AS (
+        SELECT doc_id, pos, line,
+               CASE WHEN trim(line) <> ''
+                    THEN {_H15_SQL.format(x="trim(line)")} END AS k
+        FROM lines
+    ),
+    boiler AS (
+        SELECT k FROM (
+            SELECT k, count(DISTINCT doc_id) AS df
+            FROM keyed WHERE k IS NOT NULL GROUP BY k
+        ) WHERE df > 2
+    ),
+    kept AS (
+        SELECT doc_id, pos, line FROM keyed
+        WHERE k IS NULL OR k NOT IN (SELECT k FROM boiler)
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT i.doc_id,
+           CAST(len(string_split(i.text, chr(10))) AS INT) AS n_lines,
+           CAST(len(string_split(i.text, chr(10)))
+                - coalesce(r.n_kept, 0) AS INT) AS n_lines_removed,
+           md5(coalesce(r.clean, '')) AS clean_md5
+    FROM inj i LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_corpus_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal
+    (textops/corpus.py:remove_boilerplate_lines) with planted
+    evidence, PII-entry style: a nav-bar line injected into 1/5 of
+    docs (doc frequency far above the bar -> stripped everywhere) and
+    a per-doc unique line into 1/3 (df=1 -> kept). md5 of the cleaned
+    text pins every surviving byte and the original line ORDER without
+    shipping documents through the compare."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER_LINE)),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nunique line "),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = remove_boilerplate_lines(injected, max_doc_freq=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_lines_removed",
+        F.md5(F.col("text")).alias("clean_md5"),
+    )

@@ -50,6 +50,7 @@ __all__ = [
     "hash_sample",
     "pack_shards",
     "redact_pii",
+    "remove_boilerplate_lines",
     "top_bigram_stats",
 ]
 
@@ -717,3 +718,89 @@ def bm25_scores(
             "bm25",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate-line removal (C4/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip lines that recur across MORE than ``max_doc_freq``
+    distinct documents — the C4/RefinedWeb boilerplate step (nav bars,
+    cookie banners, footers repeat across a site's pages; prose does
+    not). Complements :func:`add_repetition_signals`, which only sees
+    WITHIN-document repetition.
+
+    A line is a removal candidate by its trimmed text (64-bit md5
+    key — bigints in the shuffle, never line strings; 60 bits makes an
+    innocent-line collision casualty ~n²/2⁶¹, negligible at corpus
+    scale where 32 bits would not be); blank lines are never counted
+    or removed (they are formatting, not boilerplate). Surviving lines
+    are reassembled in original order; a fully-boilerplate document
+    comes back with empty text, not a dropped row.
+
+    Returns ``df`` with ``text`` rewritten plus ``n_lines`` (original)
+    and ``n_lines_removed``.
+
+    Scale: one posexplode (narrow), one distinct + count keyed by the
+    line hash (map-side combinable), one broadcast anti-join (the
+    boilerplate set is tiny by construction — only lines crossing the
+    frequency bar), one groupBy(id) reassembly. No global sort; the
+    per-doc line sort happens inside ``array_sort`` on an already
+    collected array.
+    """
+    if max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    key = F.conv(F.substring(F.md5(F.trim(F.col("_line"))), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn(
+        "_k", F.when(F.trim(F.col("_line")) != "", key)
+    )
+    boiler = (
+        lines.filter(F.col("_k").isNotNull())
+        .select(id_col, "_k")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_k")
+    )
+    kept = lines.join(
+        F.broadcast(boiler).withColumnRenamed("_k", "_bk"),
+        F.col("_k") == F.col("_bk"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    out = (
+        df.withColumn("n_lines", F.size(F.split(F.col(text_col), "\n")))
+        .join(rebuilt, id_col, "left")
+        .withColumns(
+            {
+                text_col: F.coalesce(F.col("_clean"), F.lit("")),
+                "n_lines_removed": (
+                    F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+                ).cast("int"),
+            }
+        )
+        .drop("_clean", "_n_kept")
+    )
+    return out

@@ -399,3 +399,44 @@ def test_domain_mix_sample_caps_and_determinism(spark):
         domain_mix_sample(df, {})
     with pytest.raises(ValueError, match="positive"):
         domain_mix_sample(df, {"en": 0.0})
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Cross-doc boilerplate removal: high-df lines stripped, unique
+    and blank lines kept, order preserved, fully-boilerplate docs come
+    back empty (not dropped), counters exact."""
+    from marketdatapipeline_spark.textops.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    nav = "HOME | ABOUT | CONTACT"
+    rows = [
+        (1, f"{nav}\nreal prose one\n\nmore prose"),
+        (2, f"{nav}\nreal prose two"),
+        (3, f"{nav}\nreal prose three"),
+        (4, nav),                       # only boilerplate -> empty text
+        (5, "  " + nav + "  \nindented prose"),  # trimmed key matches
+        (6, "totally unique document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, max_doc_freq=2).collect()
+    }
+    assert out[1]["text"] == "real prose one\n\nmore prose"  # blank kept
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_removed"] == 1
+    assert out[2]["text"] == "real prose two"
+    assert out[4]["text"] == "" and out[4]["n_lines_removed"] == 1
+    # the nav line in doc 5 has leading/trailing spaces: the TRIMMED
+    # key matches, so it is removed too
+    assert out[5]["text"] == "indented prose"
+    assert out[6]["text"] == "totally unique document"
+    assert out[6]["n_lines_removed"] == 0
+    # raising the bar above the nav line's df keeps everything
+    kept = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in remove_boilerplate_lines(df, max_doc_freq=10).collect()
+    }
+    assert all(v == 0 for v in kept.values())
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        remove_boilerplate_lines(df, max_doc_freq=0)
