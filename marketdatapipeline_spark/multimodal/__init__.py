@@ -30,7 +30,9 @@ from marketdatapipeline_spark.multimodal.ops import (
     MEDIA_SCHEMA,
     decode_media,
     extract_media_features,
+    image_dhash,
     media_from_documents,
+    near_duplicate_images,
     resize_images,
     sample_frames,
 )
@@ -40,6 +42,8 @@ __all__ = [
     "media_from_documents",
     "decode_media",
     "extract_media_features",
+    "image_dhash",
+    "near_duplicate_images",
     "resize_images",
     "sample_frames",
     "decode_png",

@@ -80,3 +80,77 @@ def test_sample_frames_stride(media):
     grp = frames.groupby("doc_id").agg(n=("frame_idx", "size"), nf=("n_frames", "first"))
     expect = (grp["nf"] + 2) // 3  # ceil(n_frames / 3)
     assert (grp["n"] == expect).all()
+
+
+def test_image_dhash_and_near_duplicates(spark):
+    """Perceptual dedup end-to-end: the same picture re-encoded at a
+    different JPEG quality (and as PNG) hashes within a few bits;
+    a different picture does not collide."""
+    import numpy as np
+
+    from marketdatapipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        encode_jpeg,
+        encode_png,
+        image_dhash,
+        near_duplicate_images,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    # smooth but TEXTURED image (monotone gradients are degenerate for
+    # dHash — every gradient bit identical): low-frequency sinusoids
+    # survive lossy re-encode with tiny error yet flip sign often
+    img = np.stack(
+        [
+            128 + 90 * np.sin(xx * 0.35) * np.cos(yy * 0.25),
+            128 + 90 * np.cos(xx * 0.30 + 1.0),
+            128 + 90 * np.sin((xx + yy) * 0.22),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    other = np.stack(
+        [
+            128 + 90 * np.cos(xx * 0.18 + 2.0) * np.sin(yy * 0.4),
+            128 + 90 * np.sin(yy * 0.33),
+            128 + 90 * np.cos((2 * xx - yy) * 0.27),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    rows = [
+        (1, "image/jpeg", bytearray(encode_jpeg(img, quality=90)), w, h, None, None),
+        (2, "image/jpeg", bytearray(encode_jpeg(img, quality=50)), w, h, None, None),
+        (3, "image/png", bytearray(encode_png(img)), w, h, None, None),
+        (4, "image/png", bytearray(encode_png(other)), w, h, None, None),
+        (5, "audio/wav", bytearray(b"not an image"), None, None, 16000, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    hashes = image_dhash(media)
+    got = {r["doc_id"]: r["dhash"] for r in hashes.collect()}
+    assert set(got) == {1, 2, 3, 4}  # audio row skipped
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[2]) <= 6   # re-encode quality shift
+    assert ham(got[1], got[3]) <= 6   # lossless vs lossy of same image
+    assert ham(got[1], got[4]) > 12   # different picture stays apart
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in near_duplicate_images(hashes, max_distance=6).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+    # corrupted payload: on_error='null' -> null hash, excluded from
+    # banding; 'raise' surfaces
+    bad = spark.createDataFrame(
+        [(9, "image/jpeg", bytearray(b"garbage"), 1, 1, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    assert image_dhash(bad, on_error="null").collect()[0]["dhash"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        image_dhash(bad, on_error="raise").collect()
