@@ -13,9 +13,13 @@ Plan shape: one window exchange for (return, index), one aggregation
 to the market series (an exchange on the index; the market frame has
 rows/S rows — it shuffles, it is NOT broadcast, so the plan holds
 when the series itself is huge), one equi-join back on the index, and
-one final rolling window per symbol. Co-moments accumulate as
-``decimal(38,18)`` window sums (association-free); the beta assembles
-from the five sums with identically-ordered scalar double arithmetic:
+one final per-symbol window stage. Rolling co-moments come from
+RUNNING ``decimal(38,18)`` sums differenced at the window edge
+(prefix-sum trick, r8 — Spark evaluates sliding frames O(rows x
+window) but running frames incrementally; decimal addition is exact,
+so the difference equals the direct frame sum bit-for-bit and the
+oracle's direct rolling sums still match). The beta assembles from
+the five sums with identically-ordered scalar double arithmetic:
 
     beta = (n·srm - sr·sm) / (n·smm - sm·sm)
 
@@ -45,31 +49,60 @@ def rolling_beta(
     ``window`` beta vs the equal-weight market return at each aligned
     bar index (null until ``window`` observations accumulate)."""
     rets = bar_index_returns(df, price_col, symbol_col, order_cols)
-    mkt = rets.groupBy("_idx").agg(
-        (
-            F.sum(F.col("_ret").cast(_DEC)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("_m")
+    # market mean as a WINDOW over the index partition (r8): the
+    # groupBy + equi-join-back formulation shuffled the N-row return
+    # table twice (once into the agg, once into the join) and paid a
+    # join sort; a whole-partition window computes the same
+    # decimal-exact mean with ONE exchange on _idx and no join.
+    wm = Window.partitionBy("_idx")
+    j = rets.withColumn(
+        "_m",
+        F.sum(F.col("_ret").cast(_DEC)).over(wm).cast("double")
+        / F.count(F.lit(1)).over(wm),
     )
-    j = rets.join(mkt, "_idx")
-    w = (
+    # O(n) rolling sums via prefix differences (the RollingPlan trick,
+    # features/windows.py): Spark re-aggregates a sliding frame per
+    # output row — O(rows x window), 4 decimal sums x window 60 was
+    # ~240M decimal adds per 1M rows (r7's 2.9 s median). Running
+    # decimal sums are incremental and EXACT, so the frame sum
+    # S_t - S_{t-n} is bit-identical to the direct aggregation and the
+    # DuckDB oracle (which keeps its direct rolling sums) still
+    # matches. Two chained Window nodes, same partitioning: one
+    # exchange, one sort.
+    wc = (
         Window.partitionBy("_sym")
         .orderBy("_idx")
-        .rowsBetween(-(window - 1), 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("_sym").orderBy("_idx")
+    r, m = F.col("_ret"), F.col("_m")
+    cums = j.withColumns(
+        {
+            "_cr": F.sum(r.cast(_DEC)).over(wc),
+            "_cm": F.sum(m.cast(_DEC)).over(wc),
+            "_crm": F.sum((r * m).cast(_DEC)).over(wc),
+            "_cmm": F.sum((m * m).cast(_DEC)).over(wc),
+            "_rn": F.row_number().over(wl),
+        }
     )
 
-    def s(col) -> F.Column:
-        return F.sum(col.cast(_DEC)).over(w).cast("double")
+    def frame_sum(c: str) -> F.Column:
+        prev = F.lag(F.col(c), window).over(wl)
+        return (F.col(c) - F.coalesce(prev, F.lit(0).cast(_DEC))).cast(
+            "double"
+        )
 
-    r, m = F.col("_ret"), F.col("_m")
-    n = F.count(F.lit(1)).over(w)
-    sr, sm = s(r), s(m)
-    srm, smm = s(r * m), s(m * m)
+    # every joined row is non-null by construction (rets drops null
+    # returns; m averages non-nulls), so the frame's row count is
+    # min(position, window) — no count window needed
+    n = F.least(F.col("_rn"), F.lit(window))
+    sr, sm = frame_sum("_cr"), frame_sum("_cm")
+    srm, smm = frame_sum("_crm"), frame_sum("_cmm")
     var_m = n * smm - sm * sm
     beta = F.when(
         (n == window) & (var_m > 0), (n * srm - sr * sm) / var_m
     )
-    return j.select(
+    return cums.select(
         F.col("_sym").alias(symbol_col),
         F.col("_idx").alias("bar_index"),
         r.alias("ret"),
