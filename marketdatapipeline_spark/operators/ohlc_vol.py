@@ -64,6 +64,55 @@ def ohlc_volatility(
         "_rs": ln_hc * ln_ho + ln_lc * ln_lo,
     }
 
+    if exact_decimal:
+        # O(n) rolling sums via prefix differences (RollingPlan trick,
+        # features/windows.py, ported here in r8): Spark evaluates a
+        # sliding frame O(rows x window) — 3 decimal sums x window 20
+        # was ~60M decimal adds per 1M rows — while running frames are
+        # incremental. Decimal addition is exact, so S_t - S_{t-w} is
+        # bit-identical to the direct frame sum and the oracle's
+        # direct rolling sums still match. Only the decimal path uses
+        # it: differencing DOUBLE prefix sums would introduce the
+        # cancellation error the direct frame sum doesn't have.
+        wc = (
+            Window.partitionBy(symbol_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wl = Window.partitionBy(symbol_col).orderBy(*order_cols)
+        cums = {}
+        for k, term in terms.items():
+            cums[f"_cs{k}"] = F.sum(term.cast("decimal(28,14)")).over(wc)
+            # the min_periods gate counts NON-NULL terms (a null price
+            # nulls its ln-term; counting rows would understate)
+            cums[f"_cc{k}"] = F.count(term).over(wc)
+        staged = df.withColumns(cums)
+
+        def vol(k: str, scale: float | None = None) -> Column:
+            prev = F.lag(F.col(f"_cs{k}"), window).over(wl)
+            s = (
+                F.col(f"_cs{k}")
+                - F.coalesce(prev, F.lit(0).cast("decimal(28,14)"))
+            ).cast("double")
+            pc = F.lag(F.col(f"_cc{k}"), window).over(wl)
+            cnt = F.col(f"_cc{k}") - F.coalesce(pc, F.lit(0))
+            mean = s / window
+            if scale is not None:
+                mean = mean / F.lit(scale)
+            # gate BEFORE greatest: greatest() skips nulls, so an
+            # ungated null mean would become 0.0 on partial windows
+            return F.when(
+                cnt == window, F.sqrt(F.greatest(mean, F.lit(0.0)))
+            )
+
+        return staged.withColumns(
+            {
+                "vol_parkinson": vol("_pk", 4.0 * LN2),
+                "vol_garman_klass": vol("_gk"),
+                "vol_rogers_satchell": vol("_rs"),
+            }
+        ).drop(*cums)
+
     w = (
         Window.partitionBy(symbol_col)
         .orderBy(*order_cols)
@@ -71,10 +120,7 @@ def ohlc_volatility(
     )
 
     def vol(term: Column, scale: float | None = None) -> Column:
-        t = term.cast("decimal(28,14)") if exact_decimal else term
-        s = F.sum(t).over(w)
-        if exact_decimal:
-            s = s.cast("double")
+        s = F.sum(term).over(w)
         mean = s / window
         if scale is not None:
             mean = mean / F.lit(scale)
