@@ -1575,3 +1575,82 @@ def q_corpus_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_removed",
         F.md5(F.col("text")).alias("clean_md5"),
     )
+
+
+from marketdatapipeline_spark.similarity.centroids import (  # noqa: E402
+    centroid_similarity,
+    label_centroids,
+)
+
+#: shared per-(label, pos) centroid-element CTE — decimal sums of the
+#: double-widened floats (association-free), round-6 on output: the
+#: double->decimal(38,18) CAST itself carries ~1e-18 engine noise
+#: (DuckDB converts via double multiplication), so unlike TWAP the
+#: raw doubles are NOT bit-identical — but arbitrary-mantissa float
+#: sums never terminate on a .5e-6 tie, so round-6 absorbs exactly
+_CENTROID_CTE = """
+    WITH ex AS (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    per AS (
+        SELECT label, pos, count(*) AS n,
+               CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+                   AS mean
+        FROM ex GROUP BY label, pos
+    )
+"""
+
+
+@register_extended(
+    "embeddings_label_centroids",
+    _CENTROID_CTE
+    + """
+    SELECT label, CAST(pos AS INT) AS pos, n AS n_vecs,
+           round(mean, 6) + 0.0 AS mean
+    FROM per
+    """,
+)
+def q_embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class-prototype elements
+    (similarity/centroids.py:label_centroids): posexplode + one
+    map-side-combinable aggregation to labels x dim rows; every
+    centroid element value-pinned bit-exactly."""
+    emb = _emb(spark, sf_dir)
+    cents = label_centroids(emb)
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("pos", "mean"),
+        F.col("n_vecs"),
+    ).select("label", "pos", "n_vecs", _r6(F.col("mean")).alias("mean"))
+
+
+@register_extended(
+    "embeddings_centroid_similarity",
+    _CENTROID_CTE
+    + """
+    , cents AS (
+        SELECT label, list(mean ORDER BY pos) AS c
+        FROM per GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6) + 0.0 AS cosine
+    FROM cents a JOIN cents b ON a.label < b.label
+    """,
+)
+def q_embeddings_centroid_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-class separation audit: cosine between every pair of
+    label centroids (similarity/centroids.py:centroid_similarity) —
+    exercises the ordered array reassembly and the sequential dot
+    fold; S(S-1)/2 label pairs under round-6."""
+    emb = _emb(spark, sf_dir)
+    out = centroid_similarity(label_centroids(emb))
+    return out.select(
+        "label_a", "label_b", _r6(F.col("cosine")).alias("cosine")
+    )

@@ -1,5 +1,9 @@
 """Embedding similarity search over array<float> columns."""
 
+from marketdatapipeline_spark.similarity.centroids import (
+    centroid_similarity,
+    label_centroids,
+)
 from marketdatapipeline_spark.similarity.index import IVFIndex, build_ivf_index
 from marketdatapipeline_spark.similarity.quantize import (
     quantization_summary,
@@ -17,6 +21,8 @@ __all__ = [
     "IVFIndex",
     "build_ivf_index",
     "add_vector_norm",
+    "centroid_similarity",
+    "label_centroids",
     "cosine_pairs_above",
     "cosine_topk",
     "hyperplane_lsh_topk",

@@ -537,3 +537,42 @@ def test_ivf_index_append_int8(spark, tmp_path):
     got = idx.topk(spark, queries, k=5, nprobe=2).toPandas()
     # appended ids are reachable as results
     assert (got["corpus_id"] >= 400).any()
+
+
+def test_label_centroids_and_similarity_vs_numpy(spark):
+    import numpy as np
+
+    from marketdatapipeline_spark.similarity import (
+        centroid_similarity,
+        label_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    protos = {0: rng.randn(dim), 1: rng.randn(dim), 2: rng.randn(dim)}
+    rows, want = [], {}
+    for lab, p in protos.items():
+        vecs = [
+            (p + 0.01 * rng.randn(dim)).astype(np.float32)
+            for _ in range(4 + lab)
+        ]
+        want[lab] = np.mean([v.astype(np.float64) for v in vecs], axis=0)
+        rows += [(int(lab) * 100 + i, v.tolist(), int(lab)) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    cents = {r["label"]: r for r in label_centroids(df).collect()}
+    for lab, mean in want.items():
+        assert cents[lab]["n_vecs"] == 4 + lab
+        np.testing.assert_allclose(
+            np.array(cents[lab]["centroid"]), mean, rtol=1e-12
+        )
+    sims = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in centroid_similarity(label_centroids(df)).collect()
+    }
+    assert set(sims) == {(0, 1), (0, 2), (1, 2)}
+    for (a, b), got in sims.items():
+        ca, cb = want[a], want[b]
+        exp = ca.dot(cb) / (np.linalg.norm(ca) * np.linalg.norm(cb))
+        assert got == pytest.approx(exp, rel=1e-9)
