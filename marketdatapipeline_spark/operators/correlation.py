@@ -63,18 +63,25 @@ def bar_index_returns(
     mid-series null prices the series compacts — the dense alignment
     the module docstring promises — instead of carrying holes.
 
-    Both window functions share one (symbol) exchange; the second sort
-    collapses into the first's ordering."""
-    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
-    prev = F.lag(F.col(price_col)).over(w)
-    rets = df.select(
+    Both window functions share one (symbol) exchange: the alias
+    projection happens BEFORE the first window so both key on the
+    same ``_sym`` attribute — keying the first on the original column
+    and the second on its alias planned a second exchange (the r7
+    aliased-key lesson, pinned in test_plans)."""
+    base = df.select(
         F.col(symbol_col).alias("_sym"),
         *[F.col(c) for c in order_cols],
-        ((F.col(price_col) - prev) / prev).alias("_ret"),
+        F.col(price_col).alias("_p"),
+    )
+    w = Window.partitionBy("_sym").orderBy(*order_cols)
+    prev = F.lag(F.col("_p")).over(w)
+    rets = base.select(
+        "_sym",
+        *[F.col(c) for c in order_cols],
+        ((F.col("_p") - prev) / prev).alias("_ret"),
     ).filter(F.col("_ret").isNotNull())
-    w2 = Window.partitionBy("_sym").orderBy(*order_cols)
     return rets.select(
-        "_sym", F.row_number().over(w2).alias("_idx"), "_ret"
+        "_sym", F.row_number().over(w).alias("_idx"), "_ret"
     )
 
 

@@ -394,3 +394,50 @@ def test_interval_overlap_join_never_nested_loop(spark):
     plan = _plan(out)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_r8_operators_plan_shapes(spark):
+    """r8 wave plan pins: variance_ratio is one symbol exchange +
+    zero joins (both lags share the window); anchored_twap is one
+    (symbol, day) window exchange; pair_spread_zscore plans no join
+    (index alignment is a conditional aggregation); rolling beta
+    plans no join either (market mean is a window over the index
+    partition, r8) and exactly three exchanges (symbol window, index
+    window, back to symbol)."""
+    from marketdatapipeline_spark.operators import (
+        anchored_twap,
+        pair_spread_zscore,
+        rolling_beta,
+        variance_ratio,
+    )
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, SF)
+
+    vr = _plan(variance_ratio(bars, k=5))
+    assert vr.count("Exchange hashpartitioning") == 1 and "Join" not in vr
+
+    tw = _plan(anchored_twap(bars, exact_decimal=True))
+    assert tw.count("Exchange hashpartitioning") == 1 and "Join" not in tw
+
+    pz = _plan(pair_spread_zscore(bars, "0", "1"))
+    assert "Join" not in pz and "CartesianProduct" not in pz
+
+    bt = _plan(rolling_beta(bars))
+    assert "Join" not in bt, bt
+    assert bt.count("Exchange hashpartitioning") == 3, bt
+
+
+def test_boilerplate_removal_broadcasts_tiny_side(spark):
+    """remove_boilerplate_lines: the boilerplate-key set joins as a
+    BROADCAST anti-join (it is tiny by construction), and line
+    strings never enter the frequency shuffle (bigint keys only)."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from marketdatapipeline_spark.textops.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = _plan(remove_boilerplate_lines(docs))
+    assert "BroadcastExchange" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
