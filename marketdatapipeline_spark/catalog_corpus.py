@@ -1654,3 +1654,55 @@ def q_embeddings_centroid_similarity(
     return out.select(
         "label_a", "label_b", _r6(F.col("cosine")).alias("cosine")
     )
+
+
+from marketdatapipeline_spark.textops.corpus import (  # noqa: E402
+    tfidf_top_terms,
+)
+
+
+@register_extended(
+    "corpus_tfidf_top_terms",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, {_H_SQL.format(x="w")} AS term_hash,
+               count(*) AS tf
+        FROM w WHERE w <> '' GROUP BY doc_id, {_H_SQL.format(x="w")}
+    ),
+    dfq AS (
+        SELECT term_hash, count(*) AS dfc FROM tf GROUP BY term_hash
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term_hash, tf.tf,
+               tf.tf * (ln((1.0 + n) / (1.0 + dfc)) + 1.0) AS score
+        FROM tf JOIN dfq USING (term_hash) CROSS JOIN nd
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term_hash
+        ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term_hash, tf,
+           round(score, 6) + 0.0 AS score
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document
+    (textops/corpus.py:tfidf_top_terms): hashed-vocabulary inverted
+    explode, smooth-idf, per-doc top-k window. Rank ties break on the
+    term hash; the score itself rounds to 6 (ln is the one libm term
+    in the pipeline)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term_hash", "tf",
+        _r6(F.col("score")).alias("score"),
+    )

@@ -51,6 +51,7 @@ __all__ = [
     "pack_shards",
     "redact_pii",
     "remove_boilerplate_lines",
+    "tfidf_top_terms",
     "top_bigram_stats",
 ]
 
@@ -804,3 +805,65 @@ def remove_boilerplate_lines(
         .drop("_clean", "_n_kept")
     )
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, rank, term_hash, tf, score): each document's top-``k``
+    TF-IDF terms — the document-signature / keyword-extraction step a
+    curation pipeline runs for topic audits and near-topic grouping.
+    Generalizes :func:`bm25_scores` from a fixed query-term set to
+    ALL corpus terms via an inverted explode.
+
+    ``score = tf · (ln((1 + N) / (1 + df)) + 1)`` (sklearn's
+    smooth-idf convention, never negative/zero so frequent-everywhere
+    terms still rank below rare ones deterministically). Ties rank by
+    smaller ``term_hash`` (md5_int of the token, the repo's 32-bit
+    hashed-vocabulary convention — bigints in every shuffle, term
+    strings never leave the scan).
+
+    Plan shape: one explode to (id, hash) pairs, one (id, hash) tf
+    aggregation, one hash-keyed df aggregation joined back (bigint
+    equi-join), one global N row broadcast, one per-doc top-k window.
+    Everything is map-side combinable; the widest shuffle carries
+    (bigint, bigint, long).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = df.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("_w")
+    ).filter(F.col("_w") != "")
+    tf = (
+        words.select(F.col(id_col), md5_int(F.col("_w")).alias("term_hash"))
+        .groupBy(id_col, "term_hash")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term_hash").agg(F.count("*").alias("_df"))
+    n_docs = df.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(docfreq, "term_hash")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.lit(1.0) + F.col("_n"))
+                    / (F.lit(1.0) + F.col("_df"))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term_hash")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term_hash", "tf", "score")
+    )

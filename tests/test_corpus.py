@@ -440,3 +440,40 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert all(v == 0 for v in kept.values())
     with pytest.raises(ValueError, match="max_doc_freq"):
         remove_boilerplate_lines(df, max_doc_freq=0)
+
+
+def test_tfidf_top_terms_vs_hand_computation(spark):
+    import math
+
+    from marketdatapipeline_spark.textops.corpus import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple apple apple banana"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r)
+    # hand: N=3; df: apple 2, banana 3, cherry 2, date 1
+    def idf(dfc):
+        return math.log((1 + 3) / (1 + dfc)) + 1.0
+
+    # doc 1: apple tf2*idf(2), banana 1*idf(3), cherry 1*idf(2)
+    d1 = sorted(got[1], key=lambda r: r["rank"])
+    assert len(d1) == 2
+    assert d1[0]["tf"] == 2 and d1[0]["score"] == pytest.approx(2 * idf(2))
+    # second place: cherry (idf(2)) beats banana (idf(3))
+    assert d1[1]["tf"] == 1 and d1[1]["score"] == pytest.approx(idf(2))
+    # doc 2: cherry tf2 wins, then date (rarest, idf(1))
+    d2 = sorted(got[2], key=lambda r: r["rank"])
+    assert d2[0]["tf"] == 2 and d2[0]["score"] == pytest.approx(2 * idf(2))
+    assert d2[1]["tf"] == 1 and d2[1]["score"] == pytest.approx(idf(1))
+    # doc 3: apple tf3 then banana
+    d3 = sorted(got[3], key=lambda r: r["rank"])
+    assert d3[0]["tf"] == 3 and d3[0]["score"] == pytest.approx(3 * idf(2))
+    assert d3[1]["tf"] == 1 and d3[1]["score"] == pytest.approx(idf(3))
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_top_terms(df, k=0)
