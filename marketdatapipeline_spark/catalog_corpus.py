@@ -1706,3 +1706,34 @@ def q_corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rank", "term_hash", "tf",
         _r6(F.col("score")).alias("score"),
     )
+
+
+@register_extended(
+    "documents_source_stats",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(quantile_cont(n_chars, 0.5), 6) + 0.0 AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) + 0.0 AS p90_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def q_documents_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus composition audit with EXACT
+    percentiles (Spark ``percentile``, the sort-based exact aggregate
+    — the deliberate contrast to the gate's approx_percentile sketch
+    entry): the mix report a curation run publishes before/after
+    filtering. Exact percentiles are a per-group sort — fine for
+    group-count-bounded audits like this; use the sketch for
+    per-document-scale quantiles."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        _r6(F.percentile(F.col("n_chars"), F.lit(0.5))).alias("p50_chars"),
+        _r6(F.percentile(F.col("n_chars"), F.lit(0.9))).alias("p90_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
