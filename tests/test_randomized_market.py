@@ -238,3 +238,71 @@ def test_rolling_beta_random_parity(spark, seed):
     np.testing.assert_array_equal(np.isnan(gb), np.isnan(wb))
     ok = ~np.isnan(gb)
     np.testing.assert_allclose(gb[ok], wb[ok], rtol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [5, 19, 41])
+def test_variance_ratio_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.variance_ratio import (
+        variance_ratio,
+    )
+
+    pdf = _random_bars(seed, n_symbols=5)
+    k = 4
+    got = {
+        r["symbol"]: r
+        for r in variance_ratio(
+            spark.createDataFrame(pdf), k=k, min_obs=3
+        ).collect()
+    }
+    for sym, grp in pdf.sort_values(
+        ["symbol", "datetime", "bar_id"]
+    ).groupby("symbol"):
+        p = grp["close"].to_numpy()
+        row = got[sym]
+        r1 = np.log(p[1:] / p[:-1]) if len(p) > 1 else np.array([])
+        rk = np.log(p[k:] / p[:-k]) if len(p) > k else np.array([])
+        assert row["n_obs_1"] == len(r1) and row["n_obs_k"] == len(rk)
+        if len(rk) >= 3 and len(r1) >= 2 and r1.var(ddof=1) > 0:
+            want = rk.var(ddof=1) / (k * r1.var(ddof=1))
+            assert row["vr"] == pytest.approx(want, rel=1e-9), sym
+        else:
+            assert row["vr"] is None, sym
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_pair_spread_zscore_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
+
+    pdf = _random_bars(seed, n_symbols=3)
+    w = 5
+    got = (
+        pair_spread_zscore(
+            spark.createDataFrame(pdf), "S0", "S2", window=w
+        )
+        .toPandas()
+        .sort_values("bar_index")
+        .reset_index(drop=True)
+    )
+    sp = pdf.sort_values(["symbol", "datetime", "bar_id"])
+    pa = sp[sp["symbol"] == "S0"]["close"].reset_index(drop=True)
+    pb = sp[sp["symbol"] == "S2"]["close"].reset_index(drop=True)
+    n = min(len(pa), len(pb))
+    spread = pd.Series(
+        np.log(pa[:n].to_numpy()) - np.log(pb[:n].to_numpy())
+    )
+    assert len(got) == n
+    mean = spread.rolling(w, min_periods=w).mean()
+    std = spread.rolling(w, min_periods=w).std(ddof=1)
+    np.testing.assert_allclose(
+        got["spread"].to_numpy(), spread.to_numpy(), rtol=1e-12
+    )
+    for col, want in (
+        ("spread_mean", mean),
+        ("spread_std", std),
+        ("zscore", (spread - mean) / std),
+    ):
+        g = got[col].to_numpy(dtype=float)
+        wv = want.to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(wv))
+        ok = ~np.isnan(g)
+        np.testing.assert_allclose(g[ok], wv[ok], rtol=1e-9)
