@@ -1737,3 +1737,120 @@ def q_documents_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+from marketdatapipeline_spark.operators.liquidity import (  # noqa: E402
+    kyle_lambda,
+    tick_rule_flow,
+)
+
+#: shared tick-rule sign CTE (zero tick carries the last non-zero sign)
+_TICK_SIGN_SQL = """
+    , s1 AS (
+        SELECT symbol, datetime, bar_id, close, volume,
+               sign(close - lag(close) OVER w) AS raw
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+    ),
+    s2 AS (
+        SELECT symbol, datetime, bar_id, close, volume,
+               last_value(CASE WHEN raw <> 0 THEN raw END IGNORE NULLS)
+                   OVER (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS UNBOUNDED PRECEDING) AS sgn
+        FROM s1
+    )
+"""
+
+
+@register_extended(
+    "bars_tick_rule_flow",
+    _bars_sql(
+        _TICK_SIGN_SQL
+        + """
+    SELECT symbol, date_trunc('hour', datetime) AS bucket_ts,
+           CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buys,
+           CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sells,
+           CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume ELSE 0.0 END
+                         AS DECIMAL(38,18))) AS DOUBLE) AS buy_volume,
+           CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume ELSE 0.0 END
+                         AS DECIMAL(38,18))) AS DOUBLE) AS sell_volume,
+           CASE WHEN CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume
+                                        ELSE 0.0 END AS DECIMAL(38,18)))
+                          AS DOUBLE)
+                     + CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume
+                                          ELSE 0.0 END AS DECIMAL(38,18)))
+                            AS DOUBLE) > 0
+                THEN (CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume
+                                         ELSE 0.0 END AS DECIMAL(38,18)))
+                           AS DOUBLE)
+                      - CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume
+                                           ELSE 0.0 END AS DECIMAL(38,18)))
+                             AS DOUBLE))
+                     / (CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume
+                                           ELSE 0.0 END AS DECIMAL(38,18)))
+                             AS DOUBLE)
+                        + CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume
+                                             ELSE 0.0 END
+                                        AS DECIMAL(38,18))) AS DOUBLE))
+                END AS imbalance
+    FROM s2 WHERE sgn IS NOT NULL
+    GROUP BY symbol, date_trunc('hour', datetime)
+    """
+    ),
+)
+def q_bars_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule order-flow imbalance per (symbol, hour)
+    (operators/liquidity.py:tick_rule_flow). UNROUNDED: decimal
+    volume sums make both engines' doubles bit-identical, and the
+    imbalance is an integer-volume ratio — exactly the
+    integer-denominator shape where round-6 would ADD tie divergence
+    (the TWAP lesson)."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return tick_rule_flow(bars, bucket="hour")
+
+
+@register_extended(
+    "bars_kyle_lambda",
+    _bars_sql(
+        _TICK_SIGN_SQL
+        + """
+    , per AS (
+        SELECT symbol,
+               close - lag(close) OVER w AS dp,
+               sgn * volume AS sv
+        FROM s2
+        WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+    ),
+    g AS (
+        SELECT symbol, count(*) AS n_obs,
+               CAST(sum(CAST(dp AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(sv AS DECIMAL(38,18))) AS DOUBLE) AS ss,
+               CAST(sum(CAST(dp * sv AS DECIMAL(38,18))) AS DOUBLE) AS sps,
+               CAST(sum(CAST(sv * sv AS DECIMAL(38,18))) AS DOUBLE) AS sss
+        FROM per WHERE dp IS NOT NULL AND sv IS NOT NULL
+        GROUP BY symbol
+    )
+    SELECT symbol, n_obs,
+           CASE WHEN n_obs >= 10
+                     AND CAST(n_obs AS DOUBLE) * sss - ss * ss > 0
+                THEN round((CAST(n_obs AS DOUBLE) * sps - sp * ss)
+                           / (CAST(n_obs AS DOUBLE) * sss - ss * ss)
+                           * 1e6, 6) + 0.0 END AS lam_e6
+    FROM g
+    """
+    ),
+)
+def q_bars_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda per symbol (operators/liquidity.py:kyle_lambda),
+    reported x1e6 (the slope is O(1e-5) on this data; raw round-6
+    would flatten it — the Amihud scaling convention) and rounded to
+    guard the double->decimal cast noise in the product sums."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = kyle_lambda(bars)
+    return out.select(
+        "symbol",
+        "n_obs",
+        _r6(F.col("lam") * F.lit(1e6)).alias("lam_e6"),
+    )

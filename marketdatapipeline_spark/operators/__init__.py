@@ -23,6 +23,9 @@ of DataFrame primitives (never driver loops, never cross products):
   OHLC pattern flags (doji/hammer/engulfing) and the per-symbol
   pattern counts;
 - :func:`amihud_illiquidity` — price impact per dollar volume;
+- :func:`tick_rule_flow` / :func:`kyle_lambda` — tick-rule signed
+  order-flow imbalance per time bucket, and the signed-volume price
+  impact slope;
 - :func:`variance_ratio` — Lo-MacKinlay k-period variance ratio, the
   random-walk / mean-reversion diagnostic;
 - :func:`anchored_twap` — time-weighted benchmark next to VWAP;
@@ -46,7 +49,11 @@ from marketdatapipeline_spark.operators.drawdown import running_drawdown
 from marketdatapipeline_spark.operators.interval_join import (
     interval_overlap_join,
 )
-from marketdatapipeline_spark.operators.liquidity import amihud_illiquidity
+from marketdatapipeline_spark.operators.liquidity import (
+    amihud_illiquidity,
+    kyle_lambda,
+    tick_rule_flow,
+)
 from marketdatapipeline_spark.operators.moments import (
     realized_moments,
     return_autocorrelation,
@@ -67,6 +74,8 @@ from marketdatapipeline_spark.operators.sessions import sessionize
 __all__ = [
     "amihud_illiquidity",
     "anchored_twap",
+    "kyle_lambda",
+    "tick_rule_flow",
     "anchored_vwap",
     "pair_spread_zscore",
     "variance_ratio",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["amihud_illiquidity"]
+__all__ = ["amihud_illiquidity", "kyle_lambda", "tick_rule_flow"]
 
 _DEC = "decimal(38,18)"
 
@@ -54,4 +54,148 @@ def amihud_illiquidity(
             "amihud"
         ),
         "dollar_volume",
+    )
+
+
+def _with_tick_sign(
+    df: DataFrame,
+    price_col: str,
+    symbol_col: str,
+    order_cols: tuple[str, ...],
+    extra,
+) -> DataFrame:
+    """Project (symbol, *extra, _sgn): the tick-rule trade sign —
+    +1 on an uptick, -1 on a downtick, CARRY the previous non-zero
+    sign on an unchanged price (the zero-tick rule of Lee-Ready);
+    null until the first price move. Two chained window stages (raw
+    sign via lag, then last(ignorenulls) carry) sharing one symbol
+    exchange — a window function cannot nest inside another, so this
+    cannot be a single Column expression."""
+    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    prev = F.lag(F.col(price_col)).over(w)
+    raw = F.signum(F.col(price_col) - prev)
+    step1 = df.select(
+        F.col(symbol_col),
+        *[F.col(c) for c in order_cols],
+        *[e for e in extra],
+        raw.alias("_raw"),
+    )
+    carry = (
+        Window.partitionBy(symbol_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return step1.withColumn(
+        "_sgn",
+        F.last(
+            F.when(F.col("_raw") != 0, F.col("_raw")), ignorenulls=True
+        ).over(carry),
+    ).drop("_raw")
+
+
+def tick_rule_flow(
+    df: DataFrame,
+    bucket: str = "hour",
+    price_col: str = "close",
+    volume_col: str = "volume",
+    symbol_col: str = "symbol",
+    time_col: str = "datetime",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """(symbol, bucket_ts, n_buys, n_sells, buy_volume, sell_volume,
+    imbalance): signed order-flow per (symbol, time bucket) with
+    trade direction inferred by the tick rule — the order-flow
+    imbalance input to impact models and toxicity monitors when no
+    quote data exists (bars/trades only).
+
+    ``imbalance = (buy_vol - sell_vol) / (buy_vol + sell_vol)``, null
+    for buckets with no signed volume. Unsigned rows (leading
+    unchanged prices) are excluded from both sides. One window
+    exchange on the symbol; the bucket aggregation reuses nothing but
+    is map-side combinable; volumes sum as decimals (exact)."""
+    signed = _with_tick_sign(
+        df,
+        price_col,
+        symbol_col,
+        order_cols,
+        [
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+            F.col(volume_col).alias("_v"),
+        ],
+    )
+    per = signed.filter(F.col("_sgn").isNotNull())
+    buy, sell = F.col("_sgn") == 1, F.col("_sgn") == -1
+    g = per.groupBy(symbol_col, "bucket_ts").agg(
+        F.sum(buy.cast("long")).alias("n_buys"),
+        F.sum(sell.cast("long")).alias("n_sells"),
+        F.sum(F.when(buy, F.col("_v")).otherwise(F.lit(0.0)).cast(_DEC))
+        .cast("double")
+        .alias("buy_volume"),
+        F.sum(F.when(sell, F.col("_v")).otherwise(F.lit(0.0)).cast(_DEC))
+        .cast("double")
+        .alias("sell_volume"),
+    )
+    tot = F.col("buy_volume") + F.col("sell_volume")
+    return g.withColumn(
+        "imbalance",
+        F.when(
+            tot > 0, (F.col("buy_volume") - F.col("sell_volume")) / tot
+        ),
+    )
+
+
+def kyle_lambda(
+    df: DataFrame,
+    price_col: str = "close",
+    volume_col: str = "volume",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    min_obs: int = 10,
+) -> DataFrame:
+    """(symbol, n_obs, lam): Kyle's lambda — the regression slope of
+    the price change on tick-rule-SIGNED volume,
+    ``lam = cov(dp, sv) / var(sv)`` — the canonical per-unit price
+    impact. Null for symbols with fewer than ``min_obs`` signed
+    observations or zero signed-volume variance.
+
+    Same plan family as the other power-sum operators: one symbol
+    window (price change + tick sign), one map-side-combinable
+    aggregation of decimal(38,18) power sums, slope assembled with
+    identically-ordered double arithmetic for the oracle."""
+    signed = _with_tick_sign(
+        df,
+        price_col,
+        symbol_col,
+        order_cols,
+        [F.col(price_col).alias("_p"), F.col(volume_col).alias("_v")],
+    )
+    w2 = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    per = (
+        signed.select(
+            F.col(symbol_col),
+            (F.col("_p") - F.lag(F.col("_p")).over(w2)).alias("_dp"),
+            (F.col("_sgn") * F.col("_v")).alias("_sv"),
+        )
+        .filter(F.col("_dp").isNotNull() & F.col("_sv").isNotNull())
+    )
+    g = per.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_dp").cast(_DEC)).cast("double").alias("_sp"),
+        F.sum(F.col("_sv").cast(_DEC)).cast("double").alias("_ss"),
+        F.sum((F.col("_dp") * F.col("_sv")).cast(_DEC))
+        .cast("double")
+        .alias("_sps"),
+        F.sum((F.col("_sv") * F.col("_sv")).cast(_DEC))
+        .cast("double")
+        .alias("_sss"),
+    )
+    n = F.col("n_obs").cast("double")
+    var_sv = n * F.col("_sss") - F.col("_ss") * F.col("_ss")
+    cov = n * F.col("_sps") - F.col("_sp") * F.col("_ss")
+    return g.select(
+        symbol_col,
+        "n_obs",
+        F.when(
+            (F.col("n_obs") >= min_obs) & (var_sv > 0), cov / var_sv
+        ).alias("lam"),
     )

