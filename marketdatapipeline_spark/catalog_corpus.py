@@ -1773,27 +1773,27 @@ _TICK_SIGN_SQL = """
            CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_sells,
            CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume ELSE 0.0 END
-                         AS DECIMAL(38,18))) AS DOUBLE) AS buy_volume,
+                         AS DECIMAL(28,10))) AS DOUBLE) AS buy_volume,
            CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume ELSE 0.0 END
-                         AS DECIMAL(38,18))) AS DOUBLE) AS sell_volume,
+                         AS DECIMAL(28,10))) AS DOUBLE) AS sell_volume,
            CASE WHEN CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume
-                                        ELSE 0.0 END AS DECIMAL(38,18)))
+                                        ELSE 0.0 END AS DECIMAL(28,10)))
                           AS DOUBLE)
                      + CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume
-                                          ELSE 0.0 END AS DECIMAL(38,18)))
+                                          ELSE 0.0 END AS DECIMAL(28,10)))
                             AS DOUBLE) > 0
                 THEN (CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume
-                                         ELSE 0.0 END AS DECIMAL(38,18)))
+                                         ELSE 0.0 END AS DECIMAL(28,10)))
                            AS DOUBLE)
                       - CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume
-                                           ELSE 0.0 END AS DECIMAL(38,18)))
+                                           ELSE 0.0 END AS DECIMAL(28,10)))
                              AS DOUBLE))
                      / (CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume
-                                           ELSE 0.0 END AS DECIMAL(38,18)))
+                                           ELSE 0.0 END AS DECIMAL(28,10)))
                              AS DOUBLE)
                         + CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume
                                              ELSE 0.0 END
-                                        AS DECIMAL(38,18))) AS DOUBLE))
+                                        AS DECIMAL(28,10))) AS DOUBLE))
                 END AS imbalance
     FROM s2 WHERE sgn IS NOT NULL
     GROUP BY symbol, date_trunc('hour', datetime)

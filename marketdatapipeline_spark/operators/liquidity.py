@@ -128,10 +128,22 @@ def tick_rule_flow(
     g = per.groupBy(symbol_col, "bucket_ts").agg(
         F.sum(buy.cast("long")).alias("n_buys"),
         F.sum(sell.cast("long")).alias("n_sells"),
-        F.sum(F.when(buy, F.col("_v")).otherwise(F.lit(0.0)).cast(_DEC))
+        # decimal(28,10), not (38,18): DuckDB has no int128 headroom
+        # left at precision 38 and silently sums width-38 decimals in
+        # DOUBLE — (28,10) sums exactly in both engines (the vwap
+        # convention), and volume magnitudes fit with room to spare
+        F.sum(
+            F.when(buy, F.col("_v")).otherwise(F.lit(0.0)).cast(
+                "decimal(28,10)"
+            )
+        )
         .cast("double")
         .alias("buy_volume"),
-        F.sum(F.when(sell, F.col("_v")).otherwise(F.lit(0.0)).cast(_DEC))
+        F.sum(
+            F.when(sell, F.col("_v")).otherwise(F.lit(0.0)).cast(
+                "decimal(28,10)"
+            )
+        )
         .cast("double")
         .alias("sell_volume"),
     )
