@@ -1854,3 +1854,53 @@ def q_bars_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         _r6(F.col("lam") * F.lit(1e6)).alias("lam_e6"),
     )
+
+
+from marketdatapipeline_spark.profiling import profile_columns  # noqa: E402
+
+
+@register_extended(
+    "bars_profile",
+    _bars_sql(
+        """
+        , base AS (SELECT * FROM bars)
+        SELECT 'symbol' AS "column", count(*) AS n_rows,
+               count(*) - count(symbol) AS n_nulls,
+               count(DISTINCT symbol) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_value,
+               CAST(NULL AS DOUBLE) AS max_value,
+               CAST(NULL AS DOUBLE) AS mean_value
+        FROM base
+        UNION ALL
+        SELECT 'datetime', count(*), count(*) - count(datetime),
+               count(DISTINCT datetime), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM base
+        UNION ALL
+        SELECT 'close', count(*), count(*) - count(close),
+               count(DISTINCT close), CAST(min(close) AS DOUBLE),
+               CAST(max(close) AS DOUBLE),
+               CAST(sum(CAST(close AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(close)
+        FROM base
+        UNION ALL
+        SELECT 'volume', count(*), count(*) - count(volume),
+               count(DISTINCT volume), CAST(min(volume) AS DOUBLE),
+               CAST(max(volume) AS DOUBLE),
+               CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(volume)
+        FROM base
+        """
+    ),
+)
+def q_bars_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (profiling.py:profile_columns) over
+    four bars columns: nulls, exact distincts, numeric range and
+    decimal-exact mean. UNROUNDED — decimal(28,10) sums and integer
+    denominators make every double bit-identical cross-engine (and
+    round-6 would ADD tie divergence on exactly those ratios, the
+    TWAP lesson); min/max/counts are exact by nature."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return profile_columns(
+        bars, ["symbol", "datetime", "close", "volume"]
+    )

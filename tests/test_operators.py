@@ -1271,3 +1271,34 @@ def test_kyle_lambda_recovers_planted_slope(spark):
     )
     res = kyle_lambda(flat).collect()
     assert res == [] or res[0]["lam"] is None
+
+
+def test_profile_columns_semantics(spark):
+    """Table profiler: nulls / exact distincts / numeric range + mean,
+    non-numerics carry null numeric metrics, one agg job."""
+    from datetime import datetime
+
+    from marketdatapipeline_spark.profiling import profile_columns
+
+    rows = [
+        ("a", datetime(2024, 1, 1), 1.0, None),
+        ("b", datetime(2024, 1, 2), 3.0, 10),
+        (None, datetime(2024, 1, 2), None, 30),
+        ("a", datetime(2024, 1, 3), 5.0, 20),
+    ]
+    df = spark.createDataFrame(rows, "s STRING, ts TIMESTAMP, x DOUBLE, k INT")
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"s", "ts", "x", "k"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] is None and out["s"]["mean_value"] is None
+    assert out["ts"]["n_distinct"] == 3
+    assert out["x"]["n_nulls"] == 1
+    assert out["x"]["min_value"] == 1.0 and out["x"]["max_value"] == 5.0
+    assert out["x"]["mean_value"] == pytest.approx(3.0)
+    assert out["k"]["mean_value"] == pytest.approx(20.0)
+    with pytest.raises(ValueError, match="not present"):
+        profile_columns(df, ["nope"])
+    # subset selection
+    sub = profile_columns(df, ["x"]).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "x"
