@@ -1904,3 +1904,60 @@ def q_bars_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         bars, ["symbol", "datetime", "close", "volume"]
     )
+
+
+from marketdatapipeline_spark.operators.portfolio import (  # noqa: E402
+    portfolio_returns,
+)
+
+
+@register_extended(
+    "bars_portfolio_returns",
+    _bars_sql(
+        _RETS_NN_SQL
+        + """
+        , wt AS (
+            SELECT CAST(s AS VARCHAR) AS _sym,
+                   (CAST(s AS DOUBLE) + 1.0) / 55.0 AS _w
+            FROM range(0, 10) t(s)
+        ),
+        j AS (
+            SELECT nn._idx, nn._ret, wt._w
+            FROM nn JOIN wt ON nn._sym = wt._sym
+        ),
+        g AS (
+            SELECT _idx, count(*) AS n_symbols,
+                   CAST(sum(CAST(_w AS DECIMAL(38,18))) AS DOUBLE)
+                       AS weight_mass,
+                   CAST(sum(CAST(_w * _ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS ws
+            FROM j GROUP BY _idx
+        )
+        SELECT CAST(_idx AS INT) AS bar_index, n_symbols,
+               round(weight_mass, 6) + 0.0 AS weight_mass,
+               CASE WHEN weight_mass <> 0
+                    THEN round(ws / weight_mass, 6) + 0.0 END AS port_ret
+        FROM g
+        """
+    ),
+)
+def q_bars_portfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted portfolio return per aligned bar index
+    (operators/portfolio.py:portfolio_returns) against a
+    deterministic triangular weight vector (w_s = (s+1)/55, summing
+    to 1 over the 10 symbols). Round-6: the weight products are
+    double->decimal casts (engine cast noise — the centroid lesson)."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    weights = spark.range(10).select(
+        F.col("id").cast("string").alias("symbol"),
+        ((F.col("id").cast("double") + F.lit(1.0)) / F.lit(55.0)).alias(
+            "weight"
+        ),
+    )
+    out = portfolio_returns(bars, weights)
+    return out.select(
+        F.col("bar_index").cast("int").alias("bar_index"),
+        "n_symbols",
+        _r6(F.col("weight_mass")).alias("weight_mass"),
+        _r6(F.col("port_ret")).alias("port_ret"),
+    )

@@ -31,6 +31,8 @@ of DataFrame primitives (never driver loops, never cross products):
 - :func:`anchored_twap` — time-weighted benchmark next to VWAP;
 - :func:`pair_spread_zscore` — pairs-trading log-spread rolling
   z-score for one symbol pair;
+- :func:`portfolio_returns` — weighted portfolio return per aligned
+  bar index (broadcast weights, renormalized over present symbols);
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
@@ -63,6 +65,7 @@ from marketdatapipeline_spark.operators.range_join import point_in_interval_join
 from marketdatapipeline_spark.operators.resample import resample_ffill
 from marketdatapipeline_spark.operators.rollup import rollup_bars
 from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
+from marketdatapipeline_spark.operators.portfolio import portfolio_returns
 from marketdatapipeline_spark.operators.variance_ratio import variance_ratio
 from marketdatapipeline_spark.operators.vwap import anchored_twap, anchored_vwap
 from marketdatapipeline_spark.operators.salting import (
@@ -78,6 +81,7 @@ __all__ = [
     "tick_rule_flow",
     "anchored_vwap",
     "pair_spread_zscore",
+    "portfolio_returns",
     "variance_ratio",
     "asof_join",
     "candlestick_census",

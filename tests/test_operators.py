@@ -1302,3 +1302,51 @@ def test_profile_columns_semantics(spark):
     # subset selection
     sub = profile_columns(df, ["x"]).collect()
     assert len(sub) == 1 and sub[0]["column"] == "x"
+
+
+def test_portfolio_returns_vs_numpy(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from marketdatapipeline_spark.operators import portfolio_returns
+
+    base = datetime(2024, 1, 1)
+    rng = np.random.RandomState(5)
+    rows = []
+    series = {}
+    for si, sym in enumerate(["A", "B", "C"]):
+        n = 8 + si * 3  # ragged lengths
+        p = 100.0 + np.cumsum(rng.randn(n))
+        series[sym] = p
+        rows += [
+            (sym, base + timedelta(hours=i), i, float(p[i]))
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    weights = spark.createDataFrame(
+        [("A", 0.5), ("B", 0.3), ("C", 0.2)], ["symbol", "weight"]
+    )
+    got = {
+        r["bar_index"]: r for r in portfolio_returns(df, weights).collect()
+    }
+    rets = {s: p[1:] / p[:-1] - 1.0 for s, p in series.items()}
+    w = {"A": 0.5, "B": 0.3, "C": 0.2}
+    max_idx = max(len(r) for r in rets.values())
+    for i in range(1, max_idx + 1):
+        present = [s for s, r in rets.items() if len(r) >= i]
+        mass = sum(w[s] for s in present)
+        want = sum(w[s] * rets[s][i - 1] for s in present) / mass
+        row = got[i]
+        assert row["n_symbols"] == len(present)
+        assert row["weight_mass"] == pytest.approx(mass)
+        assert row["port_ret"] == pytest.approx(want, rel=1e-9)
+    # renormalize=False divides by the FULL weight mass
+    got2 = {
+        r["bar_index"]: r
+        for r in portfolio_returns(df, weights, renormalize=False).collect()
+    }
+    last = max(got2)
+    present = [s for s, r in rets.items() if len(r) >= last]
+    want = sum(w[s] * rets[s][last - 1] for s in present) / 1.0
+    assert got2[last]["port_ret"] == pytest.approx(want, rel=1e-9)
