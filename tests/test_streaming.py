@@ -648,3 +648,40 @@ def test_kafka_tick_stream_validates_format_eagerly(spark):
 
     with pytest.raises(ValueError, match="value_format"):
         kafka_tick_stream(spark, "broker:9092", "ticks", value_format="xml")
+
+
+def test_stream_static_enrichment_parity(spark, tick_dir):
+    """Stream-static broadcast join: a streaming tick feed enriched
+    with a static dimension (symbol -> sector/lot size) must equal
+    the batch join on the same rows — the reference-data pattern every
+    production feed needs, and it composes BEFORE the stateful
+    operators (the enriched stream keeps TICK_SCHEMA + dim columns)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("AAA", "tech", 100), ("BBB", "energy", 200)],
+        ["symbol", "sector", "lot_size"],
+    )
+    stream = read_tick_stream(spark, tick_dir)
+    enriched = stream.join(F.broadcast(dim), "symbol", "left")
+    got = (
+        _run_stream_to_memory(spark, enriched, "enriched_ticks")
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.schema(TICK_SCHEMA)
+        .parquet(tick_dir)
+        .join(F.broadcast(dim), "symbol", "left")
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["sector"] == want["sector"]).all()
+    assert (got["lot_size"] == want["lot_size"]).all()
+    # per-sector streamed aggregation over the enriched columns works
+    agg = got.groupby("sector")["size"].sum()
+    wagg = want.groupby("sector")["size"].sum()
+    assert (agg == wagg).all()
