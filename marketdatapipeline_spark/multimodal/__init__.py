@@ -11,12 +11,18 @@ zero-dependency built-in codecs (codecs.py: chunk/zlib/filter PNG
 decode + encode; jpeg.py: baseline T.81 Huffman/DCT decode + 4:4:4
 encode; stdlib-wave PCM) — decode, stats-over-decoded-bytes, and the
 full decode→resample→re-encode resize round-trip all run inside
-mapInPandas. Video keeps a documented NotImplementedError slot (no
-in-container MP4 demuxer). The deterministic fake decoder (byte-level
+mapInPandas. Video container METADATA (brand/duration/tracks/
+dimensions) parses via the ISO BMFF box walker (mp4.py); PIXEL decode
+keeps the documented NotImplementedError slot (no codec stack
+in-container). The deterministic fake decoder (byte-level
 stats over the raw payload) remains the default and the oracle target,
 keeping schemas, batch shapes, and partitioning checkable end-to-end.
 """
 
+from marketdatapipeline_spark.multimodal.mp4 import (
+    make_minimal_mp4,
+    parse_mp4_metadata,
+)
 from marketdatapipeline_spark.multimodal.codecs import (
     decode_jpeg,
     decode_png,
@@ -32,6 +38,7 @@ from marketdatapipeline_spark.multimodal.ops import (
     extract_media_features,
     image_dhash,
     media_from_documents,
+    mp4_metadata,
     near_duplicate_images,
     resize_images,
     sample_frames,
@@ -43,6 +50,7 @@ __all__ = [
     "decode_media",
     "extract_media_features",
     "image_dhash",
+    "mp4_metadata",
     "near_duplicate_images",
     "resize_images",
     "sample_frames",
@@ -53,4 +61,6 @@ __all__ = [
     "decode_wav",
     "encode_wav",
     "resize_nearest",
+    "make_minimal_mp4",
+    "parse_mp4_metadata",
 ]

@@ -507,3 +507,66 @@ def near_duplicate_images(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("duration_s", FloatType()),
+        StructField("timescale", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("has_video", IntegerType()),  # 0/1
+        StructField("has_audio", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def mp4_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Container metadata per ``video/mp4`` row via the ISO BMFF box
+    walker (multimodal/mp4.py): brand, duration, track kinds, video
+    dimensions — the demux-boundary facts routing and frame-index
+    planning need (pixel decode stays the documented
+    NotImplementedError: no codec stack in-container). Non-MP4 mimes
+    are skipped; corrupt payloads follow ``on_error`` (``"raise"`` /
+    ``"null"``). mapInPandas, per-item work, no shuffle."""
+    from marketdatapipeline_spark.multimodal.mp4 import parse_mp4_metadata
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error: {on_error}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MP4_META_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, mime, content in zip(
+                pdf["doc_id"], pdf["mime"], pdf["content"]
+            ):
+                if str(mime) != "video/mp4":
+                    continue
+                try:
+                    m = parse_mp4_metadata(bytes(content or b""))
+                    rows.append(
+                        (
+                            doc_id,
+                            m["major_brand"],
+                            m["duration_s"],
+                            m["timescale"],
+                            m["n_tracks"],
+                            int(m["has_video"]),
+                            int(m["has_audio"]),
+                            m["width"],
+                            m["height"],
+                        )
+                    )
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=MP4_META_SCHEMA)

@@ -154,3 +154,49 @@ def test_image_dhash_and_near_duplicates(spark):
 
     with _pytest.raises(Exception):
         image_dhash(bad, on_error="raise").collect()
+
+
+def test_mp4_box_walk_metadata(spark):
+    """ISO BMFF metadata without a codec: the synthesized fixture
+    round-trips brand/duration/tracks/dimensions; corrupt payloads
+    are clean ValueErrors (counted under on_error='null'); pixel
+    decode remains the documented NotImplementedError."""
+    from marketdatapipeline_spark.multimodal import (
+        MEDIA_SCHEMA,
+        make_minimal_mp4,
+        mp4_metadata,
+        parse_mp4_metadata,
+    )
+
+    blob = make_minimal_mp4(duration_s=2.5, timescale=1000, width=64, height=48)
+    m = parse_mp4_metadata(blob)
+    assert m["major_brand"] == "isom"
+    assert m["duration_s"] == pytest.approx(2.5)
+    assert m["timescale"] == 1000
+    assert m["n_tracks"] == 2 and m["has_video"] and m["has_audio"]
+    assert m["width"] == 64 and m["height"] == 48
+
+    no_audio = parse_mp4_metadata(make_minimal_mp4(with_audio=False))
+    assert no_audio["n_tracks"] == 1 and not no_audio["has_audio"]
+
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_metadata(b"\x00\x00\x00\x08free" * 4)
+    with pytest.raises(ValueError, match="out of bounds"):
+        parse_mp4_metadata(b"\xff\xff\xff\xffmoovxxxxxxxxxxx")
+
+    rows = [
+        (1, "video/mp4", bytearray(blob), None, None, None, 5),
+        (2, "video/mp4", bytearray(b"garbage not mp4!"), None, None, None, 1),
+        (3, "image/png", bytearray(b"skip me"), 4, 4, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {
+        r["doc_id"]: r
+        for r in mp4_metadata(media, on_error="null").collect()
+    }
+    assert set(got) == {1, 2}  # non-video skipped
+    assert got[1]["major_brand"] == "isom" and got[1]["width"] == 64
+    assert got[1]["has_video"] == 1 and got[1]["has_audio"] == 1
+    assert got[2]["major_brand"] is None  # counted error row
+    with pytest.raises(Exception):
+        mp4_metadata(media, on_error="raise").collect()
