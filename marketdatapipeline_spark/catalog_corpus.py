@@ -1961,3 +1961,34 @@ def q_bars_portfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("weight_mass")).alias("weight_mass"),
         _r6(F.col("port_ret")).alias("port_ret"),
     )
+
+
+from marketdatapipeline_spark.operators.resample import detect_gaps  # noqa: E402
+
+
+@register_extended(
+    "bars_gap_detection",
+    _bars_sql(
+        """
+        , step AS (
+            SELECT symbol, datetime,
+                   lead(datetime) OVER (PARTITION BY symbol
+                                        ORDER BY datetime, bar_id) AS nxt
+            FROM bars
+        )
+        SELECT symbol, datetime AS gap_start, nxt AS gap_end,
+               epoch(nxt) - epoch(datetime) AS gap_s,
+               CAST(floor((epoch(nxt) - epoch(datetime)) / 5400.0) - 1
+                    AS INT) AS n_missing
+        FROM step
+        WHERE nxt IS NOT NULL AND epoch(nxt) - epoch(datetime) > 5400.0
+        """
+    ),
+)
+def q_bars_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health gap audit (operators/resample.py:detect_gaps) at a
+    90-minute expected cadence: consecutive-bar holes with the
+    implied missing-bar count. UNROUNDED — epoch differences of
+    microsecond timestamps are exact doubles in both engines."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return detect_gaps(bars, expected="90 minutes")

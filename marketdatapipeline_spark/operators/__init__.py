@@ -62,7 +62,7 @@ from marketdatapipeline_spark.operators.moments import (
 )
 from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
 from marketdatapipeline_spark.operators.range_join import point_in_interval_join
-from marketdatapipeline_spark.operators.resample import resample_ffill
+from marketdatapipeline_spark.operators.resample import detect_gaps, resample_ffill
 from marketdatapipeline_spark.operators.rollup import rollup_bars
 from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
 from marketdatapipeline_spark.operators.portfolio import portfolio_returns
@@ -92,6 +92,7 @@ __all__ = [
     "pairwise_return_correlation",
     "point_in_interval_join",
     "realized_moments",
+    "detect_gaps",
     "resample_ffill",
     "return_autocorrelation",
     "rolling_beta",

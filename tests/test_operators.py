@@ -1350,3 +1350,30 @@ def test_portfolio_returns_vs_numpy(spark):
     present = [s for s, r in rets.items() if len(r) >= last]
     want = sum(w[s] * rets[s][last - 1] for s in present) / 1.0
     assert got2[last]["port_ret"] == pytest.approx(want, rel=1e-9)
+
+
+def test_detect_gaps_semantics(spark):
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators import detect_gaps
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 9), 1, 1.0),
+        ("A", datetime(2024, 1, 1, 10), 2, 1.0),   # on grid
+        ("A", datetime(2024, 1, 1, 13), 3, 1.0),   # 3h gap -> 2 missing
+        ("A", datetime(2024, 1, 1, 14, 30), 4, 1.0),  # 1.5h -> 0 missing? floor(1.5)-1=0 but >1h IS a gap
+        ("B", datetime(2024, 1, 1, 9), 5, 1.0),    # single bar: no pair
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    got = {
+        (r["symbol"], r["gap_start"]): r
+        for r in detect_gaps(df, expected="1 hour").collect()
+    }
+    assert set(got) == {
+        ("A", datetime(2024, 1, 1, 10)),
+        ("A", datetime(2024, 1, 1, 13)),
+    }
+    g1 = got[("A", datetime(2024, 1, 1, 10))]
+    assert g1["gap_s"] == 3 * 3600.0 and g1["n_missing"] == 2
+    g2 = got[("A", datetime(2024, 1, 1, 13))]
+    assert g2["gap_s"] == 1.5 * 3600.0 and g2["n_missing"] == 0
