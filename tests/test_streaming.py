@@ -685,3 +685,68 @@ def test_stream_static_enrichment_parity(spark, tick_dir):
     agg = got.groupby("sector")["size"].sum()
     wagg = want.groupby("sector")["size"].sum()
     assert (agg == wagg).all()
+
+
+def test_kafka_shaped_stream_end_to_end(spark, bars_pdf, tmp_path):
+    """The full message-bus path minus the connector jar: a STREAM of
+    binary wire frames (key/value, the Kafka shape) -> decode_tick_frames
+    -> the fused online_ticks operator, compared against the batch
+    twins on the same rows. Pins that the decode expression composes
+    with stateful streaming, not just batch selects."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.streaming import decode_tick_frames
+    from marketdatapipeline_spark.streaming.combined import online_ticks
+    from marketdatapipeline_spark.streaming.stateful import (
+        online_indicators_batch,
+    )
+
+    pdf = bars_pdf.rename(
+        columns={"datetime": "ts", "close": "price", "volume": "size"}
+    )[["symbol", "ts", "price", "size"]].sort_values(["ts", "symbol"])
+    frames = [
+        (
+            r.symbol.encode(),
+            json.dumps(
+                {
+                    "symbol": r.symbol,
+                    "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "price": r.price,
+                    "size": float(r.size),
+                }
+            ).encode(),
+        )
+        for r in pdf.itertuples()
+    ]
+    src = str(tmp_path / "frames")
+    spark.createDataFrame(frames, "key BINARY, value BINARY").coalesce(
+        2
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("key BINARY, value BINARY").parquet(src)
+    ticks = decode_tick_frames(stream, "json")
+    got = (
+        _run_stream_to_memory(spark, online_ticks(ticks), "kafka_shaped")
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    want = (
+        online_indicators_batch(
+            decode_tick_frames(
+                spark.read.schema("key BINARY, value BINARY").parquet(src)
+            ).withColumnRenamed("price", "close"),
+            order_cols=("ts",),
+        )
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    for col in ("rsi", "macd", "macd_signal", "macd_histogram"):
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        assert ((a == b) | (pd.isna(a) & pd.isna(b))).all(), col
