@@ -79,3 +79,24 @@ bars AS (
 
 def bars_oracle_cte(n_symbols: int = 10) -> str:
     return BARS_ORACLE_CTE.format(n_symbols=n_symbols)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, include_bars: bool = True
+) -> list[str]:
+    """Register every synthetic table (plus the derived ``bars`` view)
+    as temp views, so the full catalog surface is reachable from plain
+    ``spark.sql(...)`` — the SQL front door for users who think in
+    queries rather than the DataFrame API. Returns the view names.
+
+    Views are lazy: nothing scans until a query runs, and Catalyst
+    pushes filters/prunes columns through them exactly as through the
+    DataFrame forms (same plans, pinned in tests)."""
+    names = []
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        names.append(name)
+    if include_bars:
+        bars_from_events(spark, sf_dir).createOrReplaceTempView("bars")
+        names.append("bars")
+    return names

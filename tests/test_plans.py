@@ -441,3 +441,25 @@ def test_boilerplate_removal_broadcasts_tiny_side(spark):
     plan = _plan(remove_boilerplate_lines(docs))
     assert "BroadcastExchange" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sql_front_door_views_push_down(spark):
+    """register_views: the whole table surface is reachable from
+    plain spark.sql, and Catalyst pushes filters/prunes columns
+    through the views exactly as through the DataFrame forms."""
+    from marketdatapipeline_spark.sources import register_views
+
+    names = register_views(spark, SF)
+    assert set(names) >= {"events", "documents", "bars"}
+    out = spark.sql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey < 100"
+    )
+    plan = _plan(out)
+    assert "LessThan(o_custkey,100)" in plan  # pushed through the view
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" not in read  # pruned through the view
+    # the derived bars view answers SQL too
+    r = spark.sql(
+        "SELECT symbol, count(*) n FROM bars GROUP BY symbol ORDER BY symbol"
+    ).collect()
+    assert len(r) == 10 and all(row["n"] > 0 for row in r)
