@@ -165,3 +165,82 @@ def test_pq_adc_equals_reconstruction(data, m):
         assert abs(qdot_lut - recon @ q) < 1e-9
         assert abs(n2_lut - recon @ recon) < 1e-9
         assert len(recon) == dsub * m
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-2, max_value=2), min_size=2, max_size=40
+    )
+)
+def test_tick_sign_carry_matches_python_loop(spark, steps):
+    """The two-stage tick-rule sign (lag -> last-ignorenulls carry)
+    equals the obvious sequential loop for any price path, including
+    flat stretches and leading unchanged prices."""
+    import pandas as pd
+
+    from marketdatapipeline_spark.operators.liquidity import _with_tick_sign
+
+    prices = [100.0]
+    for s in steps:
+        prices.append(prices[-1] + s)
+    rows = [
+        ("X", pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), i, p)
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    got = [
+        r["_sgn"]
+        for r in _with_tick_sign(
+            df, "close", "symbol", ("datetime", "bar_id"), []
+        )
+        .orderBy("datetime")
+        .collect()
+    ]
+    want, last = [], None
+    prev = None
+    for p in prices:
+        if prev is None:
+            want.append(None)
+        else:
+            d = p - prev
+            if d > 0:
+                last = 1.0
+            elif d < 0:
+                last = -1.0
+            want.append(last)
+        prev = p
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["nav bar", "footer", "alpha", "beta", "gamma", ""]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_boilerplate_removal_idempotent(spark, doc_lines):
+    """clean(clean(x)) == clean(x): removal strips whole line classes,
+    so remaining doc frequencies never change and a second pass is a
+    no-op — for ANY corpus shape."""
+    from marketdatapipeline_spark.textops.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    once = remove_boilerplate_lines(df, max_doc_freq=1).select(
+        "doc_id", "text"
+    )
+    twice = remove_boilerplate_lines(once, max_doc_freq=1).select(
+        "doc_id", "text"
+    )
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
