@@ -375,16 +375,65 @@ class IVFIndex:
             os.path.join(self.path, "lists")
         )
 
+    def _tombstones(self, spark: SparkSession) -> DataFrame | None:
+        """Deleted-id table, or None when nothing was ever deleted."""
+        tdir = os.path.join(self.path, "tombstones")
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(tdir)
+        if not p.getFileSystem(conf).exists(p):
+            return None
+        return spark.read.parquet(tdir).select(self.id_col).distinct()
+
+    def delete(self, ids, spark: SparkSession | None = None) -> int:
+        """Tombstone vectors by id — the missing third of the index
+        lifecycle (build/append/DELETE/compact). Logical and
+        immediate: every subsequent :meth:`topk` filters the ids out
+        (an anti-join against a broadcast tombstone table, which is
+        small by the nature of deletes); the bytes are reclaimed at
+        the next :meth:`compact`, which also clears the tombstones —
+        the FAISS IDSelector-then-rebuild convention, made crash-safe
+        by the same append-only layout as everything else here.
+        ``ids`` is a python iterable of id values or a single-column
+        DataFrame. Returns the number of ids tombstoned."""
+        spark = active_or(spark)
+        if isinstance(ids, DataFrame):
+            tdf = ids.select(
+                F.col(ids.columns[0]).alias(self.id_col)
+            ).distinct()
+            n = tdf.count()
+        else:
+            vals = list(ids)
+            id_type = (
+                spark.read.parquet(os.path.join(self.path, "lists"))
+                .schema[self.id_col]
+                .dataType
+            )
+            tdf = spark.createDataFrame(
+                [(v,) for v in vals],
+                T.StructType([T.StructField(self.id_col, id_type)]),
+            ).distinct()
+            n = len(set(vals))
+        tdf.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "tombstones")
+        )
+        return n
+
     def compact(self, spark: SparkSession | None = None) -> int:
         """Rewrite the lists into one file per centroid directory —
         every :meth:`append` adds a wave of small part files per
         touched list, and probe-time scan cost grows with file count,
-        not data. Same write-tmp → delete → rename swap (and the same
-        crash contract) as LSHDedupStore.compact. Returns the number
-        of list rows rewritten."""
+        not data. Tombstoned rows (see :meth:`delete`) are dropped in
+        the rewrite and the tombstone table is cleared. Same
+        write-tmp → delete → rename swap (and the same crash
+        contract) as LSHDedupStore.compact. Returns the number of
+        list rows rewritten (post-delete)."""
         spark = active_or(spark)
         directory = os.path.join(self.path, "lists")
         df = spark.read.parquet(directory)
+        tombs = self._tombstones(spark)
+        if tombs is not None:
+            df = df.join(F.broadcast(tombs), self.id_col, "left_anti")
         rows = df.count()
         tmp = directory + "__compact_tmp"
         df.repartition(F.col("_cent")).write.mode("overwrite").partitionBy(
@@ -397,6 +446,13 @@ class IVFIndex:
         fs = p_old.getFileSystem(conf)
         fs.delete(p_old, True)
         fs.rename(p_tmp, p_old)
+        # tombstones are now physically applied — clear them (losing a
+        # crash race here only re-applies an empty filter, never data)
+        t = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.path, "tombstones")
+        )
+        if fs.exists(t):
+            fs.delete(t, True)
         return rows
 
     def topk(
@@ -459,6 +515,11 @@ class IVFIndex:
         lists = spark.read.parquet(os.path.join(self.path, "lists")).filter(
             F.col("_cent").isin([c for _, c in probes] or [-1])
         )
+        tombs = self._tombstones(spark)
+        if tombs is not None:
+            # logical deletes: tombstoned ids vanish from every search
+            # immediately; compact() reclaims the bytes later
+            lists = lists.join(F.broadcast(tombs), self.id_col, "left_anti")
         if self.storage == "pq":
             # ADC: per-query (m, k) lookup table in the task closure;
             # each candidate costs m byte lookups, never a d-term fold
