@@ -1992,3 +1992,38 @@ def q_bars_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamps are exact doubles in both engines."""
     bars = _bars_from_events_r8(spark, sf_dir)
     return detect_gaps(bars, expected="90 minutes")
+
+
+from marketdatapipeline_spark.catalog_pipeline import tokens3_cte as _tokens3_cte  # noqa: E402
+from marketdatapipeline_spark.textops.dedup import (  # noqa: E402
+    containment_similar_pairs,
+)
+
+
+@register_extended(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_tokens3_cte("WHERE doc_id < 1000").strip()},
+    th AS (SELECT DISTINCT doc_id, {_H_SQL.format(x="shingle")} AS h
+           FROM tokens),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM th a JOIN th b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           inter / CAST(sa.n_sh AS DOUBLE) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE inter / CAST(sa.n_sh AS DOUBLE) >= 0.4
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set containment |A∩B|/|A| >= 0.4
+    (textops/dedup.py:containment_similar_pairs, word-3-gram
+    shingles — unigram containment drowned in 200k+ weak pairs) —
+    the doc-inside-doc screen Jaccard structurally misses; id_a is
+    the contained side and both directions can appear. Integer-ratio
+    score — bit-identical, no rounding."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return containment_similar_pairs(docs, threshold=0.4, n=3)

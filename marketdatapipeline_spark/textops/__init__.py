@@ -38,6 +38,7 @@ from marketdatapipeline_spark.textops.dedup import (
     exact_duplicate_groups,
     embedding_near_duplicates,
     jaccard_pairs_with_lsh_flag,
+    containment_similar_pairs,
     jaccard_similar_pairs,
     lsh_candidate_pairs,
     minhash_near_duplicates,
@@ -71,6 +72,7 @@ __all__ = [
     "exact_duplicate_groups",
     "embedding_near_duplicates",
     "jaccard_pairs_with_lsh_flag",
+    "containment_similar_pairs",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",

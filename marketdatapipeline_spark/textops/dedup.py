@@ -541,3 +541,56 @@ def simhash(
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def containment_similar_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Ordered document pairs with shingle-set CONTAINMENT
+    ``|A ∩ B| / |A|`` >= threshold — the asymmetric cousin of
+    :func:`jaccard_similar_pairs` that Jaccard structurally misses: a
+    short document pasted verbatim inside a much longer one has
+    containment ~1 but Jaccard ~|A|/|B| (arbitrarily small). The
+    standard second screen in corpus dedup (quote-farms, boilerplate
+    wrappers, doc-in-doc aggregation pages).
+
+    Emits BOTH directions when both clear the threshold (contained-in
+    is not symmetric); ``id_a`` is the contained side. Same hashed-set
+    machinery and cost shape as the exact Jaccard path: co-occurrence
+    join on 32-bit shingle hashes (bigints in the shuffle), never n²
+    and never strings."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(_shingle_array(text_col, n)).alias("shingle"),
+        )
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
+    pairs = (
+        a.join(b, on="_h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        pairs.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.col("n_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

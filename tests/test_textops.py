@@ -251,3 +251,37 @@ def test_web_noise_signals(spark):
     for _, r in pdf.iterrows():
         assert out[r["doc_id"]].url_count == r["url_count"]
         assert out[r["doc_id"]].email_count == r["email_count"]
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """Containment catches the doc-inside-doc case Jaccard misses: a
+    short doc pasted into a long one has containment ~1 (short side)
+    but small Jaccard; the reverse direction is small."""
+    from marketdatapipeline_spark.textops import (
+        containment_similar_pairs,
+        jaccard_similar_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(30))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler[::-1].lower()),
+        (3, "completely different text with nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_similar_pairs(df, threshold=0.5, n=3).collect()
+    }
+    # doc 1 fully contained in doc 2; NOT the reverse, and 3 matches nothing
+    assert cont.get((1, 2)) == pytest.approx(1.0)
+    assert (2, 1) not in cont
+    assert not any(3 in p for p in cont)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_similar_pairs(df, threshold=0.0001, n=3).collect()
+    }
+    assert jac[(1, 2)] < 0.1  # Jaccard blind to the paste
+    with pytest.raises(ValueError, match="threshold"):
+        containment_similar_pairs(df, threshold=1.5)
