@@ -1978,20 +1978,20 @@ from marketdatapipeline_spark.operators.resample import detect_gaps  # noqa: E40
         )
         SELECT symbol, datetime AS gap_start, nxt AS gap_end,
                epoch(nxt) - epoch(datetime) AS gap_s,
-               CAST(floor((epoch(nxt) - epoch(datetime)) / 5400.0) - 1
+               CAST(floor((epoch(nxt) - epoch(datetime)) / 1800.0) - 1
                     AS INT) AS n_missing
         FROM step
-        WHERE nxt IS NOT NULL AND epoch(nxt) - epoch(datetime) > 5400.0
+        WHERE nxt IS NOT NULL AND epoch(nxt) - epoch(datetime) > 1800.0
         """
     ),
 )
 def q_bars_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed-health gap audit (operators/resample.py:detect_gaps) at a
-    90-minute expected cadence: consecutive-bar holes with the
+    30-minute expected cadence: consecutive-bar holes with the
     implied missing-bar count. UNROUNDED — epoch differences of
     microsecond timestamps are exact doubles in both engines."""
     bars = _bars_from_events_r8(spark, sf_dir)
-    return detect_gaps(bars, expected="90 minutes")
+    return detect_gaps(bars, expected="30 minutes")
 
 
 from marketdatapipeline_spark.catalog_pipeline import tokens3_cte as _tokens3_cte  # noqa: E402
