@@ -2027,3 +2027,64 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — bit-identical, no rounding."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
     return containment_similar_pairs(docs, threshold=0.4, n=3)
+
+
+from marketdatapipeline_spark.operators.drawdown import (  # noqa: E402
+    drawdown_summary,
+)
+
+
+@register_extended(
+    "bars_drawdown_summary",
+    _bars_sql(
+        """
+        , dd AS (
+            SELECT symbol, datetime, bar_id, close,
+                   max(close) OVER w AS peak,
+                   close / max(close) OVER w - 1.0 AS drawdown
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        trough AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY symbol ORDER BY drawdown, datetime, bar_id
+            ) AS rn
+            FROM dd
+        ),
+        t2 AS (
+            SELECT symbol, drawdown AS max_drawdown,
+                   datetime AS trough_ts, peak AS peak_value,
+                   close AS trough_value,
+                   datetime AS tdt, bar_id AS tbid
+            FROM trough WHERE rn = 1
+        ),
+        pk AS (
+            SELECT d.symbol,
+                   min(d.datetime ORDER BY d.datetime, d.bar_id) AS peak_ts
+            FROM dd d JOIN t2
+              ON d.symbol = t2.symbol AND d.close = t2.peak_value
+             AND ROW(d.datetime, d.bar_id) <= ROW(t2.tdt, t2.tbid)
+            GROUP BY d.symbol
+        )
+        SELECT t2.symbol,
+               round(t2.max_drawdown, 6) + 0.0 AS max_drawdown,
+               pk.peak_ts, t2.trough_ts, t2.peak_value, t2.trough_value
+        FROM t2 JOIN pk ON t2.symbol = pk.symbol
+        """
+    ),
+)
+def q_bars_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough drawdown per symbol with its peak/trough
+    timestamps (operators/drawdown.py:drawdown_summary): min_by
+    argmin with a full-order tie-break, the in-force peak carried on
+    the trough row, and the earliest at-or-before print of the peak
+    price. Values are exact (max/min/division); only the drawdown
+    ratio rounds."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = drawdown_summary(bars)
+    return out.select(
+        "symbol",
+        _r6(F.col("max_drawdown")).alias("max_drawdown"),
+        "peak_ts", "trough_ts", "peak_value", "trough_value",
+    )

@@ -47,7 +47,7 @@ from marketdatapipeline_spark.operators.correlation import (
     pairwise_return_correlation,
 )
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
-from marketdatapipeline_spark.operators.drawdown import running_drawdown
+from marketdatapipeline_spark.operators.drawdown import drawdown_summary, running_drawdown
 from marketdatapipeline_spark.operators.interval_join import (
     interval_overlap_join,
 )
@@ -97,6 +97,7 @@ __all__ = [
     "return_autocorrelation",
     "rolling_beta",
     "rollup_bars",
+    "drawdown_summary",
     "running_drawdown",
     "salted_collect_list",
     "salted_join_left_hot",

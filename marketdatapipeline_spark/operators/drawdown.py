@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_drawdown"]
+__all__ = ["drawdown_summary", "running_drawdown"]
 
 
 def running_drawdown(
@@ -35,4 +35,89 @@ def running_drawdown(
     peak = F.max(F.col(price_col)).over(w)
     return df.withColumns(
         {"peak": peak, "drawdown": F.col(price_col) / peak - F.lit(1.0)}
+    )
+
+
+def drawdown_summary(
+    df: DataFrame,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    time_col: str = "datetime",
+) -> DataFrame:
+    """(symbol, max_drawdown, trough_ts, peak_ts, peak_value,
+    trough_value): the worst peak-to-trough loss per symbol with its
+    WHEN — the headline number of every risk report, derived from
+    :func:`running_drawdown` with two deterministic argmin/argmax
+    steps:
+
+    * the trough is the row with the MINIMUM drawdown (ties: earliest
+      by the order columns — ``min_by`` on the full order tuple, so
+      any engine picks the same row);
+    * the peak is the running peak IN FORCE at that trough (carried on
+      the same row — no second scan or self-join), and ``peak_ts`` is
+      the earliest time that peak price printed, recovered by one
+      ``min_by`` over the rows where ``price == peak_at_trough``.
+
+    One window exchange + one aggregation reusing its partitioning; a
+    flat (never-below-peak) symbol reports drawdown 0 at its first
+    row. Exact values throughout (max/min/division — no accumulation),
+    so the oracle compares unrounded except the division's round-6."""
+    dd = running_drawdown(df, price_col, symbol_col, order_cols)
+    ord_key = F.struct(*[F.col(c) for c in order_cols])
+    g = dd.groupBy(symbol_col).agg(
+        F.min("drawdown").alias("max_drawdown"),
+        F.min_by(
+            F.struct(
+                F.col(time_col).alias("t"),
+                F.col("peak").alias("p"),
+                F.col(price_col).alias("v"),
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+            ),
+            F.struct(F.col("drawdown"), ord_key),
+        ).alias("_trough"),
+    )
+    troughs = g.select(
+        symbol_col,
+        "max_drawdown",
+        F.col("_trough.t").alias("trough_ts"),
+        F.col("_trough.p").alias("peak_value"),
+        F.col("_trough.v").alias("trough_value"),
+        *[
+            F.col(f"_trough.o{i}").alias(f"_to{i}")
+            for i in range(len(order_cols))
+        ],
+    )
+    # earliest print of the in-force peak price per symbol, restricted
+    # to rows AT OR BEFORE the trough (the same price could print
+    # again afterwards — that later row is not the drawdown's peak)
+    trough_ord = F.struct(
+        *[F.col(f"_to{i}") for i in range(len(order_cols))]
+    )
+    peak_rows = (
+        dd.join(
+            F.broadcast(
+                troughs.select(
+                    symbol_col,
+                    "peak_value",
+                    *[f"_to{i}" for i in range(len(order_cols))],
+                )
+            ),
+            symbol_col,
+        )
+        .filter(
+            (F.col(price_col) == F.col("peak_value"))
+            & (ord_key <= trough_ord)
+        )
+        .groupBy(symbol_col)
+        .agg(F.min_by(F.col(time_col), ord_key).alias("peak_ts"))
+    )
+    troughs = troughs.drop(*[f"_to{i}" for i in range(len(order_cols))])
+    return troughs.join(peak_rows, symbol_col).select(
+        symbol_col,
+        "max_drawdown",
+        "peak_ts",
+        "trough_ts",
+        "peak_value",
+        "trough_value",
     )

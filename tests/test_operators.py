@@ -1377,3 +1377,31 @@ def test_detect_gaps_semantics(spark):
     assert g1["gap_s"] == 3 * 3600.0 and g1["n_missing"] == 2
     g2 = got[("A", datetime(2024, 1, 1, 13))]
     assert g2["gap_s"] == 1.5 * 3600.0 and g2["n_missing"] == 0
+
+
+def test_drawdown_summary_vs_pandas(spark):
+    from datetime import datetime, timedelta
+
+    from marketdatapipeline_spark.operators import drawdown_summary
+
+    base = datetime(2024, 1, 1)
+    # A: peak 110 at t1 (prints again at t5 AFTER the trough), trough 88 at t3
+    pa = [100.0, 110.0, 95.0, 88.0, 104.0, 110.0]
+    # B: monotone rise -> drawdown 0 at first row
+    pb = [50.0, 51.0, 52.0, 53.0, 54.0, 55.0]
+    rows = []
+    for i, (a, b) in enumerate(zip(pa, pb)):
+        rows.append(("A", base + timedelta(hours=i), i, a))
+        rows.append(("B", base + timedelta(hours=i), i, b))
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    out = {r["symbol"]: r for r in drawdown_summary(df).collect()}
+    a = out["A"]
+    assert a["max_drawdown"] == pytest.approx(88.0 / 110.0 - 1.0)
+    assert a["trough_ts"] == base + timedelta(hours=3)
+    assert a["peak_ts"] == base + timedelta(hours=1)  # not the later reprint
+    assert a["peak_value"] == 110.0 and a["trough_value"] == 88.0
+    b = out["B"]
+    assert b["max_drawdown"] == 0.0
+    # trough ties at every row (all drawdown 0): earliest wins
+    assert b["trough_ts"] == base
+    assert b["peak_ts"] == base and b["peak_value"] == 50.0
