@@ -2088,3 +2088,185 @@ def q_bars_drawdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("max_drawdown")).alias("max_drawdown"),
         "peak_ts", "trough_ts", "peak_value", "trough_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# classic technical indicators (r8: ATR / stochastic / OBV / Donchian)
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.operators.indicators import (  # noqa: E402
+    atr,
+    donchian_channels,
+    on_balance_volume,
+    stochastic_oscillator,
+)
+
+
+@register_extended(
+    "bars_atr",
+    _bars_sql(
+        """
+        , pcte AS (
+            SELECT symbol, datetime, bar_id, high, low,
+                   lag(close) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS pc
+            FROM bars
+        ),
+        tr AS (
+            -- explicit first-bar branch: greatest() null-skip differs
+            -- across engines, CASE does not (operators/indicators.py)
+            SELECT symbol, datetime, bar_id,
+                   CASE WHEN pc IS NULL THEN high - low
+                        ELSE greatest(high - low, abs(high - pc),
+                                      abs(low - pc))
+                   END AS tr
+            FROM pcte
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN count(tr) OVER w = 14 THEN
+                   round(CAST(sum(CAST(tr AS DECIMAL(28,14))) OVER w
+                              AS DOUBLE) / 14, 6) + 0.0
+               END AS atr
+        FROM tr
+        WINDOW w AS (
+            PARTITION BY symbol ORDER BY datetime, bar_id
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+        )
+        """
+    ),
+)
+def q_bars_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average true range, SMA-14 variant (operators/indicators.py:atr
+    method="sma"): per-bar true range is a deterministic IEEE chain
+    (bit-identical cross-engine), the rolling mean rides exact
+    decimal(28,14) prefix-difference sums — the oracle's direct frame
+    sum matches the prefix diff bit-for-bit because decimal addition
+    is exact. The Wilder-smoothed variant shares the blocked-EWM scan
+    and is pinned by pandas parity (tests/test_indicators.py), not by
+    this oracle — a 100k-deep exponential recursion has no
+    association-free SQL form."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = atr(bars, window=14, method="sma")
+    return out.select(
+        "symbol", "datetime", "bar_id", _r6(F.col("atr")).alias("atr")
+    )
+
+
+@register_extended(
+    "bars_stochastic",
+    _bars_sql(
+        """
+        , st AS (
+            SELECT symbol, datetime, bar_id, close,
+                   max(high) OVER wk AS hh,
+                   min(low) OVER wk AS ll,
+                   count(*) OVER wk AS kc
+            FROM bars
+            WINDOW wk AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+            )
+        ),
+        k AS (
+            SELECT symbol, datetime, bar_id,
+                   CASE WHEN kc = 14 AND hh > ll THEN
+                       100.0 * (close - ll) / (hh - ll)
+                   END AS pct_k
+            FROM st
+        )
+        SELECT symbol, datetime, bar_id, pct_k,
+               CASE WHEN count(pct_k) OVER wd = 3 THEN
+                   round(CAST(sum(CAST(pct_k AS DECIMAL(28,14))) OVER wd
+                              AS DOUBLE) / 3, 6) + 0.0
+               END AS pct_d
+        FROM k
+        WINDOW wd AS (
+            PARTITION BY symbol ORDER BY datetime, bar_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        )
+        """
+    ),
+)
+def q_bars_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14)/%D(3)
+    (operators/indicators.py:stochastic_oscillator): %K is window
+    max/min picks plus three IEEE ops in pinned order — emitted
+    UNROUNDED (bit-identical cross-engine); %D is a decimal-exact
+    3-row mean of %K, round-6 (the decimal cast is the one noisy
+    step). Both ride ONE window exchange."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = stochastic_oscillator(bars, k_window=14, d_window=3)
+    return out.select(
+        "symbol", "datetime", "bar_id",
+        "pct_k", _r6(F.col("pct_d")).alias("pct_d"),
+    )
+
+
+@register_extended(
+    "bars_obv",
+    _bars_sql(
+        """
+        , d AS (
+            SELECT symbol, datetime, bar_id, volume,
+                   close - lag(close) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS delta
+            FROM bars
+        )
+        SELECT symbol, datetime, bar_id,
+               sum(CASE WHEN delta > 0 THEN volume
+                        WHEN delta < 0 THEN -volume
+                        ELSE 0.0 END) OVER (
+                   PARTITION BY symbol ORDER BY datetime, bar_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS obv
+        FROM d
+        """
+    ),
+)
+def q_bars_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume (operators/indicators.py:on_balance_volume):
+    running signed-volume sum, OBV(0)=0 convention. Volumes are
+    integer-valued, so every partial sum is an integer far below 2^53
+    — EXACT in double under any association (DuckDB's segment-tree
+    window sum and Spark's running frame agree bit-for-bit), emitted
+    unrounded."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return on_balance_volume(bars).select(
+        "symbol", "datetime", "bar_id", "obv"
+    )
+
+
+@register_extended(
+    "bars_donchian",
+    _bars_sql(
+        """
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN cnt = 20 THEN hh END AS dc_upper,
+               CASE WHEN cnt = 20 THEN ll END AS dc_lower,
+               CASE WHEN cnt = 20 THEN (hh + ll) / 2.0 END AS dc_mid
+        FROM (
+            SELECT symbol, datetime, bar_id,
+                   max(high) OVER w AS hh,
+                   min(low) OVER w AS ll,
+                   count(*) OVER w AS cnt
+            FROM bars
+            WINDOW w AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+            )
+        )
+        """
+    ),
+)
+def q_bars_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel 20 (operators/indicators.py:donchian_channels):
+    highest-high / lowest-low picks plus one add-and-halve for the
+    midpoint — exact cross-engine, emitted unrounded; null until the
+    frame fills (partial channels generate false breakouts). One
+    window exchange for all three bands."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return donchian_channels(bars, window=20).select(
+        "symbol", "datetime", "bar_id", "dc_upper", "dc_lower", "dc_mid"
+    )

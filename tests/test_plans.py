@@ -463,3 +463,29 @@ def test_sql_front_door_views_push_down(spark):
         "SELECT symbol, count(*) n FROM bars GROUP BY symbol ORDER BY symbol"
     ).collect()
     assert len(r) == 10 and all(row["n"] > 0 for row in r)
+
+
+def test_indicator_wave_single_exchange(spark):
+    """r8 indicator wave (operators/indicators.py): ATR-SMA,
+    stochastic %K/%D, OBV, and Donchian each plan exactly ONE symbol
+    exchange and zero joins — the lag, the rolling picks/sums, and
+    the prefix-difference reductions all reuse the same (symbol)
+    hash partitioning, so a 100x scale-up shuffles each bar once."""
+    from marketdatapipeline_spark.operators.indicators import (
+        atr,
+        donchian_channels,
+        on_balance_volume,
+        stochastic_oscillator,
+    )
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, SF)
+    for name, out in (
+        ("atr_sma", atr(bars, window=14, method="sma")),
+        ("stochastic", stochastic_oscillator(bars)),
+        ("obv", on_balance_volume(bars)),
+        ("donchian", donchian_channels(bars, window=20)),
+    ):
+        plan = _plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "Join" not in plan and "CartesianProduct" not in plan, name
