@@ -2270,3 +2270,96 @@ def q_bars_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return donchian_channels(bars, window=20).select(
         "symbol", "datetime", "bar_id", "dc_upper", "dc_lower", "dc_mid"
     )
+
+
+from marketdatapipeline_spark.operators.indicators import (  # noqa: E402
+    ichimoku,
+    pivot_points,
+)
+
+
+@register_extended(
+    "bars_ichimoku",
+    _bars_sql(
+        """
+        , mids AS (
+            SELECT symbol, datetime, bar_id, close,
+                   CASE WHEN count(*) OVER w9 = 9 THEN
+                       (max(high) OVER w9 + min(low) OVER w9) / 2.0
+                   END AS tenkan_sen,
+                   CASE WHEN count(*) OVER w26 = 26 THEN
+                       (max(high) OVER w26 + min(low) OVER w26) / 2.0
+                   END AS kijun_sen,
+                   CASE WHEN count(*) OVER w52 = 52 THEN
+                       (max(high) OVER w52 + min(low) OVER w52) / 2.0
+                   END AS sb
+            FROM bars
+            WINDOW w9 AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                   w26 AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                           ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+                   w52 AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                           ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+        )
+        SELECT symbol, datetime, bar_id, tenkan_sen, kijun_sen,
+               lag((tenkan_sen + kijun_sen) / 2.0, 26) OVER wl AS senkou_a,
+               lag(sb, 26) OVER wl AS senkou_b,
+               lead(close, 26) OVER wl AS chikou
+        FROM mids
+        WINDOW wl AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        """
+    ),
+)
+def q_bars_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku Kinko Hyo 9/26/52 (operators/indicators.py:ichimoku):
+    five lines from range-midpoint picks and row displacements — all
+    exact deterministic IEEE chains, emitted UNROUNDED. The three
+    range windows and both displacement lags share one (symbol)
+    partitioning: a single exchange."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return ichimoku(bars).select(
+        "symbol", "datetime", "bar_id",
+        "tenkan_sen", "kijun_sen", "senkou_a", "senkou_b", "chikou",
+    )
+
+
+@register_extended(
+    "bars_pivot_points",
+    _bars_sql(
+        """
+        , daily AS (
+            SELECT symbol, date_trunc('day', datetime) AS day,
+                   max(high) AS h, min(low) AS l,
+                   last(close ORDER BY datetime, bar_id) AS c
+            FROM bars GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT symbol, day,
+                   lag(h) OVER w AS ph, lag(l) OVER w AS pl,
+                   lag(c) OVER w AS pc
+            FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+        )
+        SELECT symbol, day, "pivot",
+               2.0 * "pivot" - pl AS r1,
+               2.0 * "pivot" - ph AS s1,
+               "pivot" + (ph - pl) AS r2,
+               "pivot" - (ph - pl) AS s2
+        FROM (
+            SELECT symbol, day, ph, pl,
+                   (ph + pl + pc) / 3.0 AS "pivot"
+            FROM lagged
+        )
+        """
+    ),
+)
+def q_bars_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot levels per (symbol, day) from the
+    previous session's H/L/C (operators/indicators.py:pivot_points):
+    one map-side-combinable day-grain agg (deterministic close via
+    max_by over the full bar order / ORDER BY last in the oracle) +
+    one lag window over the tiny day table. Exact picks and pinned
+    IEEE chains — UNROUNDED."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return pivot_points(bars).select(
+        "symbol", "day", "pivot", "r1", "s1", "r2", "s2"
+    )

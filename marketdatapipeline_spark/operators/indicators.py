@@ -36,6 +36,8 @@ __all__ = [
     "stochastic_oscillator",
     "on_balance_volume",
     "donchian_channels",
+    "ichimoku",
+    "pivot_points",
 ]
 
 _DEC = "decimal(28,14)"
@@ -240,4 +242,100 @@ def donchian_channels(
             "dc_lower": lower,
             "dc_mid": (upper + lower) / F.lit(2.0),
         }
+    )
+
+
+def ichimoku(
+    df: DataFrame,
+    tenkan: int = 9,
+    kijun: int = 26,
+    senkou_b: int = 52,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """Add the five Ichimoku Kinko Hyo lines (standard 9/26/52):
+
+    - ``tenkan_sen``  = midpoint of the ``tenkan``-bar high/low range
+    - ``kijun_sen``   = midpoint of the ``kijun``-bar range
+    - ``senkou_a``    = (tenkan_sen + kijun_sen) / 2, displaced
+      ``kijun`` bars FORWARD (the row shows the cloud edge in force
+      there: the value computed ``kijun`` bars ago)
+    - ``senkou_b``    = midpoint of the ``senkou_b``-bar range,
+      displaced ``kijun`` bars forward
+    - ``chikou``      = close displaced ``kijun`` bars BACKWARD (the
+      row shows the close from ``kijun`` bars ahead; null in the
+      final stretch where no future close exists)
+
+    Every line is range picks + adds + halves + row shifts — exact
+    deterministic IEEE chains, emitted unrounded, null until the
+    underlying frame fills. All six windows share one (symbol)
+    partitioning: a single exchange."""
+    wl = Window.partitionBy(symbol_col).orderBy(*order_cols)
+
+    def mid(n: int) -> Column:
+        w = wl.rowsBetween(-(n - 1), 0)
+        full = F.count(F.lit(1)).over(w) == n
+        return F.when(
+            full, (F.max("high").over(w) + F.min("low").over(w)) / F.lit(2.0)
+        )
+
+    t, k = mid(tenkan), mid(kijun)
+    staged = df.withColumns(
+        {
+            "tenkan_sen": t,
+            "kijun_sen": k,
+            "_sa": (t + k) / F.lit(2.0),
+            "_sb": mid(senkou_b),
+        }
+    )
+    return staged.withColumns(
+        {
+            "senkou_a": F.lag("_sa", kijun).over(wl),
+            "senkou_b": F.lag("_sb", kijun).over(wl),
+            "chikou": F.lead("close", kijun).over(wl),
+        }
+    ).drop("_sa", "_sb")
+
+
+def pivot_points(
+    df: DataFrame,
+    symbol_col: str = "symbol",
+    time_col: str = "datetime",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """Per-(symbol, day) classic floor-trader pivot levels, computed
+    from the PREVIOUS day's high/low/close (the levels a desk quotes
+    before the open — the first day of each symbol has no levels):
+
+    ``P = (H + L + C) / 3``; ``R1 = 2P - L``; ``S1 = 2P - H``;
+    ``R2 = P + (H - L)``; ``S2 = P - (H - L)``.
+
+    One day-grain aggregation (map-side combinable; the daily close is
+    a max_by over the full bar order — deterministic under duplicate
+    timestamps) and one lag window over the tiny per-day table — the
+    day table is ~rows/bars_per_day, so the window exchange moves
+    almost nothing at any scale. All levels are deterministic IEEE
+    chains on exact picks — emitted unrounded."""
+    day = F.date_trunc("day", F.col(time_col)).alias("day")
+    daily = df.groupBy(F.col(symbol_col), day).agg(
+        F.max("high").alias("_h"),
+        F.min("low").alias("_l"),
+        F.max_by(
+            F.col("close"), F.struct(*[F.col(c) for c in order_cols])
+        ).alias("_c"),
+    )
+    w = Window.partitionBy(symbol_col).orderBy("day")
+    prev_h = F.lag("_h").over(w)
+    prev_l = F.lag("_l").over(w)
+    prev_c = F.lag("_c").over(w)
+    p = (prev_h + prev_l + prev_c) / F.lit(3.0)
+    rng = prev_h - prev_l
+    return daily.select(
+        symbol_col,
+        "day",
+        p.alias("pivot"),
+        (F.lit(2.0) * p - prev_l).alias("r1"),
+        (F.lit(2.0) * p - prev_h).alias("s1"),
+        (p + rng).alias("r2"),
+        (p - rng).alias("s2"),
     )

@@ -210,3 +210,85 @@ def test_donchian_random_parity(spark, seed):
         np.testing.assert_array_equal(np.isnan(gv), np.isnan(wv))
         ok = ~np.isnan(gv)
         np.testing.assert_array_equal(gv[ok], wv[ok])
+
+
+@pytest.mark.parametrize("seed", [9, 27])
+def test_ichimoku_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.indicators import ichimoku
+
+    pdf = _random_bars(seed, n_symbols=3)
+    t, k, sb = 4, 7, 11
+    got = (
+        ichimoku(spark.createDataFrame(pdf), tenkan=t, kijun=k, senkou_b=sb)
+        .toPandas()
+        .sort_values("bar_id")
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["symbol", "datetime", "bar_id"]).reset_index(drop=True)
+    g = pdf.groupby("symbol", group_keys=False)
+
+    def mid(n):
+        hh = g["high"].apply(lambda s: s.rolling(n, min_periods=n).max())
+        ll = g["low"].apply(lambda s: s.rolling(n, min_periods=n).min())
+        return (hh + ll) / 2.0
+
+    tn, kj = mid(t), mid(k)
+    frame = pdf.assign(_t=tn, _k=kj, _sa=(tn + kj) / 2.0, _sb=mid(sb))
+    g2 = frame.groupby("symbol", group_keys=False)
+    want = frame.assign(
+        senkou_a=g2["_sa"].apply(lambda s: s.shift(k)),
+        senkou_b=g2["_sb"].apply(lambda s: s.shift(k)),
+        chikou=g2["close"].apply(lambda s: s.shift(-k)),
+    )
+    order = pdf.sort_values("bar_id").index
+    for col, src in (
+        ("tenkan_sen", "_t"), ("kijun_sen", "_k"),
+        ("senkou_a", "senkou_a"), ("senkou_b", "senkou_b"),
+        ("chikou", "chikou"),
+    ):
+        gv = got[col].to_numpy(dtype=float)
+        wv = want[src][order].to_numpy(dtype=float)
+        np.testing.assert_array_equal(
+            np.isnan(gv), np.isnan(wv), err_msg=f"{col} nulls seed={seed}"
+        )
+        ok = ~np.isnan(gv)
+        np.testing.assert_array_equal(gv[ok], wv[ok], err_msg=col)
+
+
+@pytest.mark.parametrize("seed", [15])
+def test_pivot_points_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.indicators import pivot_points
+
+    pdf = _random_bars(seed, n_symbols=3)
+    # spread bars over several days so the lag window is exercised
+    pdf = pdf.assign(
+        datetime=pdf["datetime"] + pd.to_timedelta(pdf["bar_id"] % 5, unit="D")
+    )
+    got = (
+        pivot_points(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["symbol", "day"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["symbol", "datetime", "bar_id"]).reset_index(drop=True)
+    daily = (
+        pdf.assign(day=pdf["datetime"].dt.floor("D"))
+        .groupby(["symbol", "day"], as_index=False)
+        .agg(h=("high", "max"), l=("low", "min"), c=("close", "last"))
+        .sort_values(["symbol", "day"])
+        .reset_index(drop=True)
+    )
+    gd = daily.groupby("symbol", group_keys=False)
+    ph, pl, pc = gd["h"].shift(1), gd["l"].shift(1), gd["c"].shift(1)
+    p = (ph + pl + pc) / 3.0
+    want = daily.assign(
+        pivot=p, r1=2.0 * p - pl, s1=2.0 * p - ph,
+        r2=p + (ph - pl), s2=p - (ph - pl),
+    )
+    assert len(got) == len(want)
+    for col in ("pivot", "r1", "s1", "r2", "s2"):
+        gv = got[col].to_numpy(dtype=float)
+        wv = want[col].to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.isnan(gv), np.isnan(wv))
+        ok = ~np.isnan(gv)
+        np.testing.assert_array_equal(gv[ok], wv[ok], err_msg=col)

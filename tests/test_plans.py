@@ -474,7 +474,9 @@ def test_indicator_wave_single_exchange(spark):
     from marketdatapipeline_spark.operators.indicators import (
         atr,
         donchian_channels,
+        ichimoku,
         on_balance_volume,
+        pivot_points,
         stochastic_oscillator,
     )
     from marketdatapipeline_spark.sources.tables import bars_from_events
@@ -485,7 +487,14 @@ def test_indicator_wave_single_exchange(spark):
         ("stochastic", stochastic_oscillator(bars)),
         ("obv", on_balance_volume(bars)),
         ("donchian", donchian_channels(bars, window=20)),
+        ("ichimoku", ichimoku(bars)),
     ):
         plan = _plan(out)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "Join" not in plan and "CartesianProduct" not in plan, name
+
+    # pivot_points: day-grain agg exchange + the lag window over the
+    # tiny per-day table — two exchanges, the second moving ~rows/day
+    pv = _plan(pivot_points(bars))
+    assert pv.count("Exchange hashpartitioning") == 2, pv
+    assert "Join" not in pv and "CartesianProduct" not in pv
