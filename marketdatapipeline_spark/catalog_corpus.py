@@ -2363,3 +2363,84 @@ def q_bars_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_points(bars).select(
         "symbol", "day", "pivot", "r1", "s1", "r2", "s2"
     )
+
+
+from marketdatapipeline_spark.profiling import validate_rules  # noqa: E402
+
+#: Expectation suite the documents_rule_violations entry runs — one
+#: Python definition; the oracle below mirrors each predicate
+#: token-for-token.
+DOC_RULES = [
+    {"name": "doc_id_not_null", "check": "not_null", "column": "doc_id"},
+    {"name": "doc_id_unique", "check": "unique", "column": "doc_id"},
+    {
+        "name": "n_chars_in_range",
+        "check": "range",
+        "column": "n_chars",
+        "min": 1,
+        "max": 300,
+    },
+    {
+        "name": "lang_allowed",
+        "check": "in_set",
+        "column": "lang",
+        "values": ["en", "es", "fr", "de"],
+    },
+    {
+        "name": "text_starts_ascii",
+        "check": "matches",
+        "column": "text",
+        "pattern": "^[A-Za-z]",
+    },
+    {
+        "name": "n_chars_consistent",
+        "check": "expr",
+        "expr": "n_chars = length(text)",
+    },
+]
+
+
+@register_extended(
+    "documents_rule_violations",
+    """
+    WITH s AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE doc_id IS NULL) AS v0,
+               count(doc_id) - count(DISTINCT doc_id) AS v1,
+               count(*) FILTER (WHERE n_chars IS NOT NULL
+                                AND (n_chars < 1 OR n_chars > 300)) AS v2,
+               count(*) FILTER (WHERE lang IS NOT NULL
+                                AND lang NOT IN ('en','es','fr','de')) AS v3,
+               count(*) FILTER (WHERE text IS NOT NULL
+                                AND NOT regexp_matches(text, '^[A-Za-z]'))
+                   AS v4,
+               count(*) FILTER (WHERE NOT coalesce(n_chars = length(text),
+                                                   FALSE)) AS v5
+        FROM documents
+    )
+    SELECT r.rule, r.check_type, r.column_name, s.n AS n_rows,
+           r.v AS n_violations,
+           CAST(r.v AS DOUBLE) / s.n AS violation_rate,
+           r.v = 0 AS passed
+    FROM s, LATERAL (
+        SELECT * FROM (VALUES
+            ('doc_id_not_null', 'not_null', 'doc_id', s.v0),
+            ('doc_id_unique', 'unique', 'doc_id', s.v1),
+            ('n_chars_in_range', 'range', 'n_chars', s.v2),
+            ('lang_allowed', 'in_set', 'lang', s.v3),
+            ('text_starts_ascii', 'matches', 'text', s.v4),
+            ('n_chars_consistent', 'expr', CAST(NULL AS VARCHAR), s.v5)
+        ) AS t(rule, check_type, column_name, v)
+    ) r
+    """,
+)
+def q_documents_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation-suite validation over ``documents``
+    (profiling.py:validate_rules): six rules — null/unique/range/
+    set-membership/regex/row-expression — ALL evaluated in one
+    aggregation pass (map-side combinable counters + exact distinct),
+    then unpivoted JVM-side. ``violation_rate`` divides exact
+    integers — UNROUNDED. The oracle replays every predicate in
+    DuckDB and unpivots via VALUES."""
+    docs = _docs(spark, sf_dir)
+    return validate_rules(docs, DOC_RULES)

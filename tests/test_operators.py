@@ -1405,3 +1405,70 @@ def test_drawdown_summary_vs_pandas(spark):
     # trough ties at every row (all drawdown 0): earliest wins
     assert b["trough_ts"] == base
     assert b["peak_ts"] == base and b["peak_value"] == 50.0
+
+
+def test_validate_rules_semantics(spark):
+    """Planted-violation frame: every check kind counts exactly the
+    rows planted to violate it, in one aggregation pass."""
+    import pandas as pd
+
+    from marketdatapipeline_spark.profiling import validate_rules
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 2, 3, None],
+            "score": [0.5, 1.5, -0.5, 0.7, 0.9],
+            "grade": ["a", "b", "z", "a", "b"],
+            "name": ["alpha", "Beta", "9bad", "gamma", "delta"],
+            "n": [5, 4, 4, 5, 5],
+            "s": ["abcde", "abcd", "abcd", "abcde", "abc"],
+        }
+    )
+    rules = [
+        {"name": "id_not_null", "check": "not_null", "column": "id"},
+        {"name": "id_unique", "check": "unique", "column": "id"},
+        {"name": "score_01", "check": "range", "column": "score",
+         "min": 0.0, "max": 1.0},
+        {"name": "score_min_only", "check": "range", "column": "score",
+         "min": 0.0},
+        {"name": "grade_ab", "check": "in_set", "column": "grade",
+         "values": ["a", "b"]},
+        {"name": "name_alpha", "check": "matches", "column": "name",
+         "pattern": "^[A-Za-z]"},
+        {"name": "len_match", "check": "expr", "expr": "n = length(s)"},
+    ]
+    out = {
+        r["rule"]: r
+        for r in validate_rules(spark.createDataFrame(pdf), rules).collect()
+    }
+    assert len(out) == len(rules)
+    want = {
+        "id_not_null": 1,     # the None id
+        "id_unique": 1,       # one extra occurrence of id=2
+        "score_01": 2,        # 1.5 and -0.5
+        "score_min_only": 1,  # -0.5
+        "grade_ab": 1,        # z
+        "name_alpha": 1,      # 9bad
+        "len_match": 1,       # abc has length 3, n=5
+    }
+    for rule, v in want.items():
+        row = out[rule]
+        assert row["n_rows"] == 5
+        assert row["n_violations"] == v, rule
+        assert row["passed"] == (v == 0)
+        assert row["violation_rate"] == v / 5.0
+    assert out["len_match"]["column_name"] is None
+    assert out["id_unique"]["check_type"] == "unique"
+
+
+def test_validate_rules_rejects_bad_rules(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from marketdatapipeline_spark.profiling import validate_rules
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with _pt.raises(ValueError, match="unknown check kind"):
+        validate_rules(df, [{"name": "r", "check": "nope", "column": "x"}])
+    with _pt.raises(ValueError, match="needs min and/or max"):
+        validate_rules(df, [{"name": "r", "check": "range", "column": "x"}])
