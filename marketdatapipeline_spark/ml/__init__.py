@@ -21,13 +21,14 @@ from marketdatapipeline_spark.ml.preparation import (
     prepare_dataset,
 )
 from marketdatapipeline_spark.ml.training import save_model, train_model
-from marketdatapipeline_spark.ml.validation import cross_validate
+from marketdatapipeline_spark.ml.validation import cross_validate, grid_search
 
 __all__ = [
     "assign_time_segments",
     "chronological_split",
     "walk_forward_folds",
     "cross_validate",
+    "grid_search",
     "classification_metrics",
     "classification_report_dict",
     "confusion_matrix",

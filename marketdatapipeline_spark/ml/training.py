@@ -149,10 +149,15 @@ def train_model(
                 objective="reg:squarederror", eval_metric="rmse", **params
             )
     else:
+        # reg_lambda is XGBoost's L2 term (its default is also 1.0 and
+        # it is absent from DEFAULT_HYPERPARAMETERS), so the fallback
+        # honors the one regularization knob both families share —
+        # default-path fits stay bit-identical
+        l2 = float(params.get("reg_lambda", 1.0))
         model = (
-            NumpyLogisticModel()
+            NumpyLogisticModel(l2=l2)
             if model_type == "classification"
-            else NumpyRidgeModel()
+            else NumpyRidgeModel(l2=l2)
         )
     model.fit(X_train, y_train)
     if save_path:

@@ -36,7 +36,7 @@ from marketdatapipeline_spark.ml.preparation import (
 from marketdatapipeline_spark.ml.prediction import predict
 from marketdatapipeline_spark.ml.training import train_model
 
-__all__ = ["cross_validate"]
+__all__ = ["cross_validate", "grid_search"]
 
 #: metrics averaged into the aggregate block, per model type
 _CLS_METRICS = ("accuracy", "precision", "recall", "f1")
@@ -132,3 +132,89 @@ def cross_validate(
         k: sum(f[k] for f in folds) / len(folds) for k in agg_names
     }
     return {"folds": folds, "aggregate": aggregate}
+
+
+def grid_search(
+    df: DataFrame,
+    param_grid: dict[str, list] | list[dict],
+    n_folds: int = 3,
+    feature_cols: list[str] | None = None,
+    target_col: str = "target",
+    model_type: str = "classification",
+    selection_metric: str | None = None,
+    order_cols: tuple[str, ...] = ("datetime",),
+) -> dict:
+    """Hyperparameter selection over walk-forward CV: run
+    :func:`cross_validate` for every candidate and pick the best
+    aggregate ``selection_metric`` (default: ``f1`` for
+    classification — threshold-honest, unlike accuracy on skewed
+    targets — and ``rmse`` for regression, minimized).
+
+    ``param_grid`` is either a mapping of hyperparameter name →
+    candidate values (the full cartesian product is swept) or an
+    explicit list of hyperparameter dicts. Returns ``{"best_params",
+    "best_score", "results"}``, where ``results`` carries each
+    candidate's params and full CV report in sweep order.
+
+    Scale notes: the candidates share nothing mutable, and each CV
+    already persists its segment assignment once — the sweep costs
+    ``len(grid) * n_folds`` fold fits. The driver-side loop is over
+    CANDIDATES (a handful), never over rows; at cluster scale the
+    per-fold scoring and metric aggregation inside each
+    ``cross_validate`` stay fully distributed.
+    """
+    if isinstance(param_grid, dict):
+        if not param_grid:
+            raise ValueError("param_grid must name at least one parameter")
+        keys = list(param_grid)
+        combos: list[dict] = [{}]
+        for k in keys:
+            vals = list(param_grid[k])
+            if not vals:
+                raise ValueError(f"parameter {k!r} has no candidate values")
+            combos = [{**c, k: v} for c in combos for v in vals]
+    else:
+        combos = [dict(c) for c in param_grid]
+        if not combos:
+            raise ValueError("param_grid must contain at least one candidate")
+
+    is_cls = model_type == "classification"
+    metric = selection_metric or ("f1" if is_cls else "rmse")
+    # a metric is "higher is better" unless it is an error magnitude
+    minimize = metric in ("mse", "rmse", "mae")
+
+    results = []
+    for params in combos:
+        report = cross_validate(
+            df,
+            n_folds=n_folds,
+            feature_cols=feature_cols,
+            target_col=target_col,
+            model_type=model_type,
+            hyperparameters=params,
+            order_cols=order_cols,
+        )
+        if metric not in report["aggregate"]:
+            raise ValueError(
+                f"selection metric {metric!r} not produced by "
+                f"{model_type} CV (have {sorted(report['aggregate'])})"
+            )
+        results.append(
+            {
+                "params": params,
+                "score": float(report["aggregate"][metric]),
+                "cv": report,
+            }
+        )
+    # strict comparisons: ties break to the EARLIEST candidate, so a
+    # sweep is reproducible when several candidates score identically
+    best = results[0]
+    for r in results[1:]:
+        if (r["score"] < best["score"]) if minimize else (r["score"] > best["score"]):
+            best = r
+    return {
+        "best_params": best["params"],
+        "best_score": best["score"],
+        "selection_metric": metric,
+        "results": results,
+    }

@@ -367,3 +367,79 @@ def test_cross_validate_regression_and_validation_errors(spark, featured):
         cross_validate(featured, n_folds=0)
     with pytest.raises(ValueError, match="model type"):
         cross_validate(featured, n_folds=2, model_type="ranking")
+
+
+def test_grid_search_selects_best_candidate(spark, featured):
+    """grid_search == running cross_validate per candidate and picking
+    the best aggregate metric; ties and ordering are deterministic."""
+    from marketdatapipeline_spark.features.targets import generate_targets
+    from marketdatapipeline_spark.ml.validation import cross_validate, grid_search
+
+    reg = generate_targets(
+        featured.drop("target"), horizon=1, target_type="regression"
+    )
+    grid = {"reg_lambda": [0.1, 10.0]}
+    res = grid_search(
+        reg,
+        grid,
+        n_folds=2,
+        model_type="regression",
+    )
+    assert res["selection_metric"] == "rmse"
+    assert len(res["results"]) == 2
+    assert [r["params"] for r in res["results"]] == [
+        {"reg_lambda": 0.1},
+        {"reg_lambda": 10.0},
+    ]
+    # hand-run each candidate: scores must match, and the pick must be
+    # the minimizing one (earliest on a tie)
+    scores = []
+    for lam in (0.1, 10.0):
+        rep = cross_validate(
+            reg,
+            n_folds=2,
+            model_type="regression",
+            hyperparameters={"reg_lambda": lam},
+        )
+        scores.append(rep["aggregate"]["rmse"])
+    for got, want in zip(res["results"], scores):
+        assert got["score"] == pytest.approx(want, abs=1e-12)
+    best_idx = min(range(2), key=lambda i: scores[i])
+    assert res["best_params"] == {"reg_lambda": [0.1, 10.0][best_idx]}
+    assert res["best_score"] == pytest.approx(scores[best_idx], abs=1e-12)
+    # the two candidates must actually fit differently (the fallback
+    # honors reg_lambda), otherwise this sweep tests nothing
+    assert scores[0] != scores[1]
+
+
+def test_grid_search_cartesian_and_errors(spark, featured):
+    from marketdatapipeline_spark.features.targets import generate_targets
+    from marketdatapipeline_spark.ml.validation import grid_search
+
+    with pytest.raises(ValueError, match="at least one parameter"):
+        grid_search(featured, {}, n_folds=1)
+    with pytest.raises(ValueError, match="no candidate values"):
+        grid_search(featured, {"reg_lambda": []}, n_folds=1)
+    with pytest.raises(ValueError, match="at least one candidate"):
+        grid_search(featured, [], n_folds=1)
+    with pytest.raises(ValueError, match="not produced"):
+        grid_search(
+            generate_targets(
+                featured.drop("target"), horizon=1, target_type="regression"
+            ),
+            {"reg_lambda": [1.0]},
+            n_folds=1,
+            model_type="regression",
+            selection_metric="f1",
+        )
+    # explicit candidate list + cartesian expansion ordering
+    res = grid_search(
+        featured,
+        {"reg_lambda": [1.0], "max_depth": [3, 5]},
+        n_folds=1,
+        model_type="classification",
+    )
+    assert [r["params"] for r in res["results"]] == [
+        {"reg_lambda": 1.0, "max_depth": 3},
+        {"reg_lambda": 1.0, "max_depth": 5},
+    ]
