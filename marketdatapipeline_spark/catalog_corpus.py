@@ -2444,3 +2444,55 @@ def q_documents_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB and unpivots via VALUES."""
     docs = _docs(spark, sf_dir)
     return validate_rules(docs, DOC_RULES)
+
+
+from marketdatapipeline_spark.textops.corpus import unigram_perplexity  # noqa: E402
+
+
+@register_extended(
+    "corpus_unigram_perplexity",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, {_H_SQL.format(x="w")} AS term_hash,
+               count(*) AS tf
+        FROM w WHERE w <> '' GROUP BY doc_id, {_H_SQL.format(x="w")}
+    ),
+    vc AS (
+        SELECT term_hash, CAST(sum(tf) AS BIGINT) AS cw
+        FROM tf GROUP BY term_hash
+    ),
+    tot AS (
+        SELECT CAST(sum(cw) AS BIGINT) AS n, count(*) AS v FROM vc
+    ),
+    term AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(tf.tf * ln((vc.cw + 1.0) / (tot.n + 1.0 * tot.v))
+                    AS DECIMAL(28,14)) AS t
+        FROM tf JOIN vc USING (term_hash) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(-(CAST(sum(t) AS DOUBLE)) / sum(tf), 6) + 0.0
+               AS mean_neg_logprob,
+           round(exp(-(CAST(sum(t) AS DOUBLE)) / sum(tf)), 6) + 0.0
+               AS perplexity
+    FROM term GROUP BY doc_id
+    """,
+)
+def q_corpus_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a self-trained add-1 unigram LM
+    (textops/corpus.py:unigram_perplexity) — the CCNet-style fluency
+    screen. Hashed vocabulary (bigints in every shuffle), broadcast
+    corpus totals, decimal(28,14) log-prob sums; ln/exp are the libm
+    boundaries, round-6."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = unigram_perplexity(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        _r6(F.col("mean_neg_logprob")).alias("mean_neg_logprob"),
+        _r6(F.col("perplexity")).alias("perplexity"),
+    )

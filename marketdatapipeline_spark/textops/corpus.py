@@ -53,6 +53,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "tfidf_top_terms",
     "top_bigram_stats",
+    "unigram_perplexity",
 ]
 
 
@@ -866,4 +867,72 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term_hash", "tf", "score")
+    )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, n_tokens, mean_neg_logprob, perplexity): per-document
+    perplexity under an add-``smoothing`` unigram language model
+    trained on the SAME corpus — the KenLM-style fluency/quality
+    screen (gibberish and boilerplate-dense documents score far from
+    the corpus mode; CCNet filters on exactly this signal, with a
+    bigger LM).
+
+    ``p(w) = (c_w + a) / (N + a·V)`` over the corpus counts;
+    ``perplexity = exp(-Σ tf·ln p(w) / n_tokens)``. Documents with no
+    tokens are absent from the output (a perplexity over zero tokens
+    is undefined).
+
+    Plan shape: one explode to (id, term_hash) with words hashed to
+    bigints inside the projection (term strings never shuffle), one
+    (id, hash) tf aggregation, one hash-keyed vocabulary count joined
+    back (bigint equi-join), the two corpus totals broadcast as one
+    row, one per-doc aggregation. Per-term ``tf·ln p`` goes through
+    decimal(28,14) sums (association-free; ln/exp are the libm
+    boundaries, ~1-ulp → far below round-6)."""
+    words = df.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("_w")
+    ).filter(F.col("_w") != "")
+    tf = (
+        words.select(F.col(id_col), md5_int(F.col("_w")).alias("term_hash"))
+        .groupBy(id_col, "term_hash")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term_hash").agg(
+        F.sum("tf").cast("long").alias("_cw")
+    )
+    totals = vocab.agg(
+        F.sum("_cw").cast("long").alias("_n"),
+        F.count("*").alias("_v"),
+    )
+    a = F.lit(float(smoothing))
+    term = (
+        tf.join(vocab, "term_hash")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (
+                F.col("tf")
+                * F.log((F.col("_cw") + a) / (F.col("_n") + a * F.col("_v")))
+            )
+            .cast("decimal(28,14)")
+            .alias("_t"),
+        )
+    )
+    g = term.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum("_t").alias("_s"),
+    )
+    m = (-(F.col("_s").cast("double"))) / F.col("n_tokens")
+    return g.select(
+        id_col,
+        "n_tokens",
+        m.alias("mean_neg_logprob"),
+        F.exp(m).alias("perplexity"),
     )

@@ -477,3 +477,32 @@ def test_tfidf_top_terms_vs_hand_computation(spark):
     assert d3[1]["tf"] == 1 and d3[1]["score"] == pytest.approx(idf(3))
     with pytest.raises(ValueError, match="k must"):
         tfidf_top_terms(df, k=0)
+
+
+def test_unigram_perplexity_hand_computed(spark):
+    """3-doc corpus small enough to hand-evaluate the add-1 LM."""
+    import math
+
+    from marketdatapipeline_spark.textops.corpus import unigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_perplexity(docs).collect()}
+    # corpus counts: a=3, b=2, c=1; N=6, V=3 -> p(w) = (c+1)/9
+    p = {"a": 4 / 9, "b": 3 / 9, "c": 2 / 9}
+
+    def ppl(words):
+        m = -sum(math.log(p[w]) for w in words) / len(words)
+        return m, math.exp(m)
+
+    assert set(out) == {1, 2}  # the empty doc is absent
+    for doc_id, words in ((1, ["a", "a", "b"]), (2, ["a", "b", "c"])):
+        row = out[doc_id]
+        assert row["n_tokens"] == 3
+        m, x = ppl(words)
+        assert row["mean_neg_logprob"] == pytest.approx(m, rel=1e-12)
+        assert row["perplexity"] == pytest.approx(x, rel=1e-12)
+    # doc 1 repeats the modal token -> lower perplexity than doc 2
+    assert out[1]["perplexity"] < out[2]["perplexity"]
