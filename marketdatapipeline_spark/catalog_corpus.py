@@ -2496,3 +2496,111 @@ def q_corpus_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mean_neg_logprob")).alias("mean_neg_logprob"),
         _r6(F.col("perplexity")).alias("perplexity"),
     )
+
+
+from marketdatapipeline_spark.operators.liquidity import roll_spread  # noqa: E402
+from marketdatapipeline_spark.operators.seasonality import (  # noqa: E402
+    seasonality_profile,
+)
+
+
+@register_extended(
+    "bars_roll_spread",
+    _bars_sql(
+        """
+        , d1 AS (
+            SELECT symbol, datetime, bar_id,
+                   close - lag(close) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS dp
+            FROM bars
+        ),
+        d2 AS (
+            SELECT symbol, dp,
+                   lag(dp) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS dq
+            FROM d1
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(dp AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+                   CAST(sum(CAST(dq AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+                   CAST(sum(CAST(dp * dq AS DECIMAL(38,18))) AS DOUBLE)
+                       AS spq
+            FROM d2 WHERE dp IS NOT NULL AND dq IS NOT NULL
+            GROUP BY symbol
+        )
+        SELECT symbol, n_obs,
+               round(cov, 6) + 0.0 AS serial_cov,
+               CASE WHEN n_obs >= 10 AND cov < 0 THEN
+                   round(2.0 * sqrt(-(cov)), 6) + 0.0
+               END AS spread
+        FROM (
+            SELECT symbol, n_obs,
+                   (spq - sp * sq / CAST(n_obs AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) - 1) AS cov
+            FROM g
+        )
+        """
+    ),
+)
+def q_bars_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread from the serial covariance
+    of price changes (operators/liquidity.py:roll_spread): two chained
+    lags on one symbol exchange, decimal(38,18) power sums, spread
+    null when the covariance is non-negative (no bounce signal)."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = roll_spread(bars)
+    return out.select(
+        "symbol", "n_obs",
+        _r6(F.col("serial_cov")).alias("serial_cov"),
+        _r6(F.col("spread")).alias("spread"),
+    )
+
+
+@register_extended(
+    "bars_seasonality_profile",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, hour(datetime) AS bucket,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, bucket, count(*) AS n_obs,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s2
+            FROM r WHERE ret IS NOT NULL
+            GROUP BY symbol, bucket
+        )
+        SELECT symbol, bucket, n_obs,
+               round(s1 / CAST(n_obs AS DOUBLE), 6) + 0.0 AS mean_return,
+               CASE WHEN n_obs >= 2 AND vs >= 0 THEN
+                   round(sqrt(vs), 6) + 0.0
+               END AS std_return
+        FROM (
+            SELECT symbol, bucket, n_obs, s1, s2,
+                   (s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) - 1) AS vs
+            FROM g
+        )
+        """
+    ),
+)
+def q_bars_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day return seasonality per symbol
+    (operators/seasonality.py): the intraday U-shape diagnostic — one
+    symbol window for returns, one (symbol, hour) power-sum agg to
+    symbols x 24 rows. Zero-variance guard mirrors bars_realized_moments
+    (ADVICE r7)."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = seasonality_profile(bars, bucket="hour")
+    return out.select(
+        "symbol", "bucket", "n_obs",
+        _r6(F.col("mean_return")).alias("mean_return"),
+        _r6(F.col("std_return")).alias("std_return"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["amihud_illiquidity", "kyle_lambda", "tick_rule_flow"]
+__all__ = ["amihud_illiquidity", "kyle_lambda", "roll_spread", "tick_rule_flow"]
 
 _DEC = "decimal(38,18)"
 
@@ -210,4 +210,58 @@ def kyle_lambda(
         F.when(
             (F.col("n_obs") >= min_obs) & (var_sv > 0), cov / var_sv
         ).alias("lam"),
+    )
+
+
+def roll_spread(
+    df: DataFrame,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    min_obs: int = 10,
+) -> DataFrame:
+    """(symbol, n_obs, serial_cov, spread): Roll's (1984) implied
+    effective spread — ``2 * sqrt(-cov(dp_t, dp_{t-1}))`` from the
+    first-order serial covariance of price changes (bid-ask bounce
+    makes adjacent changes negatively correlated; the magnitude IS
+    the spread). Null when the covariance is non-negative (trending
+    samples carry no bounce signal — the paper's own caveat) or when
+    fewer than ``min_obs`` change pairs exist.
+
+    Plan: one symbol window (price change + its lag — two chained
+    lags sharing the exchange), one map-side-combinable aggregation
+    of decimal(38,18) power sums, the sample-covariance assembly in
+    identically-ordered double arithmetic."""
+    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    dp = F.col(price_col) - F.lag(F.col(price_col)).over(w)
+    staged = df.select(
+        F.col(symbol_col),
+        *[F.col(c) for c in order_cols],
+        dp.alias("_dp"),
+    )
+    prev = F.lag(F.col("_dp")).over(w)
+    pairs = staged.select(
+        F.col(symbol_col),
+        F.col("_dp"),
+        prev.alias("_dq"),
+    ).filter(F.col("_dp").isNotNull() & F.col("_dq").isNotNull())
+    g = pairs.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_dp").cast(_DEC)).cast("double").alias("_sp"),
+        F.sum(F.col("_dq").cast(_DEC)).cast("double").alias("_sq"),
+        F.sum((F.col("_dp") * F.col("_dq")).cast(_DEC))
+        .cast("double")
+        .alias("_spq"),
+    )
+    n = F.col("n_obs").cast("double")
+    # sample covariance via the co-moment identity, ddof=1
+    cov = (F.col("_spq") - F.col("_sp") * F.col("_sq") / n) / (n - 1)
+    return g.select(
+        symbol_col,
+        "n_obs",
+        cov.alias("serial_cov"),
+        F.when(
+            (F.col("n_obs") >= min_obs) & (cov < 0),
+            F.lit(2.0) * F.sqrt(-cov),
+        ).alias("spread"),
     )

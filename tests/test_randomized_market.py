@@ -306,3 +306,110 @@ def test_pair_spread_zscore_random_parity(spark, seed):
         np.testing.assert_array_equal(np.isnan(g), np.isnan(wv))
         ok = ~np.isnan(g)
         np.testing.assert_allclose(g[ok], wv[ok], rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [13, 31])
+def test_roll_spread_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.liquidity import roll_spread
+
+    pdf = _random_bars(seed, n_symbols=5)
+    got = {
+        r["symbol"]: r
+        for r in roll_spread(
+            spark.createDataFrame(pdf), min_obs=3
+        ).collect()
+    }
+    for sym, grp in pdf.sort_values(
+        ["symbol", "datetime", "bar_id"]
+    ).groupby("symbol"):
+        dp = grp["close"].diff().dropna().to_numpy()
+        pairs = np.column_stack([dp[1:], dp[:-1]])
+        row = got.get(sym)
+        if len(pairs) == 0:
+            assert row is None or row["n_obs"] == 0
+            continue
+        assert row["n_obs"] == len(pairs)
+        cov = float(np.cov(pairs[:, 0], pairs[:, 1], ddof=1)[0, 1])
+        assert row["serial_cov"] == pytest.approx(cov, rel=1e-9, abs=1e-15)
+        if len(pairs) >= 3 and cov < 0:
+            assert row["spread"] == pytest.approx(
+                2.0 * np.sqrt(-cov), rel=1e-9
+            )
+        else:
+            assert row["spread"] is None
+
+
+def test_roll_spread_trending_series_is_null(spark):
+    """A monotone trend has positive serial covariance -> null spread."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.operators.liquidity import roll_spread
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["T"] * 30,
+            "datetime": [base + dt.timedelta(minutes=i) for i in range(30)],
+            "bar_id": range(30),
+            "close": [100.0 + i * i * 0.01 for i in range(30)],
+        }
+    )
+    row = roll_spread(spark.createDataFrame(pdf)).collect()[0]
+    assert row["serial_cov"] > 0 and row["spread"] is None
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_seasonality_profile_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.seasonality import (
+        seasonality_profile,
+    )
+
+    pdf = _random_bars(seed, n_symbols=4)
+    # spread timestamps across hours so buckets are non-trivial
+    pdf = pdf.assign(
+        datetime=pdf["datetime"]
+        + pd.to_timedelta((pdf["bar_id"] * 37) % 7, unit="h")
+    )
+    got = (
+        seasonality_profile(spark.createDataFrame(pdf), bucket="hour")
+        .toPandas()
+        .sort_values(["symbol", "bucket"])
+        .reset_index(drop=True)
+    )
+    sp = pdf.sort_values(["symbol", "datetime", "bar_id"])
+    sp = sp.assign(
+        ret=sp.groupby("symbol")["close"].pct_change(),
+        bucket=sp["datetime"].dt.hour,
+    ).dropna(subset=["ret"])
+    want = (
+        sp.groupby(["symbol", "bucket"], as_index=False)
+        .agg(
+            n_obs=("ret", "size"),
+            mean_return=("ret", "mean"),
+            std_return=("ret", lambda x: x.std(ddof=1)),
+        )
+        .sort_values(["symbol", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["n_obs"].to_numpy(), want["n_obs"].to_numpy())
+    np.testing.assert_allclose(
+        got["mean_return"].to_numpy(dtype=float),
+        want["mean_return"].to_numpy(dtype=float),
+        rtol=1e-9, atol=1e-15,
+    )
+    gs = got["std_return"].to_numpy(dtype=float)
+    ws = want["std_return"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.isnan(gs), np.isnan(ws))
+    ok = ~np.isnan(gs)
+    np.testing.assert_allclose(gs[ok], ws[ok], rtol=1e-7)
+
+
+def test_seasonality_profile_rejects_unknown_bucket(spark):
+    from marketdatapipeline_spark.operators.seasonality import (
+        seasonality_profile,
+    )
+
+    pdf = _random_bars(3, n_symbols=1)
+    with pytest.raises(ValueError, match="unknown bucket kind"):
+        seasonality_profile(spark.createDataFrame(pdf), bucket="fortnight")
