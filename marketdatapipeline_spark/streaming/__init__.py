@@ -31,6 +31,10 @@ from marketdatapipeline_spark.streaming.sessions import (
     sessionize_batch,
     sessionize_stream,
 )
+from marketdatapipeline_spark.streaming.atr import (
+    online_atr,
+    online_atr_batch,
+)
 from marketdatapipeline_spark.streaming.stateful import (
     online_indicators,
     online_indicators_batch,
@@ -53,6 +57,8 @@ __all__ = [
     "bars_from_ticks_batch",
     "dedup_stream",
     "dedup_batch",
+    "online_atr",
+    "online_atr_batch",
     "online_indicators",
     "online_indicators_batch",
     "online_ticks",

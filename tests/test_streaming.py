@@ -750,3 +750,59 @@ def test_kafka_shaped_stream_end_to_end(spark, bars_pdf, tmp_path):
     for col in ("rsi", "macd", "macd_signal", "macd_histogram"):
         a, b = got[col].to_numpy(), want[col].to_numpy()
         assert ((a == b) | (pd.isna(a) & pd.isna(b))).all(), col
+
+
+def test_online_atr_stream_matches_batch_twin(spark, bars_df, tick_dir):
+    """Stream and batch twin share _scan_hlc verbatim: bit-identical
+    on the same tick feed (price-only shape: tr = |p - prev_p|)."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.streaming import online_atr, online_atr_batch
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_atr(ticks_stream, window=7), "online_atr"
+    ).toPandas()
+
+    ticks = (
+        spark.read.schema(TICK_SCHEMA)
+        .parquet(tick_dir)
+        .select("symbol", "ts", F.col("price").alias("close"))
+    )
+    want = online_atr_batch(ticks, window=7, order_cols=("ts",)).toPandas()
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # price-only feed: the true range is the absolute tick-to-tick move
+    assert (got.groupby("symbol").head(1)["tr"] == 0.0).all()
+
+
+def test_online_atr_batch_twin_matches_blocked_ewm(spark, bars_df):
+    """The sequential recurrence == the blocked-EWM batch operator
+    (operators/indicators.py atr method='wilder') to FP-association
+    tolerance — the stream's answer is the batch answer."""
+    from marketdatapipeline_spark.operators.indicators import atr
+    from marketdatapipeline_spark.streaming import online_atr_batch
+
+    n = 9
+    key = ["symbol", "datetime"]
+    twin = (
+        online_atr_batch(bars_df, window=n, order_cols=("datetime",))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    blocked = (
+        atr(bars_df, window=n, method="wilder", block_size=64,
+            order_cols=("datetime",))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(twin) == len(blocked) > 0
+    g = twin["atr"].to_numpy(dtype=float)
+    w = blocked["atr"].to_numpy(dtype=float)
+    assert (abs(g - w) <= 1e-9 * abs(w)).all()
