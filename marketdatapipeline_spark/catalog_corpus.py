@@ -2604,3 +2604,55 @@ def q_bars_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mean_return")).alias("mean_return"),
         _r6(F.col("std_return")).alias("std_return"),
     )
+
+
+from marketdatapipeline_spark.operators.volume_bars import volume_bars  # noqa: E402
+
+
+@register_extended(
+    "bars_volume_clock",
+    _bars_sql(
+        """
+        , cum AS (
+            SELECT symbol, datetime, open, high, low, close, volume,
+                   sum(volume) OVER w - volume AS start_cum,
+                   row_number() OVER w AS rn
+            FROM bars
+            WINDOW w AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT symbol,
+               CAST(floor(start_cum / 50000.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_bars,
+               arg_min(open, rn) AS open,
+               max(high) AS high,
+               min(low) AS low,
+               arg_max(close, rn) AS close,
+               sum(volume) AS bar_volume,
+               min(datetime) AS start_ts,
+               max(datetime) AS end_ts,
+               round(CAST(sum(CAST(close * volume AS DECIMAL(38,18)))
+                          AS DOUBLE) / sum(volume), 6) + 0.0 AS vwap
+        FROM cum
+        GROUP BY symbol, CAST(floor(start_cum / 50000.0) AS BIGINT)
+        """
+    ),
+)
+def q_bars_volume_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars (operators/volume_bars.py): resample each symbol
+    onto a 50k-share volume clock — the activity-clocked sampling ML
+    pipelines prefer over time bars. One window exchange for the
+    running volume (integer-valued, so every prefix sum is exact in
+    any association order and bucket boundaries are engine-
+    independent), one map-side-combinable (symbol, bucket) agg;
+    OHLC picked by min_by/max_by on the in-bucket row number, VWAP
+    decimal-summed, round-6 only at the final division."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = volume_bars(bars, bucket_size=50_000.0, mode="volume")
+    return out.select(
+        "symbol", "bucket", "n_bars", "open", "high", "low", "close",
+        "bar_volume", "start_ts", "end_ts",
+        _r6(F.col("vwap")).alias("vwap"),
+    )

@@ -33,6 +33,8 @@ of DataFrame primitives (never driver loops, never cross products):
   z-score for one symbol pair;
 - :func:`portfolio_returns` — weighted portfolio return per aligned
   bar index (broadcast weights, renormalized over present symbols);
+- :func:`volume_bars` — activity-clocked resampling onto volume or
+  dollar buckets (exact cumulative-clock bucket assignment);
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
@@ -67,6 +69,7 @@ from marketdatapipeline_spark.operators.rollup import rollup_bars
 from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
 from marketdatapipeline_spark.operators.portfolio import portfolio_returns
 from marketdatapipeline_spark.operators.variance_ratio import variance_ratio
+from marketdatapipeline_spark.operators.volume_bars import volume_bars
 from marketdatapipeline_spark.operators.vwap import anchored_twap, anchored_vwap
 from marketdatapipeline_spark.operators.salting import (
     salted_collect_list,
@@ -83,6 +86,7 @@ __all__ = [
     "pair_spread_zscore",
     "portfolio_returns",
     "variance_ratio",
+    "volume_bars",
     "asof_join",
     "candlestick_census",
     "candlestick_flags",

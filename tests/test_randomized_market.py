@@ -413,3 +413,80 @@ def test_seasonality_profile_rejects_unknown_bucket(spark):
     pdf = _random_bars(3, n_symbols=1)
     with pytest.raises(ValueError, match="unknown bucket kind"):
         seasonality_profile(spark.createDataFrame(pdf), bucket="fortnight")
+
+
+def _vb_pandas(pdf: pd.DataFrame, bucket_size: float, mode: str) -> pd.DataFrame:
+    """Independent pandas re-statement of the volume-clock definition."""
+    out = []
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        clock = (
+            g["volume"] if mode == "volume" else g["close"] * g["volume"]
+        ).to_numpy(dtype=float)
+        start_cum = np.cumsum(clock) - clock
+        bucket = np.floor(start_cum / bucket_size).astype(np.int64)
+        for b in np.unique(bucket):
+            rows = g[bucket == b]
+            pv = (rows["close"] * rows["volume"]).sum()
+            out.append(
+                {
+                    "symbol": sym,
+                    "bucket": int(b),
+                    "n_bars": len(rows),
+                    "open": rows["open"].iloc[0],
+                    "high": rows["high"].max(),
+                    "low": rows["low"].min(),
+                    "close": rows["close"].iloc[-1],
+                    "bar_volume": rows["volume"].sum(),
+                    "vwap": pv / rows["volume"].sum(),
+                }
+            )
+    return pd.DataFrame(out).sort_values(["symbol", "bucket"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed,mode", [(5, "volume"), (17, "dollar")])
+def test_volume_bars_random_parity(spark, seed, mode):
+    from marketdatapipeline_spark.operators.volume_bars import volume_bars
+
+    rng = np.random.RandomState(seed)
+    pdf = _random_bars(seed)
+    pdf["volume"] = rng.randint(1, 500, size=len(pdf)).astype(float)
+    bucket = 400.0 if mode == "volume" else 40_000.0
+    got = (
+        volume_bars(spark.createDataFrame(pdf), bucket_size=bucket, mode=mode)
+        .toPandas()
+        .sort_values(["symbol", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = _vb_pandas(pdf, bucket, mode)
+    assert len(got) == len(want) > 0
+    for col in ("bucket", "n_bars"):
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy())
+    for col in ("open", "high", "low", "close", "bar_volume"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy(dtype=float), want[col].to_numpy(dtype=float)
+        )
+    np.testing.assert_allclose(
+        got["vwap"].to_numpy(dtype=float),
+        want["vwap"].to_numpy(dtype=float),
+        rtol=1e-12,
+    )
+    # every bucket but each symbol's last must have reached the clock
+    last = got.groupby("symbol")["bucket"].transform("max")
+    full = got[got["bucket"] < last]
+    if mode == "volume" and len(full):
+        # a bucket closes only once its START passed the boundary, so
+        # total >= bucket_size - (max single-row volume) is not a
+        # guarantee; the structural invariant is monotone contiguity
+        for _, g in got.groupby("symbol"):
+            b = g["bucket"].to_numpy()
+            assert (np.diff(np.sort(b)) >= 1).all() or len(b) == 1
+
+
+def test_volume_bars_rejects_unknown_mode(spark):
+    from marketdatapipeline_spark.operators.volume_bars import volume_bars
+
+    pdf = _random_bars(1, n_symbols=1)
+    pdf["volume"] = 1.0
+    with pytest.raises(ValueError, match="mode must be"):
+        volume_bars(spark.createDataFrame(pdf), bucket_size=10.0, mode="tick")
