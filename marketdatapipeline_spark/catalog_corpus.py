@@ -2656,3 +2656,77 @@ def q_bars_volume_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_volume", "start_ts", "end_ts",
         _r6(F.col("vwap")).alias("vwap"),
     )
+
+
+from marketdatapipeline_spark.operators.indicators import (  # noqa: E402
+    money_flow_index,
+    williams_r,
+)
+
+
+@register_extended(
+    "bars_williams_mfi",
+    _bars_sql(
+        """
+        , w1 AS (
+            SELECT symbol, datetime, bar_id, close, volume,
+                   (high + low + close) / 3.0 AS tp,
+                   max(high) OVER wk AS hh,
+                   min(low) OVER wk AS ll,
+                   count(*) OVER wk AS kc
+            FROM bars
+            WINDOW wk AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+            )
+        ),
+        w2 AS (
+            SELECT *, tp - lag(tp) OVER (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+            ) AS dtp
+            FROM w1
+        ),
+        w3 AS (
+            SELECT symbol, datetime, bar_id, close, hh, ll, kc,
+                   CAST(sum(CASE WHEN dtp > 0
+                       THEN CAST(tp * volume AS DECIMAL(28,14))
+                       WHEN dtp <= 0 THEN CAST(0 AS DECIMAL(28,14))
+                   END) OVER wk AS DOUBLE) AS pos,
+                   CAST(sum(CASE WHEN dtp < 0
+                       THEN CAST(tp * volume AS DECIMAL(28,14))
+                       WHEN dtp >= 0 THEN CAST(0 AS DECIMAL(28,14))
+                   END) OVER wk AS DOUBLE) AS neg,
+                   count(dtp) OVER wk AS dc
+            FROM w2
+            WINDOW wk AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN kc = 14 AND hh > ll THEN
+                   -100.0 * (hh - close) / (hh - ll)
+               END AS williams_r,
+               CASE WHEN dc = 14 AND pos + neg > 0 THEN
+                   round(100.0 * pos / (pos + neg), 6) + 0.0
+               END AS mfi
+        FROM w3
+        """
+    ),
+)
+def q_bars_williams_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R(14) + money flow index(14)
+    (operators/indicators.py:williams_r, money_flow_index): %R is
+    window picks plus three IEEE ops — UNROUNDED; MFI's directional
+    flows ride prefix-difference decimal sums (association-free, so
+    the oracle's direct frame sums are bit-identical) with round-6
+    only at the final division (the tp*volume decimal cast is the
+    noisy step). The two indicators chain on the SAME symbol window
+    partition, so Catalyst plans one exchange for all four window
+    stages."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = money_flow_index(williams_r(bars, window=14), window=14)
+    return out.select(
+        "symbol", "datetime", "bar_id",
+        "williams_r", _r6(F.col("mfi")).alias("mfi"),
+    )

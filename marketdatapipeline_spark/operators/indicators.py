@@ -37,7 +37,9 @@ __all__ = [
     "on_balance_volume",
     "donchian_channels",
     "ichimoku",
+    "money_flow_index",
     "pivot_points",
+    "williams_r",
 ]
 
 _DEC = "decimal(28,14)"
@@ -338,4 +340,94 @@ def pivot_points(
         (F.lit(2.0) * p - prev_h).alias("s1"),
         (p + rng).alias("r2"),
         (p - rng).alias("s2"),
+    )
+
+
+def williams_r(
+    df: DataFrame,
+    window: int = 14,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    out_col: str = "williams_r",
+) -> DataFrame:
+    """Add Williams %R: ``-100 * (hh - close) / (hh - ll)`` over the
+    trailing ``window`` bars — the overbought/oversold oscillator on
+    the [-100, 0] scale (the stochastic %K mirrored).
+
+    Null until the frame fills (min_periods == window) and on a
+    degenerate flat frame (``hh == ll``). Exact picks plus three IEEE
+    ops — deterministic cross-engine, emitted unrounded. One window
+    exchange (same partition+order as the other indicators, so
+    chained calls share it)."""
+    wk = (
+        Window.partitionBy(symbol_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    hh = F.max("high").over(wk)
+    ll = F.min("low").over(wk)
+    full = F.count(F.lit(1)).over(wk) == window
+    wr = F.when(
+        full & (hh > ll),
+        F.lit(-100.0) * (hh - F.col("close")) / (hh - ll),
+    )
+    return df.withColumn(out_col, wr)
+
+
+def money_flow_index(
+    df: DataFrame,
+    window: int = 14,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    out_col: str = "mfi",
+) -> DataFrame:
+    """Add the money flow index — the volume-weighted RSI:
+
+    ``tp = (high + low + close) / 3`` (typical price),
+    ``mf = tp * volume`` signed by the tp-to-tp direction; over the
+    trailing ``window`` bars ``mfi = 100 * pos / (pos + neg)``.
+
+    The ``100 * pos / (pos + neg)`` form is algebraically the
+    textbook ``100 - 100/(1 + pos/neg)`` but well-defined when
+    ``neg == 0`` (all-up window -> exactly 100); null when BOTH sides
+    are zero (flat prices) and until the frame holds ``window`` valid
+    directions (each symbol's first bar has none — the pandas
+    min_periods convention on the diff).
+
+    Directional flows accumulate through the prefix-difference
+    decimal sums (exact in any association order, so a direct-frame
+    DuckDB oracle matches bit-for-bit); the final division is one
+    IEEE op — emitted unrounded. One window exchange covers the lag
+    and both running sums."""
+    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)
+    staged = df.withColumn("_tp", tp).withColumn(
+        "_dtp", F.col("_tp") - F.lag(F.col("_tp")).over(w)
+    )
+    mf = F.col("_tp") * F.col("volume")
+    pos_t = F.when(F.col("_dtp") > 0, mf).when(F.col("_dtp") <= 0, F.lit(0.0))
+    neg_t = F.when(F.col("_dtp") < 0, mf).when(F.col("_dtp") >= 0, F.lit(0.0))
+    staged = staged.withColumns(
+        {
+            "_cp": F.sum(pos_t.cast(_DEC)).over(wc),
+            "_cn": F.sum(neg_t.cast(_DEC)).over(wc),
+            "_cc": F.count(F.col("_dtp")).over(wc),
+        }
+    )
+    zero = F.lit(0).cast(_DEC)
+    pos = (
+        F.col("_cp") - F.coalesce(F.lag(F.col("_cp"), window).over(w), zero)
+    ).cast("double")
+    neg = (
+        F.col("_cn") - F.coalesce(F.lag(F.col("_cn"), window).over(w), zero)
+    ).cast("double")
+    cnt = F.col("_cc") - F.coalesce(F.lag(F.col("_cc"), window).over(w), F.lit(0))
+    mfi = F.when(
+        (cnt == window) & ((pos + neg) > 0),
+        F.lit(100.0) * pos / (pos + neg),
+    )
+    return (
+        staged.withColumn(out_col, mfi)
+        .drop("_tp", "_dtp", "_cp", "_cn", "_cc")
     )

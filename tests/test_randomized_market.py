@@ -490,3 +490,48 @@ def test_volume_bars_rejects_unknown_mode(spark):
     pdf["volume"] = 1.0
     with pytest.raises(ValueError, match="mode must be"):
         volume_bars(spark.createDataFrame(pdf), bucket_size=10.0, mode="tick")
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_williams_mfi_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.indicators import (
+        money_flow_index,
+        williams_r,
+    )
+
+    rng = np.random.RandomState(seed)
+    pdf = _random_bars(seed)
+    pdf["volume"] = rng.randint(1, 1000, size=len(pdf)).astype(float)
+    n = 5
+    got = (
+        money_flow_index(williams_r(spark.createDataFrame(pdf), window=n), window=n)
+        .toPandas()
+        .sort_values(["symbol", "datetime", "bar_id"])
+        .reset_index(drop=True)
+    )
+    outs = []
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        hh = g["high"].rolling(n, min_periods=n).max()
+        ll = g["low"].rolling(n, min_periods=n).min()
+        wr = np.where(hh > ll, -100.0 * (hh - g["close"]) / (hh - ll), np.nan)
+        tp = (g["high"] + g["low"] + g["close"]) / 3.0
+        dtp = tp.diff()
+        mf = tp * g["volume"]
+        pos = pd.Series(np.where(dtp > 0, mf, np.where(dtp <= 0, 0.0, np.nan)))
+        neg = pd.Series(np.where(dtp < 0, mf, np.where(dtp >= 0, 0.0, np.nan)))
+        ps = pos.rolling(n, min_periods=n).sum()
+        ns = neg.rolling(n, min_periods=n).sum()
+        mfi = np.where((ps + ns) > 0, 100.0 * ps / (ps + ns), np.nan)
+        outs.append(pd.DataFrame({"symbol": sym, "wr": wr, "mfi": mfi}))
+    want = pd.concat(outs).reset_index(drop=True)
+    assert len(got) == len(want)
+    for spark_col, ref_col, rtol in (
+        ("williams_r", "wr", 1e-12),
+        ("mfi", "mfi", 1e-9),
+    ):
+        a = got[spark_col].to_numpy(dtype=float)
+        b = want[ref_col].to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=spark_col)
+        ok = ~np.isnan(a)
+        np.testing.assert_allclose(a[ok], b[ok], rtol=rtol, err_msg=spark_col)
