@@ -2730,3 +2730,73 @@ def q_bars_williams_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "datetime", "bar_id",
         "williams_r", _r6(F.col("mfi")).alias("mfi"),
     )
+
+
+from marketdatapipeline_spark.ml.labeling import triple_barrier_labels  # noqa: E402
+
+
+@register_extended(
+    "ml_triple_barrier",
+    _bars_sql(
+        """
+        , rn AS (
+            SELECT symbol, datetime, bar_id, high, low, close,
+                   row_number() OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY symbol) AS n,
+                   lead(close, 10) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS fc
+            FROM bars
+        ),
+        hits AS (
+            SELECT b.symbol, b.rn,
+                   min(CASE WHEN f.high >= b.close * 1.25
+                       THEN f.rn - b.rn END) AS up_hit,
+                   min(CASE WHEN f.low <= b.close * 0.75
+                       THEN f.rn - b.rn END) AS dn_hit
+            FROM rn b JOIN rn f
+              ON f.symbol = b.symbol
+             AND f.rn > b.rn AND f.rn <= b.rn + 10
+            GROUP BY b.symbol, b.rn
+        )
+        SELECT b.symbol, b.datetime, b.bar_id,
+               CAST(CASE WHEN b.rn + 10 <= b.n THEN
+                   CASE WHEN up_hit IS NULL AND dn_hit IS NULL THEN 0
+                        WHEN up_hit IS NULL THEN -1
+                        WHEN dn_hit IS NULL THEN 1
+                        WHEN up_hit < dn_hit THEN 1
+                        WHEN dn_hit < up_hit THEN -1
+                        ELSE 0 END
+               END AS INT) AS label,
+               CAST(CASE WHEN b.rn + 10 <= b.n THEN
+                   CASE WHEN dn_hit IS NULL AND up_hit IS NOT NULL
+                            THEN up_hit
+                        WHEN up_hit IS NULL AND dn_hit IS NOT NULL
+                            THEN dn_hit
+                        WHEN up_hit < dn_hit THEN up_hit
+                        WHEN dn_hit < up_hit THEN dn_hit END
+               END AS INT) AS hit_offset,
+               CASE WHEN b.rn + 10 <= b.n THEN
+                   (b.fc - b.close) / b.close
+               END AS ret_horizon
+        FROM rn b LEFT JOIN hits h
+          ON h.symbol = b.symbol AND h.rn = b.rn
+        """
+    ),
+)
+def q_ml_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier labels (ml/labeling.py): profit-take +25% /
+    stop-loss -25% / vertical 10-bar barriers, label = FIRST touch.
+    Spark materializes the forward path as ordered arrays inside one
+    window exchange (O(horizon) per row, no join); the oracle phrases
+    the identical first-touch search as a range self-join — both
+    compare per-element IEEE products, so the formulations are
+    value-identical. Labels/offsets are ints (exact); ret_horizon is
+    a three-op IEEE chain — UNROUNDED."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = triple_barrier_labels(bars, horizon=10, upper=0.25, lower=0.25)
+    return out.select(
+        "symbol", "datetime", "bar_id", "label", "hit_offset", "ret_horizon"
+    )

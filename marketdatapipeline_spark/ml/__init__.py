@@ -12,6 +12,7 @@ from marketdatapipeline_spark.ml.evaluation import (
     regression_metrics,
     roc_auc,
 )
+from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
 from marketdatapipeline_spark.ml.prediction import load_model, predict
 from marketdatapipeline_spark.ml.preparation import (
     assign_time_segments,
@@ -43,4 +44,5 @@ __all__ = [
     "roc_auc",
     "save_model",
     "train_model",
+    "triple_barrier_labels",
 ]

@@ -443,3 +443,52 @@ def test_grid_search_cartesian_and_errors(spark, featured):
         {"reg_lambda": 1.0, "max_depth": 3},
         {"reg_lambda": 1.0, "max_depth": 5},
     ]
+
+
+def test_triple_barrier_edge_semantics(spark):
+    """Hand-built path: up-first, down-first, ambiguous same-bar touch
+    (-> 0), vertical (-> 0), and the unlabelable right edge (-> null)."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
+
+    base = dt.datetime(2024, 1, 1)
+    # one symbol, close path engineered around entry price 100
+    rows = []
+    closes = [100.0, 100.0, 100.0, 100.0, 100.0, 100.0]
+    highs  = [100.0, 111.0, 100.0, 130.0, 100.0, 100.0]
+    lows   = [100.0, 100.0,  89.0,  70.0, 100.0, 100.0]
+    for i, (c, h, low) in enumerate(zip(closes, highs, lows)):
+        rows.append(("A", base + dt.timedelta(minutes=i), i, h, low, c))
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "high", "low", "close"]
+    )
+    out = {
+        r["bar_id"]: r
+        for r in triple_barrier_labels(
+            df, horizon=2, upper=0.1, lower=0.1
+        ).collect()
+    }
+    # bar 0: future bars 1 (high 111 >= 110) and 2 (low 89 <= 90): up first
+    assert out[0]["label"] == 1 and out[0]["hit_offset"] == 1
+    # bar 1: future bars 2 (low hits) and 3 (both hit): down first at offset 1
+    assert out[1]["label"] == -1 and out[1]["hit_offset"] == 1
+    # bar 2: future bar 3 touches BOTH barriers in one bar -> ambiguous 0
+    assert out[2]["label"] == 0 and out[2]["hit_offset"] is None
+    # bar 3: future bars 4,5 flat -> vertical barrier, plain return present
+    assert out[3]["label"] == 0 and out[3]["ret_horizon"] == 0.0
+    # bars 4,5: fewer than horizon future bars -> unlabelable
+    assert out[4]["label"] is None and out[5]["label"] is None
+
+
+def test_triple_barrier_rejects_bad_horizon(spark):
+    from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
+
+    df = spark.range(1).selectExpr(
+        "'A' AS symbol", "current_timestamp() AS datetime", "id AS bar_id",
+        "1.0 AS high", "1.0 AS low", "1.0 AS close"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        triple_barrier_labels(df, horizon=0)
