@@ -2800,3 +2800,64 @@ def q_ml_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", "datetime", "bar_id", "label", "hit_offset", "ret_horizon"
     )
+
+
+from marketdatapipeline_spark.similarity.semdedup import semantic_dedup  # noqa: E402
+
+
+@register_extended(
+    "dedup_semantic_clusters",
+    _CENTROID_CTE
+    + """
+    , cents AS (
+        SELECT label AS clab, list(mean ORDER BY pos) AS cv
+        FROM per GROUP BY label
+    ),
+    vec AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    assigned AS (
+        SELECT vec_id, v, clab AS cluster, cos FROM (
+            SELECT vec_id, v, clab, cos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, clab DESC
+            ) AS rn
+            FROM (
+                SELECT vec_id, v, clab,
+                       list_dot_product(v, cv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(cv, cv))) AS cos
+                FROM vec CROSS JOIN cents
+            )
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         AND list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.38
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cluster, round(s.cos, 6) + 0.0 AS best_cos,
+           d.dup_of IS NOT NULL AS is_duplicate, d.dup_of
+    FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """,
+)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity/semdedup.py): centroid-routed semantic
+    near-dup verdicts at cosine >= 0.9 — pairwise cosine ONLY inside
+    each cluster (sum(|c|^2), never n^2), assignment via a scan-side
+    argmax over one broadcast centroid-array row. Cosines fold
+    sequentially in double = DuckDB's list_dot_product bit-for-bit,
+    so threshold cuts and argmax picks are engine-exact; best_cos is
+    round-6 at emission only."""
+    emb = _emb(spark, sf_dir)
+    cents = label_centroids(emb)
+    out = semantic_dedup(emb, cents, threshold=0.38)
+    return out.select(
+        "vec_id", "cluster",
+        _r6(F.col("best_cos")).alias("best_cos"),
+        "is_duplicate", "dup_of",
+    )

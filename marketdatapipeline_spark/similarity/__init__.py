@@ -9,6 +9,10 @@ from marketdatapipeline_spark.similarity.quantize import (
     quantization_summary,
     quantize_embeddings_int8,
 )
+from marketdatapipeline_spark.similarity.semdedup import (
+    assign_clusters,
+    semantic_dedup,
+)
 from marketdatapipeline_spark.similarity.search import (
     add_vector_norm,
     cosine_pairs_above,
@@ -27,6 +31,8 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_topk",
     "ivf_topk",
+    "assign_clusters",
+    "semantic_dedup",
     "quantization_summary",
     "quantize_embeddings_int8",
 ]

@@ -619,3 +619,62 @@ def test_ivf_delete_tombstones_and_compact(spark, tmp_path):
     # deleting via a DataFrame works too and dedups
     more = spark.createDataFrame([(9999,), (9999,)], ["vec_id"])
     assert idx.delete(more) == 1
+
+
+def test_semantic_dedup_crafted_clusters(spark):
+    """Hand-built geometry: two orthogonal clusters, one near-dup pair
+    inside cluster 0, a cross-cluster near-identical pair that must
+    NOT match (SemDeDup only compares within a cluster), keep-min-id."""
+    from marketdatapipeline_spark.similarity.semdedup import (
+        assign_clusters,
+        semantic_dedup,
+    )
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+
+    def mix(a, b, wa, wb):
+        return [wa * x + wb * y for x, y in zip(a, b)]
+
+    vecs = spark.createDataFrame(
+        [
+            (1, e1, 0),                      # cluster 0 anchor
+            (2, mix(e1, e2, 0.99, 0.01), 0),  # near-dup of 1
+            (3, e2, 1),                      # cluster 1 anchor
+            (4, mix(e2, e1, 0.7, 0.3), 1),   # cluster 1, below threshold
+            # nearly identical to vec 1 but engineered into cluster 1:
+            # tie-ish geometry resolved by the centroid argmax
+            (5, mix(e2, e1, 0.9, 0.1), 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    cents = spark.createDataFrame(
+        [(0, e1), (1, e2)], ["label", "centroid"]
+    )
+    assigned = {r["vec_id"]: r for r in assign_clusters(vecs, cents).collect()}
+    assert assigned[1]["cluster"] == 0 and assigned[2]["cluster"] == 0
+    assert assigned[3]["cluster"] == 1 and assigned[4]["cluster"] == 1
+    assert assigned[5]["cluster"] == 1
+    assert abs(assigned[1]["best_cos"] - 1.0) < 1e-12
+
+    v = {
+        r["vec_id"]: r
+        for r in semantic_dedup(vecs, cents, threshold=0.95).collect()
+    }
+    assert v[2]["is_duplicate"] and v[2]["dup_of"] == 1
+    # vec 5 is 0.9*e2+0.1*e1 — cosine to 3 (=e2) is ~0.994 >= 0.95
+    assert v[5]["is_duplicate"] and v[5]["dup_of"] == 3
+    assert not v[1]["is_duplicate"] and v[1]["dup_of"] is None
+    assert not v[4]["is_duplicate"]
+
+
+def test_assign_clusters_tie_breaks_to_larger_label(spark):
+    from marketdatapipeline_spark.similarity.semdedup import assign_clusters
+
+    # identical centroids: cosine ties exactly; the (cos, cluster)
+    # struct max must pick the larger cluster id in both engines
+    c = [1.0, 1.0]
+    vecs = spark.createDataFrame([(1, [2.0, 2.0], 0)], ["vec_id", "embedding", "label"])
+    cents = spark.createDataFrame([(0, c), (7, c)], ["label", "centroid"])
+    row = assign_clusters(vecs, cents).collect()[0]
+    assert row["cluster"] == 7
