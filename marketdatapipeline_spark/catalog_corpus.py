@@ -2861,3 +2861,69 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("best_cos")).alias("best_cos"),
         "is_duplicate", "dup_of",
     )
+
+
+from marketdatapipeline_spark.ml.scaling import standardize_split  # noqa: E402
+
+
+@register_extended(
+    "ml_standardize_split",
+    _bars_sql(
+        """
+        , ranked AS (
+            SELECT bar_id, close, volume,
+                   row_number() OVER (ORDER BY datetime, bar_id) AS rn,
+                   count(*) OVER () AS total
+            FROM bars
+        ),
+        lab AS (
+            SELECT bar_id, close, volume,
+                   CASE WHEN rn <= CAST(floor(total * 0.8) AS BIGINT)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM ranked
+        ),
+        st AS (
+            SELECT CAST(count(close) AS DOUBLE) AS nc,
+                   CAST(sum(CAST(close AS DECIMAL(38,18))) AS DOUBLE) AS c1,
+                   CAST(sum(CAST(close * close AS DECIMAL(38,18)))
+                        AS DOUBLE) AS c2,
+                   CAST(count(volume) AS DOUBLE) AS nv,
+                   CAST(sum(CAST(volume AS DECIMAL(38,18))) AS DOUBLE) AS v1,
+                   CAST(sum(CAST(volume * volume AS DECIMAL(38,18)))
+                        AS DOUBLE) AS v2
+            FROM lab WHERE split = 'train'
+        )
+        SELECT bar_id, split,
+               round((close - c1 / nc)
+                     / sqrt((c2 - c1 * c1 / nc) / nc), 6) + 0.0 AS close_z,
+               round((volume - v1 / nv)
+                     / sqrt((v2 - v1 * v1 / nv) / nv), 6) + 0.0 AS volume_z
+        FROM lab CROSS JOIN st
+        """
+    ),
+)
+def q_ml_standardize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature standardization (ml/scaling.py): stats
+    fitted on the chronological 80% train slice ONLY (cutkey split —
+    no global sort), broadcast to z-score BOTH halves. Decimal power
+    sums make the fitted moments bit-identical cross-engine; z is a
+    four-op IEEE chain, round-6 at emission."""
+    from marketdatapipeline_spark.ml.preparation import chronological_split
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    train, test = chronological_split(
+        bars,
+        test_size=0.2,
+        order_cols=("datetime",),
+        tie_break_cols=("bar_id",),
+        method="cutkey",
+    )
+    tr, te = standardize_split(train, test, ["close", "volume"], ddof=0)
+    out = tr.withColumn("split", F.lit("train")).unionByName(
+        te.withColumn("split", F.lit("test"))
+    )
+    return out.select(
+        "bar_id", "split",
+        _r6(F.col("close_z")).alias("close_z"),
+        _r6(F.col("volume_z")).alias("volume_z"),
+    )

@@ -14,6 +14,11 @@ from marketdatapipeline_spark.ml.evaluation import (
 )
 from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
 from marketdatapipeline_spark.ml.prediction import load_model, predict
+from marketdatapipeline_spark.ml.scaling import (
+    apply_standardizer,
+    fit_standardizer,
+    standardize_split,
+)
 from marketdatapipeline_spark.ml.preparation import (
     assign_time_segments,
     chronological_split,
@@ -45,4 +50,7 @@ __all__ = [
     "save_model",
     "train_model",
     "triple_barrier_labels",
+    "apply_standardizer",
+    "fit_standardizer",
+    "standardize_split",
 ]

@@ -492,3 +492,43 @@ def test_triple_barrier_rejects_bad_horizon(spark):
 
     with _pytest.raises(ValueError, match="horizon"):
         triple_barrier_labels(df, horizon=0)
+
+
+def test_standardizer_fit_transform_contract(spark):
+    """Stats come from train ONLY; transform applies them to both
+    halves; nulls and degenerate (constant) columns stay null."""
+    import math
+
+    from marketdatapipeline_spark.ml.scaling import (
+        apply_standardizer,
+        fit_standardizer,
+        standardize_split,
+    )
+
+    train = spark.createDataFrame(
+        [(1.0, 5.0, 1.0), (2.0, None, 1.0), (3.0, 7.0, 1.0)],
+        ["a", "b", "const"],
+    )
+    test = spark.createDataFrame([(10.0, 6.0, 2.0)], ["a", "b", "const"])
+    stats = fit_standardizer(train, ["a", "b", "const"], ddof=0).collect()[0]
+    assert stats["a_mean"] == 2.0
+    assert abs(stats["a_std"] - math.sqrt(2.0 / 3.0)) < 1e-12
+    assert stats["b_mean"] == 6.0  # null excluded per-column
+    assert stats["const_std"] is None or stats["const_std"] == 0.0
+
+    tr, te = standardize_split(train, test, ["a", "b", "const"], ddof=0)
+    r = te.collect()[0]
+    # test rows scale with TRAIN stats: (10 - 2) / sqrt(2/3)
+    assert abs(r["a_z"] - (10.0 - 2.0) / math.sqrt(2.0 / 3.0)) < 1e-12
+    assert r["const_z"] is None  # degenerate feature never divides
+    rows = {row["a"]: row for row in tr.collect()}
+    assert rows[2.0]["b_z"] is None  # null value stays null
+
+    # ddof=1 variant (sample std)
+    s1 = fit_standardizer(train, ["a"], ddof=1).collect()[0]
+    assert abs(s1["a_std"] - 1.0) < 1e-12
+
+    # apply to an unrelated frame (pure transform reuse)
+    other = spark.createDataFrame([(0.0,)], ["a"])
+    z = apply_standardizer(other, fit_standardizer(train, ["a"]), ["a"]).collect()[0]
+    assert abs(z["a_z"] + 2.0 / math.sqrt(2.0 / 3.0)) < 1e-12
