@@ -2927,3 +2927,101 @@ def q_ml_standardize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("close_z")).alias("close_z"),
         _r6(F.col("volume_z")).alias("volume_z"),
     )
+
+
+from marketdatapipeline_spark.operators.hurst import hurst_exponent  # noqa: E402
+
+
+@register_extended(
+    "bars_hurst_exponent",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   ln(close / lag(close) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   )) AS ret
+            FROM bars
+        ),
+        ri AS (
+            SELECT symbol, ret,
+                   row_number() OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) - 1 AS idx
+            FROM r WHERE ret IS NOT NULL
+        ),
+        fan AS (
+            SELECT symbol, ret, idx, q
+            FROM ri CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS q)
+        ),
+        blk AS (
+            SELECT symbol, q, idx // q AS b, count(*) AS cnt,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS bs
+            FROM fan GROUP BY symbol, q, idx // q
+            HAVING count(*) = q
+        ),
+        ps AS (
+            SELECT symbol, q, count(*) AS n_blocks,
+                   CAST(sum(CAST(bs AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(bs * bs AS DECIMAL(38,18))) AS DOUBLE) AS s2
+            FROM blk GROUP BY symbol, q
+        ),
+        v AS (
+            SELECT symbol, q, n_blocks,
+                   CASE WHEN n_blocks >= 2 AND vv > 0 THEN vv END AS var_q
+            FROM (
+                SELECT symbol, q, n_blocks,
+                       (s2 - s1 * s1 / CAST(n_blocks AS DOUBLE))
+                           / (CAST(n_blocks AS DOUBLE) - 1) AS vv
+                FROM ps
+            )
+        ),
+        pts AS (
+            SELECT symbol, q, var_q,
+                   ln(CAST(q AS DOUBLE)) AS x, ln(var_q) AS y
+            FROM v WHERE var_q IS NOT NULL
+        ),
+        reg AS (
+            SELECT symbol, count(*) AS n_scales,
+                   CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+                   max(CASE WHEN q = 1 THEN var_q END) AS v1,
+                   max(CASE WHEN q = 2 THEN var_q END) AS v2,
+                   max(CASE WHEN q = 4 THEN var_q END) AS v4,
+                   max(CASE WHEN q = 8 THEN var_q END) AS v8
+            FROM pts GROUP BY symbol
+        )
+        SELECT symbol,
+               round(v1, 6) + 0.0 AS var_q1,
+               round(v2, 6) + 0.0 AS var_q2,
+               round(v4, 6) + 0.0 AS var_q4,
+               round(v8, 6) + 0.0 AS var_q8,
+               n_scales,
+               CASE WHEN n_scales >= 2
+                         AND sxx - sx * sx / CAST(n_scales AS DOUBLE) > 0
+                    THEN round(
+                        (sxy - sx * sy / CAST(n_scales AS DOUBLE))
+                        / (sxx - sx * sx / CAST(n_scales AS DOUBLE)) / 2.0,
+                        6) + 0.0
+               END AS hurst
+        FROM reg
+        """
+    ),
+)
+def q_bars_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated-variance Hurst exponent (operators/hurst.py): log
+    returns -> non-overlapping q-block sums for q in {1,2,4,8} ->
+    ddof=1 block variances -> half the ln-ln least-squares slope.
+    One symbol window + three map-side-combinable aggs; every
+    accumulation is a decimal power sum (association-free), ln is
+    the libm boundary so variances and H emit round-6."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = hurst_exponent(bars, scales=(1, 2, 4, 8))
+    return out.select(
+        "symbol",
+        *[_r6(F.col(f"var_q{q}")).alias(f"var_q{q}") for q in (1, 2, 4, 8)],
+        "n_scales",
+        _r6(F.col("hurst")).alias("hurst"),
+    )

@@ -28,6 +28,8 @@ of DataFrame primitives (never driver loops, never cross products):
   impact slope;
 - :func:`variance_ratio` — Lo-MacKinlay k-period variance ratio, the
   random-walk / mean-reversion diagnostic;
+- :func:`hurst_exponent` — aggregated-variance Hurst exponent, the
+  cross-scale long-memory regression;
 - :func:`anchored_twap` — time-weighted benchmark next to VWAP;
 - :func:`pair_spread_zscore` — pairs-trading log-spread rolling
   z-score for one symbol pair;
@@ -50,6 +52,7 @@ from marketdatapipeline_spark.operators.correlation import (
 )
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
 from marketdatapipeline_spark.operators.drawdown import drawdown_summary, running_drawdown
+from marketdatapipeline_spark.operators.hurst import hurst_exponent
 from marketdatapipeline_spark.operators.interval_join import (
     interval_overlap_join,
 )
@@ -92,6 +95,7 @@ __all__ = [
     "candlestick_flags",
     "cross_sectional",
     "interval_overlap_join",
+    "hurst_exponent",
     "ohlc_volatility",
     "pairwise_return_correlation",
     "point_in_interval_join",

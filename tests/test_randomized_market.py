@@ -535,3 +535,50 @@ def test_williams_mfi_random_parity(spark, seed):
         np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=spark_col)
         ok = ~np.isnan(a)
         np.testing.assert_allclose(a[ok], b[ok], rtol=rtol, err_msg=spark_col)
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_hurst_random_parity(spark, seed):
+    """Numpy re-statement of the aggregated-variance definition, plus
+    the structural check that white noise sits near H = 0.5."""
+    from marketdatapipeline_spark.operators.hurst import hurst_exponent
+
+    rng = np.random.RandomState(seed)
+    import datetime as _dt
+
+    rows = []
+    base = _dt.datetime(2024, 1, 1)
+    for s in range(3):
+        n = 400
+        close = 100.0 * np.exp(np.cumsum(rng.randn(n) * 0.01))
+        for i in range(n):
+            rows.append(("S%d" % s, base + _dt.timedelta(minutes=i), i, float(close[i])))
+    pdf = pd.DataFrame(rows, columns=["symbol", "datetime", "bar_id", "close"])
+    scales = (1, 2, 4, 8)
+    got = {
+        r["symbol"]: r
+        for r in hurst_exponent(spark.createDataFrame(pdf), scales=scales).collect()
+    }
+    for sym, g in pdf.groupby("symbol"):
+        r = np.diff(np.log(g["close"].to_numpy()))
+        xs, ys = [], []
+        for q in scales:
+            nb = len(r) // q
+            bs = r[: nb * q].reshape(nb, q).sum(axis=1)
+            v = bs.var(ddof=1)
+            np.testing.assert_allclose(
+                got[sym][f"var_q{q}"], v, rtol=1e-9, err_msg=f"{sym} q={q}"
+            )
+            if nb >= 2 and v > 0:
+                xs.append(np.log(q)); ys.append(np.log(v))
+        slope = np.polyfit(xs, ys, 1)[0]
+        np.testing.assert_allclose(got[sym]["hurst"], slope / 2.0, rtol=1e-9)
+        assert 0.3 < got[sym]["hurst"] < 0.7  # white noise ~ 0.5
+
+
+def test_hurst_rejects_bad_scales(spark):
+    from marketdatapipeline_spark.operators.hurst import hurst_exponent
+
+    pdf = _random_bars(1, n_symbols=1)
+    with pytest.raises(ValueError, match="scales"):
+        hurst_exponent(spark.createDataFrame(pdf), scales=(4,))
