@@ -3025,3 +3025,64 @@ def q_bars_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scales",
         _r6(F.col("hurst")).alias("hurst"),
     )
+
+
+from marketdatapipeline_spark.operators.liquidity import (  # noqa: E402
+    corwin_schultz_spread,
+)
+
+
+@register_extended(
+    "bars_corwin_schultz",
+    _bars_sql(
+        """
+        , pr AS (
+            SELECT symbol, high AS h2, low AS l2,
+                   lag(high) OVER w AS h1, lag(low) OVER w AS l1
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        sp AS (
+            SELECT symbol,
+                   2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)) AS s
+            FROM (
+                SELECT symbol,
+                       (sqrt(2.0 * beta) - sqrt(beta)) / (3.0 - 2.0 * sqrt(2.0))
+                       - sqrt(gamma / (3.0 - 2.0 * sqrt(2.0))) AS alpha
+                FROM (
+                    SELECT symbol,
+                           ln(h1 / l1) * ln(h1 / l1)
+                           + ln(h2 / l2) * ln(h2 / l2) AS beta,
+                           ln(greatest(h1, h2) / least(l1, l2))
+                           * ln(greatest(h1, h2) / least(l1, l2)) AS gamma
+                    FROM pr
+                    WHERE h1 IS NOT NULL AND l1 > 0 AND l2 > 0
+                )
+            )
+        )
+        SELECT symbol, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(sum(CAST(greatest(s, 0.0) AS DECIMAL(38,18)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+                   AS mean_spread,
+               round(CAST(sum(CAST(s AS DECIMAL(38,18)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+                   AS mean_spread_raw
+        FROM sp GROUP BY symbol
+        """
+    ),
+)
+def q_bars_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz high-low spread
+    (operators/liquidity.py:corwin_schultz_spread): the quotes-free
+    effective-spread estimator from two-bar range geometry, negative
+    estimates floored at zero for the headline mean (paper
+    convention) with the raw mean alongside. One lag window + one
+    decimal power-sum agg; ln/sqrt/exp are the libm boundary,
+    round-6 at the final division."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = corwin_schultz_spread(bars)
+    return out.select(
+        "symbol", "n_pairs",
+        _r6(F.col("mean_spread")).alias("mean_spread"),
+        _r6(F.col("mean_spread_raw")).alias("mean_spread_raw"),
+    )

@@ -58,6 +58,7 @@ from marketdatapipeline_spark.operators.interval_join import (
 )
 from marketdatapipeline_spark.operators.liquidity import (
     amihud_illiquidity,
+    corwin_schultz_spread,
     kyle_lambda,
     tick_rule_flow,
 )
@@ -82,6 +83,7 @@ from marketdatapipeline_spark.operators.sessions import sessionize
 
 __all__ = [
     "amihud_illiquidity",
+    "corwin_schultz_spread",
     "anchored_twap",
     "kyle_lambda",
     "tick_rule_flow",

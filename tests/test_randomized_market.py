@@ -582,3 +582,36 @@ def test_hurst_rejects_bad_scales(spark):
     pdf = _random_bars(1, n_symbols=1)
     with pytest.raises(ValueError, match="scales"):
         hurst_exponent(spark.createDataFrame(pdf), scales=(4,))
+
+
+@pytest.mark.parametrize("seed", [19, 53])
+def test_corwin_schultz_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.liquidity import (
+        corwin_schultz_spread,
+    )
+
+    pdf = _random_bars(seed)
+    got = {
+        r["symbol"]: r
+        for r in corwin_schultz_spread(spark.createDataFrame(pdf)).collect()
+    }
+    k = 3.0 - 2.0 * np.sqrt(2.0)
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        h, low = g["high"].to_numpy(), g["low"].to_numpy()
+        h1, l1, h2, l2 = h[:-1], low[:-1], h[1:], low[1:]
+        ok = (l1 > 0) & (l2 > 0)
+        beta = np.log(h1 / l1) ** 2 + np.log(h2 / l2) ** 2
+        gamma = np.log(np.maximum(h1, h2) / np.minimum(l1, l2)) ** 2
+        alpha = (np.sqrt(2 * beta) - np.sqrt(beta)) / k - np.sqrt(gamma / k)
+        s = 2 * (np.exp(alpha) - 1) / (1 + np.exp(alpha))
+        s = s[ok]
+        assert got[sym]["n_pairs"] == len(s)
+        np.testing.assert_allclose(
+            got[sym]["mean_spread"], np.maximum(s, 0.0).mean(), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            got[sym]["mean_spread_raw"], s.mean(), rtol=1e-9
+        )
+        # estimator sanity: clamped mean is a spread fraction in [0, 1)
+        assert 0.0 <= got[sym]["mean_spread"] < 1.0
