@@ -3086,3 +3086,99 @@ def q_bars_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mean_spread")).alias("mean_spread"),
         _r6(F.col("mean_spread_raw")).alias("mean_spread_raw"),
     )
+
+
+from marketdatapipeline_spark.ml.drift import psi_drift  # noqa: E402
+
+_PSI_FRACS = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+
+
+@register_extended(
+    "ml_psi_drift",
+    _bars_sql(
+        f"""
+        , ranked AS (
+            SELECT bar_id, close, volume,
+                   row_number() OVER (ORDER BY datetime, bar_id) AS rn,
+                   count(*) OVER () AS total
+            FROM bars
+        ),
+        lab AS (
+            SELECT close, volume,
+                   CASE WHEN rn <= CAST(floor(total * 0.8) AS BIGINT)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM ranked
+        ),
+        edges AS (
+            SELECT list_transform(quantile_cont(close, {_PSI_FRACS}),
+                                  e -> round(e, 6) + 0.0) AS ec,
+                   list_transform(quantile_cont(volume, {_PSI_FRACS}),
+                                  e -> round(e, 6) + 0.0) AS ev
+            FROM lab WHERE split = 'train'
+        ),
+        binned AS (
+            SELECT 'close' AS feature, split,
+                   CAST(len(list_filter(ec, e -> close >= e)) AS INT) AS bin
+            FROM lab CROSS JOIN edges
+            UNION ALL
+            SELECT 'volume', split,
+                   CAST(len(list_filter(ev, e -> volume >= e)) AS INT)
+            FROM lab CROSS JOIN edges
+        ),
+        counts AS (
+            SELECT feature, bin,
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS train_n,
+                   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS test_n
+            FROM binned GROUP BY feature, bin
+        ),
+        shares AS (
+            SELECT feature, bin, train_n, test_n,
+                   CAST(train_n AS DOUBLE) / CAST(sum(train_n) OVER (
+                       PARTITION BY feature) AS DOUBLE) AS p,
+                   CAST(test_n AS DOUBLE) / CAST(sum(test_n) OVER (
+                       PARTITION BY feature) AS DOUBLE) AS q
+            FROM counts
+        ),
+        terms AS (
+            SELECT feature, bin, train_n, test_n, p, q,
+                   (qe - pe) * ln(qe / pe) AS term
+            FROM (
+                SELECT *, CASE WHEN p > 0 THEN p ELSE 1e-06 END AS pe,
+                          CASE WHEN q > 0 THEN q ELSE 1e-06 END AS qe
+                FROM shares
+            )
+        )
+        SELECT feature, bin, train_n, test_n,
+               p AS train_pct, q AS test_pct,
+               round(term, 6) + 0.0 AS psi_term,
+               round(CAST(sum(CAST(term AS DECIMAL(38,18))) OVER (
+                   PARTITION BY feature) AS DOUBLE), 6) + 0.0 AS psi_total
+        FROM terms
+        """
+    ),
+)
+def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (ml/drift.py): train-decile binning
+    fitted on the chronological 80% slice, per-bin drift terms and
+    the per-feature PSI total for close and volume. Bin edges are
+    round-6 exact train quantiles (the binning contract AND what
+    makes Spark percentile == DuckDB quantile_cont); counts/shares
+    are integer-exact, ln terms round-6, the total a decimal sum."""
+    from marketdatapipeline_spark.ml.preparation import chronological_split
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    train, test = chronological_split(
+        bars,
+        test_size=0.2,
+        order_cols=("datetime",),
+        tie_break_cols=("bar_id",),
+        method="cutkey",
+    )
+    out = psi_drift(train, test, ["close", "volume"], n_bins=10)
+    return out.select(
+        "feature", "bin", "train_n", "test_n", "train_pct", "test_pct",
+        _r6(F.col("psi_term")).alias("psi_term"),
+        _r6(F.col("psi_total")).alias("psi_total"),
+    )

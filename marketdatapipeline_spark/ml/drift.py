@@ -1,0 +1,118 @@
+"""Population stability index — train/serve drift monitoring.
+
+The standard production-ML check: bin each feature by the TRAIN
+distribution's quantiles, compare the bin shares a later sample
+(test window, serving traffic) lands in, and sum
+``(q_i - p_i) * ln(q_i / p_i)``. PSI < 0.1 is stable, 0.1-0.25
+drifting, > 0.25 action. The reference has no monitoring stage; this
+extends the ML surface the same way scaling/validation do.
+
+Plan shape per feature: ONE quantile aggregation on train (a single
+tiny edges row), then ONE shared aggregation over train+test with the
+bin assignment computed scan-side against the broadcast edges array
+(``size(filter(edges, e -> x >= e))`` — no join key, no shuffle of
+the data beyond the count aggregation). Features iterate in a Python
+loop over a SMALL column list, unioning bins x features result rows
+— never rows of data.
+
+Determinism: bin edges are round-6 train quantiles (the published
+binning contract — also what makes Spark's exact ``percentile`` and
+DuckDB's ``quantile_cont`` agree bit-for-bit); counts are integers;
+the PSI terms cross ``ln`` (libm) and emit round-6.
+
+``method="approx"`` swaps the exact percentile for
+``approx_percentile`` — the 100 TB path (sketch-mergeable, no sort)
+with the same downstream contract, at the cost of edge exactness
+(not value-oracled for that reason).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["psi_drift"]
+
+_DEC = "decimal(38,18)"
+
+
+def psi_drift(
+    train: DataFrame,
+    test: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    method: str = "exact",
+) -> DataFrame:
+    """(feature, bin, train_n, test_n, train_pct, test_pct, psi_term,
+    psi_total): per-bin PSI decomposition plus the per-feature total
+    (repeated across the feature's rows — one output table, no
+    second query).
+
+    Bins are left-closed on round-6 train quantile edges
+    (``bin = #edges <= x``, so bin 0 is below the first decile edge);
+    empty shares substitute ``eps`` inside the log (the standard
+    finite-PSI convention). Null feature values are dropped."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method: {method!r}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    fracs = F.array(
+        *[F.lit(i / n_bins) for i in range(1, n_bins)]
+    )
+    pieces = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "exact":
+            q = F.percentile(x, fracs)
+        else:
+            q = F.approx_percentile(x, fracs, F.lit(10_000))
+        edges_row = F.broadcast(
+            train.agg(
+                F.transform(q, lambda e: F.round(e, 6) + F.lit(0.0)).alias(
+                    "_edges"
+                )
+            )
+        )
+        both = (
+            train.select(x.alias("_x")).withColumn("_w", F.lit("train"))
+        ).unionByName(
+            test.select(x.alias("_x")).withColumn("_w", F.lit("test"))
+        ).filter(F.col("_x").isNotNull())
+        binned = both.crossJoin(edges_row).select(
+            "_w",
+            F.size(
+                F.filter(F.col("_edges"), lambda e: F.col("_x") >= e)
+            ).alias("bin"),
+        )
+        counts = binned.groupBy("bin").agg(
+            F.sum(F.when(F.col("_w") == "train", 1).otherwise(0)).alias(
+                "train_n"
+            ),
+            F.sum(F.when(F.col("_w") == "test", 1).otherwise(0)).alias(
+                "test_n"
+            ),
+        )
+        pieces.append(counts.select(F.lit(c).alias("feature"), "*"))
+    out = reduce(lambda a, b: a.unionByName(b), pieces)
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("feature")
+    tn = F.sum("train_n").over(wf).cast("double")
+    sn = F.sum("test_n").over(wf).cast("double")
+    p = F.col("train_n").cast("double") / tn
+    q = F.col("test_n").cast("double") / sn
+    pe = F.when(p > 0, p).otherwise(F.lit(float(eps)))
+    qe = F.when(q > 0, q).otherwise(F.lit(float(eps)))
+    term = (qe - pe) * F.log(qe / pe)
+    scored = out.withColumns(
+        {
+            "train_pct": p,
+            "test_pct": q,
+            "psi_term": term,
+        }
+    )
+    total = F.sum(F.col("psi_term").cast(_DEC)).over(wf).cast("double")
+    return scored.withColumn("psi_total", total)

@@ -532,3 +532,38 @@ def test_standardizer_fit_transform_contract(spark):
     other = spark.createDataFrame([(0.0,)], ["a"])
     z = apply_standardizer(other, fit_standardizer(train, ["a"]), ["a"]).collect()[0]
     assert abs(z["a_z"] + 2.0 / math.sqrt(2.0 / 3.0)) < 1e-12
+
+
+def test_psi_drift_semantics(spark):
+    """Identical distributions -> PSI ~ 0; a shifted test slab -> large
+    PSI; empty bins go through the eps substitution, not inf/NaN."""
+    import numpy as np
+
+    from marketdatapipeline_spark.ml.drift import psi_drift
+
+    rng = np.random.RandomState(3)
+    a = rng.uniform(0, 100, 2000)
+    train = spark.createDataFrame([(float(v),) for v in a], ["x"])
+    same = spark.createDataFrame([(float(v),) for v in a[:1000]], ["x"])
+    out = psi_drift(train, same, ["x"], n_bins=10).collect()
+    total = out[0]["psi_total"]
+    assert abs(total) < 0.01  # same distribution
+    assert len(out) == 10
+    assert sum(r["train_n"] for r in out) == 2000
+
+    # test entirely above the train range: all mass in the top bin
+    far = spark.createDataFrame([(float(v + 1000.0),) for v in a[:500]], ["x"])
+    drifted = psi_drift(train, far, ["x"], n_bins=10).collect()
+    assert drifted[0]["psi_total"] > 1.0
+    top = [r for r in drifted if r["bin"] == 9][0]
+    assert top["test_pct"] == 1.0
+    import math
+
+    assert all(math.isfinite(r["psi_term"]) for r in drifted)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        psi_drift(train, same, ["x"], n_bins=1)
+    with _pytest.raises(ValueError, match="method"):
+        psi_drift(train, same, ["x"], method="banana")
