@@ -3182,3 +3182,54 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("psi_term")).alias("psi_term"),
         _r6(F.col("psi_total")).alias("psi_total"),
     )
+
+
+from marketdatapipeline_spark.operators.indicators import (  # noqa: E402
+    commodity_channel_index,
+)
+
+
+@register_extended(
+    "bars_cci",
+    _bars_sql(
+        """
+        , t AS (
+            SELECT symbol, datetime, bar_id,
+                   (high + low + close) / 3.0 AS tp
+            FROM bars
+        ),
+        fr AS (
+            SELECT symbol, datetime, bar_id, tp,
+                   list(tp) OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+                   ) AS l
+            FROM t
+        ),
+        m AS (
+            SELECT *, list_reduce(l, (a, b) -> a + b) / 20.0 AS mean
+            FROM fr
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN len(l) = 20 AND mad > 0 THEN
+                   (tp - mean) / (0.015 * mad)
+               END AS cci
+        FROM (
+            SELECT *, list_reduce(list_transform(l, x -> abs(x - mean)),
+                                  (a, b) -> a + b) / 20.0 AS mad
+            FROM m
+        )
+        """
+    ),
+)
+def q_bars_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity channel index CCI(20)
+    (operators/indicators.py:commodity_channel_index): the
+    frame-anchored mean-absolute-deviation shape no single window
+    aggregate expresses — the frame rides ONE collect_list window
+    and both passes (mean, MAD around that mean) are sequential
+    scan-side array folds, bit-identical to DuckDB's list_reduce, so
+    the whole chain emits UNROUNDED."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = commodity_channel_index(bars, window=20)
+    return out.select("symbol", "datetime", "bar_id", "cci")

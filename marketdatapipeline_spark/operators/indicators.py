@@ -37,6 +37,7 @@ __all__ = [
     "on_balance_volume",
     "donchian_channels",
     "ichimoku",
+    "commodity_channel_index",
     "money_flow_index",
     "pivot_points",
     "williams_r",
@@ -431,3 +432,51 @@ def money_flow_index(
         staged.withColumn(out_col, mfi)
         .drop("_tp", "_dtp", "_cp", "_cn", "_cc")
     )
+
+
+def commodity_channel_index(
+    df: DataFrame,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    out_col: str = "cci",
+) -> DataFrame:
+    """Add the commodity channel index:
+
+    ``tp = (high + low + close) / 3``,
+    ``cci = (tp - sma(tp, n)) / (0.015 * mad)`` where ``mad`` is the
+    mean ABSOLUTE deviation of the window's typical prices around
+    that window's own mean.
+
+    The frame-anchored MAD is the interesting shape: it needs the
+    window mean INSIDE a second pass over the same frame, which no
+    single window aggregate expresses. Materializing the frame as an
+    ordered array (one ``collect_list`` window, O(n) per row) turns
+    both passes into scan-side array folds — ``aggregate`` for the
+    sum, ``aggregate`` over ``abs(x - mean)`` for the MAD — still
+    zero Python, one exchange.
+
+    Exactness: the array folds are sequential left folds in double,
+    identical to DuckDB ``list_sum``-style lambda folds, so the
+    whole chain is deterministic; null until the frame fills and on
+    ``mad == 0`` (flat window)."""
+    wk = (
+        Window.partitionBy(symbol_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    tp = (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)
+    staged = df.withColumn("_tp", tp).withColumn(
+        "_frame", F.collect_list("_tp").over(wk)
+    )
+    arr = F.col("_frame")
+    n = F.lit(float(window))
+    fsum = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    mean = fsum / n
+    madsum = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + F.abs(x - mean))
+    mad = madsum / n
+    cci = F.when(
+        (F.size(arr) == window) & (mad > 0),
+        (F.col("_tp") - mean) / (F.lit(0.015) * mad),
+    )
+    return staged.withColumn(out_col, cci).drop("_tp", "_frame")

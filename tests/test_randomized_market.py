@@ -615,3 +615,37 @@ def test_corwin_schultz_random_parity(spark, seed):
         )
         # estimator sanity: clamped mean is a spread fraction in [0, 1)
         assert 0.0 <= got[sym]["mean_spread"] < 1.0
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_cci_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.indicators import (
+        commodity_channel_index,
+    )
+
+    pdf = _random_bars(seed)
+    n = 7
+    got = (
+        commodity_channel_index(spark.createDataFrame(pdf), window=n)
+        .toPandas()
+        .sort_values(["symbol", "datetime", "bar_id"])
+        .reset_index(drop=True)
+    )
+    outs = []
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        tp = ((g["high"] + g["low"] + g["close"]) / 3.0).to_numpy()
+        cci = np.full(len(tp), np.nan)
+        for i in range(n - 1, len(tp)):
+            fr = tp[i - n + 1 : i + 1]
+            mean = fr.sum() / n
+            mad = np.abs(fr - mean).sum() / n
+            if mad > 0:
+                cci[i] = (tp[i] - mean) / (0.015 * mad)
+        outs.append(pd.DataFrame({"symbol": sym, "cci": cci}))
+    want = pd.concat(outs).reset_index(drop=True)
+    a = got["cci"].to_numpy(dtype=float)
+    b = want["cci"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    ok = ~np.isnan(a)
+    np.testing.assert_allclose(a[ok], b[ok], rtol=1e-9)
