@@ -3233,3 +3233,61 @@ def q_bars_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _bars_from_events_r8(spark, sf_dir)
     out = commodity_channel_index(bars, window=20)
     return out.select("symbol", "datetime", "bar_id", "cci")
+
+
+from marketdatapipeline_spark.textops.analysis import add_readability  # noqa: E402
+
+
+@register_extended(
+    "corpus_readability",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_sent, len(words) AS n_words,
+               CASE WHEN len(words) > 0 THEN
+                   list_reduce(list_transform(words,
+                       x -> greatest(len(regexp_extract_all(lower(x),
+                                                            '[aeiouy]+')),
+                                     1)),
+                       (a, b) -> a + b)
+               END AS n_syl
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n_words > 0 THEN n_sent END AS INT)
+               AS n_sentences,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_syl AS INT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+               CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE)
+           END AS words_per_sentence,
+           CASE WHEN n_words > 0 THEN
+               CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE)
+           END AS syllables_per_word,
+           CASE WHEN n_words > 0 THEN
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+               - 84.6 * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE))
+           END AS flesch_reading_ease
+    FROM c
+    """,
+)
+def q_corpus_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease signals (textops/analysis.py:
+    add_readability): sentence/word/vowel-group-syllable counts and
+    the 206.835 - 1.015 wps - 84.6 spw score — the dictionary-free
+    readability bucket pretraining quality filters use. Counts are
+    integers, ratios pinned-order IEEE — UNROUNDED; syllables fold
+    scan-side over the token array (no explode)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = add_readability(docs)
+    return out.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        "words_per_sentence", "syllables_per_word", "flesch_reading_ease",
+    )

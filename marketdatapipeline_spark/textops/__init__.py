@@ -8,6 +8,7 @@ candidate generation via bucket joins (LSH bands), never all-pairs.
 """
 
 from marketdatapipeline_spark.textops.analysis import (
+    add_readability,
     add_web_noise_signals,
     add_fingerprints,
     add_language_id,
@@ -55,6 +56,7 @@ __all__ = [
     "redact_pii",
     "add_repetition_signals",
     "add_token_estimate",
+    "add_readability",
     "add_web_noise_signals",
     "assign_splits",
     "bm25_scores",

@@ -195,3 +195,51 @@ def add_web_noise_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add Flesch reading-ease readability signals:
+
+    - ``n_sentences`` — sentence-final punctuation runs
+      (``[.!?]+``), floored at 1 (a fragment is one sentence);
+    - ``n_words`` — whitespace tokens;
+    - ``n_syllables`` — per word, the count of vowel GROUPS
+      (``[aeiouy]+`` on the lowercased word, floored at 1 — the
+      standard dictionary-free approximation);
+    - ``words_per_sentence`` / ``syllables_per_word`` /
+      ``flesch_reading_ease``
+      (``206.835 - 1.015 wps - 84.6 spw``), null on empty text.
+
+    The quality-filter use: pretraining pipelines bucket documents by
+    readability to balance simple/complex prose (e.g. textbook-style
+    filtering). All counts are integers (engine-exact); the ratios
+    and the Flesch chain are pinned-order IEEE ops — UNROUNDED
+    oracle territory. Per-word syllable counts fold scan-side over
+    the token array (no explode, no shuffle)."""
+    words = F.filter(_tokens(text_col), lambda w: w != "")
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(F.lower(w), F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = syl.cast("double") / n_words.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    has = n_words > 0
+    return df.withColumns(
+        {
+            "n_sentences": F.when(has, n_sent).cast("int"),
+            "n_words": n_words.cast("int"),
+            "n_syllables": F.when(has, syl).cast("int"),
+            "words_per_sentence": F.when(has, wps),
+            "syllables_per_word": F.when(has, spw),
+            "flesch_reading_ease": F.when(has, flesch),
+        }
+    )

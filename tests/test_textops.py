@@ -285,3 +285,28 @@ def test_containment_vs_jaccard_asymmetry(spark):
     assert jac[(1, 2)] < 0.1  # Jaccard blind to the paste
     with pytest.raises(ValueError, match="threshold"):
         containment_similar_pairs(df, threshold=1.5)
+
+
+def test_readability_hand_computed(spark):
+    from marketdatapipeline_spark.textops.analysis import add_readability
+
+    docs = spark.createDataFrame(
+        [
+            # 2 sentences, 6 words; syllables: the(1) cat(1) sat(1)
+            # down(1) it(1) purred(2: u, e) = 7
+            (1, "The cat sat down. It purred!"),
+            (2, ""),           # empty -> null metrics, n_words 0
+            (3, "xyz qrs"),    # no vowels: 1-syllable floor per word
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in add_readability(docs).collect()}
+    r = out[1]
+    assert r["n_sentences"] == 2 and r["n_words"] == 6
+    assert r["n_syllables"] == 7
+    assert abs(r["words_per_sentence"] - 3.0) < 1e-12
+    expect = 206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6.0)
+    assert abs(r["flesch_reading_ease"] - expect) < 1e-9
+    assert out[2]["n_words"] == 0 and out[2]["flesch_reading_ease"] is None
+    assert out[3]["n_sentences"] == 1  # fragment floors at one sentence
+    assert out[3]["n_syllables"] == 2
