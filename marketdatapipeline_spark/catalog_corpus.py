@@ -3291,3 +3291,71 @@ def q_corpus_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_sentences", "n_words", "n_syllables",
         "words_per_sentence", "syllables_per_word", "flesch_reading_ease",
     )
+
+
+from marketdatapipeline_spark.ml.scaling import (  # noqa: E402
+    apply_winsorizer,
+    fit_winsorizer,
+)
+
+
+@register_extended(
+    "ml_winsorize",
+    _bars_sql(
+        """
+        , ranked AS (
+            SELECT bar_id, close, volume,
+                   row_number() OVER (ORDER BY datetime, bar_id) AS rn,
+                   count(*) OVER () AS total
+            FROM bars
+        ),
+        lab AS (
+            SELECT bar_id, close, volume,
+                   CASE WHEN rn <= CAST(floor(total * 0.8) AS BIGINT)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM ranked
+        ),
+        ed AS (
+            SELECT round(quantile_cont(close, 0.05), 6) + 0.0 AS c_lo,
+                   round(quantile_cont(close, 0.95), 6) + 0.0 AS c_hi,
+                   round(quantile_cont(volume, 0.05), 6) + 0.0 AS v_lo,
+                   round(quantile_cont(volume, 0.95), 6) + 0.0 AS v_hi
+            FROM lab WHERE split = 'train'
+        )
+        SELECT bar_id, split,
+               least(greatest(close, c_lo), c_hi) AS close_w,
+               close IS NOT NULL AND (close < c_lo OR close > c_hi)
+                   AS close_w_clipped,
+               least(greatest(volume, v_lo), v_hi) AS volume_w,
+               volume IS NOT NULL AND (volume < v_lo OR volume > v_hi)
+                   AS volume_w_clipped
+        FROM lab CROSS JOIN ed
+        """
+    ),
+)
+def q_ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (ml/scaling.py:fit_winsorizer/apply_winsorizer):
+    clip edges fitted as round-6 5%/95% quantiles of the
+    chronological train slice ONLY, applied to both halves via one
+    broadcast stats row. Output values are the original doubles or
+    the shared edges — UNROUNDED."""
+    from marketdatapipeline_spark.ml.preparation import chronological_split
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    train, test = chronological_split(
+        bars,
+        test_size=0.2,
+        order_cols=("datetime",),
+        tie_break_cols=("bar_id",),
+        method="cutkey",
+    )
+    stats = fit_winsorizer(train, ["close", "volume"], lower=0.05, upper=0.95)
+    tr = apply_winsorizer(train, stats, ["close", "volume"])
+    te = apply_winsorizer(test, stats, ["close", "volume"])
+    out = tr.withColumn("split", F.lit("train")).unionByName(
+        te.withColumn("split", F.lit("test"))
+    )
+    return out.select(
+        "bar_id", "split", "close_w", "close_w_clipped",
+        "volume_w", "volume_w_clipped",
+    )

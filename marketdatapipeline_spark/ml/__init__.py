@@ -17,6 +17,8 @@ from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
 from marketdatapipeline_spark.ml.prediction import load_model, predict
 from marketdatapipeline_spark.ml.scaling import (
     apply_standardizer,
+    apply_winsorizer,
+    fit_winsorizer,
     fit_standardizer,
     standardize_split,
 )
@@ -55,4 +57,6 @@ __all__ = [
     "fit_standardizer",
     "standardize_split",
     "psi_drift",
+    "apply_winsorizer",
+    "fit_winsorizer",
 ]

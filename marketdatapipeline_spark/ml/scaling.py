@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_standardizer", "fit_standardizer", "standardize_split"]
+__all__ = [
+    "apply_standardizer",
+    "apply_winsorizer",
+    "fit_standardizer",
+    "fit_winsorizer",
+    "standardize_split",
+]
 
 _DEC = "decimal(38,18)"
 
@@ -94,3 +100,55 @@ def standardize_split(
         apply_standardizer(train, stats, cols, suffix),
         apply_standardizer(test, stats, cols, suffix),
     )
+
+
+def fit_winsorizer(
+    train: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    method: str = "exact",
+) -> DataFrame:
+    """ONE stats row of round-6 train quantile clip edges
+    (``<c>_lo`` / ``<c>_hi``) — rounding is part of the published
+    contract (and what keeps exact engines bit-agreed on edges).
+    ``method="approx"`` swaps in ``approx_percentile`` for the
+    sketch-mergeable 100 TB path."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method: {method!r}")
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "exact":
+            q = F.percentile(x, F.array(F.lit(lower), F.lit(upper)))
+        else:
+            q = F.approx_percentile(
+                x, F.array(F.lit(lower), F.lit(upper)), F.lit(10_000)
+            )
+        e = F.transform(q, lambda v: F.round(v, 6) + F.lit(0.0))
+        aggs += [
+            e[0].alias(f"{c}_lo"),
+            e[1].alias(f"{c}_hi"),
+        ]
+    return train.agg(*aggs)
+
+
+def apply_winsorizer(
+    df: DataFrame, stats: DataFrame, cols: list[str], suffix: str = "_w"
+) -> DataFrame:
+    """Clip each ``c`` into its fitted [lo, hi] as ``<c><suffix>``,
+    plus a ``<c><suffix>_clipped`` flag. Broadcast stats row,
+    scan-side ``least/greatest`` — values are either the original
+    doubles or the shared edges, so downstream comparisons stay
+    engine-exact (no rounding at emission needed)."""
+    joined = df.crossJoin(F.broadcast(stats))
+    add = {}
+    for c in cols:
+        x = F.col(c).cast("double")
+        lo, hi = F.col(f"{c}_lo"), F.col(f"{c}_hi")
+        add[f"{c}{suffix}"] = F.least(F.greatest(x, lo), hi)
+        add[f"{c}{suffix}_clipped"] = x.isNotNull() & ((x < lo) | (x > hi))
+    out = joined.withColumns(add)
+    return out.drop(*[f"{c}_lo" for c in cols], *[f"{c}_hi" for c in cols])

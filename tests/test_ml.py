@@ -567,3 +567,31 @@ def test_psi_drift_semantics(spark):
         psi_drift(train, same, ["x"], n_bins=1)
     with _pytest.raises(ValueError, match="method"):
         psi_drift(train, same, ["x"], method="banana")
+
+
+def test_winsorizer_fit_apply(spark):
+    from marketdatapipeline_spark.ml.scaling import (
+        apply_winsorizer,
+        fit_winsorizer,
+    )
+
+    train = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], ["x"]
+    )
+    stats = fit_winsorizer(train, ["x"], lower=0.1, upper=0.9).collect()[0]
+    # quantile_cont over 1..100 at 0.1 -> 10.9, at 0.9 -> 90.1
+    assert abs(stats["x_lo"] - 10.9) < 1e-9
+    assert abs(stats["x_hi"] - 90.1) < 1e-9
+    test = spark.createDataFrame([(1.0,), (50.0,), (99.0,), (None,)], ["x"])
+    out = {r["x"]: r for r in apply_winsorizer(
+        test, fit_winsorizer(train, ["x"], 0.1, 0.9), ["x"]
+    ).collect()}
+    assert out[1.0]["x_w"] == stats["x_lo"] and out[1.0]["x_w_clipped"]
+    assert out[50.0]["x_w"] == 50.0 and not out[50.0]["x_w_clipped"]
+    assert out[99.0]["x_w"] == stats["x_hi"] and out[99.0]["x_w_clipped"]
+    assert out[None]["x_w"] is None and not out[None]["x_w_clipped"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower"):
+        fit_winsorizer(train, ["x"], 0.9, 0.1)
