@@ -3323,10 +3323,12 @@ from marketdatapipeline_spark.ml.scaling import (  # noqa: E402
             FROM lab WHERE split = 'train'
         )
         SELECT bar_id, split,
-               least(greatest(close, c_lo), c_hi) AS close_w,
+               CASE WHEN close IS NOT NULL THEN
+                   least(greatest(close, c_lo), c_hi) END AS close_w,
                close IS NOT NULL AND (close < c_lo OR close > c_hi)
                    AS close_w_clipped,
-               least(greatest(volume, v_lo), v_hi) AS volume_w,
+               CASE WHEN volume IS NOT NULL THEN
+                   least(greatest(volume, v_lo), v_hi) END AS volume_w,
                volume IS NOT NULL AND (volume < v_lo OR volume > v_hi)
                    AS volume_w_clipped
         FROM lab CROSS JOIN ed

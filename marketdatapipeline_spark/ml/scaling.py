@@ -148,7 +148,11 @@ def apply_winsorizer(
     for c in cols:
         x = F.col(c).cast("double")
         lo, hi = F.col(f"{c}_lo"), F.col(f"{c}_hi")
-        add[f"{c}{suffix}"] = F.least(F.greatest(x, lo), hi)
+        # greatest/least SKIP nulls (both engines), which would clip a
+        # null input to the lower edge — gate explicitly instead
+        add[f"{c}{suffix}"] = F.when(
+            x.isNotNull(), F.least(F.greatest(x, lo), hi)
+        )
         add[f"{c}{suffix}_clipped"] = x.isNotNull() & ((x < lo) | (x > hi))
     out = joined.withColumns(add)
     return out.drop(*[f"{c}_lo" for c in cols], *[f"{c}_hi" for c in cols])
