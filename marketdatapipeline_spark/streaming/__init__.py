@@ -35,6 +35,10 @@ from marketdatapipeline_spark.streaming.atr import (
     online_atr,
     online_atr_batch,
 )
+from marketdatapipeline_spark.streaming.volume_clock import (
+    online_volume_clock,
+    online_volume_clock_batch,
+)
 from marketdatapipeline_spark.streaming.stateful import (
     online_indicators,
     online_indicators_batch,
@@ -59,6 +63,8 @@ __all__ = [
     "dedup_batch",
     "online_atr",
     "online_atr_batch",
+    "online_volume_clock",
+    "online_volume_clock_batch",
     "online_indicators",
     "online_indicators_batch",
     "online_ticks",

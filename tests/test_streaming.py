@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -806,3 +807,45 @@ def test_online_atr_batch_twin_matches_blocked_ewm(spark, bars_df):
     g = twin["atr"].to_numpy(dtype=float)
     w = blocked["atr"].to_numpy(dtype=float)
     assert (abs(g - w) <= 1e-9 * abs(w)).all()
+
+
+def test_online_volume_clock_matches_batch_twin(spark, tick_dir):
+    """Stream and batch twin share _scan_cum verbatim — bit-identical
+    bucket assignment and running volume on the same tick feed."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.streaming import (
+        online_volume_clock,
+        online_volume_clock_batch,
+    )
+
+    bucket = 500.0
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_volume_clock(ticks_stream, bucket), "online_vclock"
+    ).toPandas()
+
+    ticks = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    want = online_volume_clock_batch(ticks, bucket).toPandas()
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # the assignment law itself: bucket == floor((cum - size)/bucket)
+    start = got["cum_volume"] - got["size"]
+    assert (got["bucket"] == (start // bucket).astype("int64")).all()
+    # buckets are non-decreasing within a symbol's time order
+    for _, g in got.groupby("symbol"):
+        b = g.sort_values("ts")["bucket"].to_numpy()
+        assert (np.diff(b) >= 0).all()
+
+
+def test_online_volume_clock_rejects_bad_bucket(spark, tick_dir):
+    from marketdatapipeline_spark.streaming import online_volume_clock
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    with pytest.raises(ValueError, match="bucket_size"):
+        online_volume_clock(ticks_stream, 0.0)
