@@ -3361,3 +3361,72 @@ def q_ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_id", "split", "close_w", "close_w_clipped",
         "volume_w", "volume_w_clipped",
     )
+
+
+from marketdatapipeline_spark.textops.corpus import bigram_perplexity  # noqa: E402
+
+
+@register_extended(
+    "corpus_bigram_perplexity",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> ''),
+                   x -> {_H_SQL.format(x="x")}) AS h
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(h)),
+                                     i -> [h[i], h[i + 1]])) AS bg
+        FROM w WHERE len(h) >= 2
+    ),
+    tf AS (
+        SELECT doc_id, bg[1] AS h1, bg[2] AS h2, count(*) AS tf
+        FROM pairs GROUP BY doc_id, bg[1], bg[2]
+    ),
+    cb AS (
+        SELECT h1, h2, CAST(sum(tf) AS BIGINT) AS cb
+        FROM tf GROUP BY h1, h2
+    ),
+    c1 AS (SELECT h1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY h1),
+    uni AS (SELECT doc_id, unnest(h) AS h2 FROM w),
+    cw AS (SELECT h2, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY h2),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n, count(*) AS v FROM cw),
+    term AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(tf.tf * ln(
+                   0.7 * (CAST(cb.cb AS DOUBLE) / c1.c1)
+                   + (1.0 - 0.7) * ((cw.cw + 1.0) / (tot.n + 1.0 * tot.v))
+               ) AS DECIMAL(28,14)) AS t
+        FROM tf
+        JOIN cb USING (h1, h2)
+        JOIN c1 USING (h1)
+        JOIN cw USING (h2)
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(-(CAST(sum(t) AS DOUBLE)) / sum(tf), 6) + 0.0
+               AS mean_neg_logprob,
+           round(exp(-(CAST(sum(t) AS DOUBLE)) / sum(tf)), 6) + 0.0
+               AS perplexity
+    FROM term GROUP BY doc_id
+    """,
+)
+def q_corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a self-trained interpolated
+    BIGRAM LM (textops/corpus.py:bigram_perplexity) — the
+    context-aware step past the unigram screen (Jelinek-Mercer 0.7
+    mixture with the add-1 unigram leg). Bigram pairs materialize
+    scan-side from the token array; every shuffle key is a bigint
+    hash; decimal(28,14) log-prob sums, ln/exp round-6."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bigram_perplexity(docs, lam=0.7)
+    return out.select(
+        "doc_id", "n_bigrams",
+        _r6(F.col("mean_neg_logprob")).alias("mean_neg_logprob"),
+        _r6(F.col("perplexity")).alias("perplexity"),
+    )

@@ -53,6 +53,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "tfidf_top_terms",
     "top_bigram_stats",
+    "bigram_perplexity",
     "unigram_perplexity",
 ]
 
@@ -933,6 +934,90 @@ def unigram_perplexity(
     return g.select(
         id_col,
         "n_tokens",
+        m.alias("mean_neg_logprob"),
+        F.exp(m).alias("perplexity"),
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, n_bigrams, mean_neg_logprob, perplexity): per-document
+    perplexity under an INTERPOLATED bigram language model trained on
+    the same corpus — one order up from :func:`unigram_perplexity`
+    (context-aware: scrambled word salad that passes the unigram
+    screen scores high here because its transitions are improbable).
+
+    ``p(w2 | w1) = lam * c(w1,w2)/c1(w1)
+                   + (1-lam) * (c(w2)+a)/(N+aV)``
+
+    — the classical Jelinek-Mercer mixture; the unigram leg keeps
+    add-``a`` smoothing so the probability is strictly positive (and
+    every scored bigram was seen in training here, so the bigram leg
+    is too). Documents with fewer than two tokens are absent.
+
+    Plan shape (the repo's hashed-vocabulary discipline — token
+    STRINGS never shuffle): bigram pairs materialize scan-side from
+    the token array (``zip_with`` of the two slices, md5 bigints
+    inside the projection), then one (id, h1, h2) tf aggregation, the
+    count tables join back on bigint keys, the two corpus totals ride
+    one broadcast row, and the per-doc reduction sums decimal(28,14)
+    log-prob terms (association-free; ln/exp are the libm boundary,
+    round-6 at emission)."""
+    harr = F.transform(
+        F.filter(_words(text_col), lambda w: w != ""),
+        lambda w: md5_int(w),
+    )
+    base = df.select(F.col(id_col), harr.alias("_h"))
+    n = F.size(F.col("_h"))
+    pairs = base.filter(n >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_h"), 1, n - 1),
+                F.slice(F.col("_h"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("h1"), b.alias("h2")),
+            )
+        ).alias("_bg"),
+    )
+    tf = pairs.groupBy(
+        id_col, F.col("_bg.h1").alias("h1"), F.col("_bg.h2").alias("h2")
+    ).agg(F.count("*").alias("tf"))
+    cb = tf.groupBy("h1", "h2").agg(F.sum("tf").cast("long").alias("_cb"))
+    c1 = cb.groupBy("h1").agg(F.sum("_cb").cast("long").alias("_c1"))
+    uni = base.select(F.col(id_col), F.explode(F.col("_h")).alias("h2"))
+    cw = uni.groupBy("h2").agg(F.count("*").cast("long").alias("_cw"))
+    totals = cw.agg(
+        F.sum("_cw").cast("long").alias("_n"), F.count("*").alias("_v")
+    )
+    a = F.lit(float(smoothing))
+    lamc = F.lit(float(lam))
+    p = lamc * (F.col("_cb").cast("double") / F.col("_c1")) + (
+        F.lit(1.0) - lamc
+    ) * ((F.col("_cw") + a) / (F.col("_n") + a * F.col("_v")))
+    term = (
+        tf.join(cb, ["h1", "h2"])
+        .join(c1, "h1")
+        .join(cw, "h2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            (F.col("tf") * F.log(p)).cast("decimal(28,14)").alias("_t"),
+        )
+    )
+    g = term.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_t").alias("_s"),
+    )
+    m = (-(F.col("_s").cast("double"))) / F.col("n_bigrams")
+    return g.select(
+        id_col,
+        "n_bigrams",
         m.alias("mean_neg_logprob"),
         F.exp(m).alias("perplexity"),
     )

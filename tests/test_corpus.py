@@ -506,3 +506,36 @@ def test_unigram_perplexity_hand_computed(spark):
         assert row["perplexity"] == pytest.approx(x, rel=1e-12)
     # doc 1 repeats the modal token -> lower perplexity than doc 2
     assert out[1]["perplexity"] < out[2]["perplexity"]
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Tiny corpus where the interpolated model is checkable by hand;
+    repeated transitions must score lower (less surprising) than a
+    one-off transition, and short docs are absent."""
+    import math
+
+    from marketdatapipeline_spark.textops.corpus import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "x"),        # < 2 tokens -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_perplexity(docs, lam=0.7).collect()}
+    assert set(out) == {1, 2}
+    # corpus: tokens a,b,a,b,a,b (N=6? doc3 'x' adds 1 -> N=7, V=3)
+    # bigrams: (a,b)x3, (b,a)x1 -> c1(a)=3, c1(b)=1
+    N, V = 7, 3
+    def p(cb, c1, cw):
+        return 0.7 * (cb / c1) + (1.0 - 0.7) * ((cw + 1.0) / (N + V))
+    p_ab = p(3, 3, 3)   # c(b)=3
+    p_ba = p(1, 1, 3)   # c(a)=3
+    m1 = -(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert abs(out[1]["mean_neg_logprob"] - m1) < 1e-9
+    assert abs(out[1]["perplexity"] - math.exp(m1)) < 1e-6
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    m2 = -math.log(p_ab)
+    assert abs(out[2]["mean_neg_logprob"] - m2) < 1e-9
