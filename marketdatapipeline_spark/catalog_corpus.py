@@ -3430,3 +3430,117 @@ def q_corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mean_neg_logprob")).alias("mean_neg_logprob"),
         _r6(F.col("perplexity")).alias("perplexity"),
     )
+
+
+from marketdatapipeline_spark.operators.backtest import vector_backtest  # noqa: E402
+from marketdatapipeline_spark.operators.indicators import (  # noqa: E402
+    _rolling_mean_decimal,
+)
+
+
+@register_extended(
+    "bars_signal_backtest",
+    _bars_sql(
+        """
+        , s AS (
+            SELECT symbol, datetime, bar_id, close,
+                   CASE WHEN count(close) OVER wk = 20 THEN
+                       CAST(sum(CAST(close AS DECIMAL(28,14))) OVER wk
+                            AS DOUBLE) / 20
+                   END AS sma
+            FROM bars
+            WINDOW wk AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+            )
+        ),
+        sig AS (
+            SELECT symbol, datetime, bar_id, close,
+                   CASE WHEN sma IS NOT NULL AND close > sma
+                        THEN 1.0 ELSE 0.0 END AS sgn
+            FROM s
+        ),
+        acct AS (
+            SELECT symbol, datetime, bar_id,
+                   coalesce(lag(sgn) OVER w, 0.0) AS pos,
+                   abs(sgn - coalesce(lag(sgn) OVER w, 0.0)) AS trade,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM sig
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        pr AS (
+            SELECT symbol, datetime, bar_id, trade,
+                   pos * coalesce(ret, 0.0) - 0.001 * trade AS strat
+            FROM acct
+        ),
+        leq AS (
+            SELECT symbol, datetime, bar_id, trade, strat,
+                   CAST(sum(CAST(ln(1.0 + strat) AS DECIMAL(38,18)))
+                        OVER wr AS DOUBLE) AS l
+            FROM pr
+            WINDOW wr AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        ),
+        dd AS (
+            SELECT symbol, trade, strat, l,
+                   exp(l - max(l) OVER wr) - 1.0 AS drawdown
+            FROM leq
+            WINDOW wr AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT symbol, CAST(count(*) AS BIGINT) AS n_bars,
+               CAST(sum(CAST(trade AS DECIMAL(38,18))) AS DOUBLE)
+                   AS n_trades,
+               round(exp(CAST(sum(CAST(ln(1.0 + strat) AS DECIMAL(38,18)))
+                              AS DOUBLE)) - 1.0, 6) + 0.0 AS total_return,
+               CASE WHEN count(*) >= 2 AND vr > 0 THEN
+                   round(s1 / CAST(count(*) AS DOUBLE) / sqrt(vr)
+                         * sqrt(252.0), 6) + 0.0
+               END AS sharpe,
+               round(min(drawdown), 6) + 0.0 AS max_drawdown
+        FROM (
+            SELECT *,
+                   CAST(sum(CAST(strat AS DECIMAL(38,18))) OVER (
+                       PARTITION BY symbol) AS DOUBLE) AS s1,
+                   (CAST(sum(CAST(strat * strat AS DECIMAL(38,18))) OVER (
+                       PARTITION BY symbol) AS DOUBLE)
+                    - CAST(sum(CAST(strat AS DECIMAL(38,18))) OVER (
+                       PARTITION BY symbol) AS DOUBLE)
+                      * CAST(sum(CAST(strat AS DECIMAL(38,18))) OVER (
+                       PARTITION BY symbol) AS DOUBLE)
+                      / CAST(count(*) OVER (PARTITION BY symbol) AS DOUBLE))
+                   / (CAST(count(*) OVER (PARTITION BY symbol) AS DOUBLE)
+                      - 1.0) AS vr
+            FROM dd
+        )
+        GROUP BY symbol, s1, vr
+        """
+    ),
+)
+def q_bars_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized backtest (operators/backtest.py:vector_backtest) of
+    a 20-bar SMA breakout signal at 10 bp cost: log-sum equity,
+    annualized Sharpe, worst drawdown, turnover — the whole event
+    loop restated as windows + power sums (one symbol exchange, one
+    final agg). Decimal accumulation everywhere; ln/exp round-6."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    sig = _rolling_mean_decimal(
+        bars, "close", 20, "sma", "symbol", ("datetime", "bar_id")
+    ).withColumn(
+        "sgn",
+        F.when(
+            F.col("sma").isNotNull() & (F.col("close") > F.col("sma")),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = vector_backtest(sig, "sgn", cost=0.001, periods_per_year=252)
+    return out.select(
+        "symbol", "n_bars", "n_trades",
+        _r6(F.col("total_return")).alias("total_return"),
+        _r6(F.col("sharpe")).alias("sharpe"),
+        _r6(F.col("max_drawdown")).alias("max_drawdown"),
+    )

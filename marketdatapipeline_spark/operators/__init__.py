@@ -37,11 +37,15 @@ of DataFrame primitives (never driver loops, never cross products):
   bar index (broadcast weights, renormalized over present symbols);
 - :func:`volume_bars` — activity-clocked resampling onto volume or
   dollar buckets (exact cumulative-clock bucket assignment);
+- :func:`signal_returns` / :func:`vector_backtest` — vectorized
+  signal backtest: log-sum equity curve, Sharpe, max drawdown,
+  turnover — windows and power sums only, no event loop;
 - :func:`salted_collect_list` / :func:`salted_join_left_hot` — skew
   mitigation for holistic aggregates and hot-key joins.
 """
 
 from marketdatapipeline_spark.operators.asof import asof_join
+from marketdatapipeline_spark.operators.backtest import signal_returns, vector_backtest
 from marketdatapipeline_spark.operators.beta import rolling_beta
 from marketdatapipeline_spark.operators.candles import (
     candlestick_census,
@@ -109,6 +113,8 @@ __all__ = [
     "rollup_bars",
     "drawdown_summary",
     "running_drawdown",
+    "signal_returns",
+    "vector_backtest",
     "salted_collect_list",
     "salted_join_left_hot",
     "sessionize",

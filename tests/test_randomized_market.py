@@ -649,3 +649,55 @@ def test_cci_random_parity(spark, seed):
     np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
     ok = ~np.isnan(a)
     np.testing.assert_allclose(a[ok], b[ok], rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [43])
+def test_vector_backtest_random_parity(spark, seed):
+    """Numpy event-loop restatement of the vectorized definitions —
+    same equity, Sharpe, drawdown, turnover."""
+    from marketdatapipeline_spark.operators.backtest import (
+        signal_returns,
+        vector_backtest,
+    )
+
+    rng = np.random.RandomState(seed)
+    pdf = _random_bars(seed)
+    pdf["sig"] = rng.randint(0, 2, size=len(pdf)).astype(float)
+    cost = 0.002
+    per = (
+        signal_returns(spark.createDataFrame(pdf), "sig", cost=cost)
+        .toPandas()
+        .sort_values(["symbol", "datetime", "bar_id"])
+        .reset_index(drop=True)
+    )
+    summ = {
+        r["symbol"]: r
+        for r in vector_backtest(
+            spark.createDataFrame(pdf), "sig", cost=cost, periods_per_year=252
+        ).collect()
+    }
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        c = g["close"].to_numpy()
+        sig = g["sig"].to_numpy()
+        ret = np.concatenate([[0.0], np.diff(c) / c[:-1]])
+        pos = np.concatenate([[0.0], sig[:-1]])
+        trade = np.abs(sig - pos)
+        strat = pos * ret - cost * trade
+        L = np.cumsum(np.log1p(strat))
+        eq = np.exp(L)
+        peak = np.maximum.accumulate(L)
+        dd = np.exp(L - peak) - 1.0
+
+        gp = per[per["symbol"] == sym]
+        np.testing.assert_allclose(gp["strat_ret"].to_numpy(), strat, rtol=1e-9, atol=1e-15)
+        np.testing.assert_allclose(gp["equity"].to_numpy(), eq, rtol=1e-9)
+        np.testing.assert_allclose(gp["drawdown"].to_numpy(), dd, rtol=1e-9, atol=1e-12)
+
+        s = summ[sym]
+        assert s["n_bars"] == len(c)
+        np.testing.assert_allclose(s["n_trades"], trade.sum(), rtol=1e-12)
+        np.testing.assert_allclose(s["total_return"], eq[-1] - 1.0, rtol=1e-9)
+        np.testing.assert_allclose(s["max_drawdown"], dd.min(), rtol=1e-9, atol=1e-12)
+        exp_sharpe = strat.mean() / strat.std(ddof=1) * np.sqrt(252.0)
+        np.testing.assert_allclose(s["sharpe"], exp_sharpe, rtol=1e-9)
