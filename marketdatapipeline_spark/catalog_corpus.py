@@ -3544,3 +3544,66 @@ def q_bars_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("sharpe")).alias("sharpe"),
         _r6(F.col("max_drawdown")).alias("max_drawdown"),
     )
+
+
+from marketdatapipeline_spark.operators.liquidity import vpin  # noqa: E402
+
+
+@register_extended(
+    "bars_vpin",
+    _bars_sql(
+        _TICK_SIGN_SQL
+        + """
+    , s3 AS (
+        SELECT symbol, datetime, bar_id, volume, sgn,
+               sum(volume) OVER wr - volume AS start_cum
+        FROM s2
+        WINDOW wr AS (
+            PARTITION BY symbol ORDER BY datetime, bar_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    ),
+    bk AS (
+        SELECT symbol, CAST(floor(start_cum / 5000.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_bars,
+               CAST(sum(CAST(CASE WHEN sgn = 1 THEN volume ELSE 0.0 END
+                             AS DECIMAL(28,10))) AS DOUBLE) AS buy_volume,
+               CAST(sum(CAST(CASE WHEN sgn = -1 THEN volume ELSE 0.0 END
+                             AS DECIMAL(28,10))) AS DOUBLE) AS sell_volume,
+               CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE) AS tv
+        FROM s3
+        GROUP BY symbol, CAST(floor(start_cum / 5000.0) AS BIGINT)
+    ),
+    im AS (
+        SELECT symbol, bucket, n_bars, buy_volume, sell_volume,
+               CASE WHEN tv > 0 THEN
+                   abs(buy_volume - sell_volume) / tv END AS imbalance
+        FROM bk
+    )
+    SELECT symbol, bucket, n_bars, buy_volume, sell_volume, imbalance,
+           CASE WHEN count(imbalance) OVER wk = 5 THEN
+               round(CAST(sum(CAST(imbalance AS DECIMAL(28,14))) OVER wk
+                          AS DOUBLE) / 5, 6) + 0.0
+           END AS vpin
+    FROM im
+    WINDOW wk AS (
+        PARTITION BY symbol ORDER BY bucket
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    )
+    """
+    ),
+)
+def q_bars_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN flow toxicity (operators/liquidity.py:vpin): tick-rule
+    signs + the 5k-share volume clock + rolling-5 bucket imbalance
+    mean — the Easley/Lopez de Prado/O'Hara monitor, composed from
+    two primitives already in the engine. Bucket boundaries are
+    integer-exact; per-bucket volumes decimal-summed (imbalance
+    UNROUNDED like tick_rule_flow); the rolling VPIN mean rides
+    decimal prefix sums, round-6 at emission."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = vpin(bars, bucket_volume=5_000.0, window=5)
+    return out.select(
+        "symbol", "bucket", "n_bars", "buy_volume", "sell_volume",
+        "imbalance", _r6(F.col("vpin")).alias("vpin"),
+    )

@@ -65,6 +65,7 @@ from marketdatapipeline_spark.operators.liquidity import (
     corwin_schultz_spread,
     kyle_lambda,
     tick_rule_flow,
+    vpin,
 )
 from marketdatapipeline_spark.operators.moments import (
     realized_moments,
@@ -91,6 +92,7 @@ __all__ = [
     "anchored_twap",
     "kyle_lambda",
     "tick_rule_flow",
+    "vpin",
     "anchored_vwap",
     "pair_spread_zscore",
     "portfolio_returns",

@@ -19,6 +19,7 @@ __all__ = [
     "kyle_lambda",
     "roll_spread",
     "tick_rule_flow",
+    "vpin",
 ]
 
 _DEC = "decimal(38,18)"
@@ -331,4 +332,88 @@ def corwin_schultz_spread(
         "n_pairs",
         (F.col("_sc") / n).alias("mean_spread"),
         (F.col("_sr") / n).alias("mean_spread_raw"),
+    )
+
+
+def vpin(
+    df: DataFrame,
+    bucket_volume: float,
+    window: int = 10,
+    price_col: str = "close",
+    volume_col: str = "volume",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """(symbol, bucket, n_bars, buy_volume, sell_volume, imbalance,
+    vpin): volume-synchronized probability of informed trading
+    (Easley, Lopez de Prado, O'Hara 2012) — the flow-toxicity monitor
+    that flagged the 2010 flash crash.
+
+    Composition of two primitives already in the engine: trades are
+    signed by the tick rule (``_with_tick_sign`` — zero-tick carry),
+    time is replaced by the VOLUME clock
+    (``operators/volume_bars.py`` bucket assignment: integer-valued
+    volumes make boundaries engine-exact), then per bucket
+    ``imbalance = |V_buy - V_sell| / V_total`` and
+    ``vpin = rolling mean(imbalance, window)`` over the symbol's
+    bucket sequence (min_periods == window).
+
+    Unsigned rows (the leading unchanged prices) count toward the
+    bucket's clock volume but neither side of the imbalance — the
+    standard treatment. Plan: one symbol window (sign + running
+    volume), one (symbol, bucket) agg, one tiny window over the
+    bucket table. Volumes sum as decimals; the imbalance ratio and
+    the rolling mean go through decimal prefix sums — round-6 at
+    emission only."""
+    signed = _with_tick_sign(
+        df, price_col, symbol_col, order_cols, [F.col(volume_col)]
+    )
+    vol = F.col(volume_col)
+    cum = F.sum(vol).over(
+        Window.partitionBy(symbol_col).orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    staged = signed.withColumn(
+        "_bucket", F.floor((cum - vol) / F.lit(float(bucket_volume)))
+    )
+    buy = F.when(F.col("_sgn") == 1, vol).otherwise(F.lit(0.0))
+    sell = F.when(F.col("_sgn") == -1, vol).otherwise(F.lit(0.0))
+    # decimal(28,10) volumes (the tick_rule_flow width: DuckDB silently
+    # double-sums width-38 decimals); (28,14) for the sub-1.0 ratios
+    vdec = "decimal(28,10)"
+    g = staged.groupBy(symbol_col, F.col("_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum(buy.cast(vdec)).cast("double").alias("buy_volume"),
+        F.sum(sell.cast(vdec)).cast("double").alias("sell_volume"),
+        F.sum(vol.cast(vdec)).cast("double").alias("_tv"),
+    )
+    imb = F.when(
+        F.col("_tv") > 0,
+        F.abs(F.col("buy_volume") - F.col("sell_volume")) / F.col("_tv"),
+    )
+    g = g.withColumn("imbalance", imb)
+    wb = Window.partitionBy(symbol_col).orderBy("bucket")
+    wbr = wb.rowsBetween(Window.unboundedPreceding, 0)
+    rdec = "decimal(28,14)"
+    g = g.withColumns(
+        {
+            "_cs": F.sum(F.col("imbalance").cast(rdec)).over(wbr),
+            "_cc": F.count("imbalance").over(wbr),
+        }
+    )
+    zero = F.lit(0).cast(rdec)
+    s = (
+        F.col("_cs") - F.coalesce(F.lag(F.col("_cs"), window).over(wb), zero)
+    ).cast("double")
+    cnt = F.col("_cc") - F.coalesce(
+        F.lag(F.col("_cc"), window).over(wb), F.lit(0)
+    )
+    vp = F.when(cnt == window, s / window)
+    return (
+        g.withColumn("vpin", vp)
+        .select(
+            symbol_col, "bucket", "n_bars", "buy_volume", "sell_volume",
+            "imbalance", "vpin",
+        )
     )

@@ -701,3 +701,56 @@ def test_vector_backtest_random_parity(spark, seed):
         np.testing.assert_allclose(s["max_drawdown"], dd.min(), rtol=1e-9, atol=1e-12)
         exp_sharpe = strat.mean() / strat.std(ddof=1) * np.sqrt(252.0)
         np.testing.assert_allclose(s["sharpe"], exp_sharpe, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [47])
+def test_vpin_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.liquidity import vpin
+
+    rng = np.random.RandomState(seed)
+    pdf = _random_bars(seed)
+    pdf["volume"] = rng.randint(1, 200, size=len(pdf)).astype(float)
+    bucket, win = 300.0, 3
+    got = (
+        vpin(spark.createDataFrame(pdf), bucket_volume=bucket, window=win)
+        .toPandas()
+        .sort_values(["symbol", "bucket"])
+        .reset_index(drop=True)
+    )
+    outs = []
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        c, v = g["close"].to_numpy(), g["volume"].to_numpy()
+        raw = np.sign(np.concatenate([[0.0], np.diff(c)]))
+        sgn = np.full(len(c), np.nan)
+        last = np.nan
+        for i, r in enumerate(raw):
+            if r != 0:
+                last = r
+            sgn[i] = last
+        start = np.cumsum(v) - v
+        bk = np.floor(start / bucket).astype(np.int64)
+        rows = []
+        for b in np.unique(bk):
+            m = bk == b
+            buy = v[m & (sgn == 1)].sum()
+            sell = v[m & (sgn == -1)].sum()
+            tv = v[m].sum()
+            rows.append((b, m.sum(), buy, sell,
+                         abs(buy - sell) / tv if tv > 0 else np.nan))
+        dfb = pd.DataFrame(rows, columns=["bucket", "n", "buy", "sell", "imb"])
+        dfb["vpin"] = dfb["imb"].rolling(win, min_periods=win).mean()
+        dfb["symbol"] = sym
+        outs.append(dfb)
+    want = pd.concat(outs).sort_values(["symbol", "bucket"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["bucket"].to_numpy(), want["bucket"].to_numpy())
+    np.testing.assert_array_equal(got["n_bars"].to_numpy(), want["n"].to_numpy())
+    np.testing.assert_array_equal(got["buy_volume"].to_numpy(), want["buy"].to_numpy())
+    np.testing.assert_array_equal(got["sell_volume"].to_numpy(), want["sell"].to_numpy())
+    for spark_col, ref_col in (("imbalance", "imb"), ("vpin", "vpin")):
+        a = got[spark_col].to_numpy(dtype=float)
+        b = want[ref_col].to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=spark_col)
+        ok = ~np.isnan(a)
+        np.testing.assert_allclose(a[ok], b[ok], rtol=1e-9, err_msg=spark_col)
