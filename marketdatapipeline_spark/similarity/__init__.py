@@ -9,6 +9,7 @@ from marketdatapipeline_spark.similarity.quantize import (
     quantization_summary,
     quantize_embeddings_int8,
 )
+from marketdatapipeline_spark.similarity.mmr import mmr_rerank, mmr_topk
 from marketdatapipeline_spark.similarity.semdedup import (
     assign_clusters,
     semantic_dedup,
@@ -30,6 +31,8 @@ __all__ = [
     "cosine_pairs_above",
     "cosine_topk",
     "hyperplane_lsh_topk",
+    "mmr_rerank",
+    "mmr_topk",
     "ivf_topk",
     "assign_clusters",
     "semantic_dedup",

@@ -678,3 +678,86 @@ def test_assign_clusters_tie_breaks_to_larger_label(spark):
     cents = spark.createDataFrame([(0, c), (7, c)], ["label", "centroid"])
     row = assign_clusters(vecs, cents).collect()[0]
     assert row["cluster"] == 7
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """Crafted geometry: two near-identical highly-relevant vectors
+    and one moderately-relevant orthogonal one. Plain top-2 returns
+    the twins; MMR at lam=0.5 swaps the twin for the diverse pick."""
+    from marketdatapipeline_spark.similarity.mmr import mmr_topk
+    from marketdatapipeline_spark.similarity.search import cosine_topk
+
+    def v(a, b, c):
+        return [float(a), float(b), float(c), 0.0]
+
+    corpus = spark.createDataFrame(
+        [
+            (1, v(1.0, 0.02, 0.0)),   # twin A (most relevant)
+            (2, v(1.0, 0.021, 0.0)),  # twin B (nearly identical to A)
+            (3, v(0.6, 0.0, 0.8)),    # diverse, moderately relevant
+        ],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame([(100, v(1.0, 0.0, 0.0))], ["vec_id", "embedding"])
+
+    plain = [
+        r["corpus_id"]
+        for r in cosine_topk(corpus, queries, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert set(plain) == {1, 2}  # redundant pair
+
+    got = (
+        mmr_topk(corpus, queries, k=2, lam=0.5, pool_k=3)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r["mmr_rank"] for r in got] == [1, 2]
+    assert got[0]["corpus_id"] in (1, 2)      # first pick: pure relevance
+    assert got[1]["corpus_id"] == 3           # second pick: diversity wins
+    # marginal scores decrease and the redundancy penalty is visible
+    assert got[0]["mmr_score"] > got[1]["mmr_score"]
+
+
+def test_mmr_matches_numpy_reference(spark):
+    import numpy as np
+
+    from marketdatapipeline_spark.similarity.mmr import _mmr_select, mmr_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(20, 8)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    q = rng.randn(8)
+    queries = spark.createDataFrame([(999, [float(x) for x in q])], ["vec_id", "embedding"])
+    lam, k, pool = 0.7, 5, 12
+    got = (
+        mmr_topk(corpus, queries, k=k, lam=lam, pool_k=pool)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    # reference: same pool (top-12 cosine), same greedy rule
+    qn = np.sqrt(q @ q)
+    cn = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ q) / (cn * qn)
+    pool_idx = np.argsort([(-c, i) for i, c in enumerate(cos)], axis=0)
+    order = sorted(range(20), key=lambda i: (-cos[i], i))[:pool]
+    sub = mat[order]
+    picked, scores = _mmr_select(cos[np.array(order)], sub, k, lam)
+    expect_ids = [order[i] for i in picked]
+    assert [r["corpus_id"] for r in got] == expect_ids
+    np.testing.assert_allclose([r["mmr_score"] for r in got], scores, rtol=1e-9)
+
+
+def test_mmr_rejects_bad_params(spark):
+    from marketdatapipeline_spark.similarity.mmr import mmr_topk
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    q = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(corpus, q, k=1, lam=1.5)
+    with pytest.raises(ValueError, match="pool_k"):
+        mmr_topk(corpus, q, k=5, pool_k=2)
