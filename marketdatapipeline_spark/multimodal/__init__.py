@@ -36,6 +36,7 @@ from marketdatapipeline_spark.multimodal.ops import (
     MEDIA_SCHEMA,
     decode_media,
     extract_media_features,
+    audio_features,
     image_dhash,
     media_from_documents,
     mp4_metadata,
@@ -49,6 +50,7 @@ __all__ = [
     "media_from_documents",
     "decode_media",
     "extract_media_features",
+    "audio_features",
     "image_dhash",
     "mp4_metadata",
     "near_duplicate_images",

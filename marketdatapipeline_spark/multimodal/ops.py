@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -570,3 +571,90 @@ def mp4_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(batches, schema=MP4_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+        StructField("spectral_centroid_hz", DoubleType()),
+        StructField("spectral_rolloff_hz", DoubleType()),
+    ]
+)
+
+
+def _audio_features_np(pcm: "np.ndarray", rate: int):
+    """Classic DSP descriptors over mono float samples in [-1, 1]:
+    RMS energy, zero-crossing rate (fraction of sign changes),
+    spectral centroid and 85% rolloff from the rFFT magnitude
+    spectrum. Deterministic numpy — the real feature extractor a
+    model-based encoder would replace (extract_media_features)."""
+    x = pcm.astype(np.float64)
+    if x.ndim == 2:  # downmix channels
+        x = x.mean(axis=1)
+    x = x / 32768.0
+    n = len(x)
+    if n == 0:
+        return None
+    rms = float(np.sqrt((x * x).mean()))
+    s = np.signbit(x)
+    zcr = float((s[1:] != s[:-1]).mean()) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    tot = mag.sum()
+    if tot > 0:
+        centroid = float((freqs * mag).sum() / tot)
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+    else:
+        centroid, rolloff = 0.0, 0.0
+    return n, rms, zcr, centroid, rolloff
+
+
+def audio_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Decode WAV rows and extract DSP features: (doc_id, n_samples,
+    sample_rate, duration_sec, rms, zero_crossing_rate,
+    spectral_centroid_hz, spectral_rolloff_hz).
+
+    Non-audio rows are filtered OUT plan-side (the mime predicate
+    prunes before any Python runs); per-item decode+rFFT is inherent
+    per-blob work inside one mapInPandas (Arrow batches), the same
+    envelope as the image path. ``on_error="null"`` counts decode
+    failures as null-feature rows instead of failing the task."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error: {on_error}")
+
+    from marketdatapipeline_spark.multimodal.codecs import decode_wav
+
+    audio = df.filter(F.col("mime") == "audio/wav")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    pcm, rate = decode_wav(bytes(content or b""))
+                    feats = _audio_features_np(pcm, rate)
+                    if feats is None:
+                        raise ValueError("empty audio payload")
+                    n, rms, zcr, cen, roll = feats
+                    rows.append(
+                        (doc_id, n, rate, n / float(rate), rms, zcr, cen, roll)
+                    )
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return audio.select("doc_id", "content").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -200,3 +200,52 @@ def test_mp4_box_walk_metadata(spark):
     assert got[2]["major_brand"] is None  # counted error row
     with pytest.raises(Exception):
         mp4_metadata(media, on_error="raise").collect()
+
+
+def test_audio_features_on_synthesized_tones(spark):
+    """1 kHz sine at 16 kHz: centroid ~ 1 kHz, ZCR ~ 2f/rate, RMS ~
+    amp/sqrt(2); white noise: centroid ~ rate/4 and near-1 rolloff
+    position; non-audio rows pruned; corrupt payloads honor on_error."""
+    import numpy as np
+
+    from marketdatapipeline_spark.multimodal.codecs import encode_wav
+    from marketdatapipeline_spark.multimodal.ops import audio_features
+
+    rate, dur = 16000, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.int16)
+    rng = np.random.RandomState(5)
+    noise = (0.3 * 32767 * rng.uniform(-1, 1, len(t))).astype(np.int16)
+    rows = [
+        (1, "audio/wav", bytearray(encode_wav(sine, rate))),
+        (2, "audio/wav", bytearray(encode_wav(noise, rate))),
+        (3, "image/png", bytearray(b"not audio")),
+        (4, "audio/wav", bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, mime STRING, content BINARY")
+
+    ok = {
+        r["doc_id"]: r
+        for r in audio_features(
+            df.filter("doc_id < 4"), on_error="raise"
+        ).collect()
+    }
+    assert set(ok) == {1, 2}  # png row pruned plan-side
+    s = ok[1]
+    assert s["n_samples"] == len(t) and s["sample_rate"] == rate
+    assert abs(s["duration_sec"] - 1.0) < 1e-9
+    assert abs(s["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(s["zero_crossing_rate"] - 2 * 1000.0 / rate) < 0.005
+    assert abs(s["spectral_centroid_hz"] - 1000.0) < 30.0
+    n = ok[2]
+    assert 3000.0 < n["spectral_centroid_hz"] < 5000.0  # ~ rate/4
+    assert n["spectral_rolloff_hz"] > n["spectral_centroid_hz"]
+
+    nulls = {
+        r["doc_id"]: r for r in audio_features(df, on_error="null").collect()
+    }
+    assert nulls[4]["rms"] is None  # corrupt counted, not crashing
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        audio_features(df, on_error="raise").collect()
