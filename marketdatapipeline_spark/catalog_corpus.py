@@ -3607,3 +3607,83 @@ def q_bars_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "bucket", "n_bars", "buy_volume", "sell_volume",
         "imbalance", _r6(F.col("vpin")).alias("vpin"),
     )
+
+
+from marketdatapipeline_spark.operators.event_study import event_study  # noqa: E402
+
+
+@register_extended(
+    "bars_event_study",
+    _bars_sql(
+        """
+        , rk AS (
+            SELECT symbol, close, volume,
+                   row_number() OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS rn
+            FROM bars
+        ),
+        vr AS (
+            SELECT symbol, rn, volume,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret,
+                   CASE WHEN count(volume) OVER wk = 20 THEN
+                       CAST(sum(CAST(volume AS DECIMAL(28,14))) OVER wk
+                            AS DOUBLE) / 20
+                   END AS vsma
+            FROM rk
+            WINDOW w AS (PARTITION BY symbol ORDER BY rn),
+                   wk AS (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ),
+        ev AS (
+            SELECT symbol, rn FROM vr
+            WHERE vsma IS NOT NULL AND volume > 2.0 * vsma
+        ),
+        fan AS (
+            SELECT b.rn - e.rn AS "offset", b.ret
+            FROM vr b JOIN ev e
+              ON b.symbol = e.symbol AND b.rn - e.rn BETWEEN -5 AND 5
+            WHERE b.ret IS NOT NULL
+        ),
+        g AS (
+            SELECT "offset", count(*) AS n_obs,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s2
+            FROM fan GROUP BY "offset"
+        )
+        SELECT CAST("offset" AS INT) AS "offset",
+               CAST(n_obs AS BIGINT) AS n_obs,
+               round(s1 / CAST(n_obs AS DOUBLE), 6) + 0.0 AS mean_return,
+               CASE WHEN n_obs >= 2 AND vs >= 0 THEN
+                   round(sqrt(vs), 6) + 0.0 END AS std_return
+        FROM (
+            SELECT "offset", n_obs, s1, s2,
+                   (s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) - 1) AS vs
+            FROM g
+        )
+        """
+    ),
+)
+def q_bars_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study (operators/event_study.py): mean return path in the
+    ±5-bar window around volume-spike events (volume > 2x its 20-bar
+    decimal SMA), pooled across symbols. Spark attaches offsets via
+    lag-fan-out over ONE window exchange — no range join, no skew
+    surface; the oracle IS the naive range-join restatement, so the
+    equivalence of the two formulations is value-checked. Decimal
+    power sums per offset; round-6."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    flagged = _rolling_mean_decimal(
+        bars, "volume", 20, "vsma", "symbol", ("datetime", "bar_id")
+    ).withColumn(
+        "spike",
+        F.col("vsma").isNotNull() & (F.col("volume") > 2.0 * F.col("vsma")),
+    )
+    out = event_study(flagged, "spike", k=5, pooled=True)
+    return out.select(
+        "offset", "n_obs",
+        _r6(F.col("mean_return")).alias("mean_return"),
+        _r6(F.col("std_return")).alias("std_return"),
+    )

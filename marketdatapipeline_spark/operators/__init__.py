@@ -30,6 +30,8 @@ of DataFrame primitives (never driver loops, never cross products):
   random-walk / mean-reversion diagnostic;
 - :func:`hurst_exponent` — aggregated-variance Hurst exponent, the
   cross-scale long-memory regression;
+- :func:`event_study` — join-free aligned return curve around
+  detected events (lag-fan-out, never a range join);
 - :func:`anchored_twap` — time-weighted benchmark next to VWAP;
 - :func:`pair_spread_zscore` — pairs-trading log-spread rolling
   z-score for one symbol pair;
@@ -56,6 +58,7 @@ from marketdatapipeline_spark.operators.correlation import (
 )
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
 from marketdatapipeline_spark.operators.drawdown import drawdown_summary, running_drawdown
+from marketdatapipeline_spark.operators.event_study import event_study
 from marketdatapipeline_spark.operators.hurst import hurst_exponent
 from marketdatapipeline_spark.operators.interval_join import (
     interval_overlap_join,
@@ -103,6 +106,7 @@ __all__ = [
     "candlestick_flags",
     "cross_sectional",
     "interval_overlap_join",
+    "event_study",
     "hurst_exponent",
     "ohlc_volatility",
     "pairwise_return_correlation",

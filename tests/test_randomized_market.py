@@ -754,3 +754,52 @@ def test_vpin_random_parity(spark, seed):
         np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=spark_col)
         ok = ~np.isnan(a)
         np.testing.assert_allclose(a[ok], b[ok], rtol=1e-9, err_msg=spark_col)
+
+
+@pytest.mark.parametrize("seed", [59])
+def test_event_study_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.event_study import event_study
+
+    rng = np.random.RandomState(seed)
+    pdf = _random_bars(seed)
+    pdf["ev"] = rng.rand(len(pdf)) < 0.2
+    k = 3
+    got = {
+        r["offset"]: r
+        for r in event_study(
+            spark.createDataFrame(pdf), "ev", k=k, pooled=True
+        ).collect()
+    }
+    buckets = {o: [] for o in range(-k, k + 1)}
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        c = g["close"].to_numpy()
+        ret = np.concatenate([[np.nan], np.diff(c) / c[:-1]])
+        ev = g["ev"].to_numpy()
+        for i in range(len(c)):
+            if np.isnan(ret[i]):
+                continue
+            for o in range(-k, k + 1):
+                j = i - o
+                if 0 <= j < len(c) and ev[j]:
+                    buckets[o].append(ret[i])
+    for o in range(-k, k + 1):
+        vals = np.array(buckets[o])
+        if len(vals) == 0:
+            assert o not in got
+            continue
+        assert got[o]["n_obs"] == len(vals)
+        np.testing.assert_allclose(got[o]["mean_return"], vals.mean(), rtol=1e-9)
+        if len(vals) >= 2:
+            np.testing.assert_allclose(
+                got[o]["std_return"], vals.std(ddof=1), rtol=1e-7
+            )
+
+
+def test_event_study_rejects_bad_k(spark):
+    from marketdatapipeline_spark.operators.event_study import event_study
+
+    pdf = _random_bars(2, n_symbols=1)
+    pdf["ev"] = True
+    with pytest.raises(ValueError, match="k must"):
+        event_study(spark.createDataFrame(pdf), "ev", k=0)
