@@ -3200,24 +3200,25 @@ from marketdatapipeline_spark.operators.indicators import (  # noqa: E402
         ),
         fr AS (
             SELECT symbol, datetime, bar_id, tp,
-                   list(tp) OVER (
-                       PARTITION BY symbol ORDER BY datetime, bar_id
-                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
-                   ) AS l
+                   list(tp) OVER wk AS l,
+                   CASE WHEN count(tp) OVER wk = 20 THEN
+                       CAST(sum(CAST(tp AS DECIMAL(28,14))) OVER wk
+                            AS DOUBLE) / 20
+                   END AS mean
             FROM t
-        ),
-        m AS (
-            SELECT *, list_reduce(l, (a, b) -> a + b) / 20.0 AS mean
-            FROM fr
+            WINDOW wk AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+            )
         )
         SELECT symbol, datetime, bar_id,
-               CASE WHEN len(l) = 20 AND mad > 0 THEN
-                   (tp - mean) / (0.015 * mad)
+               CASE WHEN mean IS NOT NULL AND mad > 0 THEN
+                   round((tp - mean) / (0.015 * mad), 6) + 0.0
                END AS cci
         FROM (
             SELECT *, list_reduce(list_transform(l, x -> abs(x - mean)),
                                   (a, b) -> a + b) / 20.0 AS mad
-            FROM m
+            FROM fr
         )
         """
     ),
@@ -3226,13 +3227,15 @@ def q_bars_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commodity channel index CCI(20)
     (operators/indicators.py:commodity_channel_index): the
     frame-anchored mean-absolute-deviation shape no single window
-    aggregate expresses — the frame rides ONE collect_list window
-    and both passes (mean, MAD around that mean) are sequential
-    scan-side array folds, bit-identical to DuckDB's list_reduce, so
-    the whole chain emits UNROUNDED."""
+    aggregate expresses — the mean rides O(n) decimal prefix sums
+    (codegen), the MAD is ONE sequential scan-side array fold per
+    row against that mean (bit-identical to DuckDB's list_reduce).
+    The decimal cast is the noisy step -> round-6 at emission."""
     bars = _bars_from_events_r8(spark, sf_dir)
     out = commodity_channel_index(bars, window=20)
-    return out.select("symbol", "datetime", "bar_id", "cci")
+    return out.select(
+        "symbol", "datetime", "bar_id", _r6(F.col("cci")).alias("cci")
+    )
 
 
 from marketdatapipeline_spark.textops.analysis import add_readability  # noqa: E402

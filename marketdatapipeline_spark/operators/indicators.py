@@ -450,33 +450,34 @@ def commodity_channel_index(
 
     The frame-anchored MAD is the interesting shape: it needs the
     window mean INSIDE a second pass over the same frame, which no
-    single window aggregate expresses. Materializing the frame as an
-    ordered array (one ``collect_list`` window, O(n) per row) turns
-    both passes into scan-side array folds — ``aggregate`` for the
-    sum, ``aggregate`` over ``abs(x - mean)`` for the MAD — still
-    zero Python, one exchange.
+    single window aggregate expresses. The mean rides the O(n)
+    decimal prefix-difference sums (codegen, and what makes both
+    engines' means bit-identical); the second pass materializes the
+    frame as an ordered array (one ``collect_list`` window) and folds
+    ``abs(x - mean)`` scan-side — ONE sequential fold per row, not
+    the naive fold-inside-fold that would re-evaluate the mean per
+    element (O(n^2) interpreted ops — the first cut of this operator
+    did exactly that and benched 10x slower).
 
-    Exactness: the array folds are sequential left folds in double,
-    identical to DuckDB ``list_sum``-style lambda folds, so the
-    whole chain is deterministic; null until the frame fills and on
-    ``mad == 0`` (flat window)."""
+    Null until the frame fills and on ``mad == 0`` (flat window); the
+    decimal cast is the one noisy step, so the catalog emits round-6.
+    """
     wk = (
         Window.partitionBy(symbol_col)
         .orderBy(*order_cols)
         .rowsBetween(-(window - 1), 0)
     )
     tp = (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)
-    staged = df.withColumn("_tp", tp).withColumn(
-        "_frame", F.collect_list("_tp").over(wk)
-    )
+    staged = _rolling_mean_decimal(
+        df.withColumn("_tp", tp), "_tp", window, "_sma", symbol_col, order_cols
+    ).withColumn("_frame", F.collect_list("_tp").over(wk))
     arr = F.col("_frame")
     n = F.lit(float(window))
-    fsum = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-    mean = fsum / n
+    mean = F.col("_sma")
     madsum = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + F.abs(x - mean))
     mad = madsum / n
     cci = F.when(
-        (F.size(arr) == window) & (mad > 0),
+        mean.isNotNull() & (mad > 0),
         (F.col("_tp") - mean) / (F.lit(0.015) * mad),
     )
-    return staged.withColumn(out_col, cci).drop("_tp", "_frame")
+    return staged.withColumn(out_col, cci).drop("_tp", "_frame", "_sma")

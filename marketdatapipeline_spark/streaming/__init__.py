@@ -35,6 +35,10 @@ from marketdatapipeline_spark.streaming.atr import (
     online_atr,
     online_atr_batch,
 )
+from marketdatapipeline_spark.streaming.cusum import (
+    online_cusum,
+    online_cusum_batch,
+)
 from marketdatapipeline_spark.streaming.volume_clock import (
     online_volume_clock,
     online_volume_clock_batch,
@@ -63,6 +67,8 @@ __all__ = [
     "dedup_batch",
     "online_atr",
     "online_atr_batch",
+    "online_cusum",
+    "online_cusum_batch",
     "online_volume_clock",
     "online_volume_clock_batch",
     "online_indicators",

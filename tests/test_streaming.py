@@ -849,3 +849,39 @@ def test_online_volume_clock_rejects_bad_bucket(spark, tick_dir):
     ticks_stream = read_tick_stream(spark, tick_dir)
     with pytest.raises(ValueError, match="bucket_size"):
         online_volume_clock(ticks_stream, 0.0)
+
+
+def test_online_cusum_matches_batch_twin(spark, tick_dir):
+    """Stream == batch twin bit-exactly (shared _scan_cusum); events
+    fire on threshold crossings and reset the accumulator."""
+    from marketdatapipeline_spark.streaming import (
+        online_cusum,
+        online_cusum_batch,
+    )
+
+    th = 0.02
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_cusum(ticks_stream, th), "online_cusum"
+    ).toPandas()
+    ticks = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    want = online_cusum_batch(ticks, th).toPandas()
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert (got["event"] != 0).any()  # fixture actually fires events
+    # accumulators stay inside the reset envelope
+    assert (got["s_pos"] <= th + 1e-12).all() or (got["event"] == 1).any()
+    assert (got.loc[got["event"] == 1, "s_pos"] == 0.0).all()
+    assert (got.loc[got["event"] == -1, "s_neg"] == 0.0).all()
+
+
+def test_online_cusum_rejects_bad_threshold(spark, tick_dir):
+    from marketdatapipeline_spark.streaming import online_cusum
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    with pytest.raises(ValueError, match="threshold"):
+        online_cusum(ticks_stream, 0.0)
