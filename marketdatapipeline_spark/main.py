@@ -64,6 +64,7 @@ def run_pipeline(
     symbols: tuple[str, ...] | None = None,
     work_dir: str | None = None,
     cv_folds: int = 0,
+    scale_features: str | None = None,
 ) -> dict:
     """The five reference phases; returns a summary dict (paths,
     row counts, metrics) for programmatic use and tests.
@@ -72,7 +73,13 @@ def run_pipeline(
     cross-validation (ml/validation.py) on the featured frame and
     reports per-fold + aggregate metrics under ``cross_validation`` —
     the generalization estimate to trust over the single held-out
-    split when comparing hyperparameters."""
+    split when comparing hyperparameters.
+
+    ``scale_features`` (``"standardize"`` or ``"winsorize"``) runs
+    the leakage-free fit-on-train transform (ml/scaling.py) over the
+    feature columns in place between split and fit — a no-op for the
+    reference's tree models' ACCURACY but the correct contract for
+    any linear/NN consumer of the exported dataset."""
     from marketdatapipeline_spark.config import DEFAULT_CONFIG
     from marketdatapipeline_spark.features import compute_all_features, generate_targets
     from marketdatapipeline_spark.ingestion import fetch_multiple_symbols
@@ -149,6 +156,13 @@ def run_pipeline(
         test_size=cfg.test_size,
         random_state=cfg.random_state,
     )
+    if scale_features is not None:
+        from marketdatapipeline_spark.ml.scaling import scale_split
+
+        train_df, test_df = scale_split(
+            train_df, test_df, list(feature_names), method=scale_features
+        )
+        logger.info("feature scaling applied: %s", scale_features)
     n_train = train_df.count()
     n_test = test_df.count()
     logger.info(
@@ -262,6 +276,8 @@ def run_pipeline(
         "n_features": len(feature_names),
         "metrics": {k: float(v) for k, v in metrics.items()},
     }
+    if scale_features is not None:
+        summary["feature_scaling"] = scale_features
     if cv is not None:
         summary["cross_validation"] = cv
     return summary
@@ -286,6 +302,13 @@ def main(argv: list[str] | None = None) -> None:
         help="run expanding-window walk-forward CV with this many folds "
         "and report per-fold + aggregate metrics (0 = off)",
     )
+    parser.add_argument(
+        "--scale",
+        choices=("standardize", "winsorize"),
+        default=None,
+        help="leakage-free feature scaling fitted on the train slice "
+        "(ml/scaling.py), applied in place before the fit",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="mdp-pipeline")
@@ -296,6 +319,7 @@ def main(argv: list[str] | None = None) -> None:
         symbols=symbols,
         work_dir=args.work_dir,
         cv_folds=args.cv_folds,
+        scale_features=args.scale,
     )
     print(json.dumps(summary, default=str))
 

@@ -19,6 +19,7 @@ from marketdatapipeline_spark.ml.scaling import (
     apply_standardizer,
     apply_winsorizer,
     fit_winsorizer,
+    scale_split,
     fit_standardizer,
     standardize_split,
 )
@@ -59,4 +60,5 @@ __all__ = [
     "psi_drift",
     "apply_winsorizer",
     "fit_winsorizer",
+    "scale_split",
 ]

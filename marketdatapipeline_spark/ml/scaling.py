@@ -28,6 +28,7 @@ __all__ = [
     "apply_winsorizer",
     "fit_standardizer",
     "fit_winsorizer",
+    "scale_split",
     "standardize_split",
 ]
 
@@ -156,3 +157,34 @@ def apply_winsorizer(
         add[f"{c}{suffix}_clipped"] = x.isNotNull() & ((x < lo) | (x > hi))
     out = joined.withColumns(add)
     return out.drop(*[f"{c}_lo" for c in cols], *[f"{c}_hi" for c in cols])
+
+
+def scale_split(
+    train: DataFrame,
+    test: DataFrame,
+    cols: list[str],
+    method: str = "standardize",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit-on-train, transform-both, columns replaced IN PLACE — the
+    pipeline-integration form (run_pipeline --scale): downstream
+    consumers (model prep, predict) see the same column names, now
+    scaled. ``method`` is ``"standardize"`` (z-scores) or
+    ``"winsorize"`` (quantile clipping; the audit flags are dropped
+    in replace mode)."""
+    if method == "standardize":
+        stats = fit_standardizer(train, cols)
+        suffix, apply_fn, drop_extra = "_z", apply_standardizer, []
+    elif method == "winsorize":
+        stats = fit_winsorizer(train, cols)
+        suffix, apply_fn = "_w", apply_winsorizer
+        drop_extra = [f"{c}_w_clipped" for c in cols]
+    else:
+        raise ValueError(f"unknown scale method: {method!r}")
+
+    def replace(df: DataFrame) -> DataFrame:
+        out = apply_fn(df, stats, cols, suffix=suffix).drop(*drop_extra)
+        for c in cols:
+            out = out.drop(c).withColumnRenamed(f"{c}{suffix}", c)
+        return out
+
+    return replace(train), replace(test)

@@ -65,3 +65,21 @@ def test_run_pipeline_fetches_each_symbol_once(spark, tmp_path, monkeypatch):
     )
     assert summary["n_train"] > 0
     assert sorted(calls) == ["0", "1"]
+
+
+def test_pipeline_with_feature_scaling(spark, tmp_path):
+    """--scale standardize: the pipeline trains on z-scored features,
+    reports the flag, and still produces finite metrics."""
+    from marketdatapipeline_spark.main import run_pipeline
+
+    summary = run_pipeline(
+        spark,
+        fixtures_dir="/root/testdata/sf0.001",
+        symbols=("0", "1"),
+        work_dir=str(tmp_path / "scaled"),
+        scale_features="standardize",
+    )
+    assert summary["feature_scaling"] == "standardize"
+    assert summary["n_train"] > 0 and summary["n_test"] > 0
+    for v in summary["metrics"].values():
+        assert v == v  # finite, not NaN

@@ -595,3 +595,30 @@ def test_winsorizer_fit_apply(spark):
 
     with _pytest.raises(ValueError, match="lower"):
         fit_winsorizer(train, ["x"], 0.9, 0.1)
+
+
+def test_scale_split_replaces_columns_in_place(spark):
+    import math
+
+    from marketdatapipeline_spark.ml.scaling import scale_split
+
+    train = spark.createDataFrame(
+        [(1.0, 10.0, "a"), (2.0, 20.0, "b"), (3.0, 30.0, "c")],
+        ["x", "y", "keep"],
+    )
+    test = spark.createDataFrame([(10.0, 0.0, "d")], ["x", "y", "keep"])
+    tr, te = scale_split(train, test, ["x", "y"], method="standardize")
+    assert set(tr.columns) == {"x", "y", "keep"}  # names preserved
+    rows = {r["keep"]: r for r in tr.collect()}
+    assert abs(rows["b"]["x"]) < 1e-12  # mean row -> z = 0
+    r = te.collect()[0]
+    assert abs(r["x"] - (10.0 - 2.0) / math.sqrt(2.0 / 3.0)) < 1e-12
+
+    trw, tew = scale_split(train, test, ["x"], method="winsorize")
+    assert set(trw.columns) == {"x", "y", "keep"}  # no _clipped leakage
+    assert tew.collect()[0]["x"] <= 3.0  # clipped into train range
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scale method"):
+        scale_split(train, test, ["x"], method="nope")
