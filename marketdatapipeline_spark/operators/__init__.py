@@ -32,6 +32,8 @@ of DataFrame primitives (never driver loops, never cross products):
   cross-scale long-memory regression;
 - :func:`event_study` — join-free aligned return curve around
   detected events (lag-fan-out, never a range join);
+- :func:`heikin_ashi` — smoothed candles; the ha_open recursion IS
+  an alpha-0.5 EWMA, riding the block-parallel scan;
 - :func:`anchored_twap` — time-weighted benchmark next to VWAP;
 - :func:`pair_spread_zscore` — pairs-trading log-spread rolling
   z-score for one symbol pair;
@@ -59,6 +61,7 @@ from marketdatapipeline_spark.operators.correlation import (
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
 from marketdatapipeline_spark.operators.drawdown import drawdown_summary, running_drawdown
 from marketdatapipeline_spark.operators.event_study import event_study
+from marketdatapipeline_spark.operators.heikin_ashi import heikin_ashi
 from marketdatapipeline_spark.operators.hurst import hurst_exponent
 from marketdatapipeline_spark.operators.interval_join import (
     interval_overlap_join,
@@ -107,6 +110,7 @@ __all__ = [
     "cross_sectional",
     "interval_overlap_join",
     "event_study",
+    "heikin_ashi",
     "hurst_exponent",
     "ohlc_volatility",
     "pairwise_return_correlation",

@@ -803,3 +803,48 @@ def test_event_study_rejects_bad_k(spark):
     pdf["ev"] = True
     with pytest.raises(ValueError, match="k must"):
         event_study(spark.createDataFrame(pdf), "ev", k=0)
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_heikin_ashi_random_parity(spark, seed):
+    """The blocked-EWM restatement == the literal pandas recursion."""
+    from marketdatapipeline_spark.operators.heikin_ashi import heikin_ashi
+
+    pdf = _random_bars(seed)
+    got = (
+        heikin_ashi(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["symbol", "datetime", "bar_id"])
+        .reset_index(drop=True)
+    )
+    outs = []
+    for sym, g in pdf.groupby("symbol"):
+        g = g.sort_values(["datetime", "bar_id"]).reset_index(drop=True)
+        o, h, low, c = (g[k].to_numpy() for k in ("open", "high", "low", "close"))
+        hac = (o + h + low + c) / 4.0
+        hao = np.empty(len(o))
+        hao[0] = (o[0] + c[0]) / 2.0
+        for i in range(1, len(o)):
+            hao[i] = (hao[i - 1] + hac[i - 1]) / 2.0
+        outs.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "hao": hao,
+                    "hac": hac,
+                    "hah": np.maximum.reduce([h, hao, hac]),
+                    "hal": np.minimum.reduce([low, hao, hac]),
+                }
+            )
+        )
+    want = pd.concat(outs).reset_index(drop=True)
+    for sc, rc in (("ha_open", "hao"), ("ha_close", "hac"),
+                   ("ha_high", "hah"), ("ha_low", "hal")):
+        np.testing.assert_allclose(
+            got[sc].to_numpy(dtype=float),
+            want[rc].to_numpy(dtype=float),
+            rtol=1e-11, err_msg=sc,
+        )
+    # structural invariants
+    assert (got["ha_low"] <= got["ha_open"]).all()
+    assert (got["ha_open"] <= got["ha_high"]).all()
