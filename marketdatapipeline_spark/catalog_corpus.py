@@ -3690,3 +3690,67 @@ def q_bars_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("mean_return")).alias("mean_return"),
         _r6(F.col("std_return")).alias("std_return"),
     )
+
+
+from marketdatapipeline_spark.textops.analysis import (  # noqa: E402
+    add_char_stats,
+    char_entropy,
+)
+
+
+@register_extended(
+    "corpus_char_stats",
+    r"""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, c, count(*) AS n
+        FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    ent AS (
+        SELECT doc_id, CAST(sum(n) AS INT) AS n_chars_total,
+               round(CAST(sum(CAST(-(p * log2(p)) AS DECIMAL(28,14)))
+                          AS DOUBLE), 6) + 0.0 AS char_entropy
+        FROM (
+            SELECT doc_id, n,
+                   CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                       PARTITION BY doc_id) AS DOUBLE) AS p
+            FROM cnt
+        )
+        GROUP BY doc_id
+    ),
+    r AS (
+        SELECT doc_id, len(text) AS nt,
+               len(regexp_extract_all(text, '[0-9]')) AS dg,
+               len(regexp_extract_all(text, '[^\w\s]')) AS pc,
+               len(regexp_extract_all(text, '\s')) AS sp
+        FROM documents
+    )
+    SELECT r.doc_id, e.n_chars_total,
+           e.char_entropy,
+           CASE WHEN nt > 0 THEN CAST(dg AS DOUBLE) / nt END AS digit_ratio,
+           CASE WHEN nt > 0 THEN CAST(pc AS DOUBLE) / nt END AS punct_ratio,
+           CASE WHEN nt > 0 THEN CAST(sp AS DOUBLE) / nt END AS space_ratio
+    FROM r LEFT JOIN ent e USING (doc_id)
+    """,
+)
+def q_corpus_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality screens (textops/analysis.py:
+    add_char_stats + char_entropy): Shannon entropy of the character
+    distribution (cuts both keyboard-mash AND binary-junk tails) and
+    digit/punct/space ratios. Ratios are integer-count divisions —
+    UNROUNDED; the entropy explodes to (doc, char) rows (single-char
+    shuffle keys), decimal term sums, log2 round-6."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ratios = add_char_stats(docs).select(
+        "doc_id", "digit_ratio", "punct_ratio", "space_ratio"
+    )
+    ent = char_entropy(docs)
+    out = ratios.join(ent, "doc_id", "left")
+    return out.select(
+        "doc_id", "n_chars_total",
+        _r6(F.col("char_entropy")).alias("char_entropy"),
+        "digit_ratio", "punct_ratio", "space_ratio",
+    )

@@ -8,8 +8,10 @@ candidate generation via bucket joins (LSH bands), never all-pairs.
 """
 
 from marketdatapipeline_spark.textops.analysis import (
+    add_char_stats,
     add_readability,
     add_web_noise_signals,
+    char_entropy,
     add_fingerprints,
     add_language_id,
     add_quality_signals,
@@ -56,7 +58,9 @@ __all__ = [
     "redact_pii",
     "add_repetition_signals",
     "add_token_estimate",
+    "add_char_stats",
     "add_readability",
+    "char_entropy",
     "add_web_noise_signals",
     "assign_splits",
     "bm25_scores",

@@ -8,7 +8,7 @@ exact DuckDB-SQL equivalent for the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.textops.dedup import MERSENNE_P, md5_int
@@ -242,4 +242,60 @@ def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
             "syllables_per_word": F.when(has, spw),
             "flesch_reading_ease": F.when(has, flesch),
         }
+    )
+
+
+def add_char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add character-level quality signals:
+
+    - ``n_chars_total`` — character count;
+    - ``char_entropy`` — Shannon entropy (bits) of the character
+      distribution: low = repetitive/degenerate text (keyboard mash,
+      padding), high = encrypted/binary junk; quality filters cut
+      both tails;
+    - ``digit_ratio`` / ``punct_ratio`` / ``space_ratio`` — the
+      classic web-junk screens (tables of numbers, code dumps).
+
+    Ratios are regexp counts over the total (integer-exact, one
+    division — UNROUNDED territory); the entropy needs per-character
+    frequencies, which no scalar expression holds, so the plan is
+    one explode to (doc, char) rows + two aggregations — both
+    map-side combinable, and chars (not strings) are single-byte-ish
+    shuffle keys. Empty documents emit nulls."""
+    n = F.length(F.col(text_col))
+    digit = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    space = F.regexp_count(F.col(text_col), F.lit(r"\s"))
+    has = n > 0
+    base = df.withColumns(
+        {
+            "n_chars_total": n.cast("int"),
+            "digit_ratio": F.when(has, digit.cast("double") / n),
+            "punct_ratio": F.when(has, punct.cast("double") / n),
+            "space_ratio": F.when(has, space.cast("double") / n),
+        }
+    )
+    return base
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars_total, char_entropy): the explode-based entropy
+    companion to :func:`add_char_stats` (a separate function because
+    it is the one signal that costs a shuffle). ``-sum(p log2 p)``
+    over per-character frequencies; decimal term sums so the oracle
+    matches; log2 is the libm boundary (round-6 at emission)."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    ).filter(F.col("_c") != "")
+    counts = chars.groupBy(id_col, "_c").agg(F.count("*").alias("_n"))
+    tot = Window.partitionBy(id_col)
+    p = F.col("_n").cast("double") / F.sum("_n").over(tot).cast("double")
+    term = (-(p * F.log2(p))).cast("decimal(28,14)")
+    per = counts.select(F.col(id_col), F.col("_n"), term.alias("_t"))
+    return per.groupBy(id_col).agg(
+        F.sum("_n").cast("int").alias("n_chars_total"),
+        F.sum("_t").cast("double").alias("char_entropy"),
     )

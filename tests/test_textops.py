@@ -310,3 +310,27 @@ def test_readability_hand_computed(spark):
     assert out[2]["n_words"] == 0 and out[2]["flesch_reading_ease"] is None
     assert out[3]["n_sentences"] == 1  # fragment floors at one sentence
     assert out[3]["n_syllables"] == 2
+
+
+def test_char_stats_hand_computed(spark):
+    import math
+
+    from marketdatapipeline_spark.textops.analysis import (
+        add_char_stats,
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aabb"), (2, "a1! x"), (3, "aaaa")], ["doc_id", "text"]
+    )
+    ent = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert abs(ent[1]["char_entropy"] - 1.0) < 1e-9   # 2 equiprobable chars
+    assert abs(ent[3]["char_entropy"] - 0.0) < 1e-12  # degenerate
+    assert ent[1]["n_chars_total"] == 4
+
+    st = {r["doc_id"]: r for r in add_char_stats(docs).collect()}
+    assert abs(st[2]["digit_ratio"] - 1 / 5) < 1e-12
+    assert abs(st[2]["punct_ratio"] - 1 / 5) < 1e-12
+    assert abs(st[2]["space_ratio"] - 1 / 5) < 1e-12
+    # entropy of '2': chars a,1,!,space,x all distinct -> log2(5)
+    assert abs(ent[2]["char_entropy"] - math.log2(5)) < 1e-9
