@@ -3754,3 +3754,63 @@ def q_corpus_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("char_entropy")).alias("char_entropy"),
         "digit_ratio", "punct_ratio", "space_ratio",
     )
+
+
+from marketdatapipeline_spark.similarity.quantize import norm_audit  # noqa: E402
+
+
+@register_extended(
+    "embeddings_norm_audit",
+    """
+    WITH nr AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                   (a, b) -> a + b)) AS norm
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    m1 AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(norm AS DECIMAL(28,14))) AS DOUBLE) AS s1
+        FROM nr
+    ),
+    dv AS (
+        SELECT vec_id, norm, norm - s1 / n AS dev, n
+        FROM nr CROSS JOIN m1
+    ),
+    m2 AS (
+        SELECT CAST(sum(CAST(dev * dev AS DECIMAL(28,24))) AS DOUBLE) AS ss,
+               first(n) AS n2
+        FROM dv
+    )
+    SELECT vec_id, norm,
+           round(z, 4) + 0.0 AS z,
+           abs(z) > 3.0 AS is_outlier
+    FROM (
+        SELECT vec_id, norm,
+               CASE WHEN ss / n2 > 0 THEN dev / sqrt(ss / n2) END AS z
+        FROM dv CROSS JOIN m2
+    )
+    """,
+)
+def q_embeddings_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm health audit (similarity/quantize.py:
+    norm_audit): collapsed/exploded-vector detection via population
+    z-scores. Norms fold sequentially (engine-exact, UNROUNDED); the
+    variance is the TWO-PASS decimal form — the one-pass power sum
+    cancels catastrophically on unit-normalized vectors (true var
+    ~1e-15 below double resolution at the sums\' magnitude) and the
+    first cut of this query proved it by diverging; z round-6, the
+    outlier flag cut on the unrounded z in both engines. z emits
+    ROUND-4, not the house round-6: the z denominator is ~1e-8 on
+    unit-normalized vectors, so the engines\' 1-ulp decimal->double
+    conversion difference in the mean amplifies to ~3e-9 ABSOLUTE in
+    z — round-6 provably flipped 3 rows in 2000 at sf0.1; round-4
+    leaves five orders of margin."""
+    emb = _emb(spark, sf_dir)
+    out = norm_audit(emb, z_threshold=3.0)
+    return out.select(
+        "vec_id", "norm",
+        (F.round(F.col("z"), 4) + F.lit(0.0)).alias("z"),
+        "is_outlier",
+    )

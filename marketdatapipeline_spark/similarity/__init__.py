@@ -6,6 +6,7 @@ from marketdatapipeline_spark.similarity.centroids import (
 )
 from marketdatapipeline_spark.similarity.index import IVFIndex, build_ivf_index
 from marketdatapipeline_spark.similarity.quantize import (
+    norm_audit,
     quantization_summary,
     quantize_embeddings_int8,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "ivf_topk",
     "assign_clusters",
     "semantic_dedup",
+    "norm_audit",
     "quantization_summary",
     "quantize_embeddings_int8",
 ]

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_embeddings_int8", "quantization_summary"]
+__all__ = ["norm_audit", "quantize_embeddings_int8", "quantization_summary"]
 
 
 def quantize_embeddings_int8(
@@ -67,4 +67,57 @@ def quantization_summary(
             "q", F.lit(0), lambda acc, v: acc + F.abs(v)
         ).cast("int").alias("q_l1"),
         err.alias("max_abs_err"),
+    )
+
+
+def norm_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """(id, norm, z, is_outlier): L2-norm distribution audit — the
+    standard embedding-table health check (collapsed vectors near
+    zero norm, exploded ones far above the mode both poison cosine
+    pipelines and usually indicate an encoder bug or a bad batch).
+
+    Numerics matter here more than anywhere else in the catalog:
+    normalized embeddings have norm 1 +- 1e-7, so the one-pass
+    power-sum variance (s2 - s1^2/n) cancels catastrophically — the
+    true variance (~1e-15) sits BELOW double resolution at the sums'
+    magnitude and the result is pure rounding noise. The audit
+    therefore runs TWO passes: exact decimal mean first, then the
+    decimal sum of squared deviations (~1e-14 each, held in
+    decimal(28,24) — full significance, and width 28 stays int128 in
+    every engine). Norms fold sequentially in double (engine-exact);
+    z and the |z| > threshold flag are scan-side."""
+    from marketdatapipeline_spark.similarity.search import dot
+
+    v = F.col(vec_col)
+    base = df.filter(v.isNotNull()).select(
+        F.col(id_col), F.sqrt(dot(v, v)).alias("norm")
+    )
+    m1 = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("norm").cast("decimal(28,14)"))
+        .cast("double")
+        .alias("_s1"),
+    )
+    with_mean = base.crossJoin(F.broadcast(m1)).withColumn(
+        "_dev", F.col("norm") - F.col("_s1") / F.col("_n").cast("double")
+    )
+    m2 = with_mean.agg(
+        F.sum((F.col("_dev") * F.col("_dev")).cast("decimal(28,24)"))
+        .cast("double")
+        .alias("_ss"),
+        F.first("_n").alias("_n2"),
+    )
+    joined = with_mean.crossJoin(F.broadcast(m2))
+    var = F.col("_ss") / F.col("_n2").cast("double")
+    z = F.when(var > 0, F.col("_dev") / F.sqrt(var))
+    return joined.select(
+        id_col,
+        "norm",
+        z.alias("z"),
+        (F.abs(z) > F.lit(float(z_threshold))).alias("is_outlier"),
     )

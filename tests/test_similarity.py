@@ -761,3 +761,27 @@ def test_mmr_rejects_bad_params(spark):
         mmr_topk(corpus, q, k=1, lam=1.5)
     with pytest.raises(ValueError, match="pool_k"):
         mmr_topk(corpus, q, k=5, pool_k=2)
+
+
+def test_norm_audit_detects_planted_outliers(spark):
+    import numpy as np
+
+    from marketdatapipeline_spark.similarity.quantize import norm_audit
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(200):
+        v = rng.randn(8)
+        v = v / np.sqrt(v @ v)  # unit norm
+        rows.append((i, [float(x) for x in v]))
+    big = rng.randn(8); big = big / np.sqrt(big @ big) * 50.0   # exploded
+    tiny = rng.randn(8); tiny = tiny / np.sqrt(tiny @ tiny) * 1e-4  # collapsed
+    rows += [(900, [float(x) for x in big]), (901, [float(x) for x in tiny]), (902, None)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: r for r in norm_audit(df, z_threshold=3.0).collect()}
+    assert 902 not in out  # null vectors filtered
+    assert out[900]["is_outlier"] and out[900]["z"] > 3.0
+    assert out[901]["is_outlier"] and out[901]["z"] < 0
+    flagged = [k for k, r in out.items() if r["is_outlier"]]
+    assert set(flagged) == {900, 901}  # clean unit vectors stay clean
+    assert abs(out[0]["norm"] - 1.0) < 1e-12
