@@ -3779,7 +3779,7 @@ from marketdatapipeline_spark.similarity.quantize import norm_audit  # noqa: E40
         FROM nr CROSS JOIN m1
     ),
     m2 AS (
-        SELECT CAST(sum(CAST(dev * dev AS DECIMAL(28,24))) AS DOUBLE) AS ss,
+        SELECT CAST(sum(CAST(dev * dev AS DECIMAL(28,16))) AS DOUBLE) AS ss,
                first(n) AS n2
         FROM dv
     )

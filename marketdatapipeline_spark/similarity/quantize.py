@@ -107,7 +107,7 @@ def norm_audit(
         "_dev", F.col("norm") - F.col("_s1") / F.col("_n").cast("double")
     )
     m2 = with_mean.agg(
-        F.sum((F.col("_dev") * F.col("_dev")).cast("decimal(28,24)"))
+        F.sum((F.col("_dev") * F.col("_dev")).cast("decimal(28,16)"))
         .cast("double")
         .alias("_ss"),
         F.first("_n").alias("_n2"),
