@@ -3814,3 +3814,128 @@ def q_embeddings_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("z"), 4) + F.lit(0.0)).alias("z"),
         "is_outlier",
     )
+
+
+from marketdatapipeline_spark.operators.events import (  # noqa: E402
+    cohort_retention,
+    funnel,
+)
+
+
+@register_extended(
+    "events_funnel",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               list(ts ORDER BY ts) FILTER (WHERE event_type = 'view')
+                   AS a0,
+               list(ts ORDER BY ts) FILTER (WHERE event_type = 'click')
+                   AS a1,
+               list(ts ORDER BY ts) FILTER (WHERE event_type = 'purchase')
+                   AS a2
+        FROM events GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT user_id, a1, a2, a0[1] AS t0,
+               CASE WHEN a0[1] IS NOT NULL THEN
+                   list_min(list_filter(a1, x -> x > a0[1])) END AS t1
+        FROM pu
+    ),
+    s2 AS (
+        SELECT user_id, t0, t1,
+               CASE WHEN t1 IS NOT NULL THEN
+                   list_min(list_filter(a2, x -> x > t1)) END AS t2
+        FROM s1
+    ),
+    tot AS (
+        SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2,
+               quantile_cont(CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)
+                             / 1000000.0, 0.5) AS med1,
+               quantile_cont(CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE)
+                             / 1000000.0, 0.5) AS med2
+        FROM s2
+    )
+    SELECT step, step_name, n_users, conv_from_prev, conv_from_first,
+           round(median_seconds_from_prev, 6) + 0.0
+               AS median_seconds_from_prev
+    FROM (
+        SELECT 1 AS step, 'view' AS step_name, CAST(n0 AS BIGINT) AS n_users,
+               CAST(NULL AS DOUBLE) AS conv_from_prev,
+               CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   END AS conv_from_first,
+               CAST(NULL AS DOUBLE) AS median_seconds_from_prev
+        FROM tot
+        UNION ALL
+        SELECT 2, 'click', CAST(n1 AS BIGINT),
+               CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   END,
+               CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   END,
+               med1
+        FROM tot
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+               CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   END,
+               CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   END,
+               med2
+        FROM tot
+    )
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequential view->click->purchase funnel
+    (operators/events.py:funnel): first-touch chains resolved with
+    array algebra inside ONE groupBy(user) aggregation (no per-step
+    self-joins). Counts/rates are integer-exact; the step-transition
+    medians are exact interpolated percentiles, round-6."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel(ev, steps=("view", "click", "purchase"))
+    return out.select(
+        "step", "step_name", "n_users", "conv_from_prev",
+        "conv_from_first",
+        _r6(F.col("median_seconds_from_prev")).alias(
+            "median_seconds_from_prev"
+        ),
+    )
+
+
+@register_extended(
+    "events_cohort_retention",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+        FROM events
+    ),
+    coh AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id),
+    sizes AS (
+        SELECT cohort, count(*) AS cohort_size FROM coh GROUP BY cohort
+    ),
+    a AS (
+        SELECT c.cohort,
+               CAST((epoch_us(act.p) - epoch_us(c.cohort))
+                    // 604800000000 AS BIGINT) AS period_offset,
+               count(*) AS n_active
+        FROM act JOIN coh c USING (user_id)
+        GROUP BY c.cohort, 2
+    )
+    SELECT a.cohort, a.period_offset, CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+    FROM a JOIN sizes s USING (cohort)
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/events.py:cohort_retention): users bucketed by
+    first-activity week, counted per active week offset. Exact epoch
+    arithmetic for offsets, integer counts, integer-ratio retention
+    — UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")

@@ -34,6 +34,9 @@ of DataFrame primitives (never driver loops, never cross products):
   detected events (lag-fan-out, never a range join);
 - :func:`heikin_ashi` — smoothed candles; the ha_open recursion IS
   an alpha-0.5 EWMA, riding the block-parallel scan;
+- :func:`funnel` / :func:`cohort_retention` — product analytics over
+  event streams: strictly-sequential first-touch funnels (array
+  algebra, no per-step self-joins) and retention triangles;
 - :func:`anchored_twap` — time-weighted benchmark next to VWAP;
 - :func:`pair_spread_zscore` — pairs-trading log-spread rolling
   z-score for one symbol pair;
@@ -61,6 +64,7 @@ from marketdatapipeline_spark.operators.correlation import (
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
 from marketdatapipeline_spark.operators.drawdown import drawdown_summary, running_drawdown
 from marketdatapipeline_spark.operators.event_study import event_study
+from marketdatapipeline_spark.operators.events import cohort_retention, funnel
 from marketdatapipeline_spark.operators.heikin_ashi import heikin_ashi
 from marketdatapipeline_spark.operators.hurst import hurst_exponent
 from marketdatapipeline_spark.operators.interval_join import (
@@ -109,7 +113,9 @@ __all__ = [
     "candlestick_flags",
     "cross_sectional",
     "interval_overlap_join",
+    "cohort_retention",
     "event_study",
+    "funnel",
     "heikin_ashi",
     "hurst_exponent",
     "ohlc_volatility",

@@ -1472,3 +1472,78 @@ def test_validate_rules_rejects_bad_rules(spark):
         validate_rules(df, [{"name": "r", "check": "nope", "column": "x"}])
     with _pt.raises(ValueError, match="needs min and/or max"):
         validate_rules(df, [{"name": "r", "check": "range", "column": "x"}])
+
+
+def test_funnel_strict_sequencing(spark):
+    """Hand-built sequences: out-of-order steps don't convert; strict
+    ordering requires the NEXT step after the previous arrival."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, typ, minutes):
+        return (u, typ, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # user 1: clean A -> B -> C
+        ev(1, "A", 0), ev(1, "B", 1), ev(1, "C", 2),
+        # user 2: B before A — never converts past step A
+        ev(2, "B", 0), ev(2, "A", 1),
+        # user 3: A -> B, C BEFORE B -> stops at B
+        ev(3, "C", 0), ev(3, "A", 1), ev(3, "B", 2),
+        # user 4: only A
+        ev(4, "A", 5),
+        # user 5: no A at all — not in funnel
+        ev(5, "B", 0), ev(5, "C", 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+    out = {r["step"]: r for r in funnel(df, steps=("A", "B", "C")).collect()}
+    assert out[1]["n_users"] == 4          # users 1-4 have an A
+    assert out[2]["n_users"] == 2          # users 1, 3
+    assert out[3]["n_users"] == 1          # user 1 only
+    assert abs(out[2]["conv_from_prev"] - 0.5) < 1e-12
+    assert abs(out[3]["conv_from_first"] - 0.25) < 1e-12
+    # median A->B gap: users 1 (60s) and 3 (60s)
+    assert abs(out[2]["median_seconds_from_prev"] - 60.0) < 1e-9
+    assert out[1]["conv_from_prev"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="funnel steps"):
+        funnel(df, steps=("A",))
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    from marketdatapipeline_spark.operators.events import cohort_retention
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+
+    def ev(u, days):
+        return (u, mon + dt.timedelta(days=days))
+
+    rows = [
+        ev(1, 0), ev(1, 7),   # week 0 cohort, active weeks 0 and 1
+        ev(2, 1),             # week 0 cohort, week 0 only
+        ev(3, 8), ev(3, 22),  # week 1 cohort, offsets 0 and 2
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = {
+        (r["cohort"], r["period_offset"]): r
+        for r in cohort_retention(df, period="week").collect()
+    }
+    w0, w1 = mon, mon + dt.timedelta(days=7)
+    assert out[(w0, 0)]["n_active"] == 2 and out[(w0, 0)]["cohort_size"] == 2
+    assert out[(w0, 1)]["n_active"] == 1
+    assert abs(out[(w0, 1)]["retention"] - 0.5) < 1e-12
+    assert out[(w1, 0)]["n_active"] == 1
+    assert out[(w1, 2)]["n_active"] == 1
+    assert (w1, 1) not in out  # no activity that week
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="month")
