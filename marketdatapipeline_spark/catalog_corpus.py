@@ -3939,3 +3939,77 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, period="week")
+
+
+from marketdatapipeline_spark.textops.dedup import (  # noqa: E402
+    MERSENNE_P as _MP,
+)
+from marketdatapipeline_spark.textops.dedup import (  # noqa: E402
+    hash_coeffs as _hash_coeffs,
+)
+from marketdatapipeline_spark.textops.dedup import (  # noqa: E402
+    minhash_estimate_quality,
+)
+
+_MHQ_MINS = ", ".join(
+    f"min(({a} * th + {b}) % {_MP}) AS mh_{i}"
+    for i, (a, b) in enumerate(_hash_coeffs(16))
+)
+_MHQ_AGREE = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+
+@register_extended(
+    "dedup_minhash_quality",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE doc_id < 1000
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, {_H_SQL.format(x="shingle")} AS th
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                   ELSE [] END) AS shingle
+            FROM w
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM tok a JOIN tok b ON a.th = b.th AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    sigs AS (SELECT doc_id, {_MHQ_MINS} FROM tok GROUP BY doc_id)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST({_MHQ_AGREE} AS INT) AS n_agree,
+           CAST({_MHQ_AGREE} AS DOUBLE) / 16.0 AS est_jaccard,
+           CAST({_MHQ_AGREE} AS DOUBLE) / 16.0 - p.jaccard AS err
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    WHERE p.jaccard >= 0.2
+    """,
+)
+def q_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy audit (textops/dedup.py:
+    minhash_estimate_quality): true hashed-set Jaccard vs the
+    16-hash signature estimate for every 3-gram pair >= 0.2 — the
+    measure-your-sketch-before-trusting-it entry next to the recall
+    audit (jaccard_pairs_with_lsh_flag). Integer ratios end to end —
+    UNROUNDED."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return minhash_estimate_quality(
+        docs, threshold=0.2, num_hashes=16, n=3
+    )

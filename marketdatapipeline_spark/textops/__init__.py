@@ -44,6 +44,7 @@ from marketdatapipeline_spark.textops.dedup import (
     containment_similar_pairs,
     jaccard_similar_pairs,
     lsh_candidate_pairs,
+    minhash_estimate_quality,
     minhash_near_duplicates,
     minhash_signature,
     simhash,
@@ -81,6 +82,7 @@ __all__ = [
     "containment_similar_pairs",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
+    "minhash_estimate_quality",
     "minhash_near_duplicates",
     "minhash_signature",
     "simhash",

@@ -594,3 +594,87 @@ def containment_similar_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def minhash_estimate_quality(
+    df: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, jaccard, n_agree, est_jaccard, err): the sketch-
+    accuracy audit — for every pair whose TRUE hashed-set Jaccard
+    meets ``threshold``, the MinHash estimate (fraction of agreeing
+    signature components; E[est] = J, sd = sqrt(J(1-J)/k)) placed
+    next to the truth. The production use: pick ``num_hashes``/band
+    geometry from measured error on a corpus sample instead of
+    folklore; complements ``jaccard_pairs_with_lsh_flag`` (which
+    audits candidate RECALL, not estimate accuracy).
+
+    One shingle-hash table feeds all consumers (sizes, both join
+    sides, the signature aggregation); everything shuffles bigints.
+    Truth and estimate are integer ratios — engine-exact, UNROUNDED.
+    """
+    sh = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(_shingle_array(text_col, n)).alias("shingle"),
+        )
+        .select(F.col(id_col), md5_int(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "_h")
+    inter = (
+        a.join(b, on="_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("_nb"))
+    jac = (
+        F.col("_i")
+        / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double")
+    )
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    h = F.col("_h")
+    aggs = [
+        F.min((F.lit(ca) * h + F.lit(cb)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (ca, cb) in enumerate(hash_coeffs(num_hashes))
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    siga = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_ma{i}") for i in range(num_hashes)],
+    )
+    sigb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_mb{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_ma{i}") == F.col(f"_mb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    out = (
+        pairs.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .withColumn("n_agree", agree.cast("int"))
+    )
+    est = F.col("n_agree").cast("double") / F.lit(float(num_hashes))
+    return out.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "n_agree",
+        est.alias("est_jaccard"),
+        (est - F.col("jaccard")).alias("err"),
+    )

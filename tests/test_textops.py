@@ -334,3 +334,39 @@ def test_char_stats_hand_computed(spark):
     assert abs(st[2]["space_ratio"] - 1 / 5) < 1e-12
     # entropy of '2': chars a,1,!,space,x all distinct -> log2(5)
     assert abs(ent[2]["char_entropy"] - math.log2(5)) < 1e-9
+
+
+def test_minhash_estimate_quality_semantics(spark):
+    """Identical docs estimate 1.0 exactly; disjoint docs never pair;
+    the estimate sits within the binomial envelope of the truth."""
+    from marketdatapipeline_spark.textops.dedup import (
+        minhash_estimate_quality,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # identical -> J = 1
+            (3, base + " extra words here now"),  # high-overlap
+            (4, "totally different vocabulary with nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_estimate_quality(
+            docs, threshold=0.2, num_hashes=16, n=1
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["jaccard"] == 1.0 and r12["est_jaccard"] == 1.0
+    assert r12["n_agree"] == 16 and r12["err"] == 0.0
+    assert (1, 3) in out and (2, 3) in out
+    assert not any(4 in k for k in out)
+    # estimator sanity: |err| bounded by ~4 sd of Binomial(16, J)
+    import math
+
+    for r in out.values():
+        sd = math.sqrt(r["jaccard"] * (1 - r["jaccard"]) / 16)
+        assert abs(r["err"]) <= 4 * sd + 1e-9
