@@ -4013,3 +4013,129 @@ def q_dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_quality(
         docs, threshold=0.2, num_hashes=16, n=3
     )
+
+
+@register_extended(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the fixture schema (shipping priority:
+    top-10 unshipped BUILDING-segment orders by revenue) — the
+    classic 3-way join + aggregate + top-k showcase. Revenue sums as
+    decimal(28,10) (exact, and the ordering key — so the top-10 cut
+    is engine-identical); customer and the filtered orders are
+    broadcast-eligible dims, lineitem never re-shuffles twice."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        g.orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue", "o_orderdate", "o_orderpriority",
+            "n_lines",
+        )
+    )
+
+
+@register_extended(
+    "bars_impact_curve",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, volume, datetime, bar_id,
+                   abs((close - lag(close) OVER w) / lag(close) OVER w)
+                       AS aret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        d AS (
+            SELECT symbol, volume, aret,
+                   ntile(10) OVER (
+                       PARTITION BY symbol
+                       ORDER BY volume, datetime, bar_id
+                   ) AS decile
+            FROM r WHERE aret IS NOT NULL
+        )
+        SELECT symbol, CAST(decile AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_volume,
+               round(CAST(sum(CAST(aret AS DECIMAL(28,14))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_abs_ret
+        FROM d GROUP BY symbol, decile
+        """
+    ),
+)
+def q_bars_impact_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-impact curve: mean |return| by per-symbol volume decile
+    — the nonparametric companion to Kyle's lambda (a flat curve
+    falsifies the linear-impact model; convexity locates where size
+    starts to move price). ntile over a TOTAL order (volume,
+    datetime, bar_id) so decile membership is engine-deterministic;
+    decimal sums; integer-ratio avg_volume UNROUNDED, the |ret| mean
+    round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    r = bars.select(
+        "symbol", "volume", "datetime", "bar_id",
+        F.abs(
+            (F.col("close") - F.lag("close").over(w))
+            / F.lag("close").over(w)
+        ).alias("aret"),
+    ).filter(F.col("aret").isNotNull())
+    dw = W.partitionBy("symbol").orderBy("volume", "datetime", "bar_id")
+    d = r.withColumn("decile", F.ntile(10).over(dw))
+    g = d.groupBy("symbol", "decile").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("volume").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_sv"),
+        F.sum(F.col("aret").cast("decimal(28,14)"))
+        .cast("double")
+        .alias("_sr"),
+    )
+    n = F.col("n_obs").cast("double")
+    return g.select(
+        "symbol", "decile", "n_obs",
+        (F.col("_sv") / n).alias("avg_volume"),
+        _r6(F.col("_sr") / n).alias("mean_abs_ret"),
+    )
