@@ -39,6 +39,10 @@ from marketdatapipeline_spark.streaming.cusum import (
     online_cusum,
     online_cusum_batch,
 )
+from marketdatapipeline_spark.streaming.kama import (
+    online_kama,
+    online_kama_batch,
+)
 from marketdatapipeline_spark.streaming.volume_clock import (
     online_volume_clock,
     online_volume_clock_batch,
@@ -69,6 +73,8 @@ __all__ = [
     "online_atr_batch",
     "online_cusum",
     "online_cusum_batch",
+    "online_kama",
+    "online_kama_batch",
     "online_volume_clock",
     "online_volume_clock_batch",
     "online_indicators",

@@ -885,3 +885,59 @@ def test_online_cusum_rejects_bad_threshold(spark, tick_dir):
     ticks_stream = read_tick_stream(spark, tick_dir)
     with pytest.raises(ValueError, match="threshold"):
         online_cusum(ticks_stream, 0.0)
+
+
+def test_online_kama_matches_batch_twin_and_pandas(spark, tick_dir):
+    """Stream == batch twin bit-exactly (shared _scan_kama), and the
+    scan matches an independent pandas restatement of Kaufman's
+    definition."""
+    from marketdatapipeline_spark.streaming import (
+        online_kama,
+        online_kama_batch,
+    )
+
+    n, fast, slow = 5, 2, 10
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_kama(ticks_stream, n, fast, slow), "online_kama"
+    ).toPandas()
+    ticks = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    want = online_kama_batch(ticks, n, fast, slow).toPandas()
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    # independent reference
+    f, s = 2.0 / (fast + 1), 2.0 / (slow + 1)
+    for sym, g in got.groupby("symbol"):
+        g = g.sort_values("ts").reset_index(drop=True)
+        p = g["price"].to_numpy(dtype=float)
+        kama = np.full(len(p), np.nan)
+        er_ref = np.full(len(p), np.nan)
+        k = np.nan
+        for i in range(n, len(p)):
+            net = abs(p[i] - p[i - n])
+            path = np.abs(np.diff(p[i - n : i + 1])).sum()
+            er = net / path if path > 0 else 0.0
+            er_ref[i] = er
+            sc = (er * (f - s) + s) ** 2
+            k = p[i] if np.isnan(k) else k + sc * (p[i] - k)
+            kama[i] = k
+        a = g["kama"].to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(kama))
+        ok = ~np.isnan(a)
+        np.testing.assert_allclose(a[ok], kama[ok], rtol=1e-12)
+        e = g["efficiency_ratio"].to_numpy(dtype=float)
+        np.testing.assert_allclose(e[ok], er_ref[ok], rtol=1e-12)
+        assert ((e[ok] >= 0) & (e[ok] <= 1 + 1e-12)).all()
+
+
+def test_online_kama_rejects_bad_params(spark, tick_dir):
+    from marketdatapipeline_spark.streaming import online_kama
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    with pytest.raises(ValueError, match="fast"):
+        online_kama(ticks_stream, window=5, fast=10, slow=5)
