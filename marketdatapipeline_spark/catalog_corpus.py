@@ -4139,3 +4139,69 @@ def q_bars_impact_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_sv") / n).alias("avg_volume"),
         _r6(F.col("_sr") / n).alias("mean_abs_ret"),
     )
+
+
+from marketdatapipeline_spark.textops.corpus import zipf_fit  # noqa: E402
+
+
+@register_extended(
+    "corpus_zipf_fit",
+    rf"""
+    WITH wds AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT {_H_SQL.format(x="w")} AS h, count(*) AS c
+        FROM wds WHERE w <> '' GROUP BY {_H_SQL.format(x="w")}
+    ),
+    top AS (
+        SELECT c, h, r FROM (
+            SELECT c, h, row_number() OVER (ORDER BY c DESC, h) AS r
+            FROM tf
+        ) WHERE r <= 1000
+    ),
+    g AS (
+        SELECT count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,14)))
+                    AS DOUBLE) AS sx,
+               CAST(sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,14)))
+                    AS DOUBLE) AS sy,
+               CAST(sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                             AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                             AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                             AS DECIMAL(28,14))) AS DOUBLE) AS syy
+        FROM top
+    )
+    SELECT n_terms, n_tokens,
+           round(CASE WHEN cxx > 0 THEN cxy / cxx END, 6) + 0.0 AS slope,
+           round(CASE WHEN cxx > 0 THEN
+               (sy - (cxy / cxx) * sx) / CAST(n_terms AS DOUBLE) END, 6)
+               + 0.0 AS intercept,
+           round(CASE WHEN cxx > 0 AND cyy > 0 THEN
+               cxy * cxy / (cxx * cyy) END, 6) + 0.0 AS r2
+    FROM (
+        SELECT n_terms, n_tokens, sx, sy,
+               sxx - sx * sx / CAST(n_terms AS DOUBLE) AS cxx,
+               syy - sy * sy / CAST(n_terms AS DOUBLE) AS cyy,
+               sxy - sx * sy / CAST(n_terms AS DOUBLE) AS cxy
+        FROM g
+    )
+    """,
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (textops/corpus.py:zipf_fit): log-log
+    slope/r2 over the corpus's top-1000 terms — natural text slopes
+    near -1; templated spam bends the curve, making this a one-row
+    corpus-health gauge. Hashed term counts, deterministic
+    (count desc, hash) ranking, decimal power sums, ln round-6."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = zipf_fit(docs, top_k=1000)
+    return out.select(
+        "n_terms", "n_tokens",
+        _r6(F.col("slope")).alias("slope"),
+        _r6(F.col("intercept")).alias("intercept"),
+        _r6(F.col("r2")).alias("r2"),
+    )

@@ -55,6 +55,7 @@ __all__ = [
     "top_bigram_stats",
     "bigram_perplexity",
     "unigram_perplexity",
+    "zipf_fit",
 ]
 
 
@@ -1020,4 +1021,60 @@ def bigram_perplexity(
         "n_bigrams",
         m.alias("mean_neg_logprob"),
         F.exp(m).alias("perplexity"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """ONE row: (n_terms, n_tokens, slope, intercept, r2) — the
+    log-log least-squares fit of term frequency against frequency
+    rank over the corpus's ``top_k`` most frequent terms. Natural
+    text follows Zipf's law (slope ~ -1); generated/templated spam
+    and boilerplate-heavy crawls bend the curve, so the slope is a
+    cheap corpus-health gauge (and a drift signal between snapshots).
+
+    Plan: hashed term counts (bigint shuffle keys), ONE top-k window
+    cut over the count table (small by construction), then the
+    regression folds in a single aggregation of decimal power sums —
+    ties rank deterministically by (count desc, hash)."""
+    words = df.select(
+        F.explode(_words(text_col)).alias("_w")
+    ).filter(F.col("_w") != "")
+    tf = words.select(md5_int(F.col("_w")).alias("_h")).groupBy("_h").agg(
+        F.count("*").alias("_c")
+    )
+    w = Window.orderBy(F.desc("_c"), F.col("_h"))
+    ranked = (
+        tf.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_k)
+    )
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+    dec = "decimal(28,14)"
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.sum(x.cast(dec)).cast("double").alias("_sx"),
+        F.sum(y.cast(dec)).cast("double").alias("_sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("_sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("_sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    slope = F.when(sxx > 0, sxy / sxx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when((sxx > 0) & (syy > 0), sxy * sxy / (sxx * syy))
+    return g.select(
+        "n_terms",
+        "n_tokens",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
     )

@@ -539,3 +539,28 @@ def test_bigram_perplexity_hand_computed(spark):
     assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
     m2 = -math.log(p_ab)
     assert abs(out[2]["mean_neg_logprob"] - m2) < 1e-9
+
+
+def test_zipf_fit_on_synthetic_zipfian_corpus(spark):
+    """A corpus drawn with exact Zipf frequencies fits slope ~ -1
+    with high r2; a uniform corpus fits slope ~ 0."""
+    import numpy as np
+
+    from marketdatapipeline_spark.textops.corpus import zipf_fit
+
+    words = [f"w{i}" for i in range(1, 201)]
+    text = " ".join(
+        " ".join([w] * max(1, int(round(1000.0 / r))))
+        for r, w in enumerate(words, start=1)
+    )
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = zipf_fit(docs, top_k=200).collect()[0]
+    assert row["n_terms"] == 200
+    assert -1.15 < row["slope"] < -0.85
+    assert row["r2"] > 0.97
+
+    uni = " ".join(" ".join([w] * 5) for w in words)
+    docs2 = spark.createDataFrame([(1, uni)], ["doc_id", "text"])
+    row2 = zipf_fit(docs2, top_k=200).collect()[0]
+    assert abs(row2["slope"]) < 1e-9  # constant counts: flat line
+    assert row2["r2"] is None  # zero variance in y -> undefined fit
