@@ -4205,3 +4205,70 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("intercept")).alias("intercept"),
         _r6(F.col("r2")).alias("r2"),
     )
+
+
+from marketdatapipeline_spark.operators.drawdown import (  # noqa: E402
+    underwater_spells,
+)
+
+
+@register_extended(
+    "bars_underwater_spells",
+    _bars_sql(
+        """
+        , dd AS (
+            SELECT symbol, datetime, bar_id,
+                   close / max(close) OVER wr - 1.0 AS drawdown,
+                   row_number() OVER w AS rn
+            FROM bars
+            WINDOW wr AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        st AS (
+            SELECT *, (drawdown < 0) AS u,
+                   rn - row_number() OVER (
+                       PARTITION BY symbol, (drawdown < 0)
+                       ORDER BY datetime, bar_id
+                   ) AS grp
+            FROM dd
+        ),
+        sp AS (
+            SELECT symbol, grp, count(*) AS len,
+                   min(drawdown) AS ddm, min(rn) AS s0
+            FROM st WHERE u GROUP BY symbol, grp
+        ),
+        tot AS (SELECT symbol, count(*) AS n_bars FROM dd GROUP BY symbol),
+        ag AS (
+            SELECT symbol, CAST(count(*) AS BIGINT) AS n_spells,
+                   CAST(max(len) AS BIGINT) AS longest_spell,
+                   CAST(sum(len) AS DOUBLE) / count(*) AS mean_spell,
+                   CAST(sum(len) AS BIGINT) AS under_bars
+            FROM sp GROUP BY symbol
+        ),
+        worst AS (
+            SELECT symbol, ddm FROM (
+                SELECT symbol, ddm, row_number() OVER (
+                    PARTITION BY symbol ORDER BY len DESC, s0
+                ) AS r FROM sp
+            ) WHERE r = 1
+        )
+        SELECT a.symbol, a.n_spells, a.longest_spell, a.mean_spell,
+               w.ddm AS worst_spell_dd,
+               CAST(a.under_bars AS DOUBLE) / CAST(t.n_bars AS DOUBLE)
+                   AS pct_underwater
+        FROM ag a JOIN worst w USING (symbol) JOIN tot t USING (symbol)
+        """
+    ),
+)
+def q_bars_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown DURATION statistics
+    (operators/drawdown.py:underwater_spells): maximal below-peak
+    runs labeled by the two-row-number difference (constant per run —
+    pure window algebra, no sessionize machinery), then per-spell and
+    per-symbol aggregation; worst_spell_dd is the floor of the
+    LONGEST spell (earliest on ties). Integer lengths/ratios and
+    deterministic IEEE drawdowns — UNROUNDED."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    return underwater_spells(bars)

@@ -62,7 +62,11 @@ from marketdatapipeline_spark.operators.correlation import (
     pairwise_return_correlation,
 )
 from marketdatapipeline_spark.operators.cross_section import cross_sectional
-from marketdatapipeline_spark.operators.drawdown import drawdown_summary, running_drawdown
+from marketdatapipeline_spark.operators.drawdown import (
+    drawdown_summary,
+    running_drawdown,
+    underwater_spells,
+)
 from marketdatapipeline_spark.operators.event_study import event_study
 from marketdatapipeline_spark.operators.events import cohort_retention, funnel
 from marketdatapipeline_spark.operators.heikin_ashi import heikin_ashi
@@ -129,6 +133,7 @@ __all__ = [
     "rollup_bars",
     "drawdown_summary",
     "running_drawdown",
+    "underwater_spells",
     "signal_returns",
     "vector_backtest",
     "salted_collect_list",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["drawdown_summary", "running_drawdown"]
+__all__ = ["drawdown_summary", "running_drawdown", "underwater_spells"]
 
 
 def running_drawdown(
@@ -120,4 +120,74 @@ def drawdown_summary(
         "trough_ts",
         "peak_value",
         "trough_value",
+    )
+
+
+def underwater_spells(
+    df: DataFrame,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """(symbol, n_spells, longest_spell, mean_spell, worst_spell_dd,
+    pct_underwater): drawdown DURATION statistics — the companion to
+    the magnitude summary (a strategy losing 5% for three years hurts
+    differently than 5% for a week).
+
+    A spell is a maximal run of consecutive bars with ``drawdown <
+    0``; runs are labeled with the classic two-row-number difference
+    (``rn - rn_within_state`` is constant exactly over each run — a
+    pure window trick, no sessionize gap logic or Python), then one
+    aggregation per spell and one per symbol. ``worst_spell_dd`` is
+    the deepest drawdown reached inside the LONGEST spell (ties to
+    the earliest spell). Everything rides the symbol exchange; counts
+    and lengths are integers, the mean is an integer ratio and the
+    drawdowns deterministic IEEE — UNROUNDED."""
+    base = running_drawdown(df, price_col, symbol_col, order_cols)
+    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    under = F.col("drawdown") < 0
+    staged = base.withColumns(
+        {
+            "_rn": F.row_number().over(w),
+            "_u": under,
+        }
+    )
+    wu = Window.partitionBy(symbol_col, "_u").orderBy(*order_cols)
+    staged = staged.withColumn(
+        "_grp", F.col("_rn") - F.row_number().over(wu)
+    )
+    spells = (
+        staged.filter(F.col("_u"))
+        .groupBy(symbol_col, "_grp")
+        .agg(
+            F.count(F.lit(1)).alias("_len"),
+            F.min("drawdown").alias("_dd"),
+            F.min("_rn").alias("_start"),
+        )
+    )
+    totals = staged.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("_n_bars")
+    )
+    per_sym = spells.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("_len").alias("longest_spell"),
+        (F.sum("_len").cast("double") / F.count(F.lit(1))).alias(
+            "mean_spell"
+        ),
+        F.min_by(
+            "_dd", F.struct((-F.col("_len")).alias("l"), F.col("_start"))
+        ).alias("worst_spell_dd"),
+        F.sum("_len").cast("long").alias("_under_bars"),
+    )
+    out = per_sym.join(totals, symbol_col)
+    return out.select(
+        symbol_col,
+        "n_spells",
+        "longest_spell",
+        "mean_spell",
+        "worst_spell_dd",
+        (
+            F.col("_under_bars").cast("double")
+            / F.col("_n_bars").cast("double")
+        ).alias("pct_underwater"),
     )

@@ -1547,3 +1547,26 @@ def test_cohort_retention_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="period"):
         cohort_retention(df, period="month")
+
+
+def test_underwater_spells_hand_computed(spark):
+    """Crafted price path with known spell structure: peaks at 10,
+    spells of length 2 and 3, the longest spell carries the worst dd."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.operators.drawdown import underwater_spells
+
+    t0 = dt.datetime(2024, 1, 1)
+    closes = [10.0, 9.0, 9.5, 10.0, 11.0, 10.0, 8.0, 9.0, 11.0, 12.0]
+    # drawdowns: 0, -.1, -.05, 0, 0, -1/11, -3/11, -2/11, 0, 0
+    # spells: [1,2] (len 2, dd -.1), [5,6,7] (len 3, dd -3/11)
+    rows = [
+        ("A", t0 + dt.timedelta(minutes=i), i, c) for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "symbol STRING, datetime TIMESTAMP, bar_id LONG, close DOUBLE")
+    r = underwater_spells(df).collect()[0]
+    assert r["n_spells"] == 2
+    assert r["longest_spell"] == 3
+    assert abs(r["mean_spell"] - 2.5) < 1e-12
+    assert abs(r["worst_spell_dd"] - (8.0 / 11.0 - 1.0)) < 1e-12
+    assert abs(r["pct_underwater"] - 0.5) < 1e-12
