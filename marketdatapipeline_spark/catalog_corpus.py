@@ -4272,3 +4272,133 @@ def q_bars_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic IEEE drawdowns — UNROUNDED."""
     bars = _bars_from_events_r8(spark, sf_dir)
     return underwater_spells(bars)
+
+
+@register_extended(
+    "bars_leadlag_correlation",
+    _bars_sql(
+        _RETS_NN_SQL
+        + """
+        , g AS (
+            SELECT a._sym AS symbol_a, b._sym AS symbol_b,
+                   count(*) AS n_obs,
+                   CAST(sum(CAST(a._ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sx,
+                   CAST(sum(CAST(b._ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sy,
+                   CAST(sum(CAST(a._ret * a._ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(b._ret * b._ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS syy,
+                   CAST(sum(CAST(a._ret * b._ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sxy
+            FROM nn a JOIN nn b
+              ON b._idx = a._idx + 1 AND a._sym <> b._sym
+            GROUP BY a._sym, b._sym
+        )
+        SELECT symbol_a, symbol_b, CAST(n_obs AS BIGINT) AS n_obs,
+               CASE WHEN vx > 0 AND vy > 0 THEN
+                   round(cov / sqrt(vx * vy), 6) + 0.0 END AS corr
+        FROM (
+            SELECT symbol_a, symbol_b, n_obs,
+                   n_obs * sxx - sx * sx AS vx,
+                   n_obs * syy - sy * sy AS vy,
+                   n_obs * sxy - sx * sy AS cov
+            FROM g
+        )
+        WHERE n_obs >= 30
+        """
+    ),
+)
+def q_bars_leadlag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation at lag 1
+    (operators/correlation.py:pairwise_return_correlation(lag=1)):
+    does a's return today predict b's tomorrow? ORDERED pairs (both
+    directions emitted — the two questions differ), the price-
+    discovery screen next to the contemporaneous matrix in the gate.
+    Index-bucket join on the dense bar index, decimal power sums,
+    round-6."""
+    from marketdatapipeline_spark.operators.correlation import (
+        pairwise_return_correlation,
+    )
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = pairwise_return_correlation(bars, min_obs=30, lag=1)
+    return out.select(
+        "symbol_a", "symbol_b", "n_obs", _r6(F.col("corr")).alias("corr")
+    )
+
+
+from marketdatapipeline_spark.ml.drift import calibration_curve  # noqa: E402
+
+_CAL_FRACS = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+
+
+@register_extended(
+    "ml_calibration_curve",
+    _bars_sql(
+        f"""
+        , sc AS (
+            SELECT 1.0 / (1.0 + exp(-50.0 * ((close - lag(close) OVER w)
+                                             / lag(close) OVER w))) AS score,
+                   CASE WHEN lead(close) OVER w IS NOT NULL THEN
+                       CAST(lead(close) OVER w > close AS INT) END AS target
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        base AS (SELECT score, target FROM sc WHERE score IS NOT NULL),
+        ed AS (
+            SELECT list_transform(quantile_cont(score, {_CAL_FRACS}),
+                                  e -> round(e, 6) + 0.0) AS e
+            FROM base
+        ),
+        b AS (
+            SELECT CAST(len(list_filter(e, x -> score >= x)) AS INT)
+                       AS bin,
+                   score, target
+            FROM base CROSS JOIN ed
+            WHERE target IS NOT NULL
+        ),
+        g AS (
+            SELECT bin, count(*) AS n_obs,
+                   CAST(sum(CAST(score AS DECIMAL(28,14))) AS DOUBLE) AS ss,
+                   CAST(sum(CAST(CAST(target AS DOUBLE) AS DECIMAL(28,14)))
+                        AS DOUBLE) AS sy
+            FROM b GROUP BY bin
+        )
+        SELECT bin, CAST(n_obs AS BIGINT) AS n_obs,
+               round(ss / CAST(n_obs AS DOUBLE), 6) + 0.0 AS mean_score,
+               sy / CAST(n_obs AS DOUBLE) AS pos_rate,
+               round(sy / CAST(n_obs AS DOUBLE)
+                     - ss / CAST(n_obs AS DOUBLE), 6) + 0.0 AS gap
+        FROM g
+        """
+    ),
+)
+def q_ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (ml/drift.py:calibration_curve) for a
+    logistic momentum score against the next-bar-up label: scores
+    decile-bucketed on round-6 self-quantile edges (PSI binning — no
+    global sort), observed positive rate vs mean prediction per
+    bucket. pos_rate is an integer ratio (UNROUNDED); the score mean
+    crosses exp (libm) -> round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-50.0) * ret))
+    target = F.when(
+        F.lead("close").over(w).isNotNull(),
+        (F.lead("close").over(w) > F.col("close")).cast("int"),
+    )
+    scored = bars.select(
+        score.alias("score"), target.alias("target")
+    ).filter(F.col("score").isNotNull())
+    out = calibration_curve(scored, "score", "target", n_bins=10)
+    return out.select(
+        "bin", "n_obs",
+        _r6(F.col("mean_score")).alias("mean_score"),
+        "pos_rate",
+        _r6(F.col("gap")).alias("gap"),
+    )

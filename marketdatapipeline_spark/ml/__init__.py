@@ -12,7 +12,7 @@ from marketdatapipeline_spark.ml.evaluation import (
     regression_metrics,
     roc_auc,
 )
-from marketdatapipeline_spark.ml.drift import psi_drift
+from marketdatapipeline_spark.ml.drift import calibration_curve, psi_drift
 from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
 from marketdatapipeline_spark.ml.prediction import load_model, predict
 from marketdatapipeline_spark.ml.scaling import (
@@ -57,6 +57,7 @@ __all__ = [
     "apply_standardizer",
     "fit_standardizer",
     "standardize_split",
+    "calibration_curve",
     "psi_drift",
     "apply_winsorizer",
     "fit_winsorizer",

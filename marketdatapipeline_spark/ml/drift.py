@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["psi_drift"]
+__all__ = ["calibration_curve", "psi_drift"]
 
 _DEC = "decimal(38,18)"
 
@@ -116,3 +116,57 @@ def psi_drift(
     )
     total = F.sum(F.col("psi_term").cast(_DEC)).over(wf).cast("double")
     return scored.withColumn("psi_total", total)
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    method: str = "exact",
+) -> DataFrame:
+    """(bin, n_obs, mean_score, pos_rate, gap): the reliability
+    diagram behind every classifier audit — scores bucketed by their
+    own quantiles (round-6 edges, the PSI binning contract: no
+    global sort, engine-exact membership), observed positive rate
+    vs mean predicted score per bucket. A calibrated model sits on
+    the diagonal; ``gap = pos_rate - mean_score`` is the per-bucket
+    miscalibration. ``method="approx"`` is the sketch-mergeable
+    100 TB path."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method: {method!r}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    x = F.col(score_col).cast("double")
+    fracs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    q = (
+        F.percentile(x, fracs)
+        if method == "exact"
+        else F.approx_percentile(x, fracs, F.lit(10_000))
+    )
+    edges = F.broadcast(
+        df.agg(
+            F.transform(q, lambda e: F.round(e, 6) + F.lit(0.0)).alias("_e")
+        )
+    )
+    base = df.filter(x.isNotNull() & F.col(label_col).isNotNull())
+    binned = base.crossJoin(edges).select(
+        F.size(F.filter(F.col("_e"), lambda e: x >= e)).alias("bin"),
+        x.alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_s").cast(_DEC)).cast("double").alias("_ss"),
+        F.sum(F.col("_y").cast(_DEC)).cast("double").alias("_sy"),
+    )
+    n = F.col("n_obs").cast("double")
+    mean_score = F.col("_ss") / n
+    pos_rate = F.col("_sy") / n
+    return g.select(
+        "bin",
+        "n_obs",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        (pos_rate - mean_score).alias("gap"),
+    )

@@ -622,3 +622,36 @@ def test_scale_split_replaces_columns_in_place(spark):
 
     with _pytest.raises(ValueError, match="scale method"):
         scale_split(train, test, ["x"], method="nope")
+
+
+def test_calibration_curve_on_synthetic_scores(spark):
+    """A perfectly calibrated score (label ~ Bernoulli(score)) sits
+    near the diagonal; a constant-overconfident one shows the gap."""
+    import numpy as np
+
+    from marketdatapipeline_spark.ml.drift import calibration_curve
+
+    rng = np.random.RandomState(9)
+    s = rng.uniform(0, 1, 4000)
+    y = (rng.uniform(0, 1, 4000) < s).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)], ["score", "label"]
+    )
+    rows = calibration_curve(df, "score", "label", n_bins=10).collect()
+    assert len(rows) == 10
+    assert sum(r["n_obs"] for r in rows) == 4000
+    for r in rows:
+        assert abs(r["gap"]) < 0.08  # binomial noise envelope at n~400
+        assert abs(r["gap"] - (r["pos_rate"] - r["mean_score"])) < 1e-12
+
+    # overconfident: always predicts 0.9, truth is 50/50
+    over = spark.createDataFrame(
+        [(0.9, int(i % 2)) for i in range(1000)], ["score", "label"]
+    )
+    orow = calibration_curve(over, "score", "label", n_bins=2).collect()
+    assert all(abs(r["gap"] + 0.4) < 1e-9 for r in orow)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_curve(df, "score", "label", n_bins=1)
