@@ -4402,3 +4402,76 @@ def q_ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_rate",
         _r6(F.col("gap")).alias("gap"),
     )
+
+
+from marketdatapipeline_spark.textops.corpus import quality_screen  # noqa: E402
+
+
+@register_extended(
+    "corpus_quality_screen",
+    r"""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, c, count(*) AS n
+        FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    ent AS (
+        SELECT doc_id,
+               CAST(sum(CAST(-(p * log2(p)) AS DECIMAL(28,14)))
+                    AS DOUBLE) AS char_entropy
+        FROM (
+            SELECT doc_id, n,
+                   CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                       PARTITION BY doc_id) AS DOUBLE) AS p
+            FROM cnt
+        )
+        GROUP BY doc_id
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text),
+                                                          '\s+'),
+                                    x -> x <> '')) AS INT) AS n_words,
+               CASE WHEN len(text) > 0 THEN
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                       / len(text) END AS digit_ratio,
+               CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+                   CAST(len(string_split(text, chr(10)))
+                        - len(list_distinct(string_split(text, chr(10))))
+                        AS DOUBLE)
+                   / len(string_split(text, chr(10)))
+               ELSE 0.0 END AS dup_line_frac
+        FROM documents
+    )
+    SELECT r.doc_id, r.n_words,
+           round(e.char_entropy, 6) + 0.0 AS char_entropy, r.digit_ratio,
+           r.dup_line_frac,
+           r.n_words < 5 AS too_short,
+           coalesce(e.char_entropy < 2.0, TRUE) AS low_entropy,
+           coalesce(r.digit_ratio > 0.3, FALSE) AS digit_heavy,
+           r.dup_line_frac > 0.3 AS repetitive,
+           NOT (r.n_words < 5) AND NOT coalesce(e.char_entropy < 2.0, TRUE)
+           AND NOT coalesce(r.digit_ratio > 0.3, FALSE)
+           AND NOT (r.dup_line_frac > 0.3) AS keep
+    FROM r LEFT JOIN ent e USING (doc_id)
+    """,
+)
+def q_corpus_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed FineWeb-style keep/drop verdict
+    (textops/corpus.py:quality_screen): length, character-entropy,
+    digit-density, and line-repetition screens stacked with the
+    per-reason flags preserved. Only the entropy shuffles; flags and
+    the verdict are boolean algebra over already-oracled signals —
+    engine-exact (entropy round-6 feeds the comparison on BOTH
+    sides via the same rounded value)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = quality_screen(docs)
+    return out.select(
+        "doc_id", "n_words",
+        _r6(F.col("char_entropy")).alias("char_entropy"),
+        "digit_ratio", "dup_line_frac",
+        "too_short", "low_entropy", "digit_heavy", "repetitive", "keep",
+    )

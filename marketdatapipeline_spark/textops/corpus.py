@@ -55,6 +55,7 @@ __all__ = [
     "top_bigram_stats",
     "bigram_perplexity",
     "unigram_perplexity",
+    "quality_screen",
     "zipf_fit",
 ]
 
@@ -1077,4 +1078,65 @@ def zipf_fit(
         slope.alias("slope"),
         intercept.alias("intercept"),
         r2.alias("r2"),
+    )
+
+
+def quality_screen(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_entropy: float = 2.0,
+    max_digit_ratio: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """(id, n_words, char_entropy, digit_ratio, dup_line_frac,
+    too_short, low_entropy, digit_heavy, repetitive, keep): the
+    FineWeb-style composed quality verdict — four independent screens
+    (length, character entropy, digit density, line repetition)
+    stacked into one keep/drop decision WITH the per-reason flags
+    kept (a pipeline that can't say WHY it dropped a document can't
+    be tuned).
+
+    Composition of operators already in the engine
+    (textops/analysis.py char stats + entropy,
+    add_repetition_signals); the only shuffle is the entropy's
+    (doc, char) aggregation — everything else is scan-side, and the
+    flags/verdict are pure boolean algebra (engine-exact)."""
+    from marketdatapipeline_spark.textops.analysis import (
+        add_char_stats,
+        char_entropy,
+    )
+
+    base = add_repetition_signals(
+        add_char_stats(df.select(F.col(id_col), F.col(text_col)), text_col),
+        text_col,
+    )
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    base = base.withColumn("n_words", F.size(words).cast("int"))
+    ent = char_entropy(df.select(F.col(id_col), F.col(text_col)), id_col, text_col)
+    j = base.join(ent.select(id_col, "char_entropy"), id_col, "left")
+    too_short = F.col("n_words") < min_words
+    low_entropy = F.coalesce(
+        F.col("char_entropy") < min_entropy, F.lit(True)
+    )
+    digit_heavy = F.coalesce(
+        F.col("digit_ratio") > max_digit_ratio, F.lit(False)
+    )
+    repetitive = F.col("dup_line_frac") > max_dup_line_frac
+    return j.select(
+        id_col,
+        "n_words",
+        "char_entropy",
+        "digit_ratio",
+        "dup_line_frac",
+        too_short.alias("too_short"),
+        low_entropy.alias("low_entropy"),
+        digit_heavy.alias("digit_heavy"),
+        repetitive.alias("repetitive"),
+        (
+            ~too_short & ~low_entropy & ~digit_heavy & ~repetitive
+        ).alias("keep"),
     )

@@ -564,3 +564,28 @@ def test_zipf_fit_on_synthetic_zipfian_corpus(spark):
     row2 = zipf_fit(docs2, top_k=200).collect()[0]
     assert abs(row2["slope"]) < 1e-9  # constant counts: flat line
     assert row2["r2"] is None  # zero variance in y -> undefined fit
+
+
+def test_quality_screen_flags_each_reason(spark):
+    from marketdatapipeline_spark.textops.corpus import quality_screen
+
+    clean = ("The quick brown fox jumps over the lazy dog while seventeen "
+             "sailors watch from a distant harbor wall at dusk.")
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "too few words"),                      # too_short
+            (3, "aaaa aaaa aaaa aaaa aaaa aaaa"),      # low_entropy
+            (4, "1234 5678 9012 3456 ok " * 3),        # digit_heavy
+            (5, "repeat me\n" * 10 + "unique line"),   # repetitive
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality_screen(docs).collect()}
+    assert out[1]["keep"] and not any(
+        out[1][f] for f in ("too_short", "low_entropy", "digit_heavy", "repetitive")
+    )
+    assert out[2]["too_short"] and not out[2]["keep"]
+    assert out[3]["low_entropy"] and not out[3]["keep"]
+    assert out[4]["digit_heavy"] and not out[4]["keep"]
+    assert out[5]["repetitive"] and not out[5]["keep"]
