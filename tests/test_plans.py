@@ -498,3 +498,79 @@ def test_indicator_wave_single_exchange(spark):
     pv = _plan(pivot_points(bars))
     assert pv.count("Exchange hashpartitioning") == 2, pv
     assert "Join" not in pv and "CartesianProduct" not in pv
+
+
+def test_r8_second_wave_plan_shapes(spark):
+    """The second r8 operator wave holds the one-exchange-per-symbol
+    discipline: Williams+MFI chain, CCI, the full backtest, Corwin-
+    Schultz, and Heikin-Ashi each shuffle every bar exactly once and
+    never join; volume bars add only the (symbol, bucket) agg
+    exchange on top of the window's."""
+    from marketdatapipeline_spark.operators.backtest import vector_backtest
+    from marketdatapipeline_spark.operators.heikin_ashi import heikin_ashi
+    from marketdatapipeline_spark.operators.indicators import (
+        commodity_channel_index,
+        money_flow_index,
+        williams_r,
+    )
+    from marketdatapipeline_spark.operators.liquidity import (
+        corwin_schultz_spread,
+    )
+    from marketdatapipeline_spark.operators.volume_bars import volume_bars
+    from marketdatapipeline_spark.sources.tables import bars_from_events
+    from pyspark.sql import functions as F
+
+    bars = bars_from_events(spark, SF)
+    sig = bars.withColumn("sgn", (F.col("close") > 100.0).cast("double"))
+    single = (
+        ("williams_mfi", money_flow_index(williams_r(bars))),
+        ("cci", commodity_channel_index(bars)),
+        ("backtest", vector_backtest(sig, "sgn", cost=0.001)),
+        ("corwin_schultz", corwin_schultz_spread(bars)),
+    )
+    for name, out in single:
+        plan = _plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "CartesianProduct" not in plan, name
+    # heikin-ashi rides the blocked EWM scan: a bounded HANDFUL of
+    # exchanges (block carries), never per-row work or a cartesian
+    ha = _plan(heikin_ashi(bars))
+    assert ha.count("Exchange hashpartitioning") <= 6
+    assert "CartesianProduct" not in ha
+    vb = _plan(volume_bars(bars, bucket_size=50_000.0))
+    assert vb.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in vb and "CartesianProduct" not in vb
+
+
+def test_r8_event_and_ml_plan_shapes(spark):
+    """Event study fans out via lag columns (ZERO joins — the whole
+    point vs the naive range join); the funnel is one user exchange;
+    PSI/winsorize/standardize broadcast one tiny stats row and never
+    shuffle the data beyond their aggregations."""
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.ml.scaling import (
+        apply_standardizer,
+        fit_standardizer,
+    )
+    from marketdatapipeline_spark.operators.event_study import event_study
+    from marketdatapipeline_spark.operators.events import funnel
+    from marketdatapipeline_spark.sources.tables import (
+        bars_from_events,
+        load_table,
+    )
+
+    bars = bars_from_events(spark, SF)
+    flagged = bars.withColumn("ev", F.col("volume") > 900)
+    es = _plan(event_study(flagged, "ev", k=5))
+    assert "Join" not in es and "CartesianProduct" not in es
+
+    ev = load_table(spark, SF, "events")
+    fu = _plan(funnel(ev, steps=("view", "click", "purchase")))
+    assert fu.count("Exchange hashpartitioning") == 1  # groupBy(user)
+    assert "SortMergeJoin" not in fu and "CartesianProduct" not in fu
+
+    stats = fit_standardizer(bars, ["close", "volume"])
+    z = _plan(apply_standardizer(bars, stats, ["close", "volume"]))
+    assert "BroadcastNestedLoopJoin" in z or "BroadcastExchange" in z
+    assert "SortMergeJoin" not in z
