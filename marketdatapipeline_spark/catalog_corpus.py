@@ -4475,3 +4475,129 @@ def q_corpus_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit_ratio", "dup_line_frac",
         "too_short", "low_entropy", "digit_heavy", "repetitive", "keep",
     )
+
+
+from marketdatapipeline_spark.catalog_pipeline import (  # noqa: E402
+    _langid_sql,
+)
+
+
+def _langid_eval_sql() -> str:
+    inner = _langid_sql()
+    return f"""
+    WITH pred AS ({inner}),
+    j AS (
+        SELECT d.lang, p.lang_pred
+        FROM documents d JOIN pred p USING (doc_id)
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+               / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+               AS frac
+    FROM j GROUP BY lang, lang_pred
+    """
+
+
+@register_extended(
+    "text_language_id_eval",
+    _langid_eval_sql(),
+)
+def q_text_language_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the table's ground-truth
+    ``lang`` column — the engine evaluating its own classifier
+    (per-(truth, prediction) counts and row-normalized fractions).
+    The quality habit this encodes: never ship a heuristic filter
+    without measuring it on labeled data. Counts integer-exact,
+    fractions integer ratios — UNROUNDED."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.textops import add_language_id
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    pred = add_language_id(docs).select("lang", "lang_pred")
+    g = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(W.partitionBy("lang")).cast("double")
+    return g.select(
+        "lang", "lang_pred", "n",
+        (F.col("n").cast("double") / tot).alias("frac"),
+    )
+
+
+@register_extended(
+    "bars_benford_volume",
+    _bars_sql(
+        """
+        , d AS (
+            SELECT symbol,
+                   CAST(substr(CAST(CAST(volume AS BIGINT) AS VARCHAR),
+                               1, 1) AS INT) AS digit
+            FROM bars WHERE volume > 0
+        ),
+        g AS (
+            SELECT symbol, digit, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(count(*)) OVER (PARTITION BY symbol)
+                        AS DOUBLE) AS tot
+            FROM d GROUP BY symbol, digit
+        ),
+        t AS (
+            SELECT symbol, digit, n,
+                   CAST(n AS DOUBLE) / tot AS obs_frac,
+                   log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_frac,
+                   (CAST(n AS DOUBLE)
+                    - tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   * (CAST(n AS DOUBLE)
+                      - tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   / (tot * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                       AS term
+            FROM g
+        )
+        SELECT symbol, digit, n, obs_frac,
+               round(exp_frac, 6) + 0.0 AS benford_frac,
+               round(CAST(sum(CAST(term AS DECIMAL(28,10))) OVER (
+                   PARTITION BY symbol) AS DOUBLE), 6) + 0.0 AS chi2
+        FROM t
+        """
+    ),
+)
+def q_bars_benford_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of volumes — the data-forensics
+    screen for fabricated or truncated feeds (organic trade sizes
+    roughly follow Benford; uniform or clipped generators flunk the
+    chi-square loudly, as this synthetic feed does by construction).
+    Counts/shares integer-exact (UNROUNDED); the Benford expectation
+    and chi-square cross log10 (libm) -> round-6, decimal term
+    sums."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    digit = F.substring(
+        F.col("volume").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        bars.filter(F.col("volume") > 0)
+        .groupBy("symbol", digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("symbol")).cast("double")
+    nn = F.col("n").cast("double")
+    exp_frac = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    staged = g.withColumns(
+        {
+            "obs_frac": nn / tot,
+            "_exp": exp_frac,
+            "_term": (nn - tot * exp_frac) * (nn - tot * exp_frac)
+            / (tot * exp_frac),
+        }
+    )
+    chi2 = (
+        F.sum(F.col("_term").cast("decimal(28,10)"))
+        .over(W.partitionBy("symbol"))
+        .cast("double")
+    )
+    return staged.select(
+        "symbol", "digit", "n", "obs_frac",
+        _r6(F.col("_exp")).alias("benford_frac"),
+        _r6(chi2).alias("chi2"),
+    )

@@ -370,3 +370,25 @@ def test_minhash_estimate_quality_semantics(spark):
     for r in out.values():
         sd = math.sqrt(r["jaccard"] * (1 - r["jaccard"]) / 16)
         assert abs(r["err"]) <= 4 * sd + 1e-9
+
+
+def test_language_id_eval_diagonal_dominant(spark):
+    """The language-ID confusion matrix on labeled fixtures is
+    diagonal-dominant (the heuristic mostly agrees with truth) and
+    the row fractions sum to 1."""
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401
+
+    rows = EXTENDED_REGISTRY["text_language_id_eval"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(r["frac"] for r in rs) - 1.0) < 1e-9
+        best = max(rs, key=lambda r: r["n"])
+        # truth label wins its own row for every labeled language
+        assert best["lang_pred"] == lang, (lang, rs)
