@@ -4601,3 +4601,46 @@ def q_bars_benford_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("_exp")).alias("benford_frac"),
         _r6(chi2).alias("chi2"),
     )
+
+
+@register_extended(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(k AS BIGINT)) AS DOUBLE)
+               / CAST(count(k) AS DOUBLE) AS avg_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the ``props`` JSON column parsed
+    scan-side (``get_json_object`` — JVM Jackson, no Python) and
+    aggregated per event type. The schema-on-read capability every
+    event pipeline needs; integer sums/counts and an integer-ratio
+    mean — UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    g = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_parsed"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        (
+            F.sum(F.col("k").cast("bigint")).cast("double")
+            / F.count("k").cast("double")
+        ).alias("avg_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )
+    return g.select(
+        "event_type", "n", "n_parsed", "sum_k", "avg_k", "distinct_k"
+    )
