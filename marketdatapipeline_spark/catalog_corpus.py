@@ -4644,3 +4644,56 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "n", "n_parsed", "sum_k", "avg_k", "distinct_k"
     )
+
+
+@register_extended(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INT) AS o_year,
+           p.p_type,
+           CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, year(l.l_shipdate), p.p_type
+    """,
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape on the fixture schema: PROMO-part revenue by
+    supplier nation and ship year — the 4-way star join that
+    exercises the two previously-untouched dimension tables (part,
+    supplier). part/supplier/nation are broadcast-size dims; the
+    fact table shuffles once for the aggregation. Decimal revenue —
+    UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+    )
+    g = j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("int").alias("o_year"),
+        "p_type",
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select("nation", "o_year", "p_type", "revenue", "n_lines")
