@@ -32,6 +32,10 @@ from marketdatapipeline_spark.textops.corpus import (
     pack_shards,
     top_bigram_stats,
 )
+from marketdatapipeline_spark.textops.export import (
+    export_training_shards,
+    read_training_shards,
+)
 from marketdatapipeline_spark.textops.incremental import (
     LSHDedupStore,
     build_lsh_store,
@@ -82,6 +86,8 @@ __all__ = [
     "containment_similar_pairs",
     "jaccard_similar_pairs",
     "lsh_candidate_pairs",
+    "export_training_shards",
+    "read_training_shards",
     "minhash_estimate_quality",
     "minhash_near_duplicates",
     "minhash_signature",

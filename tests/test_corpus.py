@@ -589,3 +589,44 @@ def test_quality_screen_flags_each_reason(spark):
     assert out[3]["low_entropy"] and not out[3]["keep"]
     assert out[4]["digit_heavy"] and not out[4]["keep"]
     assert out[5]["repetitive"] and not out[5]["keep"]
+
+
+def test_training_shard_export_round_trip(spark, tmp_path):
+    """Export -> manifest totals == data; subset read honors the
+    shard filter; verify catches tampering."""
+    import json as _json
+    import os
+
+    from marketdatapipeline_spark.textops.export import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (10 + i % 7), f"s{i % 3}") for i in range(60)],
+        ["doc_id", "text", "source"],
+    )
+    path = str(tmp_path / "shards")
+    man = export_training_shards(docs, path, target_chars=600)
+    assert man["n_docs"] == 60
+    assert man["n_shards"] >= 2
+    assert sum(s["n_docs"] for s in man["shards"]) == 60
+    # shards are size-balanced to within one doc of the target
+    assert all(s["n_chars"] <= 600 + 100 for s in man["shards"][:-1])
+
+    back = read_training_shards(spark, path, verify=True)
+    assert back.count() == 60
+    assert "source" in back.columns  # extra columns preserved
+
+    some = read_training_shards(spark, path, shards=[0], verify=True)
+    assert some.select("shard").distinct().collect()[0][0] == 0
+
+    # corrupt the manifest -> verify must catch it
+    mp = os.path.join(path, "manifest.json")
+    m = _json.load(open(mp))
+    m["shards"][0]["n_docs"] += 1
+    _json.dump(m, open(mp, "w"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not match"):
+        read_training_shards(spark, path, verify=True)
