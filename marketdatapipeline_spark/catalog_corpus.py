@@ -4697,3 +4697,81 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
     )
     return g.select("nation", "o_year", "p_type", "revenue", "n_lines")
+
+
+from marketdatapipeline_spark.operators.pairs import (  # noqa: E402
+    rolling_pair_correlation,
+)
+
+
+@register_extended(
+    "bars_rolling_pair_correlation",
+    _bars_sql(
+        """
+        , two AS (
+            SELECT symbol AS _sym, close AS _p,
+                   row_number() OVER (
+                       PARTITION BY symbol ORDER BY datetime, bar_id
+                   ) AS _idx
+            FROM bars WHERE symbol IN ('1', '2') AND close IS NOT NULL
+        ),
+        aligned AS (
+            SELECT _idx,
+                   max(CASE WHEN _sym = '1' THEN _p END) AS pa,
+                   max(CASE WHEN _sym = '2' THEN _p END) AS pb
+            FROM two GROUP BY _idx
+            HAVING max(CASE WHEN _sym = '1' THEN _p END) IS NOT NULL
+               AND max(CASE WHEN _sym = '2' THEN _p END) IS NOT NULL
+        ),
+        rets AS (
+            SELECT _idx,
+                   (pa - lag(pa) OVER w) / lag(pa) OVER w AS ret_a,
+                   (pb - lag(pb) OVER w) / lag(pb) OVER w AS ret_b
+            FROM aligned WINDOW w AS (ORDER BY _idx)
+        ),
+        rr AS (SELECT * FROM rets WHERE ret_a IS NOT NULL
+                                    AND ret_b IS NOT NULL),
+        cm AS (
+            SELECT _idx, ret_a, ret_b,
+                   count(*) OVER wk AS n,
+                   CAST(sum(CAST(ret_a AS DECIMAL(28,14))) OVER wk
+                        AS DOUBLE) AS sx,
+                   CAST(sum(CAST(ret_b AS DECIMAL(28,14))) OVER wk
+                        AS DOUBLE) AS sy,
+                   CAST(sum(CAST(ret_a * ret_a AS DECIMAL(28,14))) OVER wk
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(ret_b * ret_b AS DECIMAL(28,14))) OVER wk
+                        AS DOUBLE) AS syy,
+                   CAST(sum(CAST(ret_a * ret_b AS DECIMAL(28,14))) OVER wk
+                        AS DOUBLE) AS sxy
+            FROM rr
+            WINDOW wk AS (ORDER BY _idx
+                          ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        )
+        SELECT _idx AS bar_index, ret_a, ret_b,
+               CAST(n AS INT) AS n_obs,
+               CASE WHEN n = 60 AND nd * sxx - sx * sx > 0
+                         AND nd * syy - sy * sy > 0 THEN
+                   round((nd * sxy - sx * sy)
+                         / sqrt((nd * sxx - sx * sx)
+                                * (nd * syy - sy * sy)), 6) + 0.0
+               END AS corr
+        FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM cm)
+        """
+    ),
+)
+def q_bars_rolling_pair_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-60 return-correlation curve for the '1'/'2' pair
+    (operators/pairs.py:rolling_pair_correlation) — the pairs-trade
+    regime monitor. Bar-index pivot (no self-join), rolling
+    co-moments via prefix-difference decimal sums (the oracle's
+    direct frames are bit-identical); round-6 at the correlation
+    only."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = rolling_pair_correlation(bars, "1", "2", window=60)
+    return out.select(
+        "bar_index", "ret_a", "ret_b", "n_obs",
+        _r6(F.col("corr")).alias("corr"),
+    )

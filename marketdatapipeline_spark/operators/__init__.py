@@ -89,7 +89,10 @@ from marketdatapipeline_spark.operators.ohlc_vol import ohlc_volatility
 from marketdatapipeline_spark.operators.range_join import point_in_interval_join
 from marketdatapipeline_spark.operators.resample import detect_gaps, resample_ffill
 from marketdatapipeline_spark.operators.rollup import rollup_bars
-from marketdatapipeline_spark.operators.pairs import pair_spread_zscore
+from marketdatapipeline_spark.operators.pairs import (
+    pair_spread_zscore,
+    rolling_pair_correlation,
+)
 from marketdatapipeline_spark.operators.portfolio import portfolio_returns
 from marketdatapipeline_spark.operators.variance_ratio import variance_ratio
 from marketdatapipeline_spark.operators.volume_bars import volume_bars
@@ -109,6 +112,7 @@ __all__ = [
     "vpin",
     "anchored_vwap",
     "pair_spread_zscore",
+    "rolling_pair_correlation",
     "portfolio_returns",
     "variance_ratio",
     "volume_bars",

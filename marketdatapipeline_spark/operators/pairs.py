@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pair_spread_zscore"]
+__all__ = ["pair_spread_zscore", "rolling_pair_correlation"]
 
 _DEC = "decimal(38,18)"
 
@@ -102,4 +102,94 @@ def pair_spread_zscore(
         mean.alias("spread_mean"),
         std.alias("spread_std"),
         z.alias("zscore"),
+    )
+
+
+def rolling_pair_correlation(
+    df: DataFrame,
+    symbol_a: str,
+    symbol_b: str,
+    window: int = 60,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """(bar_index, ret_a, ret_b, n_obs, corr): the trailing-window
+    return correlation CURVE for one symbol pair — the regime monitor
+    behind every pairs trade (the static matrix says the pair is
+    correlated; this says when the relationship broke).
+
+    Same alignment as :func:`pair_spread_zscore` (conditional-agg
+    pivot on the bar index — the pair table is two symbols' bars,
+    1/S of the corpus, so its single-partition index windows are
+    bounded by construction); rolling co-moments ride
+    prefix-difference decimal(28,14) sums (exact, O(n)); corr is
+    null until the window holds ``window`` aligned return pairs or
+    when either side is flat."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if symbol_a == symbol_b:
+        raise ValueError("symbol_a and symbol_b must differ")
+    two = df.filter(
+        F.col(symbol_col).isin([symbol_a, symbol_b])
+        & F.col(price_col).isNotNull()
+    ).select(
+        F.col(symbol_col).alias("_sym"),
+        F.row_number().over(
+            Window.partitionBy(symbol_col).orderBy(*order_cols)
+        ).alias("_idx"),
+        F.col(price_col).alias("_p"),
+    )
+    aligned = (
+        two.groupBy("_idx")
+        .agg(
+            F.max(F.when(F.col("_sym") == symbol_a, F.col("_p"))).alias("_pa"),
+            F.max(F.when(F.col("_sym") == symbol_b, F.col("_p"))).alias("_pb"),
+        )
+        .filter(F.col("_pa").isNotNull() & F.col("_pb").isNotNull())
+    )
+    w = Window.orderBy("_idx")
+    ra = (F.col("_pa") - F.lag("_pa").over(w)) / F.lag("_pa").over(w)
+    rb = (F.col("_pb") - F.lag("_pb").over(w)) / F.lag("_pb").over(w)
+    rets = aligned.withColumns({"ret_a": ra, "ret_b": rb}).filter(
+        F.col("ret_a").isNotNull() & F.col("ret_b").isNotNull()
+    )
+    dec = "decimal(28,14)"
+    run = Window.orderBy("_idx").rowsBetween(Window.unboundedPreceding, 0)
+    x, y = F.col("ret_a"), F.col("ret_b")
+    rets = rets.withColumns(
+        {
+            "_cn": F.count(F.lit(1)).over(run),
+            "_cx": F.sum(x.cast(dec)).over(run),
+            "_cy": F.sum(y.cast(dec)).over(run),
+            "_cxx": F.sum((x * x).cast(dec)).over(run),
+            "_cyy": F.sum((y * y).cast(dec)).over(run),
+            "_cxy": F.sum((x * y).cast(dec)).over(run),
+        }
+    )
+    lag = Window.orderBy("_idx")
+    zero = F.lit(0).cast(dec)
+
+    def delta(c):
+        return (
+            F.col(c) - F.coalesce(F.lag(F.col(c), window).over(lag), zero)
+        ).cast("double")
+
+    n = (
+        F.col("_cn") - F.coalesce(F.lag(F.col("_cn"), window).over(lag), F.lit(0))
+    ).cast("double")
+    sx, sy = delta("_cx"), delta("_cy")
+    sxx, syy, sxy = delta("_cxx"), delta("_cyy"), delta("_cxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    corr = F.when(
+        (n == window) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return rets.select(
+        F.col("_idx").cast("long").alias("bar_index"),
+        "ret_a",
+        "ret_b",
+        n.cast("int").alias("n_obs"),
+        corr.alias("corr"),
     )

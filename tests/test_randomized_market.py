@@ -848,3 +848,30 @@ def test_heikin_ashi_random_parity(spark, seed):
     # structural invariants
     assert (got["ha_low"] <= got["ha_open"]).all()
     assert (got["ha_open"] <= got["ha_high"]).all()
+
+
+@pytest.mark.parametrize("seed", [67])
+def test_rolling_pair_correlation_random_parity(spark, seed):
+    from marketdatapipeline_spark.operators.pairs import (
+        rolling_pair_correlation,
+    )
+
+    pdf = _random_bars(seed, n_symbols=2)
+    n = 7
+    got = (
+        rolling_pair_correlation(spark.createDataFrame(pdf), "S0", "S1", window=n)
+        .toPandas()
+        .sort_values("bar_index")
+        .reset_index(drop=True)
+    )
+    a = pdf[pdf.symbol == "S0"].sort_values(["datetime", "bar_id"])["close"].to_numpy()
+    b = pdf[pdf.symbol == "S1"].sort_values(["datetime", "bar_id"])["close"].to_numpy()
+    m = min(len(a), len(b))
+    ra = np.diff(a[:m]) / a[: m - 1]
+    rb = np.diff(b[:m]) / b[: m - 1]
+    want = pd.Series(ra).rolling(n).corr(pd.Series(rb)).to_numpy()
+    assert len(got) == m - 1
+    g = got["corr"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.isnan(g), np.isnan(want))
+    ok = ~np.isnan(g)
+    np.testing.assert_allclose(g[ok], want[ok], rtol=1e-7)
