@@ -2564,7 +2564,7 @@ def q_bars_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     _bars_sql(
         """
         , r AS (
-            SELECT symbol, hour(datetime) AS bucket,
+            SELECT symbol, CAST(hour(datetime) AS INT) AS bucket,
                    (close - lag(close) OVER w) / lag(close) OVER w AS ret
             FROM bars
             WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
