@@ -35,6 +35,10 @@ from marketdatapipeline_spark.streaming.atr import (
     online_atr,
     online_atr_batch,
 )
+from marketdatapipeline_spark.streaming.bollinger import (
+    online_bollinger,
+    online_bollinger_batch,
+)
 from marketdatapipeline_spark.streaming.cusum import (
     online_cusum,
     online_cusum_batch,
@@ -71,6 +75,8 @@ __all__ = [
     "dedup_batch",
     "online_atr",
     "online_atr_batch",
+    "online_bollinger",
+    "online_bollinger_batch",
     "online_cusum",
     "online_cusum_batch",
     "online_kama",

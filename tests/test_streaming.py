@@ -941,3 +941,52 @@ def test_online_kama_rejects_bad_params(spark, tick_dir):
     ticks_stream = read_tick_stream(spark, tick_dir)
     with pytest.raises(ValueError, match="fast"):
         online_kama(ticks_stream, window=5, fast=10, slow=5)
+
+
+def test_online_bollinger_matches_batch_twin_and_pandas(spark, tick_dir):
+    """Stream == batch twin bit-exactly; the scan matches pandas
+    rolling(mean/std ddof=1) to FP tolerance — the streaming form of
+    the reference's headline indicator."""
+    from marketdatapipeline_spark.streaming import (
+        online_bollinger,
+        online_bollinger_batch,
+    )
+
+    n, k = 7, 2.0
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    got = _run_stream_to_memory(
+        spark, online_bollinger(ticks_stream, n, k), "online_boll"
+    ).toPandas()
+    ticks = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
+    want = online_bollinger_batch(ticks, n, k).toPandas()
+
+    key = ["symbol", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    for sym, g in got.groupby("symbol"):
+        g = g.sort_values("ts").reset_index(drop=True)
+        p = g["price"]
+        mid = p.rolling(n, min_periods=n).mean()
+        std = p.rolling(n, min_periods=n).std(ddof=1)
+        up, lo = mid + k * std, mid - k * std
+        for col, ref in (("bb_middle", mid), ("bb_upper", up), ("bb_lower", lo)):
+            a = g[col].to_numpy(dtype=float)
+            b = ref.to_numpy(dtype=float)
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=col)
+            ok = ~np.isnan(a)
+            np.testing.assert_allclose(a[ok], b[ok], rtol=1e-9, err_msg=col)
+        # structural band ordering
+        ok = ~g["bb_middle"].isna()
+        assert (g.loc[ok, "bb_lower"] <= g.loc[ok, "bb_middle"]).all()
+        assert (g.loc[ok, "bb_middle"] <= g.loc[ok, "bb_upper"]).all()
+
+
+def test_online_bollinger_rejects_bad_window(spark, tick_dir):
+    from marketdatapipeline_spark.streaming import online_bollinger
+
+    ticks_stream = read_tick_stream(spark, tick_dir)
+    with pytest.raises(ValueError, match="window"):
+        online_bollinger(ticks_stream, window=1)
