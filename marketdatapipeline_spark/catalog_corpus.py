@@ -4775,3 +4775,76 @@ def q_bars_rolling_pair_correlation(
         "bar_index", "ret_a", "ret_b", "n_obs",
         _r6(F.col("corr")).alias("corr"),
     )
+
+
+@register_extended(
+    "events_error_pchart",
+    """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    c AS (
+        SELECT CAST(sum(n_err) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+            AS pbar
+        FROM h
+    )
+    SELECT hour_ts, n, n_err,
+           CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
+           round(pbar, 6) + 0.0 AS center,
+           round(pbar + 3.0 * sqrt(pbar * (1.0 - pbar)
+                                   / CAST(n AS DOUBLE)), 6) + 0.0 AS ucl,
+           round(greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar)
+                                            / CAST(n AS DOUBLE)), 0.0), 6)
+               + 0.0 AS lcl,
+           CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+               > pbar + 3.0 * sqrt(pbar * (1.0 - pbar)
+                                   / CAST(n AS DOUBLE))
+            OR CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)
+               < greatest(pbar - 3.0 * sqrt(pbar * (1.0 - pbar)
+                                            / CAST(n AS DOUBLE)), 0.0)
+               AS out_of_control
+    FROM h CROSS JOIN c
+    """,
+)
+def q_events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-chart over the hourly error-event rate — the feed-health
+    control chart (3-sigma binomial limits around the pooled rate;
+    an hour outside them is a real shift, not noise). One hour-grain
+    aggregation + one broadcast center row; rates integer ratios
+    (UNROUNDED), limits cross sqrt -> round-6, the flag cut on the
+    unrounded comparison in both engines."""
+    from pyspark.sql import Window as W  # noqa: F401 — parity imports
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    c = F.broadcast(
+        h.agg(
+            (
+                F.sum("n_err").cast("double") / F.sum("n").cast("double")
+            ).alias("_pbar")
+        )
+    )
+    j = h.crossJoin(c)
+    nn = F.col("n").cast("double")
+    pbar = F.col("_pbar")
+    sig = F.sqrt(pbar * (F.lit(1.0) - pbar) / nn)
+    rate = F.col("n_err").cast("double") / nn
+    ucl = pbar + F.lit(3.0) * sig
+    lcl = F.greatest(pbar - F.lit(3.0) * sig, F.lit(0.0))
+    return j.select(
+        "hour_ts", "n", "n_err",
+        rate.alias("err_rate"),
+        _r6(pbar).alias("center"),
+        _r6(ucl).alias("ucl"),
+        _r6(lcl).alias("lcl"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    )
