@@ -4848,3 +4848,88 @@ def q_events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(lcl).alias("lcl"),
         ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
     )
+
+
+@register_extended(
+    "corpus_length_histogram",
+    """
+    WITH b AS (
+        SELECT CAST(length(bin(n_chars)) - 1 AS INT) AS bucket,
+               n_chars
+        FROM documents WHERE n_chars > 0
+    ),
+    g AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_chars_total,
+           CAST(n_docs AS DOUBLE)
+               / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+           CAST(sum(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+               / CAST(sum(n_docs) OVER () AS DOUBLE) AS cum_doc_share
+    FROM g
+    """,
+)
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the sequence-length
+    planning view (what context window covers what share of the
+    corpus). The bucket is ``floor(log2(n_chars))`` computed EXACTLY
+    via the binary-string length (``bin()`` both engines — libm log2
+    would flip on exact powers of two); shares are integer ratios —
+    UNROUNDED."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    bucket = (F.length(F.bin(F.col("n_chars"))) - F.lit(1)).cast("int")
+    g = docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    tot = F.sum("n_docs").over(
+        W.partitionBy()
+    ).cast("double")
+    cum = F.sum("n_docs").over(W.partitionBy().orderBy("bucket")).cast(
+        "double"
+    )
+    return g.select(
+        "bucket", "n_docs", "n_chars_total",
+        (F.col("n_docs").cast("double") / tot).alias("doc_share"),
+        (cum / tot).alias("cum_doc_share"),
+    )
+
+
+@register_extended(
+    "events_user_activity_histogram",
+    """
+    WITH per AS (
+        SELECT user_id, count(*) AS k FROM events GROUP BY user_id
+    ),
+    b AS (
+        SELECT CAST(length(bin(k)) - 1 AS INT) AS bucket, k FROM per
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(k) AS BIGINT) AS n_events,
+           CAST(min(k) AS BIGINT) AS min_events,
+           CAST(max(k) AS BIGINT) AS max_events
+    FROM b GROUP BY bucket
+    """,
+)
+def q_events_user_activity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engagement distribution: users bucketed by power-of-two event
+    counts (the whale-vs-casual histogram every event system reports;
+    a sudden new top bucket is a bot). Exact ``bin()`` buckets,
+    integer aggregates — UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    bucket = (F.length(F.bin(F.col("k"))) - F.lit(1)).cast("int")
+    return per.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("k").cast("long").alias("n_events"),
+        F.min("k").cast("long").alias("min_events"),
+        F.max("k").cast("long").alias("max_events"),
+    )
