@@ -4933,3 +4933,68 @@ def q_events_user_activity_histogram(
         F.min("k").cast("long").alias("min_events"),
         F.max("k").cast("long").alias("max_events"),
     )
+
+
+@register_extended(
+    "corpus_ngram_novelty",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {_H_SQL.format(x="shingle")} AS th
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                   ELSE [] END) AS shingle
+            FROM w
+        )
+    ),
+    dfc AS (SELECT th, count(*) AS df FROM sh GROUP BY th)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM sh JOIN dfc USING (th)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty: the share of a document's distinct 3-gram
+    hashes that appear in NO other document — the inverse of the
+    containment/dedup family (novelty ~0 means the document is
+    assembled from corpus boilerplate even when no single pair
+    crosses a dedup threshold). Hashed shingles (bigints in every
+    shuffle), document-frequency join, integer-ratio novelty —
+    UNROUNDED."""
+    from marketdatapipeline_spark.textops.dedup import (
+        _shingle_array,
+        md5_int,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(_shingle_array("text", 3)).alias("shingle"),
+        )
+        .select("doc_id", md5_int(F.col("shingle")).alias("th"))
+        .distinct()
+    )
+    dfc = sh.groupBy("th").agg(F.count("*").alias("df"))
+    g = sh.join(dfc, "th").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+    )
+    return g.select(
+        "doc_id", "n_shingles", "n_unique",
+        (
+            F.col("n_unique").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
