@@ -4998,3 +4998,58 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
+
+
+@register_extended(
+    "bars_ulcer_index",
+    _bars_sql(
+        """
+        , dd AS (
+            SELECT symbol,
+                   100.0 * (close / max(close) OVER wr - 1.0) AS ddpct
+            FROM bars
+            WINDOW wr AS (
+                PARTITION BY symbol ORDER BY datetime, bar_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT symbol, CAST(count(*) AS BIGINT) AS n_bars,
+               round(sqrt(CAST(sum(CAST(ddpct * ddpct AS DECIMAL(28,10)))
+                               AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+                   + 0.0 AS ulcer_index,
+               round(CAST(sum(CAST(ddpct AS DECIMAL(28,10))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_dd_pct
+        FROM dd GROUP BY symbol
+        """
+    ),
+)
+def q_bars_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index (Martin 1987): RMS percentage drawdown — the
+    downside-only volatility measure that penalizes DEPTH x DURATION
+    together (the quadratic companion to underwater_spells' run
+    lengths). One running-max window + one decimal power-sum agg;
+    sqrt/division round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    wr = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ddpct = F.lit(100.0) * (
+        F.col("close") / F.max("close").over(wr) - F.lit(1.0)
+    )
+    g = bars.select("symbol", ddpct.alias("_d")).groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum((F.col("_d") * F.col("_d")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_s2"),
+        F.sum(F.col("_d").cast("decimal(28,10)")).cast("double").alias("_s1"),
+    )
+    n = F.col("n_bars").cast("double")
+    return g.select(
+        "symbol", "n_bars",
+        _r6(F.sqrt(F.col("_s2") / n)).alias("ulcer_index"),
+        _r6(F.col("_s1") / n).alias("mean_dd_pct"),
+    )
