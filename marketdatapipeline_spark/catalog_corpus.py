@@ -5053,3 +5053,71 @@ def q_bars_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.sqrt(F.col("_s2") / n)).alias("ulcer_index"),
         _r6(F.col("_s1") / n).alias("mean_dd_pct"),
     )
+
+
+@register_extended(
+    "bars_sortino",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(CASE WHEN ret < 0 THEN ret * ret
+                                      ELSE 0.0 END AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sd2,
+                   CAST(sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down
+            FROM r WHERE ret IS NOT NULL GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs, n_down,
+               round(s1 / CAST(n_obs AS DOUBLE), 6) + 0.0 AS mean_ret,
+               round(sqrt(sd2 / CAST(n_obs AS DOUBLE)), 6) + 0.0
+                   AS downside_dev,
+               CASE WHEN sd2 > 0 THEN
+                   round(s1 / CAST(n_obs AS DOUBLE)
+                         / sqrt(sd2 / CAST(n_obs AS DOUBLE))
+                         * sqrt(252.0), 6) + 0.0
+               END AS sortino
+        FROM g
+        """
+    ),
+)
+def q_bars_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino ratio (downside-deviation-scaled annualized return) —
+    the risk metric that stops punishing upside volatility, next to
+    the backtest's symmetric Sharpe. Below-zero returns accumulate
+    as decimal power sums (the full-sample LPM(2) convention with n
+    in the denominator); one lag window + one agg; round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select("symbol", ret.alias("_r")).filter(F.col("_r").isNotNull())
+    down2 = F.when(F.col("_r") < 0, F.col("_r") * F.col("_r")).otherwise(
+        F.lit(0.0)
+    )
+    g = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_r").cast("decimal(38,18)")).cast("double").alias("_s1"),
+        F.sum(down2.cast("decimal(38,18)")).cast("double").alias("_sd2"),
+        F.sum((F.col("_r") < 0).cast("long")).alias("n_down"),
+    )
+    n = F.col("n_obs").cast("double")
+    dd = F.sqrt(F.col("_sd2") / n)
+    sortino = F.when(
+        F.col("_sd2") > 0,
+        F.col("_s1") / n / dd * F.sqrt(F.lit(252.0)),
+    )
+    return g.select(
+        "symbol", "n_obs", "n_down",
+        _r6(F.col("_s1") / n).alias("mean_ret"),
+        _r6(dd).alias("downside_dev"),
+        _r6(sortino).alias("sortino"),
+    )
