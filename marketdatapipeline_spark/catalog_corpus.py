@@ -5121,3 +5121,65 @@ def q_bars_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(dd).alias("downside_dev"),
         _r6(sortino).alias("sortino"),
     )
+
+
+@register_extended(
+    "bars_calmar",
+    _bars_sql(
+        """
+        , l AS (
+            SELECT symbol, datetime, bar_id,
+                   ln(close / lag(close) OVER w) AS lr,
+                   close / max(close) OVER wr - 1.0 AS dd
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id),
+                   wr AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        g AS (
+            SELECT symbol, count(lr) AS n_obs,
+                   CAST(sum(CAST(lr AS DECIMAL(38,18))) AS DOUBLE) AS sl,
+                   min(dd) AS max_dd
+            FROM l GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               round(exp(sl * 252.0 / CAST(n_obs AS DOUBLE)) - 1.0, 6)
+                   + 0.0 AS ann_return,
+               round(max_dd, 6) + 0.0 AS max_drawdown,
+               CASE WHEN max_dd < 0 THEN
+                   round((exp(sl * 252.0 / CAST(n_obs AS DOUBLE)) - 1.0)
+                         / (-max_dd), 6) + 0.0
+               END AS calmar
+        FROM g
+        """
+    ),
+)
+def q_bars_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio: annualized (geometric, via the exact decimal
+    log-return sum) return over the worst peak-to-trough drawdown —
+    the drawdown-scaled performance number completing the
+    Sharpe/Sortino/Ulcer family. One symbol window pass (log return
+    + running peak share it) + one agg; ln/exp round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    wr = w.rowsBetween(W.unboundedPreceding, 0)
+    lr = F.log(F.col("close") / F.lag("close").over(w))
+    dd = F.col("close") / F.max("close").over(wr) - F.lit(1.0)
+    l = bars.select("symbol", lr.alias("_lr"), dd.alias("_dd"))
+    g = l.groupBy("symbol").agg(
+        F.count("_lr").alias("n_obs"),
+        F.sum(F.col("_lr").cast("decimal(38,18)")).cast("double").alias("_sl"),
+        F.min("_dd").alias("max_dd"),
+    )
+    n = F.col("n_obs").cast("double")
+    ann = F.exp(F.col("_sl") * F.lit(252.0) / n) - F.lit(1.0)
+    calmar = F.when(F.col("max_dd") < 0, ann / (-F.col("max_dd")))
+    return g.select(
+        "symbol",
+        "n_obs",
+        _r6(ann).alias("ann_return"),
+        _r6(F.col("max_dd")).alias("max_drawdown"),
+        _r6(calmar).alias("calmar"),
+    )
