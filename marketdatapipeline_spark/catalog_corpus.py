@@ -5183,3 +5183,246 @@ def q_bars_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("max_dd")).alias("max_drawdown"),
         _r6(calmar).alias("calmar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: TPC-H classics over the fixture warehouse tables — the
+# canonical decision-support shapes (selective scan-agg, dim-join
+# ratio, group-HAVING semi-join, multi-dim revenue ranking) that a
+# migrating user would run first. Reference parity target: the
+# reference's query surface is market-data-centric, so these are
+# north-star breadth on the shared TPC-H-ish fixture tables.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adapted (forecast revenue change): the purest
+    pushdown showcase — every predicate (shipdate range, discount
+    band, quantity cap) reaches the parquet scan and the plan is one
+    scan + one partial-final agg, zero joins, zero wide exchanges.
+    Discount values are exact hundredths in the fixture, so the
+    double band-compare is engine-identical; revenue sums as
+    decimal(28,10) — UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    g = li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    # revenue magnitudes sit at double's ~1e-8 ulp: the decimal sum is
+    # exact both sides but the decimal->double conversion can differ by
+    # one ulp between engines — round-6 pins it (the round-tie lesson).
+    return g.select(_r6(F.col("_rev")).alias("revenue"), "n_lines")
+
+
+@register_extended(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0
+               * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(28,10))
+                          ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS promo_revenue_pct,
+           round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(28,10))
+                    ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS DOUBLE), 6)
+               + 0.0 AS promo_revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted (promotion effect): conditional-aggregate
+    share over a dim join. ``part`` is a broadcast dim (never
+    shuffles lineitem); both the promo and total revenue sums are
+    exact decimals so the ratio is one double division, round-6.
+    The fixture's p_type domain has a literal 'PROMO' class."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    zero = F.lit(0.0).cast("decimal(28,10)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    g = j.agg(
+        F.sum(promo).cast("double").alias("_promo"),
+        F.sum(rev).cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        _r6(F.lit(100.0) * F.col("_promo") / F.col("_total")).alias(
+            "promo_revenue_pct"
+        ),
+        # round-6: ~1e8 magnitudes sit at double's 1e-8 ulp, where the
+        # (exact) decimal sum's double conversion can differ by one ulp
+        # between engines — observed at sf0.01.
+        _r6(F.col("_promo")).alias("promo_revenue"),
+        _r6(F.col("_total")).alias("total_revenue"),
+        "n_lines",
+    )
+
+
+@register_extended(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adapted (large-volume customers): group-HAVING →
+    semi-join → re-aggregate, the classic two-pass-over-the-fact
+    shape. The HAVING side reduces lineitem to order keys BEFORE the
+    join (a left-semi on the fact's own key — map-side combinable);
+    customer/orders join broadcast-side. Quantities are integral
+    doubles, summed as decimals; deterministic LIMIT via the unique
+    o_orderkey tiebreak."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    g = j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("total_qty")
+    )
+    return g.orderBy(
+        F.desc("o_totalprice"), "o_orderdate", "o_orderkey"
+    ).limit(100)
+
+
+@register_extended(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS revenue,
+           c.c_acctbal, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted (returned-item reporting): rank customers by
+    revenue lost to returns in a half-year window. Order-date filter
+    prunes orders before the fact join; customer and nation are
+    broadcast dims; revenue decimal-exact and the LIMIT is
+    deterministic via the unique c_custkey tiebreak."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    g = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    # round-6 before the ORDER BY so both engines rank the same values
+    # (decimal->double one-ulp spread at 1e8 magnitudes, as in q14)
+    g = g.withColumn("revenue", _r6(F.col("_rev")))
+    return (
+        g.orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+            "n_lines",
+        )
+    )
