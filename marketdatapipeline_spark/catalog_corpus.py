@@ -5426,3 +5426,290 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: product-analytics depth over the event stream — behavioral
+# transition structure, engagement stickiness, activity concentration,
+# and feed-health anomaly scoring. All integer-count-derived (exact
+# sums; divisions of identical operands are correctly rounded
+# identically both engines), rounded only where multi-op float chains
+# warrant it.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "events_markov_transitions",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM s WHERE from_type IS NOT NULL
+        GROUP BY from_type, event_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS prob
+    FROM t
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    per-user lag chain -> (from, to) counts -> row-normalized
+    probabilities. One window exchange on user_id, one hash-agg on the
+    5x5 type pairs, one tiny window for the row sums — at 100 TB the
+    matrix is |types|^2 rows regardless of event volume. Integer
+    ratios, UNROUNDED."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    t = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row = W.partitionBy("from_type")
+    return t.select(
+        "from_type", "to_type", "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row).cast("double")
+        ).alias("prob"),
+    )
+
+
+@register_extended(
+    "events_weekly_stickiness",
+    """
+    WITH d AS (
+        SELECT date_trunc('week', ts) AS week, date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+        SELECT date_trunc('week', ts) AS week,
+               count(DISTINCT user_id) AS wau,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT wk.week, CAST(wk.wau AS BIGINT) AS wau,
+           CAST(wk.n_events AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.dau) AS BIGINT) AS dau_sum,
+           CAST(sum(d.dau) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / CAST(wk.wau AS DOUBLE) AS stickiness
+    FROM d JOIN wk USING (week)
+    GROUP BY wk.week, wk.wau, wk.n_events
+    """,
+)
+def q_events_weekly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement stickiness per calendar week: mean daily
+    distinct users over weekly distinct users — the canonical
+    product-health ratio. Two distinct-aggs share the week exchange
+    shape; counts are exact and the two divisions are a fixed op
+    sequence (bit-identical both engines), UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    wk = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = d.join(wk, "week").groupBy("week", "wau", "n_events").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    return g.select(
+        "week", "wau", "n_events", "n_days", "dau_sum",
+        (
+            F.col("dau_sum").cast("double")
+            / F.col("n_days").cast("double")
+            / F.col("wau").cast("double")
+        ).alias("stickiness"),
+    )
+
+
+@register_extended(
+    "events_user_gini",
+    """
+    WITH c AS (
+        SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT n_ev,
+               row_number() OVER (ORDER BY n_ev, user_id) AS rk,
+               count(*) OVER () AS n,
+               sum(n_ev) OVER () AS tot
+        FROM c
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(tot) AS BIGINT) AS total_events,
+           round(2.0 * CAST(sum(rk * n_ev) AS DOUBLE)
+                     / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE))
+                 - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE),
+                 6) + 0.0 AS gini,
+           round(CAST(sum(CASE WHEN rk > max_rk - top_k THEN n_ev
+                          ELSE 0 END) AS DOUBLE)
+                     / CAST(max(tot) AS DOUBLE), 6) + 0.0
+               AS top10pct_share
+    FROM (
+        SELECT *, max(rk) OVER () AS max_rk,
+               CAST(ceil(CAST(count(*) OVER () AS DOUBLE) / 10.0) AS BIGINT)
+                   AS top_k
+        FROM r
+    )
+    """,
+)
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration audit: Gini coefficient of per-user
+    event counts (rank-sum identity over counts sorted asc,
+    user_id-tiebroken) plus the top-10%-users event share — the
+    power-user curve in two numbers. One user hash-agg, then windows
+    over the (small) per-user count table; integer sums end-to-end,
+    round-6 on the final float chains."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    wall = W.partitionBy(F.lit(1))
+    r = c.select(
+        "n_ev",
+        F.row_number().over(wall.orderBy("n_ev", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("n_ev").over(wall).alias("tot"),
+    )
+    r = r.withColumn("max_rk", F.max("rk").over(wall)).withColumn(
+        "top_k",
+        F.ceil(F.col("n").cast("double") / F.lit(10.0)).cast("bigint"),
+    )
+    g = r.groupBy().agg(
+        F.max("n").alias("_n"),
+        F.max("tot").alias("_tot"),
+        F.sum(F.col("rk") * F.col("n_ev")).alias("_rksum"),
+        F.sum(
+            F.when(
+                F.col("rk") > F.col("max_rk") - F.col("top_k"), F.col("n_ev")
+            ).otherwise(F.lit(0))
+        ).alias("_topsum"),
+    )
+    nd = F.col("_n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_rksum").cast("double")
+        / (nd * F.col("_tot").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return g.select(
+        F.col("_n").alias("n_users"),
+        F.col("_tot").alias("total_events"),
+        _r6(gini).alias("gini"),
+        _r6(
+            F.col("_topsum").cast("double") / F.col("_tot").cast("double")
+        ).alias("top10pct_share"),
+    )
+
+
+@register_extended(
+    "events_hourly_anomaly",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, hour, cnt,
+               count(*) OVER t AS n_base,
+               sum(cnt) OVER t AS s1,
+               sum(cnt * cnt) OVER t AS s2
+        FROM h
+        WINDOW t AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+           CAST(n_base AS BIGINT) AS n_base,
+           CASE WHEN n_base >= 12
+                     AND (CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n_base AS DOUBLE))
+                         / (CAST(n_base AS DOUBLE) - 1.0) > 0
+           THEN round((CAST(cnt AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                      / sqrt((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                / CAST(n_base AS DOUBLE))
+                             / (CAST(n_base AS DOUBLE) - 1.0)), 6) + 0.0
+           END AS zscore,
+           CASE WHEN n_base >= 12
+                     AND (CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n_base AS DOUBLE))
+                         / (CAST(n_base AS DOUBLE) - 1.0) > 0
+                     AND abs((CAST(cnt AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                             / sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                       / CAST(n_base AS DOUBLE))
+                                    / (CAST(n_base AS DOUBLE) - 1.0))) > 3.0
+           THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM s
+    """,
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rolling z-score on hourly event counts per type —
+    the feed-health anomaly monitor (spike/outage detector) next to
+    the SPC p-chart. Count sums are exact integers so the one-pass
+    variance is safe here (no float cancellation); warmup gated at 12
+    baseline hours, z round-6. One hour-bucket hash-agg then one
+    window exchange on the tiny per-type hourly series."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    s = h.select(
+        "event_type", "hour", "cnt",
+        F.count(F.lit(1)).over(t).alias("n_base"),
+        F.sum("cnt").over(t).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(t).alias("s2"),
+    )
+    # ANSI mode evaluates divisions in unselected `when` branches:
+    # null-guard the denominators (warmup rows have n_base = 0, and a
+    # constant baseline has var = 0) so 1/0 never executes.
+    nb = F.when(F.col("n_base") >= 12, F.col("n_base").cast("double"))
+    s1 = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - s1 * s1 / nb) / (nb - F.lit(1.0))
+    z = (F.col("cnt").cast("double") - s1 / nb) / F.when(var > 0, F.sqrt(var))
+    ok = (F.col("n_base") >= 12) & (var > 0)
+    return s.select(
+        "event_type", "hour", "cnt", "n_base",
+        _r6(F.when(ok, z)).alias("zscore"),
+        F.when(ok & (F.abs(z) > 3.0), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
