@@ -5713,3 +5713,266 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: ML evaluation depth — the ranking-quality (lift/gains),
+# proper-scoring (Brier, log loss), and distribution-separation (KS)
+# metrics that complete the classification-evaluation surface next to
+# the gate's accuracy/F1/ROC-AUC rows. All reuse the deterministic
+# logistic-momentum score vs next-bar-up label fixture
+# (ml_calibration_curve's construction).
+# ---------------------------------------------------------------------------
+
+_SCORE_CTE = """
+    , sc AS (
+        SELECT symbol, datetime, bar_id,
+               round(1.0 / (1.0 + exp(-50.0 * ((close - lag(close) OVER w)
+                                               / lag(close) OVER w))), 6)
+                   + 0.0 AS score,
+               CASE WHEN lead(close) OVER w IS NOT NULL THEN
+                   CAST(lead(close) OVER w > close AS INT) END AS target
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+    ),
+    base AS (
+        SELECT * FROM sc WHERE score IS NOT NULL AND target IS NOT NULL
+    )
+"""
+
+
+def _scored_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SCORE_CTE: round-6 logistic momentum score plus
+    next-bar-up target, nulls dropped. The round-6 BEFORE any ranking
+    pins cross-engine order (exp is libm: raw scores can differ by one
+    ulp between engines, which would reorder rank-based buckets)."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    score = _r6(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-50.0) * ret)))
+    target = F.when(
+        F.lead("close").over(w).isNotNull(),
+        (F.lead("close").over(w) > F.col("close")).cast("int"),
+    )
+    return bars.select(
+        "symbol", "datetime", "bar_id",
+        score.alias("score"), target.alias("target"),
+    ).filter(F.col("score").isNotNull() & F.col("target").isNotNull())
+
+
+@register_extended(
+    "ml_decile_lift",
+    _bars_sql(
+        _SCORE_CTE
+        + """
+        , r AS (
+            SELECT score, target,
+                   row_number() OVER (
+                       ORDER BY score DESC, symbol, datetime, bar_id
+                   ) AS rn,
+                   count(*) OVER () AS n,
+                   sum(target) OVER () AS tot_pos
+            FROM base
+        ),
+        d AS (
+            SELECT CAST(floor(((rn - 1) * 10.0) / n) AS INT) + 1 AS decile,
+                   target, n, tot_pos
+            FROM r
+        ),
+        g AS (
+            SELECT decile, count(*) AS n_obs, sum(target) AS n_pos,
+                   max(n) AS n, max(tot_pos) AS tot_pos
+            FROM d GROUP BY decile
+        )
+        SELECT decile, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE) AS pos_rate,
+               CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                   / CAST(tot_pos AS DOUBLE) AS cum_gain,
+               round((CAST(n_pos AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                     / (CAST(tot_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   + 0.0 AS lift
+        FROM g
+        """
+    ),
+)
+def q_ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table: rows ranked by score (round-6,
+    fully tiebroken), cut into ten equal-count buckets by rank
+    arithmetic (no ntile dependence), per-decile positive rate, the
+    cumulative gains curve, and lift over the base rate. Integer
+    ratios UNROUNDED; lift (ratio of ratios) round-6. One window
+    sort exchange + one 10-row agg."""
+    from pyspark.sql import Window as W
+
+    b = _scored_bars(spark, sf_dir)
+    wall = W.partitionBy(F.lit(1))
+    r = b.select(
+        "target",
+        F.row_number()
+        .over(wall.orderBy(F.desc("score"), "symbol", "datetime", "bar_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("target").over(wall).alias("tot_pos"),
+    )
+    d = r.select(
+        (
+            F.floor(((F.col("rn") - 1) * F.lit(10.0)) / F.col("n")).cast(
+                "int"
+            )
+            + 1
+        ).alias("decile"),
+        "target", "n", "tot_pos",
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("target").alias("n_pos"),
+        F.max("n").alias("_n"),
+        F.max("tot_pos").alias("_tp"),
+    )
+    cum = W.partitionBy(F.lit(1)).orderBy("decile")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_obs").cast("double")
+    return g.select(
+        "decile", "n_obs", "n_pos",
+        pos_rate.alias("pos_rate"),
+        (
+            F.sum("n_pos").over(cum).cast("double")
+            / F.col("_tp").cast("double")
+        ).alias("cum_gain"),
+        _r6(
+            pos_rate / (F.col("_tp").cast("double") / F.col("_n").cast("double"))
+        ).alias("lift"),
+    )
+
+
+@register_extended(
+    "ml_brier_logloss",
+    _bars_sql(
+        _SCORE_CTE
+        + """
+        SELECT CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(target) AS BIGINT) AS n_pos,
+               round(CAST(sum(CAST((score - CAST(target AS DOUBLE))
+                                   * (score - CAST(target AS DOUBLE))
+                                   AS DECIMAL(28,14))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS brier,
+               round(-CAST(sum(CAST(
+                        CASE WHEN target = 1
+                        THEN ln(greatest(least(score, 0.999999), 0.000001))
+                        ELSE ln(1.0 - greatest(least(score, 0.999999),
+                                               0.000001)) END
+                        AS DECIMAL(28,14))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS log_loss
+        FROM base
+        """
+    ),
+)
+def q_ml_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper scoring rules for the probabilistic classifier: Brier
+    score (mean squared probability error) and binary log loss.
+    Per-row terms cross libm (ln) then accumulate as decimal(28,14)
+    (association-free), means round-6. One scan + one agg — no
+    shuffle beyond the score window."""
+    b = _scored_bars(spark, sf_dir)
+    td = F.col("target").cast("double")
+    sq = (F.col("score") - td) * (F.col("score") - td)
+    # round-6 saturates extreme-momentum scores to exactly 0/1: clamp
+    # into [1e-6, 1-1e-6] before the log (standard log-loss epsilon)
+    clamped = F.greatest(
+        F.least(F.col("score"), F.lit(0.999999)), F.lit(0.000001)
+    )
+    ll = F.when(F.col("target") == 1, F.log(clamped)).otherwise(
+        F.log(F.lit(1.0) - clamped)
+    )
+    g = b.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("target").alias("n_pos"),
+        F.sum(sq.cast("decimal(28,14)")).cast("double").alias("_sb"),
+        F.sum(ll.cast("decimal(28,14)")).cast("double").alias("_sl"),
+    )
+    n = F.col("n_obs").cast("double")
+    return g.select(
+        "n_obs", "n_pos",
+        _r6(F.col("_sb") / n).alias("brier"),
+        _r6(-F.col("_sl") / n).alias("log_loss"),
+    )
+
+
+@register_extended(
+    "ml_ks_statistic",
+    _bars_sql(
+        _SCORE_CTE
+        + """
+        , s AS (
+            SELECT score,
+                   sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) AS p,
+                   sum(CASE WHEN target = 0 THEN 1 ELSE 0 END) AS q
+            FROM base GROUP BY score
+        ),
+        c AS (
+            SELECT score,
+                   CAST(sum(p) OVER (ORDER BY score) AS DOUBLE)
+                       / CAST(sum(p) OVER () AS DOUBLE) AS f_pos,
+                   CAST(sum(q) OVER (ORDER BY score) AS DOUBLE)
+                       / CAST(sum(q) OVER () AS DOUBLE) AS f_neg,
+                   sum(p) OVER () AS tp, sum(q) OVER () AS tq
+            FROM s
+        ),
+        k AS (
+            SELECT score, abs(f_pos - f_neg) AS d, tp, tq,
+                   max(abs(f_pos - f_neg)) OVER () AS ks
+            FROM c
+        )
+        SELECT CAST(max(tp) AS BIGINT) AS n_pos,
+               CAST(max(tq) AS BIGINT) AS n_neg,
+               max(ks) AS ks,
+               min(CASE WHEN d = ks THEN score END) AS ks_score
+        FROM k
+        """
+    ),
+)
+def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the score distributions of
+    positives vs negatives: max ECDF gap over the (round-6) distinct
+    score grid, plus the smallest score attaining it. Cumulative
+    integer-count ratios end-to-end — every float op is a division
+    or subtraction of identical operands both engines, UNROUNDED.
+    One hash-agg on distinct scores + one ordered window over that
+    (small) grid."""
+    from pyspark.sql import Window as W
+
+    b = _scored_bars(spark, sf_dir)
+    s = b.groupBy("score").agg(
+        F.sum((F.col("target") == 1).cast("int")).alias("p"),
+        F.sum((F.col("target") == 0).cast("int")).alias("q"),
+    )
+    wall = W.partitionBy(F.lit(1))
+    cum = wall.orderBy("score")
+    c = s.select(
+        "score",
+        (
+            F.sum("p").over(cum).cast("double")
+            / F.sum("p").over(wall).cast("double")
+        ).alias("f_pos"),
+        (
+            F.sum("q").over(cum).cast("double")
+            / F.sum("q").over(wall).cast("double")
+        ).alias("f_neg"),
+        F.sum("p").over(wall).alias("tp"),
+        F.sum("q").over(wall).alias("tq"),
+    )
+    k = c.select(
+        "score", "tp", "tq",
+        F.abs(F.col("f_pos") - F.col("f_neg")).alias("d"),
+        F.max(F.abs(F.col("f_pos") - F.col("f_neg"))).over(wall).alias("ks"),
+    )
+    return k.agg(
+        F.max("tp").alias("n_pos"),
+        F.max("tq").alias("n_neg"),
+        F.max("ks").alias("ks"),
+        F.min(F.when(F.col("d") == F.col("ks"), F.col("score"))).alias(
+            "ks_score"
+        ),
+    )
