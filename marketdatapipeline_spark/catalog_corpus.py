@@ -5976,3 +5976,421 @@ def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: market analytics — asymmetric performance ratios, return-
+# sign run structure, rolling price extremes, bounded momentum, and
+# price/volume confirmation. Each is one window exchange (+ a
+# per-symbol agg where the output is per-symbol), decimal power sums
+# under every cross-engine float boundary.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_omega_kelly",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(CASE WHEN ret > 0 THEN ret ELSE 0.0 END
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sg,
+                   CAST(sum(CAST(CASE WHEN ret < 0 THEN -ret ELSE 0.0 END
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sl,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s2
+            FROM r WHERE ret IS NOT NULL GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               CASE WHEN sl > 0 THEN round(sg / sl, 6) + 0.0 END AS omega,
+               CASE WHEN n_obs >= 2
+                         AND (s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                             / (CAST(n_obs AS DOUBLE) - 1.0) > 0 THEN
+                   round((s1 / CAST(n_obs AS DOUBLE))
+                         / ((s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                            / (CAST(n_obs AS DOUBLE) - 1.0)), 6) + 0.0
+               END AS kelly
+        FROM g
+        """
+    ),
+)
+def q_bars_omega_kelly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omega ratio (threshold 0: gross gains over gross losses) and
+    the Kelly-optimal leverage fraction (mean/variance of simple
+    returns) per symbol — the asymmetric-payoff pair next to
+    Sharpe/Sortino/Calmar. Gains, losses, and power sums accumulate
+    as decimal(38,18); ratios round-6 with null-guarded
+    denominators."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select("symbol", ret.alias("_r")).filter(F.col("_r").isNotNull())
+    gain = F.when(F.col("_r") > 0, F.col("_r")).otherwise(F.lit(0.0))
+    loss = F.when(F.col("_r") < 0, -F.col("_r")).otherwise(F.lit(0.0))
+    g = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(gain.cast("decimal(38,18)")).cast("double").alias("_sg"),
+        F.sum(loss.cast("decimal(38,18)")).cast("double").alias("_sl"),
+        F.sum(F.col("_r").cast("decimal(38,18)")).cast("double").alias("_s1"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+    omega = F.when(F.col("_sl") > 0, F.col("_sg") / F.col("_sl"))
+    kelly = F.when(
+        (F.col("n_obs") >= 2) & (var > 0), (F.col("_s1") / n) / var
+    )
+    return g.select(
+        "symbol", "n_obs",
+        _r6(omega).alias("omega"),
+        _r6(kelly).alias("kelly"),
+    )
+
+
+@register_extended(
+    "bars_sign_runs",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   CASE WHEN close > lag(close) OVER w THEN 1
+                        WHEN close < lag(close) OVER w THEN -1
+                        ELSE 0 END AS dir
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        nz AS (
+            SELECT symbol, dir,
+                   row_number() OVER (PARTITION BY symbol
+                                      ORDER BY datetime, bar_id)
+                   - row_number() OVER (PARTITION BY symbol, dir
+                                        ORDER BY datetime, bar_id)
+                       AS grp
+            FROM r WHERE dir <> 0
+        ),
+        runs AS (
+            SELECT symbol, dir, grp, count(*) AS run_len
+            FROM nz GROUP BY symbol, dir, grp
+        ),
+        g AS (
+            SELECT symbol,
+                   count(*) AS n_runs,
+                   CAST(max(CASE WHEN dir = 1 THEN run_len END)
+                        AS BIGINT) AS max_up_streak,
+                   CAST(max(CASE WHEN dir = -1 THEN run_len END)
+                        AS BIGINT) AS max_down_streak,
+                   CAST(sum(CASE WHEN dir = 1 THEN run_len
+                            ELSE 0 END) AS BIGINT) AS n_up,
+                   CAST(sum(CASE WHEN dir = -1 THEN run_len
+                            ELSE 0 END) AS BIGINT) AS n_down
+            FROM runs GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_runs AS BIGINT) AS n_runs,
+               max_up_streak, max_down_streak, n_up, n_down,
+               CASE WHEN n_up > 0 AND n_down > 0 AND (n_up + n_down) > 1
+                         AND 2.0 * n_up * n_down
+                             * (2.0 * n_up * n_down - n_up - n_down) > 0
+               THEN round((CAST(n_runs AS DOUBLE)
+                           - (2.0 * n_up * n_down
+                              / CAST(n_up + n_down AS DOUBLE) + 1.0))
+                          / sqrt(2.0 * n_up * n_down
+                                 * (2.0 * n_up * n_down - n_up - n_down)
+                                 / (CAST(n_up + n_down AS DOUBLE)
+                                    * CAST(n_up + n_down AS DOUBLE)
+                                    * (CAST(n_up + n_down AS DOUBLE)
+                                       - 1.0))), 6) + 0.0
+               END AS runs_z
+        FROM g
+        """
+    ),
+)
+def q_bars_sign_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-sign run structure per symbol: longest up/down streaks
+    (gaps-and-islands via the two-row_number difference) and the
+    Wald-Wolfowitz runs-test z-score for randomness of the sign
+    sequence (zero returns excluded, the standard convention).
+    Integer counts end-to-end; only the final z crosses floats,
+    round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    d = F.when(F.col("close") > F.lag("close").over(w), 1).when(
+        F.col("close") < F.lag("close").over(w), -1
+    ).otherwise(0)
+    r = bars.select("symbol", "datetime", "bar_id", d.alias("dir")).filter(
+        F.col("dir") != 0
+    )
+    wsym = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    wdir = W.partitionBy("symbol", "dir").orderBy("datetime", "bar_id")
+    nz = r.select(
+        "symbol", "dir",
+        (F.row_number().over(wsym) - F.row_number().over(wdir)).alias("grp"),
+    )
+    runs = nz.groupBy("symbol", "dir", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    g = runs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max(F.when(F.col("dir") == 1, F.col("run_len"))).alias(
+            "max_up_streak"
+        ),
+        F.max(F.when(F.col("dir") == -1, F.col("run_len"))).alias(
+            "max_down_streak"
+        ),
+        F.sum(
+            F.when(F.col("dir") == 1, F.col("run_len")).otherwise(F.lit(0))
+        ).alias("n_up"),
+        F.sum(
+            F.when(F.col("dir") == -1, F.col("run_len")).otherwise(F.lit(0))
+        ).alias("n_down"),
+    )
+    nu = F.col("n_up").cast("double")
+    nd = F.col("n_down").cast("double")
+    two = F.lit(2.0) * nu * nd
+    num = two * (two - nu - nd)
+    ok = (
+        (F.col("n_up") > 0)
+        & (F.col("n_down") > 0)
+        & ((F.col("n_up") + F.col("n_down")) > 1)
+        & (num > 0)
+    )
+    # ANSI-safe: nn nulls out unless ok, so no division ever sees a
+    # zero denominator (nn = 1 would zero the variance denominator)
+    nn = F.when(ok, nu + nd)
+    z = (F.col("n_runs").cast("double") - (two / nn + F.lit(1.0))) / F.sqrt(
+        num / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return g.select(
+        "symbol", "n_runs", "max_up_streak", "max_down_streak",
+        "n_up", "n_down",
+        _r6(F.when(ok, z)).alias("runs_z"),
+    )
+
+
+@register_extended(
+    "bars_price_extremes",
+    _bars_sql(
+        """
+        SELECT symbol, datetime, bar_id, close,
+               CASE WHEN n_in >= 252 THEN hi252 END AS high_252,
+               CASE WHEN n_in >= 252 THEN lo252 END AS low_252,
+               CASE WHEN n_in >= 252 THEN
+                   round(close / hi252 - 1.0, 6) + 0.0 END AS pct_from_high,
+               CASE WHEN n_in >= 252 THEN
+                   round(close / lo252 - 1.0, 6) + 0.0 END AS pct_from_low,
+               CASE WHEN n_in >= 252 THEN close >= hi252 END AS is_new_high,
+               CASE WHEN n_in >= 252 THEN close <= lo252 END AS is_new_low
+        FROM (
+            SELECT symbol, datetime, bar_id, close,
+                   max(close) OVER t AS hi252,
+                   min(close) OVER t AS lo252,
+                   count(*) OVER t AS n_in
+            FROM bars
+            WINDOW t AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
+        )
+        """
+    ),
+)
+def q_bars_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 252-bar high/low (the 52-week-extreme convention on a
+    bar clock): distance from each extreme and new-high/new-low
+    flags — breakout and momentum-regime inputs. min/max/count share
+    ONE window frame (one exchange); divisions round-6, warmup
+    masked at 252 observed bars."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    t = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(-251, 0)
+    )
+    s = bars.select(
+        "symbol", "datetime", "bar_id", "close",
+        F.max("close").over(t).alias("_hi"),
+        F.min("close").over(t).alias("_lo"),
+        F.count(F.lit(1)).over(t).alias("_n"),
+    )
+    full = F.col("_n") >= 252
+    return s.select(
+        "symbol", "datetime", "bar_id", "close",
+        F.when(full, F.col("_hi")).alias("high_252"),
+        F.when(full, F.col("_lo")).alias("low_252"),
+        _r6(F.when(full, F.col("close") / F.col("_hi") - F.lit(1.0))).alias(
+            "pct_from_high"
+        ),
+        _r6(F.when(full, F.col("close") / F.col("_lo") - F.lit(1.0))).alias(
+            "pct_from_low"
+        ),
+        F.when(full, F.col("close") >= F.col("_hi")).alias("is_new_high"),
+        F.when(full, F.col("close") <= F.col("_lo")).alias("is_new_low"),
+    )
+
+
+@register_extended(
+    "bars_chande_momentum",
+    _bars_sql(
+        """
+        , d AS (
+            SELECT symbol, datetime, bar_id,
+                   CAST(round((close - lag(close) OVER w) * 100.0)
+                        AS BIGINT) AS diff_c
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        s AS (
+            SELECT symbol, datetime, bar_id,
+                   sum(CASE WHEN diff_c > 0 THEN diff_c ELSE 0 END)
+                       OVER t AS su,
+                   sum(CASE WHEN diff_c < 0 THEN -diff_c ELSE 0 END)
+                       OVER t AS sd,
+                   count(diff_c) OVER t AS n_in
+            FROM d
+            WINDOW t AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN n_in >= 14 AND (su + sd) > 0 THEN
+                   round(100.0 * (CAST(su AS DOUBLE) - CAST(sd AS DOUBLE))
+                         / (CAST(su AS DOUBLE) + CAST(sd AS DOUBLE)), 6)
+                       + 0.0
+               END AS cmo_14
+        FROM s
+        """
+    ),
+)
+def q_bars_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator (14): bounded [-100, 100] momentum
+    from rolling gain/loss sums. Close is 2-decimal quantized in the
+    fixture, so diffs become EXACT scaled integers and the rolling
+    sums never touch floats until the final ratio (round-6, warmup
+    masked at 14 diffs). One diff window + one frame window, one
+    exchange total (same partitioning)."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    diff_c = F.round(
+        (F.col("close") - F.lag("close").over(w)) * F.lit(100.0)
+    ).cast("bigint")
+    d = bars.select("symbol", "datetime", "bar_id", diff_c.alias("diff_c"))
+    t = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(-13, 0)
+    )
+    s = d.select(
+        "symbol", "datetime", "bar_id",
+        F.sum(
+            F.when(F.col("diff_c") > 0, F.col("diff_c")).otherwise(F.lit(0))
+        )
+        .over(t)
+        .alias("su"),
+        F.sum(
+            F.when(F.col("diff_c") < 0, -F.col("diff_c")).otherwise(F.lit(0))
+        )
+        .over(t)
+        .alias("sd"),
+        F.count("diff_c").over(t).alias("n_in"),
+    )
+    ok = (F.col("n_in") >= 14) & ((F.col("su") + F.col("sd")) > 0)
+    cmo = (
+        F.lit(100.0)
+        * (F.col("su").cast("double") - F.col("sd").cast("double"))
+        / F.when(
+            (F.col("su") + F.col("sd")) > 0,
+            F.col("su").cast("double") + F.col("sd").cast("double"),
+        )
+    )
+    return s.select(
+        "symbol", "datetime", "bar_id",
+        _r6(F.when(ok, cmo)).alias("cmo_14"),
+    )
+
+
+@register_extended(
+    "bars_price_volume_corr",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret,
+                   volume
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sxx,
+                   CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(volume * volume AS DECIMAL(28,10)))
+                        AS DOUBLE) AS syy,
+                   CAST(sum(CAST(ret * volume AS DECIMAL(38,14)))
+                        AS DOUBLE) AS sxy
+            FROM r WHERE ret IS NOT NULL GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               CASE WHEN n_obs >= 2
+                         AND (sxx - sx * sx / CAST(n_obs AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(n_obs AS DOUBLE)) > 0
+               THEN round((sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                          / sqrt((sxx - sx * sx / CAST(n_obs AS DOUBLE))
+                                 * (syy - sy * sy / CAST(n_obs AS DOUBLE))),
+                          6) + 0.0
+               END AS ret_volume_corr
+        FROM g
+        """
+    ),
+)
+def q_bars_price_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Pearson correlation between simple returns and
+    volume — the volume-confirms-price diagnostic completing the
+    correlation family (pairwise/rolling/lead-lag are return-return).
+    Co-moment sums accumulate as decimals (exact), one window + one
+    agg on the window's partitioning; final ratio round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select(
+        "symbol", ret.alias("_x"), F.col("volume").alias("_y")
+    ).filter(F.col("_x").isNotNull())
+    g = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_x").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("_y").cast("decimal(28,10)")).cast("double").alias("sy"),
+        F.sum((F.col("_y") * F.col("_y")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,14)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    ok = (F.col("n_obs") >= 2) & (vx > 0) & (vy > 0)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    return g.select(
+        "symbol", "n_obs",
+        _r6(F.when(ok, corr)).alias("ret_volume_corr"),
+    )
