@@ -6394,3 +6394,284 @@ def q_bars_price_volume_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "n_obs",
         _r6(F.when(ok, corr)).alias("ret_volume_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: corpus-curation depth — truncation-duplicate detection by
+# prefix hash, robust (MAD) length outliers, sentence-level shape
+# stats, and per-source distribution drift (Jensen-Shannon) for
+# data-mixture monitoring. Tokens/prefixes are hashed to bigints
+# BEFORE any shuffle (the repo's no-text-in-exchanges rule).
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "dedup_prefix_groups",
+    f"""
+    WITH k AS (
+        SELECT doc_id,
+               {_H_SQL.format(x="substr(text, 1, 200)")} AS prefix_key
+        FROM documents
+    ),
+    g AS (
+        SELECT prefix_key, count(*) AS group_size,
+               min(doc_id) AS keeper_id
+        FROM k GROUP BY prefix_key HAVING count(*) > 1
+    )
+    SELECT k.doc_id, k.prefix_key, CAST(g.group_size AS BIGINT)
+               AS group_size,
+           g.keeper_id, k.doc_id = g.keeper_id AS is_keeper
+    FROM k JOIN g USING (prefix_key)
+    """,
+)
+def q_dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash duplicate groups: documents sharing their first
+    200 characters (truncation/re-crawl duplicates that full-hash
+    exact dedup misses and shingle dedup over-pays for). The 32-bit
+    md5 prefix key is a bigint BEFORE the shuffle; keep-min-id keeper
+    per group, groups of one suppressed. One hash-agg + one
+    self-equi-join on the key."""
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    k = docs.select(
+        "doc_id",
+        md5_int(F.substring("text", 1, 200)).alias("prefix_key"),
+    )
+    g = (
+        k.groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+    return k.join(g, "prefix_key").select(
+        "doc_id", "prefix_key", "group_size", "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
+@register_extended(
+    "corpus_length_outliers",
+    """
+    WITH med AS (
+        SELECT source,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med_len
+        FROM documents GROUP BY source
+    ),
+    mad AS (
+        SELECT d.source,
+               quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med_len),
+                             0.5) AS mad_len
+        FROM documents d JOIN med m USING (source)
+        GROUP BY d.source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, m.med_len, a.mad_len,
+           CASE WHEN a.mad_len > 0 THEN
+               0.6745 * (CAST(d.n_chars AS DOUBLE) - m.med_len)
+                   / a.mad_len
+           END AS robust_z,
+           CASE WHEN a.mad_len > 0 THEN
+               abs(0.6745 * (CAST(d.n_chars AS DOUBLE) - m.med_len)
+                   / a.mad_len) > 3.5
+           ELSE FALSE END AS is_outlier
+    FROM documents d
+    JOIN med m USING (source)
+    JOIN mad a USING (source)
+    """,
+)
+def q_corpus_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier screen: modified z-score via
+    median + MAD (Iglewicz-Hoaglin 0.6745/3.5 convention) — unlike
+    mean/std screens, one giant boilerplate page cannot drag the
+    threshold. Two exact interpolated percentiles (per-source agg,
+    tiny), broadcast back onto the scan; z emits UNROUNDED (exact
+    half-integer med/mad make the chain bit-identical both engines)."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nchars = F.col("n_chars").cast("double")
+    med = docs.groupBy("source").agg(
+        F.percentile(nchars, F.lit(0.5)).alias("med_len")
+    )
+    mad = (
+        docs.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(
+            F.percentile(
+                F.abs(nchars - F.col("med_len")), F.lit(0.5)
+            ).alias("mad_len")
+        )
+    )
+    j = docs.join(F.broadcast(med), "source").join(
+        F.broadcast(mad), "source"
+    )
+    z = F.lit(0.6745) * (nchars - F.col("med_len")) / F.when(
+        F.col("mad_len") > 0, F.col("mad_len")
+    )
+    # UNROUNDED: med/mad of integer lengths are exact half-integers,
+    # so the whole z chain is bit-identical across engines — round-6
+    # would ADD tie divergence (observed at sf0.1), not remove it.
+    return j.select(
+        "doc_id", "source", "n_chars", "med_len", "mad_len",
+        z.alias("robust_z"),
+        F.when(F.col("mad_len") > 0, F.abs(z) > 3.5)
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+
+
+@register_extended(
+    "corpus_sentence_stats",
+    r"""
+    WITH s AS (
+        SELECT doc_id, trim(sent) AS sent
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+            FROM documents
+        )
+        WHERE trim(sent) <> ''
+    ),
+    sw AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(sent, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_words
+        FROM s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_sentence_words,
+           CAST(max(n_words) AS BIGINT) AS max_sentence_words,
+           CAST(sum(CASE WHEN n_words < 4 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS short_sentence_frac
+    FROM sw GROUP BY doc_id
+    """,
+)
+def q_corpus_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-shape profile per document: sentence count, mean/max
+    words per sentence, and the short-sentence fraction (<4 words —
+    a menu/listing fingerprint). Terminator split on [.!?]+, empty
+    segments dropped. Narrow explode, integer sums, integer-ratio
+    divisions UNROUNDED. Stats aggregate back by doc_id on the scan's
+    own key."""
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "doc_id",
+        F.explode(F.split("text", r"[.!?]+")).alias("sent"),
+    ).filter(F.trim("sent") != "")
+    words = F.filter(
+        F.split(F.col("sent"), r"\s+"), lambda x: x != ""
+    )
+    sw = s.select("doc_id", F.size(words).cast("bigint").alias("n_words"))
+    g = sw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("n_words").alias("n_words"),
+        F.max("n_words").alias("max_sentence_words"),
+        F.sum(F.when(F.col("n_words") < 4, 1).otherwise(0)).alias("_short"),
+    )
+    return g.select(
+        "doc_id", "n_sentences", "n_words",
+        (
+            F.col("n_words").cast("double")
+            / F.col("n_sentences").cast("double")
+        ).alias("mean_sentence_words"),
+        "max_sentence_words",
+        (
+            F.col("_short").cast("double")
+            / F.col("n_sentences").cast("double")
+        ).alias("short_sentence_frac"),
+    )
+
+
+@register_extended(
+    "corpus_source_js_divergence",
+    rf"""
+    WITH tok AS (
+        SELECT source, {_H_SQL.format(x="t")} AS h
+        FROM (
+            SELECT source,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS t
+            FROM documents
+        )
+    ),
+    sc AS (SELECT source, h, count(*) AS c FROM tok GROUP BY source, h),
+    st AS (SELECT source, sum(c) AS tot_s FROM sc GROUP BY source),
+    cc AS (SELECT h, sum(c) AS c_corpus FROM sc GROUP BY h),
+    ct AS (SELECT sum(c) AS tot_c FROM sc),
+    grid AS (
+        SELECT s.source, v.h, s.tot_s, v.c_corpus, ct.tot_c,
+               coalesce(x.c, 0) AS c_source
+        FROM st s CROSS JOIN cc v CROSS JOIN ct
+        LEFT JOIN sc x ON x.source = s.source AND x.h = v.h
+    ),
+    terms AS (
+        SELECT source,
+               CAST(c_source AS DOUBLE) / CAST(tot_s AS DOUBLE) AS p,
+               CAST(c_corpus AS DOUBLE) / CAST(tot_c AS DOUBLE) AS q
+        FROM grid
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(CASE WHEN p > 0 THEN 1 END) AS BIGINT)
+               AS n_terms_source,
+           round(CAST(sum(CAST(
+                     0.5 * CASE WHEN p > 0
+                           THEN p * log2(p / ((p + q) / 2.0)) ELSE 0.0 END
+                   + 0.5 * q * log2(q / ((p + q) / 2.0))
+                     AS DECIMAL(28,14))) AS DOUBLE), 6) + 0.0 AS jsd
+    FROM terms GROUP BY source
+    """,
+)
+def q_corpus_source_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-mixture drift monitor: Jensen-Shannon divergence between
+    each source's unigram distribution and the whole corpus — the
+    number that says 'this crawl slice reads differently'. Tokens
+    hash to bigints BEFORE the shuffle; the source x vocab grid is a
+    broadcast cross join of two aggregates (sources are few); plogp
+    terms quantize to decimal(28,14) under the sum so libm log2
+    one-ulp spread can't leak into the total; round-6."""
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    ).select("source", md5_int(F.col("t")).alias("h"))
+    sc = tok.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.persist()
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot_s"))
+    cc = sc.groupBy("h").agg(F.sum("c").alias("c_corpus"))
+    ct = sc.agg(F.sum("c").alias("tot_c"))
+    grid = (
+        F.broadcast(st)
+        .crossJoin(cc)
+        .crossJoin(F.broadcast(ct))
+        .join(sc.withColumnRenamed("c", "c_source"), ["source", "h"], "left")
+        .na.fill({"c_source": 0})
+    )
+    p = F.col("c_source").cast("double") / F.col("tot_s").cast("double")
+    q = F.col("c_corpus").cast("double") / F.col("tot_c").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * F.when(
+        F.col("c_source") > 0, p * F.log2(p / m)
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * q * F.log2(q / m)
+    g = grid.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.count(F.when(F.col("c_source") > 0, 1)).alias("n_terms_source"),
+        F.sum(term.cast("decimal(28,14)")).cast("double").alias("_jsd"),
+    )
+    return g.select(
+        "source", "n_terms", "n_terms_source", _r6(F.col("_jsd")).alias("jsd")
+    )
