@@ -6675,3 +6675,234 @@ def q_corpus_source_js_divergence(
     return g.select(
         "source", "n_terms", "n_terms_source", _r6(F.col("_jsd")).alias("jsd")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: TPC-H classics, second set — the multi-dim star join (Q5),
+# the left-join frequency histogram (Q13), the aggregate-then-argmax
+# pattern (Q15), and the correlated per-group-average filter (Q17).
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5 adapted (local supplier volume): the six-table star
+    join with the supplier-nation = customer-nation co-location
+    predicate. Every dim (customer, supplier, nation, region) is
+    broadcast; lineitem shuffles once for the orders join. The region
+    pick is data-derived (min r_name) so the query is
+    fixture-agnostic. Revenue decimal-exact, round-6 at double's
+    1e-8-ulp magnitudes."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    region = load_table(spark, sf_dir, "region")
+    rname = region.agg(F.min("r_name").alias("_r"))
+    r = region.join(
+        F.broadcast(rname), region.r_name == F.col("_r")
+    ).select("r_regionkey")
+    nation_all = load_table(spark, sf_dir, "nation")
+    nation = nation_all.join(
+        F.broadcast(r), nation_all.n_regionkey == r.r_regionkey
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    g = j.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        "n_name", _r6(F.col("_rev")).alias("revenue"), "n_lines"
+    ).orderBy(F.desc("revenue"), "n_name")
+
+
+@register_extended(
+    "tpch_q13_customer_distribution",
+    """
+    WITH pc AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM pc GROUP BY c_count
+    """,
+)
+def q_tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 adapted (customer order-count distribution): the
+    left-join histogram — zero-order customers MUST appear (the
+    classic inner-join bug this query exists to catch). count(key)
+    over the null-extended side, then a second tiny agg."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    pc = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return pc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register_extended(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 adapted (top supplier): aggregate per supplier over
+    a half-year shipdate slice, then keep the max-revenue row(s) —
+    the aggregate-then-argmax pattern (the reference view restated
+    as a self-agg filter). Revenue round-6 BEFORE the max compare so
+    both engines rank identical values; supplier is a broadcast
+    dim."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("_rev")
+    )
+    rev = rev.select(
+        "supplier_no", _r6(F.col("_rev")).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register_extended(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH avgq AS (
+        SELECT l_partkey, 0.2 * (CAST(sum(CAST(l_quantity
+                                              AS DECIMAL(28,10)))
+                                      AS DOUBLE)
+                                 / CAST(count(*) AS DOUBLE)) AS lim
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10)))
+                 AS DOUBLE) / 7.0, 6) + 0.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = (SELECT min(p_brand) FROM part)
+      AND l.l_quantity < a.lim
+    """,
+)
+def q_tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 adapted (small-quantity-order revenue): the
+    correlated per-part average-quantity filter, decorrelated into a
+    self-aggregate join (exactly what a 100 TB plan needs — one
+    partial agg over the fact, broadcast back, never a per-row
+    subquery). Quantities integral; the 0.2*avg limit is a fixed op
+    sequence both engines; brand pick data-derived."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("lim")
+    )
+    part = load_table(spark, sf_dir, "part")
+    brand = part.agg(F.min("p_brand").alias("_b"))
+    p = part.join(F.broadcast(brand), part.p_brand == F.col("_b")).select(
+        "p_partkey"
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+    )
+    return j.agg(
+        _r6(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
