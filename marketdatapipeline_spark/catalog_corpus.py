@@ -6906,3 +6906,259 @@ def q_tpch_q17_small_quantity_revenue(
         ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: embedding-space health, cross-sectional market breadth, and
+# information-theoretic feature value.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "embeddings_dimension_stats",
+    """
+    WITH e AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    g AS (
+        SELECT dim, count(*) AS n_obs,
+               CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(x * x AS DECIMAL(28,16))) AS DOUBLE) AS s2,
+               min(x) AS min_v, max(x) AS max_v,
+               CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n_obs AS BIGINT) AS n_obs,
+           round(s1 / CAST(n_obs AS DOUBLE), 6) + 0.0 AS mean_v,
+           CASE WHEN n_obs >= 2
+                     AND (s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                         / (CAST(n_obs AS DOUBLE) - 1.0) > 0 THEN
+               round(sqrt((s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                          / (CAST(n_obs AS DOUBLE) - 1.0)), 6) + 0.0
+           END AS std_v,
+           min_v, max_v, n_zero
+    FROM g
+    """,
+)
+def q_embeddings_dimension_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension embedding health: mean/std/min/max/zero-count
+    for each of the 64 coordinates — the dead-dimension and
+    scale-imbalance audit run before any ANN index is trusted.
+    posexplode → one hash-agg keyed by dim (64 groups regardless of
+    corpus size, map-side combinable); float32 coords widen to
+    double identically both engines; decimal power sums, round-6."""
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).cast("bigint").alias("dim"), "x")
+    g = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("x").cast("decimal(28,14)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,16)"))
+        .cast("double")
+        .alias("s2"),
+        F.min("x").alias("min_v"),
+        F.max("x").alias("max_v"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    n = F.col("n_obs").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0))
+    return g.select(
+        "dim", "n_obs",
+        _r6(F.col("s1") / n).alias("mean_v"),
+        _r6(F.when((F.col("n_obs") >= 2) & (var > 0), F.sqrt(var))).alias(
+            "std_v"
+        ),
+        "min_v", "max_v", "n_zero",
+    )
+
+
+@register_extended(
+    "bars_advance_decline",
+    _bars_sql(
+        """
+        , d AS (
+            SELECT date_trunc('hour', datetime) AS hour,
+                   CASE WHEN close > lag(close) OVER w THEN 1
+                        WHEN close < lag(close) OVER w THEN -1
+                        ELSE 0 END AS dir
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        h AS (
+            SELECT hour,
+                   CAST(sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_adv,
+                   CAST(sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dec
+            FROM d WHERE dir IS NOT NULL GROUP BY hour
+        )
+        SELECT hour, n_adv, n_dec,
+               CASE WHEN n_dec > 0 THEN
+                   CAST(n_adv AS DOUBLE) / CAST(n_dec AS DOUBLE)
+               END AS ad_ratio,
+               CAST(sum(n_adv - n_dec) OVER (ORDER BY hour) AS BIGINT)
+                   AS ad_line
+        FROM h
+        """
+    ),
+)
+def q_bars_advance_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly advance/decline market breadth: advancing vs declining
+    bar counts across all symbols, their ratio, and the cumulative
+    A/D line — the cross-sectional confirmation indicator for
+    index-level moves. Per-symbol direction window, then a tiny
+    hour-keyed agg and one ordered window over ~hundreds of hourly
+    rows. Integer ratio UNROUNDED."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    d = bars.select(
+        F.date_trunc("hour", "datetime").alias("hour"),
+        F.when(F.col("close") > F.lag("close").over(w), 1)
+        .when(F.col("close") < F.lag("close").over(w), -1)
+        .otherwise(0)
+        .alias("dir"),
+    ).filter(F.col("dir").isNotNull())
+    h = d.groupBy("hour").agg(
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_adv"),
+        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dec"),
+    )
+    cum = W.partitionBy(F.lit(1)).orderBy("hour")
+    return h.select(
+        "hour", "n_adv", "n_dec",
+        F.when(
+            F.col("n_dec") > 0,
+            F.col("n_adv").cast("double") / F.col("n_dec").cast("double"),
+        ).alias("ad_ratio"),
+        F.sum(F.col("n_adv") - F.col("n_dec"))
+        .over(cum)
+        .cast("bigint")
+        .alias("ad_line"),
+    )
+
+
+@register_extended(
+    "ml_mutual_information",
+    _bars_sql(
+        _SCORE_CTE
+        + """
+        , r AS (
+            SELECT target,
+                   CAST(floor(((row_number() OVER (
+                       ORDER BY score DESC, symbol, datetime, bar_id
+                   ) - 1) * 10.0) / (count(*) OVER ())) AS INT) + 1
+                       AS bin
+            FROM base
+        ),
+        j AS (SELECT bin, target, count(*) AS c FROM r GROUP BY bin, target),
+        t AS (SELECT sum(c) AS n FROM j),
+        mx AS (SELECT bin, sum(c) AS cx FROM j GROUP BY bin),
+        my AS (SELECT target, sum(c) AS cy FROM j GROUP BY target),
+        mi AS (
+            SELECT CAST(sum(CAST(
+                       (CAST(c AS DOUBLE) / n)
+                       * log2((CAST(c AS DOUBLE) * n)
+                              / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                       AS DECIMAL(28,14))) AS DOUBLE) AS mi_v
+            FROM j JOIN mx USING (bin) JOIN my USING (target)
+            CROSS JOIN t
+        ),
+        hy AS (
+            SELECT CAST(sum(CAST(
+                       -(CAST(cy AS DOUBLE) / n)
+                       * log2(CAST(cy AS DOUBLE) / n)
+                       AS DECIMAL(28,14))) AS DOUBLE) AS h_label
+            FROM my CROSS JOIN t
+        )
+        SELECT CAST(t.n AS BIGINT) AS n_obs,
+               round(mi.mi_v, 6) + 0.0 AS mi,
+               round(hy.h_label, 6) + 0.0 AS h_label,
+               CASE WHEN hy.h_label > 0 THEN
+                   round(mi.mi_v / hy.h_label, 6) + 0.0
+               END AS mi_ratio
+        FROM t CROSS JOIN mi CROSS JOIN hy
+        """
+    ),
+)
+def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the decile-binned score and the
+    binary label, with the label entropy and the MI/H(Y) uncertainty
+    coefficient — the model-free 'is there any signal' number next
+    to AUC/KS. Joint and marginal counts are exact integers off one
+    rank window + one 20-cell agg; plogp terms decimal-quantized,
+    round-6."""
+    from pyspark.sql import Window as W
+
+    b = _scored_bars(spark, sf_dir)
+    wall = W.partitionBy(F.lit(1))
+    r = b.select(
+        "target",
+        (
+            F.floor(
+                (
+                    (
+                        F.row_number().over(
+                            wall.orderBy(
+                                F.desc("score"), "symbol", "datetime",
+                                "bar_id",
+                            )
+                        )
+                        - 1
+                    )
+                    * F.lit(10.0)
+                )
+                / F.count(F.lit(1)).over(wall)
+            ).cast("int")
+            + 1
+        ).alias("bin"),
+    )
+    j = r.groupBy("bin", "target").agg(F.count(F.lit(1)).alias("c"))
+    j = j.persist()
+    n_col = j.agg(F.sum("c").alias("n"))
+    mx = j.groupBy("bin").agg(F.sum("c").alias("cx"))
+    my = j.groupBy("target").agg(F.sum("c").alias("cy"))
+    full = (
+        j.join(F.broadcast(mx), "bin")
+        .join(F.broadcast(my), "target")
+        .crossJoin(F.broadcast(n_col))
+    )
+    nd = F.col("n").cast("double")
+    term = (F.col("c").cast("double") / nd) * F.log2(
+        (F.col("c").cast("double") * nd)
+        / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    mi = full.agg(
+        F.max("n").alias("n_obs"),
+        F.sum(term.cast("decimal(28,14)")).cast("double").alias("_mi"),
+    )
+    hterm = -(F.col("cy").cast("double") / nd) * F.log2(
+        F.col("cy").cast("double") / nd
+    )
+    hy = (
+        my.crossJoin(F.broadcast(n_col))
+        .agg(F.sum(hterm.cast("decimal(28,14)")).cast("double").alias("_hy"))
+    )
+    out = mi.crossJoin(F.broadcast(hy))
+    return out.select(
+        "n_obs",
+        _r6(F.col("_mi")).alias("mi"),
+        _r6(F.col("_hy")).alias("h_label"),
+        _r6(
+            F.when(F.col("_hy") > 0, F.col("_mi") / F.col("_hy"))
+        ).alias("mi_ratio"),
+    )
