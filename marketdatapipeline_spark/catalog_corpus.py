@@ -7162,3 +7162,252 @@ def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_hy") > 0, F.col("_mi") / F.col("_hy"))
         ).alias("mi_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: calendar-effect inference, conversion latency, and
+# per-source duplication observability.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_dow_effect",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, isodow(datetime) AS dow,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT dow, count(*) AS n_obs,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s2
+            FROM r WHERE ret IS NOT NULL GROUP BY dow
+        )
+        SELECT CAST(dow AS INT) AS dow, CAST(n_obs AS BIGINT) AS n_obs,
+               round(s1 / CAST(n_obs AS DOUBLE), 6) + 0.0 AS mean_ret,
+               CASE WHEN n_obs >= 2
+                         AND (s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                             / (CAST(n_obs AS DOUBLE) - 1.0) > 0 THEN
+                   round(sqrt((s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                              / (CAST(n_obs AS DOUBLE) - 1.0)), 6) + 0.0
+               END AS std_ret,
+               CASE WHEN n_obs >= 2
+                         AND (s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                             / (CAST(n_obs AS DOUBLE) - 1.0) > 0 THEN
+                   round((s1 / CAST(n_obs AS DOUBLE))
+                         / (sqrt((s2 - s1 * s1 / CAST(n_obs AS DOUBLE))
+                                 / (CAST(n_obs AS DOUBLE) - 1.0))
+                            / sqrt(CAST(n_obs AS DOUBLE))), 6) + 0.0
+               END AS t_stat
+        FROM g
+        """
+    ),
+)
+def q_bars_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week return effect with one-sample t-statistics (ISO
+    day numbering, Monday=1): the calendar-anomaly test next to the
+    hour-of-day seasonality profile. Decimal power sums; t =
+    mean/(std/sqrt(n)) round-6 with the var>0 guard both sides."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select(
+        (F.weekday("datetime") + F.lit(1)).cast("int").alias("dow"),
+        ret.alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    g = r.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_r").cast("decimal(38,18)")).cast("double").alias("s1"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0))
+    ok = (F.col("n_obs") >= 2) & (var > 0)
+    mean = F.col("s1") / n
+    t = mean / (F.sqrt(F.when(var > 0, var)) / F.sqrt(n))
+    return g.select(
+        "dow", "n_obs",
+        _r6(mean).alias("mean_ret"),
+        _r6(F.when(ok, F.sqrt(var))).alias("std_ret"),
+        _r6(F.when(ok, t)).alias("t_stat"),
+    )
+
+
+@register_extended(
+    "events_conversion_latency",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT v.user_id,
+               CAST(epoch_us(p.first_purchase) - epoch_us(v.first_view)
+                    AS DOUBLE) / 1e6 AS latency_s
+        FROM v JOIN p USING (user_id)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(count(*) AS DOUBLE)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM v) AS conv_rate,
+           quantile_cont(latency_s, 0.5) AS median_latency_s,
+           quantile_cont(latency_s, 0.9) AS p90_latency_s,
+           round(CAST(sum(CAST(latency_s AS DECIMAL(28,10))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_latency_s
+    FROM lat
+    """,
+)
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion latency: first view per user,
+    first purchase at-or-after it, and the latency distribution
+    (exact interpolated median/p90, decimal-sum mean) plus the
+    conversion rate — the time-to-value funnel summary. Two
+    min-aggs + one join on user_id; microsecond-exact epoch math
+    gives bit-identical latencies, UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = v.join(p, "user_id").select(
+        (
+            (
+                # ts is TIMESTAMP_NTZ; the cast shifts both ends by the
+                # same session offset, so the difference is exact
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("first_view").cast("timestamp"))
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("latency_s")
+    )
+    nv = v.agg(
+        F.count(F.lit(1)).alias("n_viewers")
+    )
+    g = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("latency_s"), F.lit(0.5)).alias(
+            "median_latency_s"
+        ),
+        F.percentile(F.col("latency_s"), F.lit(0.9)).alias("p90_latency_s"),
+        F.sum(F.col("latency_s").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_sum"),
+    )
+    out = g.crossJoin(F.broadcast(nv))
+    return out.select(
+        "n_viewers", "n_converted",
+        (
+            F.col("n_converted").cast("double")
+            / F.col("n_viewers").cast("double")
+        ).alias("conv_rate"),
+        "median_latency_s", "p90_latency_s",
+        # round-6 (= the data's microsecond precision): the decimal
+        # sum's double conversion is 1-ulp noisy at sf0.1 volume
+        _r6(F.col("_sum") / F.col("n_converted").cast("double")).alias(
+            "mean_latency_s"
+        ),
+    )
+
+
+@register_extended(
+    "dedup_rate_by_source",
+    f"""
+    WITH k AS (
+        SELECT doc_id, source,
+               {_H_SQL.format(x="text")} AS full_key,
+               {_H_SQL.format(x="substr(text, 1, 200)")} AS prefix_key
+        FROM documents
+    ),
+    fg AS (
+        SELECT full_key, count(*) AS c, min(doc_id) AS keeper
+        FROM k GROUP BY full_key
+    ),
+    pg AS (
+        SELECT prefix_key, count(*) AS c, min(doc_id) AS keeper
+        FROM k GROUP BY prefix_key
+    )
+    SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fg.c > 1 AND k.doc_id <> fg.keeper
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN pg.c > 1 AND k.doc_id <> pg.keeper
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_dup,
+           CAST(sum(CASE WHEN fg.c > 1 AND k.doc_id <> fg.keeper
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(sum(CASE WHEN pg.c > 1 AND k.doc_id <> pg.keeper
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS prefix_dup_rate
+    FROM k
+    JOIN fg USING (full_key)
+    JOIN pg USING (prefix_key)
+    GROUP BY k.source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication observability: exact (full-text hash) and prefix
+    (first 200 chars) duplicate rates per source — the per-crawl
+    contamination dashboard that decides which feed needs upstream
+    fixing. Keep-min-id keepers don't count as duplicates. Bigint
+    keys pre-shuffle; two hash-aggs + two equi-joins; integer
+    ratios UNROUNDED."""
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    k = docs.select(
+        "doc_id", "source",
+        md5_int(F.col("text")).alias("full_key"),
+        md5_int(F.substring("text", 1, 200)).alias("prefix_key"),
+    )
+    fg = k.groupBy("full_key").agg(
+        F.count(F.lit(1)).alias("fc"), F.min("doc_id").alias("fkeeper")
+    )
+    pg = k.groupBy("prefix_key").agg(
+        F.count(F.lit(1)).alias("pc"), F.min("doc_id").alias("pkeeper")
+    )
+    j = k.join(fg, "full_key").join(pg, "prefix_key")
+    is_fd = F.when(
+        (F.col("fc") > 1) & (F.col("doc_id") != F.col("fkeeper")), 1
+    ).otherwise(0)
+    is_pd = F.when(
+        (F.col("pc") > 1) & (F.col("doc_id") != F.col("pkeeper")), 1
+    ).otherwise(0)
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_fd).alias("n_exact_dup"),
+        F.sum(is_pd).alias("n_prefix_dup"),
+    )
+    return g.select(
+        "source", "n_docs", "n_exact_dup", "n_prefix_dup",
+        (
+            F.col("n_exact_dup").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("exact_dup_rate"),
+        (
+            F.col("n_prefix_dup").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("prefix_dup_rate"),
+    )
