@@ -7411,3 +7411,321 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("prefix_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: rank-robust dependence (Spearman with exact average ranks),
+# second-order volatility (vol-of-vol on quantized first-level
+# windows), and temporal burstiness of user activity.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_spearman_ret_volume",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   abs((close - lag(close) OVER w) / lag(close) OVER w)
+                       AS aret,
+                   volume
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        nn AS (SELECT symbol, aret, volume FROM r WHERE aret IS NOT NULL),
+        rk AS (
+            SELECT symbol,
+                   rank() OVER (PARTITION BY symbol ORDER BY aret)
+                       + (count(*) OVER (PARTITION BY symbol, aret) - 1)
+                         / 2.0 AS rx,
+                   rank() OVER (PARTITION BY symbol ORDER BY volume)
+                       + (count(*) OVER (PARTITION BY symbol, volume) - 1)
+                         / 2.0 AS ry
+            FROM nn
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(rx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(ry AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(rx * rx AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sxx,
+                   CAST(sum(CAST(ry * ry AS DECIMAL(28,6))) AS DOUBLE)
+                       AS syy,
+                   CAST(sum(CAST(rx * ry AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sxy
+            FROM rk GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               CASE WHEN n_obs >= 2
+                         AND (sxx - sx * sx / CAST(n_obs AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(n_obs AS DOUBLE)) > 0
+               THEN round((sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                          / sqrt((sxx - sx * sx / CAST(n_obs AS DOUBLE))
+                                 * (syy - sy * sy
+                                    / CAST(n_obs AS DOUBLE))), 6) + 0.0
+               END AS spearman_rho
+        FROM g
+        """
+    ),
+)
+def q_bars_spearman_ret_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between absolute returns and volume
+    per symbol — the outlier-robust complement to the Pearson
+    return-volume confirmation. Average ranks handled EXACTLY
+    (rank() + (tie_count-1)/2 — exact .5-step doubles, identical
+    both engines); rank products stay inside double's integer range
+    and accumulate as decimals; final ratio round-6. Two rank
+    windows + one agg, all on the symbol partitioning."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    aret = F.abs(
+        (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    )
+    nn = bars.select(
+        "symbol", aret.alias("aret"), "volume"
+    ).filter(F.col("aret").isNotNull())
+    rx = F.rank().over(W.partitionBy("symbol").orderBy("aret")) + (
+        F.count(F.lit(1)).over(W.partitionBy("symbol", "aret")) - 1
+    ) / F.lit(2.0)
+    ry = F.rank().over(W.partitionBy("symbol").orderBy("volume")) + (
+        F.count(F.lit(1)).over(W.partitionBy("symbol", "volume")) - 1
+    ) / F.lit(2.0)
+    rk = nn.select("symbol", rx.alias("rx"), ry.alias("ry"))
+    g = rk.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("rx").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    ok = (F.col("n_obs") >= 2) & (vx > 0) & (vy > 0)
+    rho = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    return g.select(
+        "symbol", "n_obs", _r6(F.when(ok, rho)).alias("spearman_rho")
+    )
+
+
+@register_extended(
+    "bars_vol_of_vol",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        v AS (
+            SELECT symbol, datetime, bar_id,
+                   count(ret) OVER t AS n1,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) OVER t AS DOUBLE)
+                       AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) OVER t
+                        AS DOUBLE) AS s2
+            FROM r
+            WINDOW t AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ),
+        q AS (
+            SELECT symbol, datetime, bar_id,
+                   CASE WHEN n1 >= 20
+                             AND (s2 - s1 * s1 / CAST(n1 AS DOUBLE))
+                                 / (CAST(n1 AS DOUBLE) - 1.0) > 0 THEN
+                       CAST(round(sqrt((s2 - s1 * s1 / CAST(n1 AS DOUBLE))
+                                       / (CAST(n1 AS DOUBLE) - 1.0))
+                                  * 1e6) AS BIGINT)
+                   END AS volq
+            FROM v
+        ),
+        vv AS (
+            SELECT symbol, datetime, bar_id, volq,
+                   count(volq) OVER t AS n2,
+                   sum(volq) OVER t AS t1,
+                   sum(volq * volq) OVER t AS t2
+            FROM q
+            WINDOW t AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN volq IS NOT NULL THEN
+                   CAST(volq AS DOUBLE) / 1e6 END AS vol_20,
+               CASE WHEN n2 >= 20
+                         AND (CAST(t2 AS DOUBLE)
+                              - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                                / CAST(n2 AS DOUBLE))
+                             / (CAST(n2 AS DOUBLE) - 1.0) > 0 THEN
+                   round(sqrt((CAST(t2 AS DOUBLE)
+                               - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                                 / CAST(n2 AS DOUBLE))
+                              / (CAST(n2 AS DOUBLE) - 1.0)) / 1e6, 6) + 0.0
+               END AS vol_of_vol_20
+        FROM vv
+        """
+    ),
+)
+def q_bars_vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility of volatility: rolling-20 std of the rolling-20
+    return std — the vol-regime-change signal (GARCH-ish second
+    moment of the second moment). The first-level vol QUANTIZES to
+    an exact 1e-6-scaled integer before the second window, so the
+    outer power sums are integer-exact and the two engines cannot
+    drift; both windows share one symbol exchange. Outer std
+    round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select("symbol", "datetime", "bar_id", ret.alias("ret"))
+    t = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(-19, 0)
+    )
+    v = r.select(
+        "symbol", "datetime", "bar_id",
+        F.count("ret").over(t).alias("n1"),
+        F.sum(F.col("ret").cast("decimal(38,18)"))
+        .over(t)
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("ret") * F.col("ret")).cast("decimal(38,18)"))
+        .over(t)
+        .cast("double")
+        .alias("s2"),
+    )
+    n1 = F.when(F.col("n1") >= 20, F.col("n1").cast("double"))
+    var1 = (F.col("s2") - F.col("s1") * F.col("s1") / n1) / (n1 - F.lit(1.0))
+    volq = F.when(
+        (F.col("n1") >= 20) & (var1 > 0),
+        F.round(F.sqrt(var1) * F.lit(1e6)).cast("bigint"),
+    )
+    q = v.select("symbol", "datetime", "bar_id", volq.alias("volq"))
+    vv = q.select(
+        "symbol", "datetime", "bar_id", "volq",
+        F.count("volq").over(t).alias("n2"),
+        F.sum("volq").over(t).alias("t1"),
+        F.sum(F.col("volq") * F.col("volq")).over(t).alias("t2"),
+    )
+    n2 = F.when(F.col("n2") >= 20, F.col("n2").cast("double"))
+    var2 = (
+        F.col("t2").cast("double")
+        - F.col("t1").cast("double") * F.col("t1").cast("double") / n2
+    ) / (n2 - F.lit(1.0))
+    return vv.select(
+        "symbol", "datetime", "bar_id",
+        (
+            F.when(
+                F.col("volq").isNotNull(),
+                F.col("volq").cast("double") / F.lit(1e6),
+            )
+        ).alias("vol_20"),
+        _r6(
+            F.when(
+                (F.col("n2") >= 20) & (var2 > 0),
+                F.sqrt(var2) / F.lit(1e6),
+            )
+        ).alias("vol_of_vol_20"),
+    )
+
+
+@register_extended(
+    "events_inter_arrival",
+    """
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(gap_us) AS DOUBLE) AS s1,
+               CAST(sum(CAST(gap_us AS DECIMAL(38,0))
+                        * CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               CAST(min(gap_us) AS DOUBLE) / 1e6 AS min_gap_s,
+               CAST(max(gap_us) AS DOUBLE) / 1e6 AS max_gap_s
+        FROM d WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           s1 / CAST(n_gaps AS DOUBLE) / 1e6 AS mean_gap_s,
+           CASE WHEN n_gaps >= 2
+                     AND (s2 - s1 * s1 / CAST(n_gaps AS DOUBLE))
+                         / (CAST(n_gaps AS DOUBLE) - 1.0) > 0 THEN
+               sqrt((s2 - s1 * s1 / CAST(n_gaps AS DOUBLE))
+                    / (CAST(n_gaps AS DOUBLE) - 1.0)) / 1e6
+           END AS std_gap_s,
+           min_gap_s, max_gap_s,
+           CASE WHEN n_gaps >= 2
+                     AND (s2 - s1 * s1 / CAST(n_gaps AS DOUBLE))
+                         / (CAST(n_gaps AS DOUBLE) - 1.0) > 0
+                     AND (sqrt((s2 - s1 * s1 / CAST(n_gaps AS DOUBLE))
+                               / (CAST(n_gaps AS DOUBLE) - 1.0))
+                          + s1 / CAST(n_gaps AS DOUBLE)) > 0 THEN
+               (sqrt((s2 - s1 * s1 / CAST(n_gaps AS DOUBLE))
+                     / (CAST(n_gaps AS DOUBLE) - 1.0))
+                - s1 / CAST(n_gaps AS DOUBLE))
+               / (sqrt((s2 - s1 * s1 / CAST(n_gaps AS DOUBLE))
+                       / (CAST(n_gaps AS DOUBLE) - 1.0))
+                  + s1 / CAST(n_gaps AS DOUBLE))
+           END AS burstiness
+    FROM g
+    """,
+)
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time profile: mean/std/min/max gap and
+    the Goh-Barabasi burstiness coefficient (σ-μ)/(σ+μ) — bots sit
+    near -1 (regular), humans burst toward +1. Integer-microsecond
+    sums end-to-end make every float chain bit-identical across
+    engines — emitted UNROUNDED. One user-window + one user agg."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    d = ev.select("user_id", gap).filter(F.col("gap_us").isNotNull())
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").cast("double").alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)")
+            * F.col("gap_us").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s2"),
+        (F.min("gap_us").cast("double") / F.lit(1e6)).alias("min_gap_s"),
+        (F.max("gap_us").cast("double") / F.lit(1e6)).alias("max_gap_s"),
+    )
+    # all sums are exact integers (µs), every float op below is a
+    # fixed sequence on identical operands — UNROUNDED end to end
+    # (round-6 here ADDS tie divergence; observed at sf0.1)
+    n = F.when(F.col("n_gaps") >= 2, F.col("n_gaps").cast("double"))
+    mean_us = F.col("s1") / F.col("n_gaps").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0))
+    sd = F.sqrt(F.when(var > 0, var))
+    ok = (F.col("n_gaps") >= 2) & (var > 0)
+    mean_b = F.col("s1") / n
+    burst = (sd - mean_b) / F.when(ok & ((sd + mean_b) > 0), sd + mean_b)
+    return g.select(
+        "user_id", "n_gaps",
+        (mean_us / F.lit(1e6)).alias("mean_gap_s"),
+        (F.when(ok, sd) / F.lit(1e6)).alias("std_gap_s"),
+        "min_gap_s", "max_gap_s",
+        F.when(ok & ((sd + mean_b) > 0), burst).alias("burstiness"),
+    )
