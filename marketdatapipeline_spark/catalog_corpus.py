@@ -7729,3 +7729,300 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_gap_s", "max_gap_s",
         F.when(ok & ((sd + mean_b) > 0), burst).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: tail risk (VaR/CVaR), vocabulary growth (Heaps' law), and
+# RFM behavioral segmentation.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_var_cvar",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        nn AS (SELECT symbol, ret FROM r WHERE ret IS NOT NULL),
+        q AS (
+            SELECT symbol, count(*) AS n_obs,
+                   quantile_cont(ret, 0.05) AS var_95,
+                   quantile_cont(ret, 0.01) AS var_99
+            FROM nn GROUP BY symbol
+        ),
+        c AS (
+            SELECT nn.symbol,
+                   CAST(count(*) AS BIGINT) AS n_tail,
+                   CAST(sum(CAST(nn.ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s_tail
+            FROM nn JOIN q ON nn.symbol = q.symbol
+            WHERE nn.ret <= q.var_95
+            GROUP BY nn.symbol
+        )
+        SELECT q.symbol, CAST(q.n_obs AS BIGINT) AS n_obs,
+               q.var_95, q.var_99, c.n_tail,
+               round(c.s_tail / CAST(c.n_tail AS DOUBLE), 6) + 0.0
+                   AS cvar_95
+        FROM q JOIN c ON q.symbol = c.symbol
+        """
+    ),
+)
+def q_bars_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk (95/99, exact interpolated quantiles
+    of simple returns) and 95% CVaR / expected shortfall (mean of the
+    tail at-or-below VaR) per symbol — the tail-risk pair every
+    risk report leads with. Quantiles are exact percentile_cont both
+    engines (identical interpolation on identical sorted doubles);
+    the tail re-scan is one broadcast-joined filter; CVaR decimal-sum
+    mean round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    nn = bars.select("symbol", ret.alias("ret")).filter(
+        F.col("ret").isNotNull()
+    )
+    nn = nn.persist()
+    q = nn.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.percentile(F.col("ret"), F.lit(0.05)).alias("var_95"),
+        F.percentile(F.col("ret"), F.lit(0.01)).alias("var_99"),
+    )
+    c = (
+        nn.join(F.broadcast(q.select("symbol", "var_95")), "symbol")
+        .filter(F.col("ret") <= F.col("var_95"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(F.col("ret").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s_tail"),
+        )
+    )
+    out = q.join(c, "symbol")
+    return out.select(
+        "symbol", "n_obs", "var_95", "var_99", "n_tail",
+        _r6(F.col("s_tail") / F.col("n_tail").cast("double")).alias(
+            "cvar_95"
+        ),
+    )
+
+
+@register_extended(
+    "corpus_vocab_growth",
+    rf"""
+    WITH tok AS (
+        SELECT doc_id, {_H_SQL.format(x="t")} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS t
+            FROM documents
+        )
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    firsts AS (SELECT h, min(doc_id) AS first_doc FROM tok GROUP BY h),
+    newv AS (
+        SELECT first_doc AS doc_id, count(*) AS new_terms
+        FROM firsts GROUP BY first_doc
+    ),
+    cum AS (
+        SELECT p.doc_id,
+               sum(p.n_tok) OVER (ORDER BY p.doc_id) AS cum_tokens,
+               sum(coalesce(n.new_terms, 0)) OVER (ORDER BY p.doc_id)
+                   AS cum_vocab,
+               row_number() OVER (ORDER BY p.doc_id) AS rn,
+               count(*) OVER () AS n_docs
+        FROM per_doc p LEFT JOIN newv n USING (doc_id)
+    )
+    SELECT CAST(floor(((rn - 1) * 10.0) / n_docs) AS INT) + 1 AS decile,
+           CAST(max(cum_tokens) AS BIGINT) AS cum_tokens,
+           CAST(max(cum_vocab) AS BIGINT) AS cum_vocab,
+           CAST(max(cum_vocab) AS DOUBLE) / CAST(max(cum_tokens) AS DOUBLE)
+               AS type_token_ratio,
+           round(ln(CAST(max(cum_vocab) AS DOUBLE))
+                 / ln(CAST(max(cum_tokens) AS DOUBLE)), 6) + 0.0
+               AS heaps_beta
+    FROM cum GROUP BY decile
+    """,
+)
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct terms vs
+    cumulative tokens along the doc_id ingestion order, summarized at
+    corpus deciles with the type-token ratio and the empirical Heaps
+    exponent ln(V)/ln(N) — the saturation curve that says when more
+    data stops buying new vocabulary. First-occurrence attribution
+    (min doc per hashed term) turns cumulative-distinct into one
+    hash-agg + one ordered window; token hashes are bigints
+    pre-shuffle; integer ratios unrounded, libm ln ratio round-6."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    ).select("doc_id", md5_int(F.col("t")).alias("h"))
+    tok = tok.persist()
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = tok.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    newv = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    wall = W.partitionBy(F.lit(1))
+    cum_w = wall.orderBy("doc_id")
+    cum = (
+        per_doc.join(newv, "doc_id", "left")
+        .na.fill({"new_terms": 0})
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(cum_w).alias("cum_tokens"),
+            F.sum("new_terms").over(cum_w).alias("cum_vocab"),
+            F.row_number().over(cum_w).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n_docs"),
+        )
+    )
+    g = cum.groupBy(
+        (
+            F.floor(((F.col("rn") - 1) * F.lit(10.0)) / F.col("n_docs")).cast(
+                "int"
+            )
+            + 1
+        ).alias("decile")
+    ).agg(
+        F.max("cum_tokens").alias("cum_tokens"),
+        F.max("cum_vocab").alias("cum_vocab"),
+    )
+    return g.select(
+        "decile", "cum_tokens", "cum_vocab",
+        (
+            F.col("cum_vocab").cast("double")
+            / F.col("cum_tokens").cast("double")
+        ).alias("type_token_ratio"),
+        _r6(
+            F.log(F.col("cum_vocab").cast("double"))
+            / F.log(F.col("cum_tokens").cast("double"))
+        ).alias("heaps_beta"),
+    )
+
+
+@register_extended(
+    "events_rfm_segments",
+    """
+    WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(epoch_us(mx.now_ts) - epoch_us(max(e.ts)) AS BIGINT)
+                   AS recency_us,
+               count(*) AS frequency,
+               CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS monetary
+        FROM events e CROSS JOIN mx
+        GROUP BY user_id, mx.now_ts
+    ),
+    r AS (
+        SELECT user_id, recency_us, frequency,
+               round(monetary, 6) + 0.0 AS monetary,
+               count(*) OVER () AS n,
+               row_number() OVER (ORDER BY recency_us, user_id) AS rr,
+               row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+               row_number() OVER (
+                   ORDER BY round(monetary, 6) DESC, user_id) AS rm
+        FROM u
+    )
+    SELECT user_id,
+           CAST(round(CAST(recency_us AS DOUBLE) / 1e6 / 86400.0, 6) + 0.0
+                AS DOUBLE) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(floor(((rr - 1) * 5.0) / n) AS INT) + 1 AS r_quintile,
+           CAST(floor(((rf - 1) * 5.0) / n) AS INT) + 1 AS f_quintile,
+           CAST(floor(((rm - 1) * 5.0) / n) AS INT) + 1 AS m_quintile,
+           (CAST(floor(((rr - 1) * 5.0) / n) AS INT) + 1) * 100
+               + (CAST(floor(((rf - 1) * 5.0) / n) AS INT) + 1) * 10
+               + CAST(floor(((rm - 1) * 5.0) / n) AS INT) + 1 AS rfm_code
+    FROM r
+    """,
+)
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation: per-user recency (vs the corpus
+    max timestamp), frequency, and monetary value, quintiled by
+    deterministic rank arithmetic into the classic 111-555 RFM code.
+    Monetary rounds to 6 BEFORE its rank so decimal-sum one-ulp
+    spread can't flip rank order; recency/frequency are exact
+    integers. One user agg + three rank windows over the (small)
+    per-user table."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    now_us = F.unix_micros(F.col("now_ts").cast("timestamp"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "now_ts")
+        .agg(
+            F.max(ts_us).alias("_last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("_monetary"),
+        )
+        .select(
+            "user_id",
+            (now_us - F.col("_last_us")).alias("recency_us"),
+            "frequency",
+            _r6(F.col("_monetary")).alias("monetary"),
+        )
+    )
+    wall = W.partitionBy(F.lit(1))
+    r = u.select(
+        "user_id", "recency_us", "frequency", "monetary",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.row_number().over(wall.orderBy("recency_us", "user_id")).alias(
+            "rr"
+        ),
+        F.row_number().over(
+            wall.orderBy(F.desc("frequency"), "user_id")
+        ).alias("rf"),
+        F.row_number().over(
+            wall.orderBy(F.desc("monetary"), "user_id")
+        ).alias("rm"),
+    )
+
+    def quint(rank_col: str):
+        return (
+            F.floor(
+                ((F.col(rank_col) - 1) * F.lit(5.0)) / F.col("n")
+            ).cast("int")
+            + 1
+        )
+
+    return r.select(
+        "user_id",
+        _r6(
+            F.col("recency_us").cast("double") / F.lit(1e6) / F.lit(86400.0)
+        ).alias("recency_days"),
+        "frequency", "monetary",
+        quint("rr").alias("r_quintile"),
+        quint("rf").alias("f_quintile"),
+        quint("rm").alias("m_quintile"),
+        (
+            quint("rr") * 100 + quint("rf") * 10 + quint("rm")
+        ).alias("rfm_code"),
+    )
