@@ -8026,3 +8026,362 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             quint("rr") * 100 + quint("rf") * 10 + quint("rm")
         ).alias("rfm_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: the Yang-Zhang estimator completing the range-volatility
+# family, the Jarque-Bera normality test on realized moments, and the
+# two missing TPC-H shapes (Q19 OR-of-ANDs pushdown, Q22 anti-join
+# with a scalar-average filter).
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_yang_zhang_vol",
+    _bars_sql(
+        """
+        , t AS (
+            SELECT symbol, datetime, bar_id,
+                   ln(open / lag(close) OVER w) AS o_ret,
+                   ln(close / open) AS c_ret,
+                   ln(high / close) * ln(high / open)
+                       + ln(low / close) * ln(low / open) AS rs_term
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        s AS (
+            SELECT symbol, datetime, bar_id,
+                   count(o_ret) OVER f AS n_in,
+                   CAST(sum(CAST(o_ret AS DECIMAL(38,18))) OVER f
+                        AS DOUBLE) AS so,
+                   CAST(sum(CAST(o_ret * o_ret AS DECIMAL(38,18))) OVER f
+                        AS DOUBLE) AS soo,
+                   CAST(sum(CAST(c_ret AS DECIMAL(38,18))) OVER f
+                        AS DOUBLE) AS sc,
+                   CAST(sum(CAST(c_ret * c_ret AS DECIMAL(38,18))) OVER f
+                        AS DOUBLE) AS scc,
+                   CAST(sum(CAST(rs_term AS DECIMAL(38,18))) OVER f
+                        AS DOUBLE) AS srs
+            FROM t
+            WINDOW f AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN n_in >= 20 THEN
+                   round(CASE WHEN
+                       (soo - so * so / CAST(n_in AS DOUBLE))
+                           / (CAST(n_in AS DOUBLE) - 1.0)
+                       + (0.34 / (1.34 + 21.0 / 19.0))
+                         * (scc - sc * sc / CAST(n_in AS DOUBLE))
+                         / (CAST(n_in AS DOUBLE) - 1.0)
+                       + (1.0 - 0.34 / (1.34 + 21.0 / 19.0))
+                         * srs / CAST(n_in AS DOUBLE) > 0
+                   THEN sqrt(
+                       (soo - so * so / CAST(n_in AS DOUBLE))
+                           / (CAST(n_in AS DOUBLE) - 1.0)
+                       + (0.34 / (1.34 + 21.0 / 19.0))
+                         * (scc - sc * sc / CAST(n_in AS DOUBLE))
+                         / (CAST(n_in AS DOUBLE) - 1.0)
+                       + (1.0 - 0.34 / (1.34 + 21.0 / 19.0))
+                         * srs / CAST(n_in AS DOUBLE))
+                   ELSE 0.0 END, 6) + 0.0
+               END AS vol_yang_zhang
+        FROM s
+        """
+    ),
+)
+def q_bars_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yang-Zhang range volatility (rolling 20): overnight variance +
+    k x open-close variance + (1-k) x Rogers-Satchell, the
+    drift-and-jump-robust estimator completing the
+    Parkinson/GK/RS family. Per-bar ln terms quantize to
+    decimal(38,18) under the window sums; k = 0.34/(1.34+21/19) is a
+    shared literal; round-6, warmup at 20 overnight returns."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    o_ret = F.log(F.col("open") / F.lag("close").over(w))
+    c_ret = F.log(F.col("close") / F.col("open"))
+    rs = F.log(F.col("high") / F.col("close")) * F.log(
+        F.col("high") / F.col("open")
+    ) + F.log(F.col("low") / F.col("close")) * F.log(
+        F.col("low") / F.col("open")
+    )
+    t = bars.select(
+        "symbol", "datetime", "bar_id",
+        o_ret.alias("o_ret"), c_ret.alias("c_ret"), rs.alias("rs_term"),
+    )
+    f = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(-19, 0)
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).over(f).cast("double")
+
+    s = t.select(
+        "symbol", "datetime", "bar_id",
+        F.count("o_ret").over(f).alias("n_in"),
+        dsum(F.col("o_ret")).alias("so"),
+        dsum(F.col("o_ret") * F.col("o_ret")).alias("soo"),
+        dsum(F.col("c_ret")).alias("sc"),
+        dsum(F.col("c_ret") * F.col("c_ret")).alias("scc"),
+        dsum(F.col("rs_term")).alias("srs"),
+    )
+    n = F.when(F.col("n_in") >= 20, F.col("n_in").cast("double"))
+    k = F.lit(0.34) / (F.lit(1.34) + F.lit(21.0) / F.lit(19.0))
+    var_o = (F.col("soo") - F.col("so") * F.col("so") / n) / (n - F.lit(1.0))
+    var_c = (F.col("scc") - F.col("sc") * F.col("sc") / n) / (n - F.lit(1.0))
+    yz2 = var_o + k * var_c + (F.lit(1.0) - k) * F.col("srs") / n
+    yz = F.when(
+        F.col("n_in") >= 20,
+        F.when(yz2 > 0, F.sqrt(yz2)).otherwise(F.lit(0.0)),
+    )
+    return s.select(
+        "symbol", "datetime", "bar_id",
+        _r6(yz).alias("vol_yang_zhang"),
+    )
+
+
+@register_extended(
+    "bars_jarque_bera",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s2,
+                   CAST(sum(CAST(ret * ret * ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS s3,
+                   CAST(sum(CAST(ret * ret * ret * ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS s4
+            FROM r WHERE ret IS NOT NULL GROUP BY symbol
+        ),
+        m AS (
+            SELECT symbol, n_obs,
+                   s1 / CAST(n_obs AS DOUBLE) AS m1,
+                   s2 / CAST(n_obs AS DOUBLE)
+                       - (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE)) AS m2,
+                   s3 / CAST(n_obs AS DOUBLE)
+                       - 3.0 * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s2 / CAST(n_obs AS DOUBLE))
+                       + 2.0 * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE)) AS m3,
+                   s4 / CAST(n_obs AS DOUBLE)
+                       - 4.0 * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s3 / CAST(n_obs AS DOUBLE))
+                       + 6.0 * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s2 / CAST(n_obs AS DOUBLE))
+                       - 3.0 * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE)) AS m4
+            FROM g
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               CASE WHEN n_obs >= 4 AND m2 > 0 THEN
+                   round(m3 / (m2 * sqrt(m2)), 6) + 0.0 END AS skewness,
+               CASE WHEN n_obs >= 4 AND m2 > 0 THEN
+                   round(m4 / (m2 * m2) - 3.0, 6) + 0.0
+               END AS excess_kurtosis,
+               CASE WHEN n_obs >= 4 AND m2 > 0 THEN
+                   round(CAST(n_obs AS DOUBLE) / 6.0
+                         * ((m3 / (m2 * sqrt(m2)))
+                            * (m3 / (m2 * sqrt(m2)))
+                            + (m4 / (m2 * m2) - 3.0)
+                              * (m4 / (m2 * m2) - 3.0) / 4.0), 6) + 0.0
+               END AS jb_stat
+        FROM m
+        """
+    ),
+)
+def q_bars_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per symbol: population skewness and
+    excess kurtosis from decimal-exact power sums, combined into
+    JB = n/6 (S^2 + K^2/4) — the are-these-returns-Gaussian
+    statistic behind every fat-tail claim. One window + one agg;
+    round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select("symbol", ret.alias("ret")).filter(
+        F.col("ret").isNotNull()
+    )
+    x = F.col("ret")
+    g = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(x.cast("decimal(38,18)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,18)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,18)")).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n_obs").cast("double")
+    m1 = F.col("s1") / n
+    a2 = F.col("s2") / n
+    a3 = F.col("s3") / n
+    a4 = F.col("s4") / n
+    m2 = a2 - m1 * m1
+    m3 = a3 - F.lit(3.0) * m1 * a2 + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        a4
+        - F.lit(4.0) * m1 * a3
+        + F.lit(6.0) * m1 * m1 * a2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    ok = (F.col("n_obs") >= 4) & (m2 > 0)
+    m2g = F.when(ok, m2)
+    skew = m3 / (m2g * F.sqrt(m2g))
+    kurt = m4 / (m2g * m2g) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    return g.select(
+        "symbol", "n_obs",
+        _r6(skew).alias("skewness"),
+        _r6(kurt).alias("excess_kurtosis"),
+        _r6(jb).alias("jb_stat"),
+    )
+
+
+@register_extended(
+    "tpch_q19_bracketed_revenue",
+    """
+    WITH b AS (
+        SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS rn
+        FROM (SELECT DISTINCT p_brand FROM part)
+    ),
+    sel AS (
+        SELECT p.p_partkey, b.rn
+        FROM part p JOIN b ON p.p_brand = b.p_brand
+        WHERE b.rn <= 3
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN sel s ON l.l_partkey = s.p_partkey
+    WHERE (s.rn = 1 AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (s.rn = 2 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (s.rn = 3 AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_tpch_q19_bracketed_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 adapted (discounted revenue, OR-of-ANDs): three
+    brand x quantity-bracket disjuncts — the disjunctive-predicate
+    pushdown shape. Brands are data-derived (first three by name);
+    the part side reduces to a broadcast (partkey, bracket) list so
+    the OR evaluates against the fact scan once. Revenue
+    decimal-exact, round-6."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        part.select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            F.row_number()
+            .over(W.partitionBy(F.lit(1)).orderBy("p_brand"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    sel = part.join(F.broadcast(b), "p_brand").select("p_partkey", "rn")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("rn") == 1) & (q >= 1) & (q <= 11))
+        | ((F.col("rn") == 2) & (q >= 10) & (q <= 20))
+        | ((F.col("rn") == 3) & (q >= 20) & (q <= 30))
+    )
+    g = j.filter(cond).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(_r6(F.col("_rev")).alias("revenue"), "n_lines")
+
+
+@register_extended(
+    "tpch_q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,10)))
+                      AS DOUBLE), 6) + 0.0 AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22_dormant_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 adapted (global sales opportunity): above-average-
+    balance customers with no order since 2000, grouped by nation —
+    the scalar-aggregate filter + anti-join shape. The average is one
+    broadcast scalar; the NOT EXISTS is a left-anti join on custkey
+    (never a per-row probe); decimal sums, round-6."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ab")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    g = dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_tot"),
+    )
+    return g.select(
+        "c_nationkey", "numcust", _r6(F.col("_tot")).alias("totacctbal")
+    )
