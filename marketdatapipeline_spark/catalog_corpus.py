@@ -8385,3 +8385,171 @@ def q_tpch_q22_dormant_customers(
     return g.select(
         "c_nationkey", "numcust", _r6(F.col("_tot")).alias("totacctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: centroid-classifier evaluation and the PR-curve threshold
+# sweep.
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.similarity.semdedup import (  # noqa: E402
+    assign_clusters,
+)
+
+
+@register_extended(
+    "embeddings_centroid_confusion",
+    _CENTROID_CTE
+    + """
+    , cents AS (
+        SELECT label AS clab, list(mean ORDER BY pos) AS cv
+        FROM per GROUP BY label
+    ),
+    vec AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    assigned AS (
+        SELECT vec_id, label, clab AS pred_label, cos FROM (
+            SELECT vec_id, label, clab, cos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, clab DESC
+            ) AS rn
+            FROM (
+                SELECT vec_id, label, clab,
+                       list_dot_product(v, cv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(cv, cv))) AS cos
+                FROM vec CROSS JOIN cents
+            )
+        ) WHERE rn = 1
+    )
+    SELECT label AS true_label, pred_label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(cos AS DECIMAL(28,14))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos,
+           label = pred_label AS is_correct
+    FROM assigned GROUP BY label, pred_label
+    """,
+)
+def q_embeddings_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix: every vector
+    routed to its highest-cosine label prototype (the scan-side
+    broadcast argmax from SemDeDup — no shuffle on the vector side),
+    tallied against the true label — the cluster-coherence audit
+    that says whether labels are separable in embedding space at
+    all. Cosines fold sequentially (bit-exact vs list_dot_product);
+    mean cosine decimal-quantized, round-6."""
+    from marketdatapipeline_spark.similarity.centroids import (
+        label_centroids,
+    )
+
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    cents = label_centroids(emb)
+    assigned = assign_clusters(emb, cents)
+    j = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    g = j.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("cluster").alias("pred_label"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("best_cos").cast("decimal(28,14)"))
+        .cast("double")
+        .alias("_sc"),
+    )
+    return g.select(
+        "true_label", "pred_label", "n_vecs",
+        _r6(F.col("_sc") / F.col("n_vecs").cast("double")).alias("mean_cos"),
+        (F.col("true_label") == F.col("pred_label")).alias("is_correct"),
+    )
+
+
+@register_extended(
+    "ml_threshold_sweep",
+    _bars_sql(
+        _SCORE_CTE
+        + """
+        , thr AS (
+            SELECT unnest([0.3, 0.4, 0.45, 0.5, 0.55, 0.6, 0.7])
+                AS threshold
+        ),
+        cm AS (
+            SELECT threshold,
+                   sum(CASE WHEN score >= threshold AND target = 1
+                       THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN score >= threshold AND target = 0
+                       THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN score < threshold AND target = 1
+                       THEN 1 ELSE 0 END) AS fn,
+                   sum(CASE WHEN score < threshold AND target = 0
+                       THEN 1 ELSE 0 END) AS tn
+            FROM base CROSS JOIN thr GROUP BY threshold
+        )
+        SELECT threshold, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+               CAST(tn AS BIGINT) AS tn,
+               CASE WHEN tp + fp > 0 THEN
+                   CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+               END AS precision_v,
+               CASE WHEN tp + fn > 0 THEN
+                   CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               END AS recall_v,
+               CASE WHEN 2 * tp + fp + fn > 0 THEN
+                   2.0 * CAST(tp AS DOUBLE)
+                       / CAST(2 * tp + fp + fn AS DOUBLE)
+               END AS f1
+        FROM cm
+        """
+    ),
+)
+def q_ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 across a decision-threshold sweep — the
+    PR-curve points that pick the operating threshold after AUC says
+    the ranking is good. One explode x 7 thresholds then one
+    hash-agg; round-6 scores make every >= cut engine-identical;
+    integer-ratio metrics UNROUNDED (F1 via the 2tp identity — one
+    division, no chained ratios)."""
+    b = _scored_bars(spark, sf_dir)
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in (0.3, 0.4, 0.45, 0.5, 0.55, 0.6, 0.7)])
+    ).alias("threshold")
+    e = b.select("score", "target", thr)
+    pred = F.col("score") >= F.col("threshold")
+    cm = e.groupBy("threshold").agg(
+        F.sum(F.when(pred & (F.col("target") == 1), 1).otherwise(0)).alias(
+            "tp"
+        ),
+        F.sum(F.when(pred & (F.col("target") == 0), 1).otherwise(0)).alias(
+            "fp"
+        ),
+        F.sum(
+            F.when(~pred & (F.col("target") == 1), 1).otherwise(0)
+        ).alias("fn"),
+        F.sum(
+            F.when(~pred & (F.col("target") == 0), 1).otherwise(0)
+        ).alias("tn"),
+    )
+    return cm.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision_v"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall_v"),
+        F.when(
+            (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+            F.lit(2.0)
+            * F.col("tp").cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            ),
+        ).alias("f1"),
+    )
