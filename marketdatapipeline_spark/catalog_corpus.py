@@ -8553,3 +8553,242 @@ def q_ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: execution-scheduling volume curves, signal IC decay, and
+# the dedup token-savings dashboard.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_hourly_volume_curve",
+    _bars_sql(
+        """
+        , h AS (
+            SELECT symbol, CAST(hour(datetime) AS INT) AS hod,
+                   CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE)
+                       AS vol_h,
+                   count(*) AS n_bars
+            FROM bars GROUP BY symbol, hour(datetime)
+        )
+        SELECT symbol, hod, CAST(n_bars AS BIGINT) AS n_bars, vol_h,
+               vol_h / sum(vol_h) OVER (PARTITION BY symbol)
+                   AS volume_share,
+               CAST(sum(vol_h) OVER (
+                   PARTITION BY symbol ORDER BY hod
+               ) AS DOUBLE) / sum(vol_h) OVER (PARTITION BY symbol)
+                   AS cum_volume_share
+        FROM h
+        """
+    ),
+)
+def q_bars_hourly_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday volume curve per symbol: hour-of-day volume share and
+    the cumulative participation curve — the input every VWAP/POV
+    execution scheduler consumes. Volumes are integral doubles
+    summed as decimals (exact), so shares are exact-operand
+    divisions, UNROUNDED; one hash-agg + two windows over 24-row
+    partitions."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    h = bars.groupBy(
+        "symbol", F.hour("datetime").cast("int").alias("hod")
+    ).agg(
+        F.sum(F.col("volume").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("vol_h"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+    sym = W.partitionBy("symbol")
+    cum = sym.orderBy("hod")
+    return h.select(
+        "symbol", "hod", "n_bars", "vol_h",
+        (F.col("vol_h") / F.sum("vol_h").over(sym)).alias("volume_share"),
+        (
+            F.sum("vol_h").over(cum).cast("double")
+            / F.sum("vol_h").over(sym)
+        ).alias("cum_volume_share"),
+    )
+
+
+@register_extended(
+    "bars_ic_decay",
+    _bars_sql(
+        """
+        , s AS (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close, 5) OVER w) / lag(close, 5) OVER w
+                       AS signal,
+                   close
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        p AS (
+            SELECT symbol, signal,
+                   unnest([1, 5, 10, 20]) AS horizon,
+                   unnest([
+                       (lead(close, 1) OVER w - close) / close,
+                       (lead(close, 5) OVER w - close) / close,
+                       (lead(close, 10) OVER w - close) / close,
+                       (lead(close, 20) OVER w - close) / close
+                   ]) AS fwd
+            FROM s
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT horizon, count(*) AS n_obs,
+                   CAST(sum(CAST(signal AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sx,
+                   CAST(sum(CAST(signal * signal AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(fwd AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(fwd * fwd AS DECIMAL(38,18))) AS DOUBLE)
+                       AS syy,
+                   CAST(sum(CAST(signal * fwd AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sxy
+            FROM p WHERE signal IS NOT NULL AND fwd IS NOT NULL
+            GROUP BY horizon
+        )
+        SELECT CAST(horizon AS INT) AS horizon,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CASE WHEN n_obs >= 2
+                         AND (sxx - sx * sx / CAST(n_obs AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(n_obs AS DOUBLE)) > 0
+               THEN round((sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                          / sqrt((sxx - sx * sx / CAST(n_obs AS DOUBLE))
+                                 * (syy - sy * sy
+                                    / CAST(n_obs AS DOUBLE))), 6) + 0.0
+               END AS ic
+        FROM g
+        """
+    ),
+)
+def q_bars_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-coefficient decay: Pearson correlation of a 5-bar
+    momentum signal with forward returns at horizons 1/5/10/20 — the
+    signal-research table that says how fast alpha evaporates. The
+    four forward returns come off ONE window pass (parallel leads,
+    zipped explode), co-moments as decimals, round-6. The agg keys
+    on horizon (4 groups) — map-side combinable anywhere."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    sig = (F.col("close") - F.lag("close", 5).over(w)) / F.lag(
+        "close", 5
+    ).over(w)
+    horizons = [1, 5, 10, 20]
+    fwds = [
+        ((F.lead("close", h).over(w) - F.col("close")) / F.col("close")).alias(
+            f"_f{h}"
+        )
+        for h in horizons
+    ]
+    s = bars.select("symbol", sig.alias("signal"), *fwds)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).alias("horizon"), F.col(f"_f{h}").alias("fwd")
+                )
+                for h in horizons
+            ]
+        )
+    ).alias("p")
+    p = s.select("signal", pairs).select(
+        "signal", F.col("p.horizon").alias("horizon"),
+        F.col("p.fwd").alias("fwd"),
+    ).filter(F.col("signal").isNotNull() & F.col("fwd").isNotNull())
+    g = p.groupBy("horizon").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("signal").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("signal") * F.col("signal")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("fwd").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("fwd") * F.col("fwd")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("signal") * F.col("fwd")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    ok = (F.col("n_obs") >= 2) & (vx > 0) & (vy > 0)
+    ic = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    return g.select(
+        F.col("horizon").cast("int").alias("horizon"),
+        "n_obs",
+        _r6(F.when(ok, ic)).alias("ic"),
+    )
+
+
+@register_extended(
+    "corpus_dedup_token_savings",
+    f"""
+    WITH k AS (
+        SELECT doc_id, source,
+               {_H_SQL.format(x="text")} AS full_key,
+               CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ),
+    g AS (
+        SELECT full_key, count(*) AS c, min(doc_id) AS keeper
+        FROM k GROUP BY full_key
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN g.c > 1 AND k.doc_id <> g.keeper
+                    THEN k.n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+           CAST(sum(CASE WHEN g.c > 1 AND k.doc_id <> g.keeper
+                    THEN k.n_tok ELSE 0 END) AS DOUBLE)
+               / CAST(sum(k.n_tok) AS DOUBLE) AS savings_frac
+    FROM k JOIN g USING (full_key)
+    GROUP BY k.source
+    """,
+)
+def q_corpus_dedup_token_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-weighted dedup savings per source: BPE-estimate tokens
+    sitting in non-keeper exact duplicates over total tokens — the
+    number that turns 'dup rate' into 'training-cost saved'. One
+    hash-agg on the text hash + one equi-join; integer token sums,
+    integer-ratio savings UNROUNDED."""
+    from marketdatapipeline_spark.textops.corpus import add_token_estimate
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = add_token_estimate(_docs(spark, sf_dir))
+    k = docs.select(
+        "doc_id", "source",
+        md5_int(F.col("text")).alias("full_key"),
+        F.col("n_tokens_bpe").cast("bigint").alias("n_tok"),
+    )
+    g = k.groupBy("full_key").agg(
+        F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keeper")
+    )
+    j = k.join(g, "full_key")
+    dup_tok = F.when(
+        (F.col("c") > 1) & (F.col("doc_id") != F.col("keeper")),
+        F.col("n_tok"),
+    ).otherwise(F.lit(0))
+    out = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(dup_tok).alias("dup_tokens"),
+    )
+    return out.select(
+        "source", "n_docs", "total_tokens", "dup_tokens",
+        (
+            F.col("dup_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("savings_frac"),
+    )
