@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from marketdatapipeline_spark.caching import scoped_persist
 from marketdatapipeline_spark.catalog import _r6, register, register_extended
 from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs, _emb, tokens3_cte
 from marketdatapipeline_spark.similarity.quantize import quantization_summary
@@ -6650,7 +6651,7 @@ def q_corpus_source_js_divergence(
         ).alias("t"),
     ).select("source", md5_int(F.col("t")).alias("h"))
     sc = tok.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
-    sc = sc.persist()
+    sc = scoped_persist(sc)
     st = sc.groupBy("source").agg(F.sum("c").alias("tot_s"))
     cc = sc.groupBy("h").agg(F.sum("c").alias("c_corpus"))
     ct = sc.agg(F.sum("c").alias("tot_c"))
@@ -7128,7 +7129,7 @@ def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
     )
     j = r.groupBy("bin", "target").agg(F.count(F.lit(1)).alias("c"))
-    j = j.persist()
+    j = scoped_persist(j)
     n_col = j.agg(F.sum("c").alias("n"))
     mx = j.groupBy("bin").agg(F.sum("c").alias("cx"))
     my = j.groupBy("target").agg(F.sum("c").alias("cy"))
@@ -7787,7 +7788,7 @@ def q_bars_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = bars.select("symbol", ret.alias("ret")).filter(
         F.col("ret").isNotNull()
     )
-    nn = nn.persist()
+    nn = scoped_persist(nn)
     q = nn.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.percentile(F.col("ret"), F.lit(0.05)).alias("var_95"),
@@ -7877,7 +7878,7 @@ def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t"),
     ).select("doc_id", md5_int(F.col("t")).alias("h"))
-    tok = tok.persist()
+    tok = scoped_persist(tok)
     per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     firsts = tok.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     newv = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
@@ -8791,4 +8792,153 @@ def q_corpus_dedup_token_savings(
             F.col("dup_tokens").cast("double")
             / F.col("total_tokens").cast("double")
         ).alias("savings_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: session-distribution summary and marketing attribution.
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.catalog_operators import (  # noqa: E402
+    session_numbering_sql,
+)
+
+
+@register_extended(
+    "events_session_percentiles",
+    f"""
+    WITH {session_numbering_sql("INTERVAL 30 MINUTE")},
+    s AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS duration_us
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_events,
+           quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS p50_events,
+           quantile_cont(CAST(n_events AS DOUBLE), 0.9) AS p90_events,
+           quantile_cont(CAST(duration_us AS DOUBLE), 0.5) / 1e6
+               AS p50_duration_s,
+           quantile_cont(CAST(duration_us AS DOUBLE), 0.9) / 1e6
+               AS p90_duration_s,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM s
+    """,
+)
+def q_events_session_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-distribution summary over the 30-minute gap
+    sessionization: session/user counts, mean + exact p50/p90 events
+    per session, duration percentiles, and the bounce rate
+    (single-event sessions) — the page every product dashboard leads
+    with. Integer counts and microsecond durations end-to-end;
+    exact interpolated percentiles; UNROUNDED."""
+    from marketdatapipeline_spark.operators.sessions import session_stats
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    s = session_stats(
+        ev, F.expr("INTERVAL 30 MINUTES"), tie_break=("event_id",)
+    )
+    dur_us = F.col("duration_us").cast("double")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_events"),
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
+            "p50_events"
+        ),
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.9)).alias(
+            "p90_events"
+        ),
+        (F.percentile(dur_us, F.lit(0.5)) / F.lit(1e6)).alias(
+            "p50_duration_s"
+        ),
+        (F.percentile(dur_us, F.lit(0.9)) / F.lit(1e6)).alias(
+            "p90_duration_s"
+        ),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+@register_extended(
+    "events_purchase_attribution",
+    """
+    WITH touched AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                           THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS first_touch,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch
+        FROM events
+    )
+    SELECT coalesce(first_touch, 'none') AS first_touch,
+           coalesce(last_touch, 'none') AS last_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+               + 0.0 AS total_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_events_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch purchase attribution: each purchase
+    credits the user's earliest and most recent preceding marketing
+    touch (view/click), tallied into the attribution matrix with
+    decimal-exact value sums. One user window (two ignore-nulls
+    frames share it) + one tiny agg; round-6 on the value sum's
+    double conversion."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    t = ev.select(
+        "event_type", "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    g = t.groupBy(
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_tv"),
+    )
+    return g.select(
+        "first_touch", "last_touch", "n_purchases",
+        _r6(F.col("_tv")).alias("total_value"),
     )

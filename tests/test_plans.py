@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _no_cached_plans():
+    """Plan pins must see the raw plan: a scoped-persisted frame left
+    live by an earlier catalog query (they release at the NEXT catalog
+    invocation, not at action end) can canonically match a sub-plan
+    here and substitute an InMemoryTableScan, changing exchange
+    counts — an in-suite-only flake."""
+    from marketdatapipeline_spark.caching import release_caches
+
+    release_caches()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
