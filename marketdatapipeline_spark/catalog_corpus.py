@@ -8942,3 +8942,300 @@ def q_events_purchase_attribution(
         "first_touch", "last_touch", "n_purchases",
         _r6(F.col("_tv")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: cross-sectional long-short momentum, pricing elasticity,
+# and embedding dimension-correlation structure.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_xs_momentum_portfolio",
+    _bars_sql(
+        """
+        , hb AS (
+            SELECT symbol, date_trunc('hour', datetime) AS hour, close
+            FROM (
+                SELECT symbol, datetime, bar_id, close,
+                       row_number() OVER (
+                           PARTITION BY symbol, date_trunc('hour', datetime)
+                           ORDER BY datetime DESC, bar_id DESC
+                       ) AS rn
+                FROM bars
+            ) WHERE rn = 1
+        ),
+        r0 AS (
+            SELECT symbol, hour,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM hb
+            WINDOW w AS (PARTITION BY symbol ORDER BY hour)
+        ),
+        r AS (
+            SELECT symbol, hour, ret,
+                   lag(ret) OVER (PARTITION BY symbol ORDER BY hour)
+                       AS signal
+            FROM r0
+        ),
+        ranked AS (
+            SELECT hour, ret, signal,
+                   row_number() OVER (
+                       PARTITION BY hour ORDER BY signal DESC, symbol
+                   ) AS r_top,
+                   row_number() OVER (
+                       PARTITION BY hour ORDER BY signal, symbol
+                   ) AS r_bot,
+                   count(*) OVER (PARTITION BY hour) AS n_sym
+            FROM r WHERE ret IS NOT NULL AND signal IS NOT NULL
+        )
+        SELECT hour, CAST(max(n_sym) AS BIGINT) AS n_symbols,
+               CAST(sum(CASE WHEN r_top <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_long,
+               CAST(sum(CASE WHEN r_bot <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short,
+               round(CAST(sum(CASE WHEN r_top <= 3
+                        THEN CAST(ret AS DECIMAL(38,18))
+                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN r_top <= 3 THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) + 0.0 AS long_ret,
+               round(CAST(sum(CASE WHEN r_bot <= 3
+                        THEN CAST(ret AS DECIMAL(38,18))
+                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN r_bot <= 3 THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) + 0.0 AS short_ret,
+               round(CAST(sum(CASE WHEN r_top <= 3
+                        THEN CAST(ret AS DECIMAL(38,18))
+                        ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN r_top <= 3 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                   - CAST(sum(CASE WHEN r_bot <= 3
+                          THEN CAST(ret AS DECIMAL(38,18))
+                          ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN r_bot <= 3 THEN 1 ELSE 0 END)
+                            AS DOUBLE), 6) + 0.0 AS ls_ret
+        FROM ranked
+        WHERE n_sym >= 6
+        GROUP BY hour
+        """
+    ),
+)
+def q_bars_xs_momentum_portfolio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-sectional momentum long-short portfolio: each hour, rank
+    symbols by the PRIOR hour's return (no look-ahead), long the top
+    three / short the bottom three, realize the current hour's
+    equal-weight spread — the canonical XS-factor backtest. Hourly
+    closes via one dedup window; signal/return off one symbol window;
+    ranking one hour-keyed exchange. Decimal return sums (their
+    double conversion is 1-ulp noisy cross-engine), round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    hw = W.partitionBy("symbol", F.date_trunc("hour", "datetime")).orderBy(
+        F.desc("datetime"), F.desc("bar_id")
+    )
+    hb = (
+        bars.select(
+            "symbol",
+            F.date_trunc("hour", "datetime").alias("hour"),
+            "close",
+            F.row_number().over(hw).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = W.partitionBy("symbol").orderBy("hour")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = hb.select("symbol", "hour", ret.alias("ret")).select(
+        "symbol", "hour", "ret", F.lag("ret").over(w).alias("signal")
+    )
+    nn = r.filter(F.col("ret").isNotNull() & F.col("signal").isNotNull())
+    hr = W.partitionBy("hour")
+    ranked = nn.select(
+        "hour", "ret",
+        F.row_number()
+        .over(hr.orderBy(F.desc("signal"), "symbol"))
+        .alias("r_top"),
+        F.row_number().over(hr.orderBy("signal", "symbol")).alias("r_bot"),
+        F.count(F.lit(1)).over(hr).alias("n_sym"),
+    ).filter(F.col("n_sym") >= 6)
+    zero = F.lit(0).cast("decimal(38,18)")
+    long_sum = F.sum(
+        F.when(F.col("r_top") <= 3, F.col("ret").cast("decimal(38,18)"))
+        .otherwise(zero)
+    ).cast("double")
+    short_sum = F.sum(
+        F.when(F.col("r_bot") <= 3, F.col("ret").cast("decimal(38,18)"))
+        .otherwise(zero)
+    ).cast("double")
+    g = ranked.groupBy("hour").agg(
+        F.max("n_sym").alias("n_symbols"),
+        F.sum(F.when(F.col("r_top") <= 3, 1).otherwise(0)).alias("n_long"),
+        F.sum(F.when(F.col("r_bot") <= 3, 1).otherwise(0)).alias("n_short"),
+        long_sum.alias("_ls"),
+        short_sum.alias("_ss"),
+    )
+    lr = F.col("_ls") / F.col("n_long").cast("double")
+    sr = F.col("_ss") / F.col("n_short").cast("double")
+    return g.select(
+        "hour", "n_symbols", "n_long", "n_short",
+        _r6(lr).alias("long_ret"), _r6(sr).alias("short_ret"),
+        _r6(lr - sr).alias("ls_ret"),
+    )
+
+
+@register_extended(
+    "tpch_discount_elasticity",
+    """
+    SELECT l_discount,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_quantity,
+           round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 2) + 0.0
+               AS revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS revenue_per_line
+    FROM lineitem
+    GROUP BY l_discount
+    """,
+)
+def q_tpch_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band elasticity curve: per discount level, volume
+    (lines, average quantity) and realized revenue — the pricing
+    analytics readout off one hash-agg on the 11-value discount
+    domain (map-side combinable to 11 rows anywhere). Quantities
+    integral; revenue decimal-exact, round-6 at double-ulp
+    magnitudes."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    g = li.groupBy("l_discount").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_sq"),
+        F.sum(rev).cast("double").alias("_rev"),
+    )
+    n = F.col("n_lines").cast("double")
+    # revenue reaches 3e9 at sf0.1 where double ulp ~5e-7 exceeds the
+    # round-6 quantum — round to cents (the data's own precision)
+    return g.select(
+        "l_discount", "n_lines",
+        (F.col("_sq") / n).alias("avg_quantity"),
+        (F.round(F.col("_rev"), 2) + F.lit(0.0)).alias("revenue"),
+        _r6(F.col("_rev") / n).alias("revenue_per_line"),
+    )
+
+
+@register_extended(
+    "embeddings_dim_correlations",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    p AS (
+        SELECT a.dim AS dim_a, b.dim AS dim_b,
+               count(*) AS n,
+               CAST(sum(CAST(a.x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(b.x AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(a.x * a.x AS DECIMAL(28,16))) AS DOUBLE)
+                   AS sxx,
+               CAST(sum(CAST(b.x * b.x AS DECIMAL(28,16))) AS DOUBLE)
+                   AS syy,
+               CAST(sum(CAST(a.x * b.x AS DECIMAL(28,16))) AS DOUBLE)
+                   AS sxy
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY a.dim, b.dim
+    ),
+    c AS (
+        SELECT CAST(dim_a AS BIGINT) AS dim_a,
+               CAST(dim_b AS BIGINT) AS dim_b,
+               CAST(n AS BIGINT) AS n_obs,
+               CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0 THEN
+                   round((sxy - sx * sy / CAST(n AS DOUBLE))
+                         / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                * (syy - sy * sy / CAST(n AS DOUBLE))),
+                         6) + 0.0
+               END AS corr
+        FROM p
+    )
+    SELECT dim_a, dim_b, n_obs, corr
+    FROM c
+    WHERE corr IS NOT NULL
+    ORDER BY abs(corr) DESC, dim_a, dim_b
+    LIMIT 50
+    """,
+)
+def q_embeddings_dim_correlations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-50 most-correlated embedding dimension pairs: the
+    redundancy map that says how much of the 64-dim space is real
+    (feeds PCA/quantizer design). The self-join runs on vec_id
+    (co-partitioned explode of the same scan — at 100 TB this is the
+    one all-pairs that stays bounded: dims^2, not rows^2). Decimal
+    co-moments; corr round-6 BEFORE the |corr| ordering so the
+    top-50 cut is engine-identical (ties broken by dim pair)."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "x")
+    e = scoped_persist(e)
+    a = e.select(
+        "vec_id", F.col("dim").alias("dim_a"), F.col("x").alias("xa")
+    )
+    b = e.select(
+        "vec_id", F.col("dim").alias("dim_b"), F.col("x").alias("xb")
+    )
+    p = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_a") < F.col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("xa").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum(F.col("xb").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("sy"),
+            F.sum((F.col("xa") * F.col("xa")).cast("decimal(28,16)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("xb") * F.col("xb")).cast("decimal(28,16)"))
+            .cast("double")
+            .alias("syy"),
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(28,16)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    n = F.col("n_obs").cast("double")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    corr = _r6(
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            / F.sqrt(vx * vy),
+        )
+    )
+    c = p.select("dim_a", "dim_b", "n_obs", corr.alias("corr")).filter(
+        F.col("corr").isNotNull()
+    )
+    return c.orderBy(F.abs(F.col("corr")).desc(), "dim_a", "dim_b").limit(50)
