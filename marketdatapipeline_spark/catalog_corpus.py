@@ -9239,3 +9239,277 @@ def q_embeddings_dim_correlations(
         F.col("corr").isNotNull()
     )
     return c.orderBy(F.abs(F.col("corr")).desc(), "dim_a", "dim_b").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: multi-lag serial-correlation inference (Ljung-Box), the
+# TPC-H cross-nation trade matrix, and usage-pattern independence.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_ljung_box",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        nn AS (
+            SELECT symbol, datetime, bar_id, ret
+            FROM r WHERE ret IS NOT NULL
+        ),
+        m AS (
+            SELECT symbol,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*) AS mu
+            FROM nn GROUP BY symbol
+        ),
+        d AS (
+            SELECT nn.symbol, nn.datetime, nn.bar_id,
+                   nn.ret - m.mu AS dev
+            FROM nn JOIN m ON nn.symbol = m.symbol
+        ),
+        l AS (
+            SELECT symbol, dev,
+                   lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+                   lag(dev, 3) OVER w AS d3, lag(dev, 4) OVER w AS d4,
+                   lag(dev, 5) OVER w AS d5
+            FROM d
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(dev * dev AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s0,
+                   CAST(sum(CAST(dev * d1 AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s1,
+                   CAST(sum(CAST(dev * d2 AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s2,
+                   CAST(sum(CAST(dev * d3 AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s3,
+                   CAST(sum(CAST(dev * d4 AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s4,
+                   CAST(sum(CAST(dev * d5 AS DECIMAL(38,18))) AS DOUBLE)
+                       AS s5
+            FROM l GROUP BY symbol
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               round(s1 / s0, 6) + 0.0 AS acf_1,
+               round(s2 / s0, 6) + 0.0 AS acf_2,
+               round(s3 / s0, 6) + 0.0 AS acf_3,
+               round(s4 / s0, 6) + 0.0 AS acf_4,
+               round(s5 / s0, 6) + 0.0 AS acf_5,
+               round(CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) + 2.0)
+                     * ((s1 / s0) * (s1 / s0) / (CAST(n_obs AS DOUBLE) - 1.0)
+                        + (s2 / s0) * (s2 / s0)
+                          / (CAST(n_obs AS DOUBLE) - 2.0)
+                        + (s3 / s0) * (s3 / s0)
+                          / (CAST(n_obs AS DOUBLE) - 3.0)
+                        + (s4 / s0) * (s4 / s0)
+                          / (CAST(n_obs AS DOUBLE) - 4.0)
+                        + (s5 / s0) * (s5 / s0)
+                          / (CAST(n_obs AS DOUBLE) - 5.0)), 6) + 0.0
+                   AS ljung_box_q
+        FROM g WHERE n_obs > 5 AND s0 > 0
+        """
+    ),
+)
+def q_bars_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1-5 plus the Ljung-Box Q(5) portmanteau statistic
+    per symbol — the is-there-ANY-serial-structure test behind every
+    white-noise claim. Demeaned cross-products from one window pass
+    (five lags share the frame), decimal sums; ACFs and Q round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    nn = bars.select(
+        "symbol", "datetime", "bar_id", ret.alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    m = nn.groupBy("symbol").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    d = nn.join(F.broadcast(m), "symbol").select(
+        "symbol", "datetime", "bar_id",
+        (F.col("ret") - F.col("mu")).alias("dev"),
+    )
+    lag_cols = [
+        F.lag("dev", k).over(w).alias(f"d{k}") for k in range(1, 6)
+    ]
+    l = d.select("symbol", "dev", *lag_cols)
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    g = l.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        dsum(F.col("dev") * F.col("dev")).alias("s0"),
+        *[
+            dsum(F.col("dev") * F.col(f"d{k}")).alias(f"s{k}")
+            for k in range(1, 6)
+        ],
+    )
+    g = g.filter((F.col("n_obs") > 5) & (F.col("s0") > 0))
+    n = F.col("n_obs").cast("double")
+    acfs = [(F.col(f"s{k}") / F.col("s0")) for k in range(1, 6)]
+    q = (
+        n
+        * (n + F.lit(2.0))
+        * sum(
+            (a * a / (n - F.lit(float(k))))
+            for k, a in zip(range(1, 6), acfs)
+        )
+    )
+    return g.select(
+        "symbol", "n_obs",
+        *[_r6(a).alias(f"acf_{k}") for k, a in zip(range(1, 6), acfs)],
+        _r6(q).alias("ljung_box_q"),
+    )
+
+
+@register_extended(
+    "tpch_q7_nation_trade_matrix",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def q_tpch_q7_nation_trade_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q7 adapted (volume shipping): the cross-nation trade
+    matrix — revenue between every (customer-nation, supplier-nation)
+    pair over a shipdate year, co-located pairs excluded (Q5's
+    complement). All dims broadcast; the fact shuffles once for the
+    orders join; per-pair sums stay at round-6-safe magnitudes."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("_sk"))
+        .filter(F.col("_ck") != F.col("_sk"))
+    )
+    g = j.groupBy("cust_nation", "supp_nation").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        "cust_nation", "supp_nation",
+        _r6(F.col("_rev")).alias("revenue"),
+        "n_lines",
+    )
+
+
+@register_extended(
+    "events_usage_independence",
+    """
+    WITH h AS (
+        SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hod,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT dow, hod, o,
+               sum(o) OVER (PARTITION BY dow) AS row_tot,
+               sum(o) OVER (PARTITION BY hod) AS col_tot,
+               sum(o) OVER () AS n
+        FROM h
+    )
+    SELECT CAST(dow AS INT) AS dow, hod, CAST(o AS BIGINT) AS observed,
+           CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expected,
+           (CAST(o AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / sqrt(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS std_residual,
+           (CAST(o AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                / CAST(n AS DOUBLE))
+           / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS chi2_cell
+    FROM t
+    """,
+)
+def q_events_usage_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-of-week x hour-of-day usage independence: observed vs
+    expected-under-independence counts with standardized residuals
+    and chi-square cell contributions — the usage-heatmap anomaly
+    layer (which (dow, hour) cells deviate from the marginal
+    profile). Integer counts; expected/residual chains are
+    fixed-sequence exact-operand doubles, UNROUNDED. One hash-agg to
+    168 cells + three windows over them."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    t = h.select(
+        "dow", "hod", "o",
+        F.sum("o").over(W.partitionBy("dow")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("hod")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("o").cast("double")
+    return t.select(
+        "dow", "hod", F.col("o").alias("observed"),
+        e.alias("expected"),
+        ((od - e) / F.sqrt(e)).alias("std_residual"),
+        ((od - e) * (od - e) / e).alias("chi2_cell"),
+    )
