@@ -9513,3 +9513,144 @@ def q_events_usage_independence(
         ((od - e) / F.sqrt(e)).alias("std_residual"),
         ((od - e) * (od - e) / e).alias("chi2_cell"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: average precision (PR-AUC) and cumulative volume-flow
+# indicators.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "ml_average_precision",
+    _bars_sql(
+        _SCORE_CTE
+        + """
+        , r AS (
+            SELECT target,
+                   row_number() OVER (
+                       ORDER BY score DESC, symbol, datetime, bar_id
+                   ) AS rk
+            FROM base
+        ),
+        c AS (
+            SELECT rk, target,
+                   sum(target) OVER (ORDER BY rk) AS tp_cum,
+                   sum(target) OVER () AS n_pos,
+                   count(*) OVER () AS n
+            FROM r
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_obs,
+               CAST(max(n_pos) AS BIGINT) AS n_pos,
+               round(CAST(sum(CASE WHEN target = 1 THEN
+                          CAST(CAST(tp_cum AS DOUBLE) / CAST(rk AS DOUBLE)
+                               AS DECIMAL(28,14))
+                          ELSE CAST(0 AS DECIMAL(28,14)) END) AS DOUBLE)
+                     / CAST(max(n_pos) AS DOUBLE), 6) + 0.0
+                   AS average_precision,
+               CAST(max(n_pos) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                   AS base_rate
+        FROM c
+        """
+    ),
+)
+def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-AUC summary): mean of precision@k
+    over the positives' ranks in the round-6-score ordering — the
+    metric that, unlike ROC-AUC, collapses under class imbalance
+    exactly when it should. Each precision@k is an exact integer
+    ratio; their mean accumulates as decimal(28,14), round-6. One
+    rank window + one agg."""
+    from pyspark.sql import Window as W
+
+    b = _scored_bars(spark, sf_dir)
+    wall = W.partitionBy(F.lit(1))
+    r = b.select(
+        "target",
+        F.row_number()
+        .over(wall.orderBy(F.desc("score"), "symbol", "datetime", "bar_id"))
+        .alias("rk"),
+    )
+    c = r.select(
+        "rk", "target",
+        F.sum("target").over(wall.orderBy("rk")).alias("tp_cum"),
+        F.sum("target").over(wall).alias("n_pos"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    prec = F.col("tp_cum").cast("double") / F.col("rk").cast("double")
+    term = F.when(
+        F.col("target") == 1, prec.cast("decimal(28,14)")
+    ).otherwise(F.lit(0).cast("decimal(28,14)"))
+    g = c.agg(
+        F.max("n").alias("n_obs"),
+        F.max("n_pos").alias("n_pos"),
+        F.sum(term).cast("double").alias("_ap"),
+    )
+    return g.select(
+        "n_obs", "n_pos",
+        _r6(F.col("_ap") / F.col("n_pos").cast("double")).alias(
+            "average_precision"
+        ),
+        (
+            F.col("n_pos").cast("double") / F.col("n_obs").cast("double")
+        ).alias("base_rate"),
+    )
+
+
+@register_extended(
+    "bars_flow_indicators",
+    _bars_sql(
+        """
+        , t AS (
+            SELECT symbol, datetime, bar_id,
+                   -- parenthesized: volume * (ret) — matching Spark's
+                   -- association; left-to-right would differ by 1 ulp
+                   CAST(volume * ((close - lag(close) OVER w)
+                                  / lag(close) OVER w)
+                        AS DECIMAL(28,8)) AS vpt_q,
+                   CAST(volume * (((close - low) - (high - close))
+                                  / (high - low)) AS DECIMAL(28,6))
+                       AS adl_q
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        )
+        SELECT symbol, datetime, bar_id,
+               CAST(sum(vpt_q) OVER c AS DOUBLE) AS vpt,
+               CAST(sum(adl_q) OVER c AS DOUBLE) AS adl
+        FROM t
+        WINDOW c AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    ),
+)
+def q_bars_flow_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-price trend and the accumulation/distribution line:
+    the two cumulative money-flow indicators next to OBV. Per-bar
+    contributions QUANTIZE via decimal CAST (HALF_UP in both engines
+    — F.round vs DuckDB round() disagree on exact ties, which a
+    cumsum then propagates forever), the running sums stay decimal,
+    and the final double conversion is exact (cum magnitudes are
+    inside 2^53 quantum-units); both share one symbol exchange."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    clv = ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close"))) / (
+        F.col("high") - F.col("low")
+    )
+    t = bars.select(
+        "symbol", "datetime", "bar_id",
+        (F.col("volume") * ret).cast("decimal(28,8)").alias("vpt_q"),
+        (F.col("volume") * clv).cast("decimal(28,6)").alias("adl_q"),
+    )
+    c = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return t.select(
+        "symbol", "datetime", "bar_id",
+        F.sum("vpt_q").over(c).cast("double").alias("vpt"),
+        F.sum("adl_q").over(c).cast("double").alias("adl"),
+    )
