@@ -9654,3 +9654,250 @@ def q_bars_flow_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vpt_q").over(c).cast("double").alias("vpt"),
         F.sum("adl_q").over(c).cast("double").alias("adl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: growth accounting, price clustering, and the document-
+# frequency spectrum.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "events_growth_accounting",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(week) AS first_week FROM act GROUP BY user_id
+    ),
+    lagged AS (
+        SELECT a.user_id, a.week, f.first_week,
+               lag(a.week) OVER (PARTITION BY a.user_id ORDER BY a.week)
+                   AS prev_week
+        FROM act a JOIN firsts f USING (user_id)
+    ),
+    weeks AS (SELECT DISTINCT week FROM act),
+    flags AS (
+        SELECT week,
+               CASE WHEN week = first_week THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN week <> first_week
+                         AND prev_week = week - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN week <> first_week
+                         AND (prev_week IS NULL
+                              OR prev_week < week - INTERVAL 7 DAY)
+                    THEN 1 ELSE 0 END AS is_resurrected
+        FROM lagged
+    ),
+    churn AS (
+        SELECT w.week, count(*) AS n_churned
+        FROM weeks w
+        JOIN act p ON p.week = w.week - INTERVAL 7 DAY
+        LEFT JOIN act c ON c.user_id = p.user_id AND c.week = w.week
+        WHERE c.user_id IS NULL
+        GROUP BY w.week
+    )
+    SELECT f.week,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(sum(is_retained) AS BIGINT) AS n_retained,
+           CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected,
+           CAST(coalesce(max(ch.n_churned), 0) AS BIGINT) AS n_churned,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM flags f LEFT JOIN churn ch ON ch.week = f.week
+    GROUP BY f.week
+    """,
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as
+    new / retained (active previous week) / resurrected (returning
+    after a gap), plus the churn count (previous week's actives who
+    left) — the four numbers that decompose any DAU curve. One
+    distinct-activity agg, one user-ordered lag window, one
+    anti-join for churn; all integer counts."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    act = scoped_persist(act)
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    w = W.partitionBy("user_id").orderBy("week")
+    lagged = act.join(firsts, "user_id").select(
+        "user_id", "week", "first_week",
+        F.lag("week").over(w).alias("prev_week"),
+    )
+    week_len = F.expr("INTERVAL 7 DAYS")
+    is_new = F.when(F.col("week") == F.col("first_week"), 1).otherwise(0)
+    is_ret = F.when(
+        (F.col("week") != F.col("first_week"))
+        & (F.col("prev_week") == F.col("week") - week_len),
+        1,
+    ).otherwise(0)
+    is_res = F.when(
+        (F.col("week") != F.col("first_week"))
+        & (
+            F.col("prev_week").isNull()
+            | (F.col("prev_week") < F.col("week") - week_len)
+        ),
+        1,
+    ).otherwise(0)
+    flags = lagged.select(
+        "week",
+        is_new.alias("is_new"),
+        is_ret.alias("is_retained"),
+        is_res.alias("is_resurrected"),
+    )
+    weeks = act.select("week").distinct()
+    prev = act.select(
+        "user_id", (F.col("week") + week_len).alias("week")
+    )
+    churn = (
+        weeks.join(prev, "week")
+        .join(act, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    g = flags.groupBy("week").agg(
+        F.sum("is_new").alias("n_new"),
+        F.sum("is_retained").alias("n_retained"),
+        F.sum("is_resurrected").alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    out = g.join(F.broadcast(churn), "week", "left").na.fill(
+        {"n_churned": 0}
+    )
+    return out.select(
+        "week", "n_new", "n_retained", "n_resurrected",
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        "n_active",
+    )
+
+
+@register_extended(
+    "bars_price_clustering",
+    _bars_sql(
+        """
+        , c AS (
+            SELECT CAST(CAST(round(close * 100.0) AS BIGINT) % 100 AS INT)
+                       AS cents,
+                   count(*) AS o
+            FROM bars GROUP BY 1
+        ),
+        t AS (SELECT sum(o) AS n, count(*) AS k FROM c)
+        SELECT c.cents, CAST(c.o AS BIGINT) AS observed,
+               CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE) AS expected,
+               (CAST(c.o AS DOUBLE)
+                - CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+               / sqrt(CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+                   AS std_residual,
+               c.cents % 10 = 0 AS is_round
+        FROM c CROSS JOIN t
+        """
+    ),
+)
+def q_bars_price_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price round-number clustering: the distribution of the cents
+    digit pair of close with standardized residuals against the
+    uniform expectation — the microstructure bias check (humans
+    cluster quotes at round numbers; synthetic feeds shouldn't).
+    Close is 2-decimal quantized so the cents extraction is exact
+    integer arithmetic; residual chains exact-operand, UNROUNDED."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    c = bars.groupBy(
+        (F.round(F.col("close") * F.lit(100.0)).cast("bigint") % 100)
+        .cast("int")
+        .alias("cents")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    t = c.agg(
+        F.sum("o").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    j = c.crossJoin(F.broadcast(t))
+    e = F.col("n").cast("double") / F.col("k").cast("double")
+    od = F.col("o").cast("double")
+    return j.select(
+        "cents",
+        F.col("o").alias("observed"),
+        e.alias("expected"),
+        ((od - e) / F.sqrt(e)).alias("std_residual"),
+        (F.col("cents") % 10 == 0).alias("is_round"),
+    )
+
+
+@register_extended(
+    "corpus_df_histogram",
+    rf"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, {_H_SQL.format(x="t")} AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS t
+            FROM documents
+        )
+    ),
+    df AS (SELECT h, count(*) AS doc_freq FROM tok GROUP BY h),
+    b AS (
+        SELECT CAST(floor(log2(doc_freq)) AS INT) AS df_bucket_log2,
+               count(*) AS n_terms,
+               CAST(sum(doc_freq) AS BIGINT) AS total_postings
+        FROM df GROUP BY 1
+    )
+    SELECT df_bucket_log2,
+           CAST(pow(2.0, df_bucket_log2) AS BIGINT) AS bucket_min_df,
+           CAST(n_terms AS BIGINT) AS n_terms, total_postings,
+           CAST(n_terms AS DOUBLE)
+               / CAST(sum(n_terms) OVER () AS DOUBLE) AS term_frac
+    FROM b
+    """,
+)
+def q_corpus_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency spectrum: power-of-two histogram of how
+    many documents each term appears in — the df side of the vocab
+    (Zipf covers term frequency; this is what sizes an inverted
+    index and picks stopword/IDF cutoffs). Distinct (doc, term-hash)
+    pairs -> one df agg -> log2 buckets; integer ratios UNROUNDED.
+    floor(log2(int)) is exact for any count below 2^53."""
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", md5_int(F.col("t")).alias("h"))
+        .distinct()
+    )
+    df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
+    b = df.groupBy(
+        F.floor(F.log2("doc_freq")).cast("int").alias("df_bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("doc_freq").alias("total_postings"),
+    )
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy(F.lit(1))
+    return b.select(
+        "df_bucket_log2",
+        F.pow(F.lit(2.0), F.col("df_bucket_log2")).cast("bigint").alias(
+            "bucket_min_df"
+        ),
+        "n_terms",
+        "total_postings",
+        (
+            F.col("n_terms").cast("double")
+            / F.sum("n_terms").over(wall).cast("double")
+        ).alias("term_frac"),
+    )
