@@ -9901,3 +9901,126 @@ def q_corpus_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_terms").over(wall).cast("double")
         ).alias("term_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: operational latency and capacity-planning percentiles.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "tpch_ship_latency",
+    """
+    WITH j AS (
+        SELECT o.o_orderpriority,
+               CAST(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                    AS DOUBLE) / 86400000000.0 AS latency_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           quantile_cont(latency_days, 0.5) AS p50_days,
+           quantile_cont(latency_days, 0.9) AS p90_days,
+           max(latency_days) AS max_days,
+           round(CAST(sum(CAST(latency_days AS DECIMAL(28,10)))
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+               AS mean_days
+    FROM j GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    interpolated p50/p90, max, and a decimal-sum mean — the
+    fulfillment-SLA readout (does HIGH actually ship faster?).
+    Microsecond-exact epoch math scaled to days (exact binary
+    division by a constant); one fact join + one tiny agg."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = (
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).cast("double")
+        / F.lit(86400000000.0)
+    ).alias("latency_days")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select("o_orderpriority", lat)
+    )
+    g = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.percentile(F.col("latency_days"), F.lit(0.5)).alias("p50_days"),
+        F.percentile(F.col("latency_days"), F.lit(0.9)).alias("p90_days"),
+        F.max("latency_days").alias("max_days"),
+        F.sum(F.col("latency_days").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_s"),
+    )
+    return g.select(
+        "o_orderpriority", "n_lines", "p50_days", "p90_days", "max_days",
+        _r6(F.col("_s") / F.col("n_lines").cast("double")).alias(
+            "mean_days"
+        ),
+    )
+
+
+@register_extended(
+    "events_hourly_load_percentiles",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(cnt) AS BIGINT) AS total_events,
+           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_per_hour,
+           quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99,
+           CAST(max(cnt) AS BIGINT) AS peak,
+           CAST(max(cnt) AS DOUBLE)
+               / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               AS peak_to_mean
+    FROM h GROUP BY event_type
+    """,
+)
+def q_events_hourly_load_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly load profile per event type: mean/p50/p99/peak events
+    per hour and the peak-to-mean ratio — the capacity-planning
+    numbers (provision for p99, not the mean). Integer counts, exact
+    interpolated percentiles, exact-operand ratios UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cd = F.col("cnt").cast("double")
+    g = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("total_events"),
+        F.percentile(cd, F.lit(0.5)).alias("p50"),
+        F.percentile(cd, F.lit(0.99)).alias("p99"),
+        F.max("cnt").alias("peak"),
+    )
+    mean = F.col("total_events").cast("double") / F.col("n_hours").cast(
+        "double"
+    )
+    return g.select(
+        "event_type", "n_hours", "total_events",
+        mean.alias("mean_per_hour"),
+        "p50", "p99", "peak",
+        (F.col("peak").cast("double") / mean).alias("peak_to_mean"),
+    )
