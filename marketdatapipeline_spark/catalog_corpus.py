@@ -10024,3 +10024,236 @@ def q_events_hourly_load_percentiles(
         "p50", "p99", "peak",
         (F.col("peak").cast("double") / mean).alias("peak_to_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: volume-at-price profile and AR(1) OLS diagnostics.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_volume_profile",
+    _bars_sql(
+        """
+        , p AS (
+            SELECT symbol,
+                   CAST(round(close) AS BIGINT) AS price_level,
+                   CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE)
+                       AS vol,
+                   count(*) AS n_bars
+            FROM bars GROUP BY symbol, round(close)
+        ),
+        t AS (
+            SELECT symbol, price_level, vol, n_bars,
+                   vol / sum(vol) OVER (PARTITION BY symbol)
+                       AS volume_share,
+                   max(vol) OVER (PARTITION BY symbol) AS max_vol
+            FROM p
+        ),
+        t2 AS (
+            SELECT *,
+                   min(CASE WHEN vol = max_vol THEN price_level END)
+                       OVER (PARTITION BY symbol) AS poc_level
+            FROM t
+        )
+        SELECT symbol, price_level, CAST(n_bars AS BIGINT) AS n_bars,
+               vol, volume_share,
+               price_level = poc_level AS is_poc
+        FROM t2
+        """
+    ),
+)
+def q_bars_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-at-price profile: traded volume per integer price level
+    with each symbol's point of control (max-volume level, smallest
+    level on ties) — the market-profile structure behind
+    support/resistance reads. Integral volumes sum as decimals
+    (exact shares, UNROUNDED); one hash-agg + per-symbol windows
+    over the small level table."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    p = bars.groupBy(
+        "symbol", F.round("close").cast("bigint").alias("price_level")
+    ).agg(
+        F.sum(F.col("volume").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("vol"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+    sym = W.partitionBy("symbol")
+    t = p.select(
+        "symbol", "price_level", "vol", "n_bars",
+        (F.col("vol") / F.sum("vol").over(sym)).alias("volume_share"),
+        F.max("vol").over(sym).alias("_mx"),
+    )
+    t = t.withColumn(
+        "poc_level",
+        F.min(
+            F.when(F.col("vol") == F.col("_mx"), F.col("price_level"))
+        ).over(sym),
+    )
+    return t.select(
+        "symbol", "price_level", "n_bars", "vol", "volume_share",
+        (F.col("price_level") == F.col("poc_level")).alias("is_poc"),
+    )
+
+
+@register_extended(
+    "bars_ar1_ols_diagnostics",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        xy AS (
+            SELECT symbol, datetime, bar_id, ret AS y,
+                   lag(ret) OVER (PARTITION BY symbol
+                                  ORDER BY datetime, bar_id) AS x
+            FROM r WHERE ret IS NOT NULL
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sxx,
+                   CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE)
+                       AS syy,
+                   CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE)
+                       AS sxy
+            FROM xy WHERE x IS NOT NULL GROUP BY symbol
+        ),
+        fit AS (
+            SELECT symbol, n_obs,
+                   (sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                       / (sxx - sx * sx / CAST(n_obs AS DOUBLE)) AS beta,
+                   sy / CAST(n_obs AS DOUBLE)
+                       - (sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                         / (sxx - sx * sx / CAST(n_obs AS DOUBLE))
+                         * (sx / CAST(n_obs AS DOUBLE)) AS alpha,
+                   (sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                       * (sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                       / ((sxx - sx * sx / CAST(n_obs AS DOUBLE))
+                          * (syy - sy * sy / CAST(n_obs AS DOUBLE)))
+                       AS r2
+            FROM g
+            WHERE n_obs >= 3
+              AND (sxx - sx * sx / CAST(n_obs AS DOUBLE)) > 0
+              AND (syy - sy * sy / CAST(n_obs AS DOUBLE)) > 0
+        ),
+        e AS (
+            SELECT xy.symbol, xy.datetime, xy.bar_id,
+                   xy.y - f.alpha - f.beta * xy.x AS resid
+            FROM xy JOIN fit f ON xy.symbol = f.symbol
+            WHERE xy.x IS NOT NULL
+        ),
+        dw AS (
+            SELECT symbol,
+                   CAST(sum(CAST(resid * resid AS DECIMAL(38,18)))
+                        AS DOUBLE) AS sse,
+                   CAST(sum(CASE WHEN dprev IS NOT NULL THEN
+                            CAST((resid - dprev) * (resid - dprev)
+                                 AS DECIMAL(38,18))
+                            ELSE CAST(0 AS DECIMAL(38,18)) END)
+                        AS DOUBLE) AS sdiff
+            FROM (
+                SELECT symbol, resid,
+                       lag(resid) OVER (PARTITION BY symbol
+                                        ORDER BY datetime, bar_id)
+                           AS dprev
+                FROM e
+            ) GROUP BY symbol
+        )
+        SELECT f.symbol, CAST(f.n_obs AS BIGINT) AS n_obs,
+               round(f.beta, 6) + 0.0 AS ar1_beta,
+               round(f.alpha, 6) + 0.0 AS alpha,
+               round(f.r2, 6) + 0.0 AS r2,
+               CASE WHEN dw.sse > 0 THEN
+                   round(dw.sdiff / dw.sse, 6) + 0.0 END AS durbin_watson
+        FROM fit f JOIN dw ON f.symbol = dw.symbol
+        """
+    ),
+)
+def q_bars_ar1_ols_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AR(1) OLS fit per symbol with regression diagnostics: slope,
+    intercept, R^2, and the Durbin-Watson statistic on the residual
+    series (leftover serial correlation AFTER the AR(1) fit — the
+    model-adequacy check Ljung-Box runs on raw returns). Closed-form
+    OLS from decimal co-moments, a residual pass (broadcast-joined
+    coefficients), one more lag window for DW; round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select(
+        "symbol", "datetime", "bar_id", ret.alias("y")
+    ).filter(F.col("y").isNotNull())
+    xy = r.select(
+        "symbol", "datetime", "bar_id", "y",
+        F.lag("y").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    xy = scoped_persist(xy)
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    g = xy.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    fit = (
+        g.filter((F.col("n_obs") >= 3) & (vx > 0) & (vy > 0))
+        .select(
+            "symbol", "n_obs",
+            (cxy / vx).alias("beta"),
+            (F.col("sy") / n - cxy / vx * (F.col("sx") / n)).alias("alpha"),
+            (cxy * cxy / (vx * vy)).alias("r2"),
+        )
+    )
+    e = xy.join(F.broadcast(fit), "symbol").select(
+        "symbol", "datetime", "bar_id",
+        (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")).alias(
+            "resid"
+        ),
+    )
+    lagged = e.select(
+        "symbol", "resid", F.lag("resid").over(w).alias("dprev")
+    )
+    zero = F.lit(0).cast("decimal(38,18)")
+    dw = lagged.groupBy("symbol").agg(
+        dsum(F.col("resid") * F.col("resid")).alias("sse"),
+        F.sum(
+            F.when(
+                F.col("dprev").isNotNull(),
+                ((F.col("resid") - F.col("dprev"))
+                 * (F.col("resid") - F.col("dprev"))).cast("decimal(38,18)"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("sdiff"),
+    )
+    out = fit.join(dw, "symbol")
+    return out.select(
+        "symbol", "n_obs",
+        _r6(F.col("beta")).alias("ar1_beta"),
+        _r6(F.col("alpha")).alias("alpha"),
+        _r6(F.col("r2")).alias("r2"),
+        _r6(
+            F.when(F.col("sse") > 0, F.col("sdiff") / F.col("sse"))
+        ).alias("durbin_watson"),
+    )
