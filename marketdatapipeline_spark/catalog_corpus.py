@@ -10257,3 +10257,165 @@ def q_bars_ar1_ols_diagnostics(
             F.when(F.col("sse") > 0, F.col("sdiff") / F.col("sse"))
         ).alias("durbin_watson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: heavy-tail index estimation and the monthly revenue trend.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "events_power_law_hill",
+    """
+    WITH c AS (
+        SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT n_ev,
+               row_number() OVER (ORDER BY n_ev DESC, user_id) AS rk,
+               count(*) OVER () AS n
+        FROM c
+    ),
+    k AS (
+        SELECT *, CAST(greatest(ceil(CAST(n AS DOUBLE) / 10.0), 2.0)
+                       AS BIGINT) AS topk
+        FROM r
+    ),
+    top AS (SELECT * FROM k WHERE rk <= topk),
+    xmin AS (SELECT CAST(min(n_ev) AS DOUBLE) AS xm FROM top)
+    SELECT CAST(max(k.n) AS BIGINT) AS n_users,
+           CAST(max(k.topk) AS BIGINT) AS k_tail,
+           CAST(max(xmin.xm) AS BIGINT) AS x_min,
+           CASE WHEN CAST(sum(CAST(
+                    ln(CAST(top.n_ev AS DOUBLE) / xmin.xm)
+                    AS DECIMAL(28,14))) AS DOUBLE) > 0 THEN
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST(sum(CAST(
+                           ln(CAST(top.n_ev AS DOUBLE) / xmin.xm)
+                           AS DECIMAL(28,14))) AS DOUBLE), 6) + 0.0
+           END AS hill_alpha
+    FROM top CROSS JOIN xmin CROSS JOIN (SELECT max(n) AS n,
+                                                max(topk) AS topk FROM k) k
+    """,
+)
+def q_events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate on per-user activity counts: alpha =
+    k / sum(ln(x_i / x_min)) over the top decile of users — the
+    heavy-tail exponent that turns the Gini/power-user observation
+    into a quantified power law (alpha < 2 means unbounded variance:
+    plan for whales). Integer order statistics pick the tail
+    deterministically; log terms decimal-quantized, round-6."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    wall = W.partitionBy(F.lit(1))
+    r = c.select(
+        "n_ev",
+        F.row_number().over(wall.orderBy(F.desc("n_ev"), "user_id")).alias(
+            "rk"
+        ),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    k = r.withColumn(
+        "topk",
+        F.greatest(
+            F.ceil(F.col("n").cast("double") / F.lit(10.0)), F.lit(2)
+        ).cast("bigint"),
+    )
+    top = k.filter(F.col("rk") <= F.col("topk"))
+    top = scoped_persist(top)
+    xmin = top.agg(F.min("n_ev").cast("double").alias("xm"))
+    j = top.crossJoin(F.broadcast(xmin))
+    lterm = F.log(F.col("n_ev").cast("double") / F.col("xm"))
+    g = j.agg(
+        F.max("n").alias("n_users"),
+        F.max("topk").alias("k_tail"),
+        F.max("xm").cast("bigint").alias("x_min"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(lterm.cast("decimal(28,14)")).cast("double").alias("_sl"),
+    )
+    return g.select(
+        "n_users", "k_tail", "x_min",
+        _r6(
+            F.when(
+                F.col("_sl") > 0,
+                F.col("_k").cast("double") / F.col("_sl"),
+            )
+        ).alias("hill_alpha"),
+    )
+
+
+@register_extended(
+    "tpch_monthly_revenue_trend",
+    """
+    WITH m AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month,
+               CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE) AS rev,
+               count(*) AS n_lines
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT month, round(rev, 2) + 0.0 AS revenue,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CASE WHEN lag(rev) OVER (ORDER BY month) > 0 THEN
+               round(rev / lag(rev) OVER (ORDER BY month) - 1.0, 6) + 0.0
+           END AS mom_growth,
+           round(CAST(avg(CAST(round(rev, 2) AS DECIMAL(28,2)))
+                      OVER (ORDER BY month
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 2) + 0.0 AS rev_3mo_avg
+    FROM m
+    """,
+)
+def q_tpch_monthly_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly revenue trend: month totals (cent-rounded — 1e9
+    magnitudes sit past round-6's double-ulp safety), MoM growth off
+    the unrounded decimals' doubles, and a 3-month moving average of
+    the cent-quantized values so the rolling mean is decimal-exact.
+    The standard BI revenue page in one pass."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice")
+                 * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    cum = W.partitionBy(F.lit(1)).orderBy("month")
+    win3 = cum.rowsBetween(-2, 0)
+    growth = F.when(
+        F.lag("rev").over(cum) > 0,
+        F.col("rev") / F.lag("rev").over(cum) - F.lit(1.0),
+    )
+    return m.select(
+        "month",
+        (F.round(F.col("rev"), 2) + F.lit(0.0)).alias("revenue"),
+        "n_lines",
+        _r6(growth).alias("mom_growth"),
+        (
+            F.round(
+                F.avg(
+                    F.round(F.col("rev"), 2).cast("decimal(28,2)")
+                ).over(win3).cast("double"),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("rev_3mo_avg"),
+    )
