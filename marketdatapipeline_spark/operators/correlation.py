@@ -113,6 +113,15 @@ def _corr_lag0_prefix(
     sorted_e = rets.groupBy("_idx").agg(
         F.array_sort(entry).alias("_ea")
     )
+    # explicit repartition BEFORE the pair explode: the pivoted table
+    # is tiny in bytes (AQE would coalesce it to one partition) but
+    # each row fans out to S(S-1)/2 pair rows — the CPU-heavy explode
+    # must spread across the executors, not serialize on one task.
+    # AQE honors a user-specified partition count.
+    spark = rets.sparkSession
+    sorted_e = sorted_e.repartition(
+        spark.sparkContext.defaultParallelism, "_idx"
+    )
     pairs = (
         sorted_e.select(
             F.posexplode("_ea").alias("_i", "_a"), F.col("_ea")
@@ -201,8 +210,14 @@ def pairwise_return_correlation(
         .groupBy("_idx")
         .agg(entry.alias("_eb"))
     )
+    # same single-task-explode guard as the lag-0 path: the joined
+    # pivot table is byte-small (AQE coalesces it) but fans out to
+    # S^2 pair rows per index — force the explode to spread.
+    joined = a_idx.join(b_idx, "_idx").repartition(
+        rets.sparkSession.sparkContext.defaultParallelism, "_idx"
+    )
     pairs = (
-        a_idx.join(b_idx, "_idx")
+        joined
         .select(F.explode("_ea").alias("_a"), "_eb")
         .select(
             F.col("_a._sym").alias("symbol_a"),
@@ -218,26 +233,57 @@ def pairwise_return_correlation(
         .filter(F.col("symbol_a") != F.col("symbol_b"))
     )
 
+    # r8 prefix decomposition, lag generalization: only the CROSS term
+    # needs pair rows. For a pair (a, b) at lag k with m aligned
+    # observations, a's sums are its prefix sums at m, and b's are
+    # prefix DIFFERENCES over [k+1, m+k] — decimal subtraction is
+    # exact, so every sum is bit-identical to the direct per-pair
+    # aggregation the oracle keeps. 5x less per-pair-row decimal
+    # arithmetic (measured 5.7 s -> the lag-0 fix's band at sf0.1).
     g = pairs.groupBy("symbol_a", "symbol_b").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.sum(F.col("_ra").cast(dec)).cast("double").alias("_sx"),
-        F.sum(F.col("_rb").cast(dec)).cast("double").alias("_sy"),
-        F.sum((F.col("_ra") * F.col("_ra")).cast(dec))
-        .cast("double")
-        .alias("_sxx"),
-        F.sum((F.col("_rb") * F.col("_rb")).cast(dec))
-        .cast("double")
-        .alias("_syy"),
         F.sum((F.col("_ra") * F.col("_rb")).cast(dec))
         .cast("double")
         .alias("_sxy"),
+    ).filter(F.col("n_obs") >= min_obs)
+
+    w = Window.partitionBy("_sym").orderBy("_idx")
+    pre = rets.select(
+        "_sym",
+        "_idx",
+        F.sum(F.col("_ret").cast(dec)).over(w).alias("_cs"),
+        F.sum((F.col("_ret") * F.col("_ret")).cast(dec))
+        .over(w)
+        .alias("_css"),
     )
+    # a's boundary: prefix at m (pair count). Broadcast the tiny pair
+    # table; the N prefix rows stream past it, never shuffling.
+    first = pre.select(
+        F.col("_sym").alias("symbol_a"),
+        F.col("_idx").cast("long").alias("n_obs"),
+        F.col("_cs").cast("double").alias("_sx"),
+        F.col("_css").cast("double").alias("_sxx"),
+    ).join(F.broadcast(g), ["symbol_a", "n_obs"])
+    # b's upper boundary: prefix at m + k (kept as decimals — the
+    # lower boundary subtracts before any double cast)
+    upper = pre.select(
+        F.col("_sym").alias("symbol_b"),
+        (F.col("_idx") - F.lit(lag)).cast("long").alias("n_obs"),
+        F.col("_cs").alias("_cs_u"),
+        F.col("_css").alias("_css_u"),
+    ).join(F.broadcast(first), ["symbol_b", "n_obs"])
+    # b's lower boundary: prefix at exactly k — one row per symbol
+    low = pre.filter(F.col("_idx") == lag).select(
+        F.col("_sym").alias("symbol_b"),
+        F.col("_cs").alias("_cs_l"),
+        F.col("_css").alias("_css_l"),
+    )
+    j = upper.join(F.broadcast(low), "symbol_b")
+    sy = (F.col("_cs_u") - F.col("_cs_l")).cast("double")
+    syy = (F.col("_css_u") - F.col("_css_l")).cast("double")
     n = F.col("n_obs")
     vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vy = n * syy - sy * sy
+    cov = n * F.col("_sxy") - F.col("_sx") * sy
     corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
-    return (
-        g.filter(n >= min_obs)
-        .select("symbol_a", "symbol_b", "n_obs", corr.alias("corr"))
-    )
+    return j.select("symbol_a", "symbol_b", "n_obs", corr.alias("corr"))
