@@ -10419,3 +10419,213 @@ def q_tpch_monthly_revenue_trend(
             + F.lit(0.0)
         ).alias("rev_3mo_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: dedup cluster-size spectrum, language x source mixture
+# audit, and customer lifetime-value deciles.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH k AS (
+        SELECT doc_id, {_H_SQL.format(x="text")} AS full_key
+        FROM documents
+    ),
+    g AS (SELECT full_key, count(*) AS sz FROM k GROUP BY full_key),
+    h AS (
+        SELECT sz AS cluster_size, count(*) AS n_clusters
+        FROM g GROUP BY sz
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           CAST(cluster_size * n_clusters AS DOUBLE)
+               / CAST(sum(cluster_size * n_clusters) OVER () AS DOUBLE)
+               AS doc_frac,
+           CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable
+    FROM h
+    """,
+)
+def q_dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate cluster-size spectrum: how many clusters of
+    each size, the document mass they hold, and the removable count
+    (size-1 per cluster) — the shape that distinguishes 'a few viral
+    templates' from 'everything is doubled' before choosing a dedup
+    strategy. Two hash-aggs on bigint keys; integer ratios
+    UNROUNDED."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    g = docs.select(md5_int(F.col("text")).alias("full_key")).groupBy(
+        "full_key"
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    h = g.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    wall = W.partitionBy(F.lit(1))
+    ndocs = F.col("cluster_size") * F.col("n_clusters")
+    return h.select(
+        "cluster_size", "n_clusters",
+        ndocs.cast("bigint").alias("n_docs"),
+        (
+            ndocs.cast("double") / F.sum(ndocs).over(wall).cast("double")
+        ).alias("doc_frac"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+@register_extended(
+    "corpus_lang_source_mix",
+    """
+    WITH c AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT lang, source, o,
+               sum(o) OVER (PARTITION BY lang) AS lang_tot,
+               sum(o) OVER (PARTITION BY source) AS src_tot,
+               sum(o) OVER () AS n
+        FROM c
+    )
+    SELECT lang, source, CAST(o AS BIGINT) AS observed,
+           CAST(lang_tot AS DOUBLE) * CAST(src_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expected,
+           (CAST(o AS DOUBLE)
+            - CAST(lang_tot AS DOUBLE) * CAST(src_tot AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / sqrt(CAST(lang_tot AS DOUBLE) * CAST(src_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS std_residual,
+           CAST(o AS DOUBLE) / CAST(src_tot AS DOUBLE) AS lang_share
+    FROM t
+    """,
+)
+def q_corpus_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source mixture audit: observed vs independence-
+    expected counts with standardized residuals and each source's
+    language share — the crosstab that catches a crawl slice whose
+    language mix silently shifted. Integer counts, exact-operand
+    chains UNROUNDED; one hash-agg + three windows over the tiny
+    crosstab."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    t = c.select(
+        "lang", "source", "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("lang_tot"),
+        F.sum("o").over(W.partitionBy("source")).alias("src_tot"),
+        F.sum("o").over(W.partitionBy(F.lit(1))).alias("n"),
+    )
+    e = (
+        F.col("lang_tot").cast("double")
+        * F.col("src_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("o").cast("double")
+    return t.select(
+        "lang", "source", F.col("o").alias("observed"),
+        e.alias("expected"),
+        ((od - e) / F.sqrt(e)).alias("std_residual"),
+        (od / F.col("src_tot").cast("double")).alias("lang_share"),
+    )
+
+
+@register_extended(
+    "tpch_customer_ltv",
+    """
+    WITH rev AS (
+        SELECT o.o_custkey,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               -- cent-round in DECIMAL space: round(decimal, 2) is
+               -- exact HALF_UP here, matching Spark's decimal(28,2)
+               -- cast (a DuckDB decimal DOWN-CAST truncates instead);
+               -- the double cast of the 2-decimal value is exact
+               CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                   AS DECIMAL(28,10))), 2)
+                    AS DOUBLE) AS ltv
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey
+    ),
+    r AS (
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               coalesce(rev.n_orders, 0) AS n_orders,
+               coalesce(rev.ltv, 0.0) + 0.0 AS ltv,
+               row_number() OVER (
+                   ORDER BY coalesce(rev.ltv, 0.0) DESC, c.c_custkey
+               ) AS rk,
+               count(*) OVER () AS n
+        FROM customer c LEFT JOIN rev ON c.c_custkey = rev.o_custkey
+    )
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(n_orders AS BIGINT) AS n_orders, ltv,
+           CAST(floor(((rk - 1) * 10.0) / n) AS INT) + 1 AS ltv_decile
+    FROM r
+    """,
+)
+def q_tpch_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value with decile ranking: per-customer
+    revenue (cent-rounded BEFORE ranking — the decimal sums' double
+    conversion is ulp-noisy at these magnitudes) and order counts,
+    zero-order customers included at LTV 0 — the account-scoring
+    table. One fact agg + a left join onto the customer dim + one
+    rank window."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                (F.col("l_extendedprice")
+                 * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)")
+            )
+            # cent-round in decimal space (HALF_UP on the exact value
+            # both engines); the double cast is then exact
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("_ltv"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    j = cust.join(
+        rev, cust.c_custkey == rev.o_custkey, "left"
+    ).select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        (F.coalesce("_ltv", F.lit(0.0)) + F.lit(0.0)).alias("ltv"),
+    )
+    wall = W.partitionBy(F.lit(1))
+    r = j.select(
+        "*",
+        F.row_number()
+        .over(wall.orderBy(F.desc("ltv"), "c_custkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return r.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "ltv",
+        (
+            F.floor(((F.col("rk") - 1) * F.lit(10.0)) / F.col("n")).cast(
+                "int"
+            )
+            + 1
+        ).alias("ltv_decile"),
+    )
