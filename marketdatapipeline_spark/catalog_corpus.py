@@ -10629,3 +10629,180 @@ def q_tpch_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("ltv_decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: seasonal variance decomposition and hapax-rate vocabulary
+# health.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_seasonality_strength",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, CAST(hour(datetime) AS INT) AS hod,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        h AS (
+            SELECT symbol, hod, count(*) AS n_h,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) AS DOUBLE) AS s_h,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) AS DOUBLE)
+                       AS ss_h
+            FROM r WHERE ret IS NOT NULL GROUP BY symbol, hod
+        ),
+        g AS (
+            SELECT symbol,
+                   CAST(sum(n_h) AS BIGINT) AS n_obs,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(CAST(s_h AS DECIMAL(38,14))) AS DOUBLE) AS s,
+                   CAST(sum(CAST(ss_h AS DECIMAL(38,14))) AS DOUBLE) AS ss,
+                   CAST(sum(CAST(s_h * s_h / n_h AS DECIMAL(38,14)))
+                        AS DOUBLE) AS sb
+            FROM h GROUP BY symbol
+        )
+        SELECT symbol, n_obs, n_buckets,
+               CASE WHEN (ss - s * s / CAST(n_obs AS DOUBLE)) > 0 THEN
+                   round((sb - s * s / CAST(n_obs AS DOUBLE))
+                         / (ss - s * s / CAST(n_obs AS DOUBLE)), 6) + 0.0
+               END AS seasonal_r2,
+               CASE WHEN n_obs > n_buckets
+                         AND (ss - sb) > 0 AND n_buckets > 1 THEN
+                   round(((sb - s * s / CAST(n_obs AS DOUBLE))
+                          / (CAST(n_buckets AS DOUBLE) - 1.0))
+                         / ((ss - sb)
+                            / (CAST(n_obs AS DOUBLE)
+                               - CAST(n_buckets AS DOUBLE))), 6) + 0.0
+               END AS f_stat
+        FROM g
+        """
+    ),
+)
+def q_bars_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal variance decomposition per symbol: the fraction of
+    return variance explained by hour-of-day means (between-group
+    over total sum of squares) plus the one-way ANOVA F statistic —
+    the number that says whether the seasonality profile is signal
+    or noise. Two-level decimal power sums (per-bucket, then
+    per-symbol); round-6. Both aggs key on prefixes of one
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select(
+        "symbol",
+        F.hour("datetime").cast("int").alias("hod"),
+        ret.alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    h = r.groupBy("symbol", "hod").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("ret").cast("decimal(38,18)")).cast("double").alias(
+            "s_h"
+        ),
+        F.sum((F.col("ret") * F.col("ret")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("ss_h"),
+    )
+    g = h.groupBy("symbol").agg(
+        F.sum("n_h").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("s_h").cast("decimal(38,14)")).cast("double").alias("s"),
+        F.sum(F.col("ss_h").cast("decimal(38,14)"))
+        .cast("double")
+        .alias("ss"),
+        F.sum(
+            (F.col("s_h") * F.col("s_h") / F.col("n_h")).cast(
+                "decimal(38,14)"
+            )
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    n = F.col("n_obs").cast("double")
+    k = F.col("n_buckets").cast("double")
+    sst = F.col("ss") - F.col("s") * F.col("s") / n
+    ssb = F.col("sb") - F.col("s") * F.col("s") / n
+    r2 = F.when(sst > 0, ssb / sst)
+    f_ok = (F.col("n_obs") > F.col("n_buckets")) & (
+        (F.col("ss") - F.col("sb")) > 0
+    ) & (F.col("n_buckets") > 1)
+    f = (ssb / (F.when(F.col("n_buckets") > 1, k) - F.lit(1.0))) / (
+        (F.col("ss") - F.col("sb"))
+        / F.when(F.col("n_obs") > F.col("n_buckets"), n - k)
+    )
+    return g.select(
+        "symbol", "n_obs", "n_buckets",
+        _r6(r2).alias("seasonal_r2"),
+        _r6(F.when(f_ok, f)).alias("f_stat"),
+    )
+
+
+@register_extended(
+    "corpus_hapax_rate",
+    rf"""
+    WITH tok AS (
+        SELECT source, {_H_SQL.format(x="t")} AS h
+        FROM (
+            SELECT source,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS t
+            FROM documents
+        )
+    ),
+    tf AS (SELECT source, h, count(*) AS c FROM tok GROUP BY source, h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS hapax_rate,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS type_token_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def q_corpus_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the fraction of each source's
+    vocabulary appearing exactly once, with the type-token ratio —
+    high hapax = rich/noisy text (or OCR garbage), low = templated.
+    The vocabulary-health twin of the df spectrum, sliced by source
+    for mixture monitoring. Hashed terms pre-shuffle; integer ratios
+    UNROUNDED."""
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    ).select("source", md5_int(F.col("t")).alias("h"))
+    tf = tok.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+    g = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return g.select(
+        "source", "vocab_size", "n_tokens", "n_hapax",
+        (
+            F.col("n_hapax").cast("double")
+            / F.col("vocab_size").cast("double")
+        ).alias("hapax_rate"),
+        (
+            F.col("vocab_size").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("type_token_ratio"),
+    )
