@@ -10806,3 +10806,182 @@ def q_corpus_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave: gain/loss asymmetry and the rolling Sharpe ratio.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "bars_updown_asymmetry",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol,
+                   CAST(sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up,
+                   CAST(sum(CASE WHEN ret < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down,
+                   CAST(sum(CAST(CASE WHEN ret > 0 THEN ret ELSE 0.0 END
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS su,
+                   CAST(sum(CAST(CASE WHEN ret < 0 THEN -ret ELSE 0.0 END
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sd
+            FROM r WHERE ret IS NOT NULL GROUP BY symbol
+        )
+        SELECT symbol, n_up, n_down,
+               CASE WHEN n_up > 0 THEN
+                   round(su / CAST(n_up AS DOUBLE), 6) + 0.0
+               END AS mean_up_move,
+               CASE WHEN n_down > 0 THEN
+                   round(sd / CAST(n_down AS DOUBLE), 6) + 0.0
+               END AS mean_down_move,
+               CASE WHEN n_up > 0 AND n_down > 0 AND sd > 0 THEN
+                   round((su / CAST(n_up AS DOUBLE))
+                         / (sd / CAST(n_down AS DOUBLE)), 6) + 0.0
+               END AS asymmetry_ratio,
+               CASE WHEN n_up + n_down > 0 THEN
+                   CAST(n_up AS DOUBLE) / CAST(n_up + n_down AS DOUBLE)
+               END AS up_frequency
+        FROM g
+        """
+    ),
+)
+def q_bars_updown_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain/loss asymmetry per symbol: average up-move vs average
+    down-move magnitude, their ratio, and the up frequency — the
+    'slow grind up, fast crash down' shape test (complementing omega,
+    which compares total mass, and skewness, which is moment-based).
+    Decimal conditional sums; integer-count divisions; ratios
+    round-6, frequency an exact integer ratio UNROUNDED."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select("symbol", ret.alias("ret")).filter(
+        F.col("ret").isNotNull()
+    )
+    g = r.groupBy("symbol").agg(
+        F.sum(F.when(F.col("ret") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("ret") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum(
+            F.when(F.col("ret") > 0, F.col("ret"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("su"),
+        F.sum(
+            F.when(F.col("ret") < 0, -F.col("ret"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("sd"),
+    )
+    up_mean = F.col("su") / F.when(F.col("n_up") > 0, F.col("n_up")).cast(
+        "double"
+    )
+    dn_mean = F.col("sd") / F.when(
+        F.col("n_down") > 0, F.col("n_down")
+    ).cast("double")
+    ratio = F.when(
+        (F.col("n_up") > 0) & (F.col("n_down") > 0) & (F.col("sd") > 0),
+        up_mean / dn_mean,
+    )
+    return g.select(
+        "symbol", "n_up", "n_down",
+        _r6(up_mean).alias("mean_up_move"),
+        _r6(dn_mean).alias("mean_down_move"),
+        _r6(ratio).alias("asymmetry_ratio"),
+        F.when(
+            (F.col("n_up") + F.col("n_down")) > 0,
+            F.col("n_up").cast("double")
+            / (F.col("n_up") + F.col("n_down")).cast("double"),
+        ).alias("up_frequency"),
+    )
+
+
+@register_extended(
+    "bars_rolling_sharpe",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        s AS (
+            SELECT symbol, datetime, bar_id,
+                   count(ret) OVER t AS n_in,
+                   CAST(sum(CAST(ret AS DECIMAL(38,18))) OVER t AS DOUBLE)
+                       AS s1,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18))) OVER t
+                        AS DOUBLE) AS s2
+            FROM r
+            WINDOW t AS (PARTITION BY symbol ORDER BY datetime, bar_id
+                         ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+        )
+        SELECT symbol, datetime, bar_id,
+               CASE WHEN n_in >= 60
+                         AND (s2 - s1 * s1 / CAST(n_in AS DOUBLE))
+                             / (CAST(n_in AS DOUBLE) - 1.0) > 0 THEN
+                   round((s1 / CAST(n_in AS DOUBLE))
+                         / sqrt((s2 - s1 * s1 / CAST(n_in AS DOUBLE))
+                                / (CAST(n_in AS DOUBLE) - 1.0))
+                         * sqrt(252.0), 6) + 0.0
+               END AS rolling_sharpe_60
+        FROM s
+        """
+    ),
+)
+def q_bars_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-bar annualized Sharpe ratio — the windowed form of
+    the backtest's summary Sharpe, the regime gauge that shows WHEN a
+    symbol carried its risk-adjusted return. Decimal power sums off
+    one window frame, warmup-masked at 60, round-6."""
+    from pyspark.sql import Window as W
+
+    bars = _bars_from_events_r8(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
+    r = bars.select("symbol", "datetime", "bar_id", ret.alias("ret"))
+    t = (
+        W.partitionBy("symbol")
+        .orderBy("datetime", "bar_id")
+        .rowsBetween(-59, 0)
+    )
+    s = r.select(
+        "symbol", "datetime", "bar_id",
+        F.count("ret").over(t).alias("n_in"),
+        F.sum(F.col("ret").cast("decimal(38,18)"))
+        .over(t)
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("ret") * F.col("ret")).cast("decimal(38,18)"))
+        .over(t)
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.when(F.col("n_in") >= 60, F.col("n_in").cast("double"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0))
+    sharpe = (F.col("s1") / n) / F.sqrt(F.when(var > 0, var)) * F.sqrt(
+        F.lit(252.0)
+    )
+    ok = (F.col("n_in") >= 60) & (var > 0)
+    return s.select(
+        "symbol", "datetime", "bar_id",
+        _r6(F.when(ok, sharpe)).alias("rolling_sharpe_60"),
+    )
