@@ -78,18 +78,30 @@ def triple_barrier_labels(
     p = F.col(price_col)
     up_px = p * F.lit(1.0 + upper)
     dn_px = p * F.lit(1.0 - lower)
+    # ONE struct list, not two scalar lists: collect_list silently
+    # drops null ELEMENTS, so separate high/low lists would compact
+    # differently when only one side is null — the first-touch
+    # comparison would then compare misaligned bar offsets, and a
+    # single null high would shrink the completeness count (ADVICE
+    # r8). A struct element is never null even when its fields are,
+    # so both barrier searches share one index space and ``complete``
+    # counts BARS. A null field inside a bar simply can't witness a
+    # touch (the comparison is null -> the _first_hit tag blanks).
     staged = df.withColumns(
         {
-            "_fh": F.collect_list(high_col).over(wf),
-            "_fl": F.collect_list(low_col).over(wf),
+            "_fw": F.collect_list(
+                F.struct(
+                    F.col(high_col).alias("h"), F.col(low_col).alias("l")
+                )
+            ).over(wf),
             "_fc": F.lead(p, horizon).over(w),
         }
     )
-    up_hit = _first_hit(F.col("_fh"), lambda x: x >= up_px)
-    dn_hit = _first_hit(F.col("_fl"), lambda x: x <= dn_px)
+    up_hit = _first_hit(F.col("_fw"), lambda x: x["h"] >= up_px)
+    dn_hit = _first_hit(F.col("_fw"), lambda x: x["l"] <= dn_px)
     staged = staged.withColumns({"_up": up_hit, "_dn": dn_hit})
     u, d = F.col("_up"), F.col("_dn")
-    complete = F.size(F.col("_fh")) == horizon
+    complete = F.size(F.col("_fw")) == horizon
     label = F.when(
         complete,
         F.when(u.isNull() & d.isNull(), F.lit(0))
@@ -106,5 +118,5 @@ def triple_barrier_labels(
     return (
         staged.withColumns(
             {"label": label, "hit_offset": hit, "ret_horizon": ret}
-        ).drop("_fh", "_fl", "_fc", "_up", "_dn")
+        ).drop("_fw", "_fc", "_up", "_dn")
     )

@@ -194,12 +194,31 @@ def pairwise_return_correlation(
     With a nonzero lag the pair is ordered, so both (a, b) and (b, a)
     rows are emitted — corr(a_t, b_{t+k}) and corr(b_t, a_{t+k}) are
     different questions; at lag 0 they coincide and only the
-    symbol_a < symbol_b half is kept."""
+    symbol_a < symbol_b half is kept.
+
+    Negative lags normalize internally: corr(a_t, b_{t+k}) for k < 0
+    is exactly corr(b_t, a_{t-k}) with the symbol roles swapped (set
+    j = i + k: the pair set {(ra_i, rb_{i+k})} == {(rb_j, ra_{j-k})}
+    and the correlation formula is symmetric under the (x, y) swap),
+    so the positive-lag prefix decomposition runs and the output
+    columns swap back. The r8 decomposition alone mishandled k < 0 —
+    its b-side lower-boundary lookup ``_idx == lag`` matches no rows
+    for negative lag, silently emitting zero pairs."""
     rets = bar_index_returns(df, price_col, symbol_col, order_cols)
     dec = "decimal(38,18)"
 
     if lag == 0:
         return _corr_lag0_prefix(rets, min_obs, dec)
+    if lag < 0:
+        res = pairwise_return_correlation(
+            df, price_col, symbol_col, order_cols, min_obs, -lag
+        )
+        return res.select(
+            F.col("symbol_b").alias("symbol_a"),
+            F.col("symbol_a").alias("symbol_b"),
+            "n_obs",
+            "corr",
+        )
 
     entry = F.collect_list(F.struct("_sym", "_ret"))
     a_idx = rets.groupBy("_idx").agg(entry.alias("_ea"))

@@ -21,6 +21,39 @@ __all__ = ["detect_gaps", "resample_ffill"]
 
 _STEPS = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY", "minute": "INTERVAL 1 MINUTE"}
 
+_FIXED_UNIT_SECONDS = {
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _fixed_interval_seconds(expected: str) -> float:
+    """Parse ``'<n> <unit>[s]'`` into seconds, fixed-length units
+    only. Calendar units (month, year) are rejected — they have no
+    single second length, so a wall-second gap threshold built from
+    them is a lie (see :func:`detect_gaps`)."""
+    parts = expected.strip().split()
+    if len(parts) == 2:
+        count, unit = parts
+    elif len(parts) == 1:
+        count, unit = "1", parts[0]
+    else:
+        count = unit = ""
+    unit = unit.lower().rstrip("s") if unit else unit
+    try:
+        n = float(count)
+    except ValueError:
+        n = float("nan")
+    if unit not in _FIXED_UNIT_SECONDS or not n > 0:
+        raise ValueError(
+            "expected must be '<n> <second|minute|hour|day|week>[s]' "
+            f"(fixed-length units only), got {expected!r}"
+        )
+    return n * _FIXED_UNIT_SECONDS[unit]
+
 
 def resample_ffill(
     df: DataFrame,
@@ -90,9 +123,17 @@ def detect_gaps(
     trusting any window feature: a silent gap turns every trailing
     aggregate into a lie.
 
+    ``expected`` must name a FIXED-LENGTH cadence — ``'<n>
+    <second|minute|hour|day|week>[s]'`` — because the comparison is in
+    wall seconds. Calendar units (month/year) have no fixed second
+    length, and the pre-r9 anchor-date trick ('add the interval to
+    2000-01-01 and subtract') silently evaluated '1 month' as
+    31 January days and could mis-measure day intervals across a DST
+    transition in the session timezone (ADVICE r8); those now raise.
+
     One lag window per symbol, filter — scan-shaped, no Python, no
     second exchange."""
-    iv = F.expr(f"INTERVAL {expected}")
+    exp_s = F.lit(_fixed_interval_seconds(expected))
     # TIMESTAMP_NTZ has no direct double cast; go through TIMESTAMP
     # (both operands shift identically, so the difference is exact)
     sec = (
@@ -105,14 +146,6 @@ def detect_gaps(
         F.col(time_col),
         F.lead(F.col(time_col)).over(w).alias("_next"),
     ).filter(F.col("_next").isNotNull())
-    exp_s = F.lit(None).cast("double")  # patched below via interval maths
-    # interval length in seconds, computed engine-side so '90 minutes'
-    # and '1 hour' both work without driver parsing
-    exp_s = (
-        F.to_timestamp(F.lit("2000-01-01 00:00:00")) + iv
-    ).cast("double") - F.to_timestamp(
-        F.lit("2000-01-01 00:00:00")
-    ).cast("double")
     return (
         step.withColumn("gap_s", sec)
         .filter(F.col("gap_s") > exp_s)

@@ -260,28 +260,55 @@ class LSHDedupStore:
         mid-rename is recoverable by re-running (remaining flat files
         migrate into a second legacy generation)."""
         token = uuid.uuid4().hex[:16]
-        moved: dict[str, list[str]] = {}
+        # PHASE 1 — validate only (ADVICE r8: the old single loop moved
+        # keys/' files and THEN discovered sets/ wasn't migratable,
+        # leaving the moved files in an uncommitted gen-legacy-* dir
+        # that every retry re-failed past — the store silently read as
+        # empty). Nothing mutates until BOTH tables are confirmed
+        # migratable. A table counts as migratable if it has flat part
+        # files OR stranded gen-legacy-* dirs from a crashed earlier
+        # attempt (this method only runs when no commit exists, so any
+        # gen-legacy dir is by definition unpublished).
+        plan: dict[str, tuple[list, list[str]]] = {}
         for sub in ("keys", "sets"):
             tdir = os.path.join(self.path, sub)
             jvm, fs = self._fs(spark, tdir)
             p = jvm.org.apache.hadoop.fs.Path(tdir)
             if not fs.exists(p):
                 return False
-            flat = [
-                st.getPath()
-                for st in fs.listStatus(p)
-                if st.isFile()
-            ]
-            if not any(f.getName().endswith(".parquet") for f in flat):
+            flat, stranded = [], []
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isFile() and name.endswith(".parquet"):
+                    flat.append(st.getPath())
+                elif st.isDirectory() and name.startswith("gen-legacy-"):
+                    stranded.append(name)
+            if not flat and not stranded:
                 return False
-            gen = f"gen-legacy-{token}"
-            gdir = jvm.org.apache.hadoop.fs.Path(os.path.join(tdir, gen))
-            fs.mkdirs(gdir)
-            for f in flat:
-                fs.rename(
-                    f, jvm.org.apache.hadoop.fs.Path(os.path.join(tdir, gen, f.getName()))
-                )
-            moved[sub] = [gen]
+            plan[sub] = (flat, stranded)
+        # PHASE 2 — mutate: move flat files into a fresh legacy
+        # generation, then publish every legacy generation (new +
+        # stranded) in ONE commit. A crash between the two loops is
+        # recoverable: the next call finds the files as stranded dirs.
+        moved: dict[str, list[str]] = {}
+        for sub in ("keys", "sets"):
+            tdir = os.path.join(self.path, sub)
+            jvm, fs = self._fs(spark, tdir)
+            flat, stranded = plan[sub]
+            gens = list(stranded)
+            if flat:
+                gen = f"gen-legacy-{token}"
+                gdir = jvm.org.apache.hadoop.fs.Path(os.path.join(tdir, gen))
+                fs.mkdirs(gdir)
+                for f in flat:
+                    fs.rename(
+                        f,
+                        jvm.org.apache.hadoop.fs.Path(
+                            os.path.join(tdir, gen, f.getName())
+                        ),
+                    )
+                gens.append(gen)
+            moved[sub] = gens
         self._publish(moved, spark)
         return True
 

@@ -267,6 +267,69 @@ def test_legacy_flat_layout_migrates_on_first_read(spark, store, tmp_path):
     shutil.rmtree(legacy, ignore_errors=True)
 
 
+def test_legacy_migration_validates_before_moving(spark, store, tmp_path):
+    """ADVICE r8: _migrate_legacy used to move keys/' flat files into
+    an uncommitted gen-legacy dir and ONLY THEN discover sets/ was
+    missing — every retry re-failed (keys/ had no flat files left) and
+    the store silently read as empty forever. Now validation precedes
+    any rename, and stranded gen-legacy dirs count as migratable on
+    retry."""
+    import glob as _glob
+    import json as _json
+    import shutil
+
+    legacy = str(tmp_path / "half")
+    store.keys(spark).write.parquet(os.path.join(legacy, "keys"))
+    (tmp_path / "half" / "manifest.json").write_text(
+        _json.dumps(
+            {
+                "threshold": store.threshold,
+                "num_hashes": store.num_hashes,
+                "bands": store.bands,
+                "n": store.n,
+                "id_col": store.id_col,
+            }
+        )
+    )
+    old = LSHDedupStore.load(legacy, spark)
+    # sets/ absent -> not migratable; must raise WITHOUT touching keys/
+    with pytest.raises(ValueError, match="no commits"):
+        old.sets(spark)
+    flat = _glob.glob(os.path.join(legacy, "keys", "*.parquet"))
+    assert flat, "failed validation must not move the keys files"
+    assert not _glob.glob(os.path.join(legacy, "keys", "gen-legacy-*"))
+    # once sets/ appears (e.g. the other half of a partial copy lands),
+    # the same store object migrates and reads fine
+    store.sets(spark).write.parquet(os.path.join(legacy, "sets"))
+    ids = {r["doc_id"] for r in old.sets(spark).select("doc_id").collect()}
+    assert ids == {1, 2}
+    n, _ = old._latest_commit(spark)
+    assert n == 0
+    # and a crash-stranded legacy generation (files moved, commit never
+    # published) is recovered by the next read rather than re-failed
+    crash = str(tmp_path / "crash")
+    store.keys(spark).write.parquet(os.path.join(crash, "keys", "gen-legacy-stranded"))
+    store.sets(spark).write.parquet(os.path.join(crash, "sets"))
+    (tmp_path / "crash" / "manifest.json").write_text(
+        _json.dumps(
+            {
+                "threshold": store.threshold,
+                "num_hashes": store.num_hashes,
+                "bands": store.bands,
+                "n": store.n,
+                "id_col": store.id_col,
+            }
+        )
+    )
+    crashed = LSHDedupStore.load(crash, spark)
+    kids = {r["doc_id"] for r in crashed.keys(spark).select("doc_id").collect()}
+    assert kids == {1, 2}
+    _, payload = crashed._latest_commit(spark)
+    assert "gen-legacy-stranded" in payload["keys"]
+    shutil.rmtree(legacy, ignore_errors=True)
+    shutil.rmtree(crash, ignore_errors=True)
+
+
 def test_store_never_holds_text(spark, store):
     for sub in ("keys", "sets"):
         cols = store._snapshot(spark, sub).columns

@@ -481,6 +481,51 @@ def test_triple_barrier_edge_semantics(spark):
     assert out[4]["label"] is None and out[5]["label"] is None
 
 
+def test_triple_barrier_null_ohlc_alignment(spark):
+    """ADVICE r8: a null high/low inside the forward window must not
+    shift array indexes (collect_list drops null scalars) nor mark the
+    row unlabelable when `horizon` bars exist. The struct-list rewrite
+    keeps one index space: a bar with a null field just can't witness
+    a touch on that side."""
+    import datetime as dt
+
+    from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
+
+    base = dt.datetime(2024, 1, 1)
+    # bar 1 has a NULL high (low intact); bar 3's high touches up.
+    closes = [100.0, 100.0, 100.0, 100.0, 100.0, 100.0]
+    highs  = [100.0,  None, 100.0, 120.0, 100.0, 100.0]
+    lows   = [100.0, 100.0,  None,  85.0, 100.0, 100.0]
+    rows = [
+        ("A", base + dt.timedelta(minutes=i), i, h, lo, c)
+        for i, (c, h, lo) in enumerate(zip(closes, highs, lows))
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "datetime", "bar_id", "high", "low", "close"]
+    )
+    out = {
+        r["bar_id"]: r
+        for r in triple_barrier_labels(
+            df, horizon=3, upper=0.1, lower=0.1
+        ).collect()
+    }
+    # bar 0: window = bars 1..3. Pre-fix the null high at bar 1
+    # compacted _fh to [100, 120] so the up-touch appeared at offset 2
+    # AND size(_fh)==2 != horizon marked the row unlabelable (null
+    # label). Both hits are at bar 3 = offset 3, and both barriers
+    # touch in that one bar -> ambiguous 0, with the row LABELED.
+    assert out[0]["label"] == 0 and out[0]["hit_offset"] is None
+    # bar 1: window = bars 2..4; up touch at bar 3 = offset 2, low
+    # touch also bar 3 -> ambiguous 0 again but crucially offsets
+    # agree (pre-fix _fl compacted by bar 2's null low -> _dn index 1
+    # vs _up index 2 -> wrong -1 label).
+    assert out[1]["label"] == 0
+    # bar 2: window = bars 3..5 (no nulls): both touch at offset 1.
+    assert out[2]["label"] == 0
+    # right edge still unlabelable
+    assert out[4]["label"] is None and out[5]["label"] is None
+
+
 def test_triple_barrier_rejects_bad_horizon(spark):
     from marketdatapipeline_spark.ml.labeling import triple_barrier_labels
 

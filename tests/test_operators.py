@@ -923,6 +923,20 @@ def test_pairwise_correlation_lead_lag(spark):
     assert lagged[("B", "A")]["corr"] != pytest.approx(1.0)
     assert lagged[("A", "B")]["n_obs"] == 4
 
+    # ADVICE r8 (medium): the prefix decomposition silently dropped
+    # every pair at lag < 0. corr at -k must equal the swapped-symbol
+    # corr at +k, row for row.
+    neg = {
+        (r["symbol_a"], r["symbol_b"]): r
+        for r in pairwise_return_correlation(df, lag=-1).collect()
+    }
+    assert set(neg) == {("A", "B"), ("B", "A")}
+    for (sa, sb), row in neg.items():
+        twin = lagged[(sb, sa)]
+        assert row["n_obs"] == twin["n_obs"]
+        assert row["corr"] == pytest.approx(twin["corr"], rel=1e-12)
+    assert neg[("B", "A")]["corr"] == pytest.approx(1.0)
+
 
 def test_realized_moments_vs_numpy(spark, bars_df, bars_pdf):
     import numpy as np
@@ -1377,6 +1391,34 @@ def test_detect_gaps_semantics(spark):
     assert g1["gap_s"] == 3 * 3600.0 and g1["n_missing"] == 2
     g2 = got[("A", datetime(2024, 1, 1, 13))]
     assert g2["gap_s"] == 1.5 * 3600.0 and g2["n_missing"] == 0
+
+
+def test_detect_gaps_rejects_calendar_and_accepts_fixed_units(spark):
+    """ADVICE r8: the anchor-date interval trick evaluated '1 month'
+    as 31 January days. Calendar units now raise; fixed-length units
+    parse driver-side, so '90 minutes' == '1.5 hours' exactly."""
+    from datetime import datetime
+
+    from marketdatapipeline_spark.operators import detect_gaps
+    from marketdatapipeline_spark.operators.resample import (
+        _fixed_interval_seconds,
+    )
+
+    assert _fixed_interval_seconds("90 minutes") == 5400.0
+    assert _fixed_interval_seconds("1 week") == 604800.0
+    assert _fixed_interval_seconds("2 days") == 2 * 86400.0
+    for bad in ("1 month", "3 months", "1 year", "", "h 1", "-2 hours"):
+        with pytest.raises(ValueError, match="fixed-length"):
+            _fixed_interval_seconds(bad)
+    rows = [
+        ("A", datetime(2024, 1, 1, 9), 1, 1.0),
+        ("A", datetime(2024, 1, 1, 12, 1), 2, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    with pytest.raises(ValueError, match="fixed-length"):
+        detect_gaps(df, expected="1 month")
+    got = detect_gaps(df, expected="90 minutes").collect()
+    assert len(got) == 1 and got[0]["n_missing"] == 1
 
 
 def test_drawdown_summary_vs_pandas(spark):
