@@ -6208,22 +6208,60 @@ def q_bars_sign_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bars_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 252-bar high/low (the 52-week-extreme convention on a
     bar clock): distance from each extreme and new-high/new-low
-    flags — breakout and momentum-regime inputs. min/max/count share
-    ONE window frame (one exchange); divisions round-6, warmup
-    masked at 252 observed bars."""
+    flags — breakout and momentum-regime inputs.
+
+    r9 plan: min/max aren't prefix-invertible, so the sliding frame's
+    O(n·252) re-aggregation is replaced by the van Herk/Gil-Werman
+    block decomposition — blocks of 252 rows, an incremental
+    prefix-extreme within each block (asc) and a suffix-extreme
+    (desc), and the window extreme is ``extreme(prefix_t,
+    suffix_{t-251})`` because a 252-row window spans at most two
+    adjacent 252-blocks and those two runs tile it exactly. Selecting
+    actual values, not arithmetic — bit-exact vs the direct frame,
+    verified exceptAll-empty both ways. hash(symbol) satisfies the
+    (symbol, _blk) clustering, so the whole thing is still ONE
+    exchange (three chained Window sorts, O(n) aggregate work);
+    divisions round-6, warmup masked at 252 observed bars."""
     from pyspark.sql import Window as W
 
     bars = _bars_from_events_r8(spark, sf_dir)
-    t = (
-        W.partitionBy("symbol")
-        .orderBy("datetime", "bar_id")
-        .rowsBetween(-251, 0)
-    )
-    s = bars.select(
+    k = 252
+    wl = W.partitionBy("symbol").orderBy("datetime", "bar_id")
+    b = bars.select(
         "symbol", "datetime", "bar_id", "close",
-        F.max("close").over(t).alias("_hi"),
-        F.min("close").over(t).alias("_lo"),
-        F.count(F.lit(1)).over(t).alias("_n"),
+        F.row_number().over(wl).alias("_rn"),
+    ).withColumn("_blk", F.floor((F.col("_rn") - 1) / F.lit(k)))
+    wp = (
+        W.partitionBy("symbol", "_blk")
+        .orderBy("_rn")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ws = (
+        W.partitionBy("symbol", "_blk")
+        .orderBy(F.col("_rn").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    b = b.withColumns(
+        {
+            "_pmax": F.max("close").over(wp),
+            "_pmin": F.min("close").over(wp),
+            "_smax": F.max("close").over(ws),
+            "_smin": F.min("close").over(ws),
+        }
+    ).withColumns(
+        {
+            "_smax_l": F.lag("_smax", k - 1).over(wl),
+            "_smin_l": F.lag("_smin", k - 1).over(wl),
+        }
+    )
+    # warmup rows (rn < k) have a null suffix lag; their window is the
+    # block prefix alone. The final mask hides them anyway, but _hi/_lo
+    # stay value-correct for every row (exceptAll-pinned).
+    s = b.select(
+        "symbol", "datetime", "bar_id", "close",
+        F.greatest("_pmax", F.coalesce("_smax_l", "_pmax")).alias("_hi"),
+        F.least("_pmin", F.coalesce("_smin_l", "_pmin")).alias("_lo"),
+        F.least(F.col("_rn"), F.lit(k)).cast("long").alias("_n"),
     )
     full = F.col("_n") >= 252
     return s.select(
@@ -7582,30 +7620,27 @@ def q_bars_vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment of the second moment). The first-level vol QUANTIZES to
     an exact 1e-6-scaled integer before the second window, so the
     outer power sums are integer-exact and the two engines cannot
-    drift; both windows share one symbol exchange. Outer std
-    round-6."""
+    drift; both windows share one symbol exchange. Both levels run
+    the exact O(n) RollingPlan prefix diffs (r9 — decimal/integer
+    prefix differences are bit-identical to the direct frame sums the
+    DuckDB oracle keeps). Outer std round-6."""
     from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.features.windows import RollingPlan
 
     bars = _bars_from_events_r8(spark, sf_dir)
     w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
     ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
     r = bars.select("symbol", "datetime", "bar_id", ret.alias("ret"))
-    t = (
-        W.partitionBy("symbol")
-        .orderBy("datetime", "bar_id")
-        .rowsBetween(-19, 0)
-    )
-    v = r.select(
-        "symbol", "datetime", "bar_id",
-        F.count("ret").over(t).alias("n1"),
-        F.sum(F.col("ret").cast("decimal(38,18)"))
-        .over(t)
-        .cast("double")
-        .alias("s1"),
-        F.sum((F.col("ret") * F.col("ret")).cast("decimal(38,18)"))
-        .over(t)
-        .cast("double")
-        .alias("s2"),
+    rr = F.col("ret")
+    p1 = RollingPlan(w, tag="v1")
+    v = p1.apply(
+        r,
+        {
+            "n1": p1.count(rr, 20, "r"),
+            "s1": p1.dec_sum(rr, 20, "s1").cast("double"),
+            "s2": p1.dec_sum(rr * rr, 20, "s2").cast("double"),
+        },
     )
     n1 = F.when(F.col("n1") >= 20, F.col("n1").cast("double"))
     var1 = (F.col("s2") - F.col("s1") * F.col("s1") / n1) / (n1 - F.lit(1.0))
@@ -7614,11 +7649,15 @@ def q_bars_vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var1) * F.lit(1e6)).cast("bigint"),
     )
     q = v.select("symbol", "datetime", "bar_id", volq.alias("volq"))
-    vv = q.select(
-        "symbol", "datetime", "bar_id", "volq",
-        F.count("volq").over(t).alias("n2"),
-        F.sum("volq").over(t).alias("t1"),
-        F.sum(F.col("volq") * F.col("volq")).over(t).alias("t2"),
+    qq = F.col("volq")
+    p2 = RollingPlan(w, tag="v2")
+    vv = p2.apply(
+        q,
+        {
+            "n2": p2.count(qq, 20, "q"),
+            "t1": p2.long_sum(qq, 20, "t1"),
+            "t2": p2.long_sum(qq * qq, 20, "t2"),
+        },
     )
     n2 = F.when(F.col("n2") >= 20, F.col("n2").cast("double"))
     var2 = (
@@ -8096,9 +8135,13 @@ def q_bars_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     k x open-close variance + (1-k) x Rogers-Satchell, the
     drift-and-jump-robust estimator completing the
     Parkinson/GK/RS family. Per-bar ln terms quantize to
-    decimal(38,18) under the window sums; k = 0.34/(1.34+21/19) is a
+    decimal(38,18) under the window sums — accumulated via the exact
+    O(n) RollingPlan prefix diffs (r9; bit-identical to the direct
+    frame sums the oracle keeps); k = 0.34/(1.34+21/19) is a
     shared literal; round-6, warmup at 20 overnight returns."""
     from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.features.windows import RollingPlan
 
     bars = _bars_from_events_r8(spark, sf_dir)
     w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
@@ -8113,23 +8156,22 @@ def q_bars_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "datetime", "bar_id",
         o_ret.alias("o_ret"), c_ret.alias("c_ret"), rs.alias("rs_term"),
     )
-    f = (
-        W.partitionBy("symbol")
-        .orderBy("datetime", "bar_id")
-        .rowsBetween(-19, 0)
-    )
+    o, c, z = F.col("o_ret"), F.col("c_ret"), F.col("rs_term")
+    plan = RollingPlan(w, tag="yz")
 
-    def dsum(c):
-        return F.sum(c.cast("decimal(38,18)")).over(f).cast("double")
+    def dsum(col, key):
+        return plan.dec_sum(col, 20, key).cast("double")
 
-    s = t.select(
-        "symbol", "datetime", "bar_id",
-        F.count("o_ret").over(f).alias("n_in"),
-        dsum(F.col("o_ret")).alias("so"),
-        dsum(F.col("o_ret") * F.col("o_ret")).alias("soo"),
-        dsum(F.col("c_ret")).alias("sc"),
-        dsum(F.col("c_ret") * F.col("c_ret")).alias("scc"),
-        dsum(F.col("rs_term")).alias("srs"),
+    s = plan.apply(
+        t,
+        {
+            "n_in": plan.count(o, 20, "o"),
+            "so": dsum(o, "so"),
+            "soo": dsum(o * o, "soo"),
+            "sc": dsum(c, "sc"),
+            "scc": dsum(c * c, "scc"),
+            "srs": dsum(z, "srs"),
+        },
     )
     n = F.when(F.col("n_in") >= 20, F.col("n_in").cast("double"))
     k = F.lit(0.34) / (F.lit(1.34) + F.lit(21.0) / F.lit(19.0))
@@ -10950,30 +10992,28 @@ def q_bars_updown_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bars_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 60-bar annualized Sharpe ratio — the windowed form of
     the backtest's summary Sharpe, the regime gauge that shows WHEN a
-    symbol carried its risk-adjusted return. Decimal power sums off
-    one window frame, warmup-masked at 60, round-6."""
+    symbol carried its risk-adjusted return. Decimal power sums via
+    the exact O(n) RollingPlan prefix diffs (r9 — Spark's sliding
+    frame re-aggregates O(n·60) per column; decimal prefix
+    differences are bit-identical, so the direct-frame DuckDB oracle
+    is untouched), warmup-masked at 60, round-6."""
     from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.features.windows import RollingPlan
 
     bars = _bars_from_events_r8(spark, sf_dir)
     w = W.partitionBy("symbol").orderBy("datetime", "bar_id")
     ret = (F.col("close") - F.lag("close").over(w)) / F.lag("close").over(w)
     r = bars.select("symbol", "datetime", "bar_id", ret.alias("ret"))
-    t = (
-        W.partitionBy("symbol")
-        .orderBy("datetime", "bar_id")
-        .rowsBetween(-59, 0)
-    )
-    s = r.select(
-        "symbol", "datetime", "bar_id",
-        F.count("ret").over(t).alias("n_in"),
-        F.sum(F.col("ret").cast("decimal(38,18)"))
-        .over(t)
-        .cast("double")
-        .alias("s1"),
-        F.sum((F.col("ret") * F.col("ret")).cast("decimal(38,18)"))
-        .over(t)
-        .cast("double")
-        .alias("s2"),
+    plan = RollingPlan(w)
+    rr = F.col("ret")
+    s = plan.apply(
+        r,
+        {
+            "n_in": plan.count(rr, 60, "r"),
+            "s1": plan.dec_sum(rr, 60, "s1").cast("double"),
+            "s2": plan.dec_sum(rr * rr, 60, "s2").cast("double"),
+        },
     )
     n = F.when(F.col("n_in") >= 60, F.col("n_in").cast("double"))
     var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - F.lit(1.0))

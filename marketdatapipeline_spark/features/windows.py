@@ -125,6 +125,61 @@ class RollingPlan:
         cnt = self._cnt(col, n, key)
         return self._mask(cnt, n, self._diff(self._running("s", col, key), n))
 
+    # -- exact-type frame sums (r9) -------------------------------------
+    # The catalog's engine-exact queries accumulate decimal(38,18) (or
+    # integral) power sums inside sliding frames; decimal/integer
+    # addition is associative-EXACT, so the prefix difference
+    # S_t - S_{t-n} is bit-identical to the direct frame aggregation —
+    # the DuckDB oracles keep their direct rolling sums and still
+    # match cell-for-cell. These return the UNMASKED frame sum typed
+    # as the running column (callers mask on count() themselves, since
+    # the mask predicate differs per query), with the coalesce zero
+    # cast to the SAME type so no double promotion sneaks in.
+
+    def _running_expr(self, built: Column, key: str) -> str:
+        """Register a fully-built running column (already ``.over``'d,
+        possibly post-cast) under a stable name."""
+        name = f"_{self._tag}_x_{key}"
+        if name not in self._stage_sums:
+            self._stage_sums[name] = built
+        return name
+
+    def dec_sum(
+        self, col: Column, n: int, key: str, dec: str = "decimal(38,18)"
+    ) -> Column:
+        """Trailing-frame ``sum(col.cast(dec))`` via prefix diffs.
+
+        The running sum (which Spark types ``decimal(38, s)``) is
+        narrowed to precision 28 BEFORE the subtraction: a
+        ``(38,s) - (38,s)`` difference needs precision 39, which
+        Spark's allowPrecisionLoss resolves by dropping a scale digit
+        — the resulting 1-ulp-at-1e-{s} drift vs the direct frame sum
+        is exactly the kind of noise that flips a round-6 tie (the r5
+        lesson). ``(28,s) - (28,s)`` types as ``(29,s)`` — full scale
+        kept, bit-identical to the direct aggregation (pinned in
+        test_windows). The narrowing cast is exact while the PREFIX
+        sum magnitude stays under 1e{28-s} — for O(1e-2) return terms
+        at scale 18 that is ~1e12 rows per symbol."""
+        scale = dec.rstrip(")").rsplit(",", 1)[1]
+        narrow = f"decimal(28,{scale})"
+        base = self._running_expr(
+            F.sum(col.cast(dec)).over(self._cum).cast(narrow), key
+        )
+        return F.col(base) - F.coalesce(
+            F.col(self._lagged(base, n)), F.lit(0).cast(narrow)
+        )
+
+    def long_sum(self, col: Column, n: int, key: str) -> Column:
+        """Trailing-frame sum of an integral column via prefix diffs."""
+        base = self._running_expr(F.sum(col).over(self._cum), key)
+        return F.col(base) - F.coalesce(
+            F.col(self._lagged(base, n)), F.lit(0).cast("long")
+        )
+
+    def count(self, col: Column, n: int, key: str) -> Column:
+        """Trailing-frame non-null count (the min_periods input)."""
+        return self._cnt(col, n, key)
+
     def mean(self, col: Column, n: int, key: str) -> Column:
         cnt = self._cnt(col, n, key)
         s = self._diff(self._running("s", col, key), n)

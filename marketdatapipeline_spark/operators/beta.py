@@ -76,19 +76,26 @@ def rolling_beta(
     )
     wl = Window.partitionBy("_sym").orderBy("_idx")
     r, m = F.col("_ret"), F.col("_m")
+    # running sums NARROW to decimal(28,18) before the diff (r9): a
+    # (38,18)-(38,18) subtraction needs precision 39, which Spark's
+    # allowPrecisionLoss resolves by dropping a scale digit — 1 ulp at
+    # 1e-17 vs the oracle's direct frame sums, exactly the noise that
+    # can flip a round-6 tie. (28,18)-(28,18) types as (29,18): full
+    # scale, bit-identical. Exact while prefix magnitudes < 1e10.
+    _NARROW = "decimal(28,18)"
     cums = j.withColumns(
         {
-            "_cr": F.sum(r.cast(_DEC)).over(wc),
-            "_cm": F.sum(m.cast(_DEC)).over(wc),
-            "_crm": F.sum((r * m).cast(_DEC)).over(wc),
-            "_cmm": F.sum((m * m).cast(_DEC)).over(wc),
+            "_cr": F.sum(r.cast(_DEC)).over(wc).cast(_NARROW),
+            "_cm": F.sum(m.cast(_DEC)).over(wc).cast(_NARROW),
+            "_crm": F.sum((r * m).cast(_DEC)).over(wc).cast(_NARROW),
+            "_cmm": F.sum((m * m).cast(_DEC)).over(wc).cast(_NARROW),
             "_rn": F.row_number().over(wl),
         }
     )
 
     def frame_sum(c: str) -> F.Column:
         prev = F.lag(F.col(c), window).over(wl)
-        return (F.col(c) - F.coalesce(prev, F.lit(0).cast(_DEC))).cast(
+        return (F.col(c) - F.coalesce(prev, F.lit(0).cast(_NARROW))).cast(
             "double"
         )
 

@@ -129,3 +129,62 @@ def test_rolling_plan_matches_sliding_on_random_data(spark):
             gb = out[b].to_numpy(dtype="float64")
             assert (np.isnan(ga) == np.isnan(gb)).all(), (n, a, "null mask")
             assert np.allclose(ga, gb, atol=1e-7, equal_nan=True), (n, a)
+
+
+def test_exact_frame_sums_bit_identical_to_sliding(spark):
+    """r9: dec_sum/long_sum/count must match the direct sliding-frame
+    aggregation BIT-EXACTLY (decimal/integer prefix differences are
+    associative-exact) — this is what lets the five slow catalog
+    rolling queries switch plans without touching their oracles.
+    Nulls included; comparison is on the masked (count>=n) region the
+    catalog queries consume, where the empty-frame NULL-vs-0 corner
+    cannot appear."""
+    from marketdatapipeline_spark.features.windows import RollingPlan
+
+    rng = np.random.default_rng(20260815)
+    rows = []
+    for sym in ("a", "b"):
+        cnt = int(rng.integers(30, 300))
+        vals = rng.normal(0.0, 0.01, cnt)
+        vals[rng.random(cnt) < 0.08] = np.nan
+        ints = rng.integers(-50_000, 50_000, cnt)
+        for i in range(cnt):
+            rows.append(
+                (
+                    sym,
+                    i,
+                    None if np.isnan(vals[i]) else float(vals[i]),
+                    int(ints[i]),
+                )
+            )
+    df = spark.createDataFrame(rows, ["symbol", "seq", "x", "k"])
+    w = Window.partitionBy("symbol").orderBy("seq")
+    n = 20
+    t = w.rowsBetween(-(n - 1), 0)
+    plan = RollingPlan(w)
+    x, k = F.col("x"), F.col("k")
+    out = plan.apply(
+        df,
+        {
+            "p_cnt": plan.count(x, n, "x"),
+            "p_dec": plan.dec_sum(x, n, "x").cast("double"),
+            "p_long": plan.long_sum(k, n, "k"),
+        },
+    ).select(
+        "symbol",
+        "seq",
+        "p_cnt",
+        "p_dec",
+        "p_long",
+        F.count(x).over(t).alias("s_cnt"),
+        F.sum(x.cast("decimal(38,18)")).over(t).cast("double").alias("s_dec"),
+        F.sum(k).over(t).alias("s_long"),
+    ).toPandas()
+    assert (out["p_cnt"] == out["s_cnt"]).all()
+    assert (out["p_long"] == out["s_long"]).all()  # never-null ints
+    masked = out[out["p_cnt"] >= n]
+    assert len(masked) > 50
+    # bit-exact on the consumed region, including the double cast
+    assert (
+        masked["p_dec"].to_numpy() == masked["s_dec"].to_numpy()
+    ).all()
