@@ -220,20 +220,46 @@ def pairwise_return_correlation(
             "corr",
         )
 
-    entry = F.collect_list(F.struct("_sym", "_ret"))
-    a_idx = rets.groupBy("_idx").agg(entry.alias("_ea"))
-    b_idx = (
-        rets.select(
-            "_sym", (F.col("_idx") - F.lit(lag)).alias("_idx"), "_ret"
-        )
-        .groupBy("_idx")
-        .agg(entry.alias("_eb"))
+    # ONE shuffle builds both role arrays (r9): a return at index i is
+    # the a-side row at key i AND the b-side row at key i-lag, so the
+    # union carries each return twice (tagged) through a single
+    # groupBy — replacing r8's two pivot groupBys + sort-merge join
+    # (2.75 s -> 1.56 s for the pair-sum stage at sf0.1, identical
+    # output). collect_list drops the when()-nulled other-role rows,
+    # so each key ends with exactly its a-array and b-array.
+    u = rets.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_idx").alias("_k"), F.lit(0).alias("_role")
+                ),
+                F.struct(
+                    (F.col("_idx") - F.lit(lag)).alias("_k"),
+                    F.lit(1).alias("_role"),
+                ),
+            )
+        ).alias("_e"),
+        F.struct("_sym", "_ret").alias("_s"),
+    ).select(
+        F.col("_e._k").alias("_idx"), "_s", F.col("_e._role").alias("_role")
     )
-    # same single-task-explode guard as the lag-0 path: the joined
-    # pivot table is byte-small (AQE coalesces it) but fans out to
-    # S^2 pair rows per index — force the explode to spread.
-    joined = a_idx.join(b_idx, "_idx").repartition(
-        rets.sparkSession.sparkContext.defaultParallelism, "_idx"
+    joined = (
+        u.groupBy("_idx")
+        .agg(
+            F.collect_list(
+                F.when(F.col("_role") == 0, F.col("_s"))
+            ).alias("_ea"),
+            F.collect_list(
+                F.when(F.col("_role") == 1, F.col("_s"))
+            ).alias("_eb"),
+        )
+        .filter((F.size("_ea") > 0) & (F.size("_eb") > 0))
+        # same single-task-explode guard as the lag-0 path: the pivot
+        # table is byte-small (AQE coalesces it) but fans out to S^2
+        # pair rows per index — force the explode to spread.
+        .repartition(
+            rets.sparkSession.sparkContext.defaultParallelism, "_idx"
+        )
     )
     pairs = (
         joined
@@ -259,45 +285,91 @@ def pairwise_return_correlation(
     # exact, so every sum is bit-identical to the direct per-pair
     # aggregation the oracle keeps. 5x less per-pair-row decimal
     # arithmetic (measured 5.7 s -> the lag-0 fix's band at sf0.1).
-    g = pairs.groupBy("symbol_a", "symbol_b").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum((F.col("_ra") * F.col("_rb")).cast(dec))
-        .cast("double")
-        .alias("_sxy"),
-    ).filter(F.col("n_obs") >= min_obs)
+    # The tiny pair table is PERSISTED (it anchors both the output and
+    # the boundary-key generator below; unpersisted, the fork would
+    # re-run the whole pair aggregation — the expensive stage).
+    from marketdatapipeline_spark.caching import scoped_persist
 
+    g = scoped_persist(
+        pairs.groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum((F.col("_ra") * F.col("_rb")).cast(dec))
+            .cast("double")
+            .alias("_sxy"),
+        )
+        .filter(F.col("n_obs") >= min_obs)
+    )
+
+    # running sums narrow to decimal(28,18) before the b-side boundary
+    # SUBTRACTION below (r9): (38,18)-(38,18) needs precision 39, which
+    # allowPrecisionLoss resolves by dropping a scale digit — 1 ulp of
+    # drift vs the oracle's direct pair sums, enough to flip a round-6
+    # tie. (28,18)-(28,18) types as (29,18): full scale, exact. (The
+    # narrowing cast is itself exact while prefix magnitudes < 1e10.)
+    narrow = "decimal(28,18)"
     w = Window.partitionBy("_sym").orderBy("_idx")
     pre = rets.select(
         "_sym",
         "_idx",
-        F.sum(F.col("_ret").cast(dec)).over(w).alias("_cs"),
+        F.sum(F.col("_ret").cast(dec)).over(w).cast(narrow).alias("_cs"),
         F.sum((F.col("_ret") * F.col("_ret")).cast(dec))
         .over(w)
+        .cast(narrow)
         .alias("_css"),
     )
-    # a's boundary: prefix at m (pair count). Broadcast the tiny pair
-    # table; the N prefix rows stream past it, never shuffling.
-    first = pre.select(
-        F.col("_sym").alias("symbol_a"),
-        F.col("_idx").cast("long").alias("n_obs"),
-        F.col("_cs").cast("double").alias("_sx"),
-        F.col("_css").cast("double").alias("_sxx"),
-    ).join(F.broadcast(g), ["symbol_a", "n_obs"])
-    # b's upper boundary: prefix at m + k (kept as decimals — the
-    # lower boundary subtracts before any double cast)
-    upper = pre.select(
-        F.col("_sym").alias("symbol_b"),
-        (F.col("_idx") - F.lit(lag)).cast("long").alias("n_obs"),
-        F.col("_cs").alias("_cs_u"),
-        F.col("_css").alias("_css_u"),
-    ).join(F.broadcast(first), ["symbol_b", "n_obs"])
-    # b's lower boundary: prefix at exactly k — one row per symbol
-    low = pre.filter(F.col("_idx") == lag).select(
-        F.col("_sym").alias("symbol_b"),
-        F.col("_cs").alias("_cs_l"),
-        F.col("_css").alias("_css_l"),
+    # Boundary lookups in ONE pass over the prefix rows (r9): each
+    # pair needs three prefix-sum boundary rows — a's prefix at m,
+    # b's at m+k (upper) and at k (lower). r8 streamed `pre` through
+    # three separate joins, which Spark planned as three full
+    # scan+sort+window evaluations (no subplan sharing across a
+    # DataFrame fork). Now the pair table generates all boundary KEYS
+    # (3 rows per pair, broadcast), a single `pre` pass inner-joins
+    # them (~3·S² surviving rows), and a tiny pivot glues the three
+    # roles back onto each pair. Decimals stay decimal through the
+    # pivot; the b-range subtraction still happens before any double
+    # cast.
+    keys = g.select(
+        "symbol_a",
+        "symbol_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("symbol_a").alias("_ksym"),
+                    F.col("n_obs").alias("_kidx"),
+                    F.lit("a").alias("_role"),
+                ),
+                F.struct(
+                    F.col("symbol_b").alias("_ksym"),
+                    (F.col("n_obs") + F.lit(lag)).alias("_kidx"),
+                    F.lit("bu").alias("_role"),
+                ),
+                F.struct(
+                    F.col("symbol_b").alias("_ksym"),
+                    F.lit(lag).cast("long").alias("_kidx"),
+                    F.lit("bl").alias("_role"),
+                ),
+            )
+        ).alias("_k"),
+    ).select("symbol_a", "symbol_b", "_k._ksym", "_k._kidx", "_k._role")
+    bounds = pre.join(
+        F.broadcast(keys),
+        (F.col("_sym") == F.col("_ksym"))
+        & (F.col("_idx").cast("long") == F.col("_kidx")),
     )
-    j = upper.join(F.broadcast(low), "symbol_b")
+
+    def role(r: str, c: str):
+        return F.max(F.when(F.col("_role") == r, F.col(c)))
+
+    piv = bounds.groupBy("symbol_a", "symbol_b").agg(
+        role("a", "_cs").cast("double").alias("_sx"),
+        role("a", "_css").cast("double").alias("_sxx"),
+        role("bu", "_cs").alias("_cs_u"),
+        role("bu", "_css").alias("_css_u"),
+        role("bl", "_cs").alias("_cs_l"),
+        role("bl", "_css").alias("_css_l"),
+    )
+    j = g.join(F.broadcast(piv), ["symbol_a", "symbol_b"])
     sy = (F.col("_cs_u") - F.col("_cs_l")).cast("double")
     syy = (F.col("_css_u") - F.col("_css_l")).cast("double")
     n = F.col("n_obs")
