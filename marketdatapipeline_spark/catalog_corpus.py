@@ -8712,9 +8712,13 @@ def q_bars_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Information-coefficient decay: Pearson correlation of a 5-bar
     momentum signal with forward returns at horizons 1/5/10/20 — the
     signal-research table that says how fast alpha evaporates. The
-    four forward returns come off ONE window pass (parallel leads,
-    zipped explode), co-moments as decimals, round-6. The agg keys
-    on horizon (4 groups) — map-side combinable anywhere."""
+    four forward returns come off ONE window pass (parallel leads);
+    r9 de-explodes the per-horizon grouping into CONDITIONAL
+    aggregation — 24 null-gated decimal sums in one keyless agg, so
+    shuffle-in rows stop quadrupling (the oracle keeps its unnest +
+    GROUP BY horizon form; sum() skips the when()-nulled rows, so
+    each horizon's decimal sums see exactly the same elements).
+    The four output rows unfold from the single agg row. Round-6."""
     from pyspark.sql import Window as W
 
     bars = _bars_from_events_r8(spark, sf_dir)
@@ -8729,46 +8733,78 @@ def q_bars_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for h in horizons
     ]
-    s = bars.select("symbol", sig.alias("signal"), *fwds)
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(h).alias("horizon"), F.col(f"_f{h}").alias("fwd")
-                )
-                for h in horizons
-            ]
-        )
-    ).alias("p")
-    p = s.select("signal", pairs).select(
-        "signal", F.col("p.horizon").alias("horizon"),
-        F.col("p.fwd").alias("fwd"),
-    ).filter(F.col("signal").isNotNull() & F.col("fwd").isNotNull())
-    g = p.groupBy("horizon").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum(F.col("signal").cast("decimal(38,18)"))
-        .cast("double")
-        .alias("sx"),
-        F.sum((F.col("signal") * F.col("signal")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(F.col("fwd").cast("decimal(38,18)")).cast("double").alias("sy"),
-        F.sum((F.col("fwd") * F.col("fwd")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("syy"),
-        F.sum((F.col("signal") * F.col("fwd")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("sxy"),
+    # the window leaves only S≈10 live partitions; the 14M decimal
+    # sum-updates below are the query's CPU, so spread them across
+    # every core before the keyless agg (round-robin repartition of
+    # 1M narrow rows is far cheaper than 3x-serialized decimal work)
+    s = bars.select(sig.alias("signal"), *fwds).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    n = F.col("n_obs").cast("double")
-    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
-    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
-    ok = (F.col("n_obs") >= 2) & (vx > 0) & (vy > 0)
-    ic = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    dec = "decimal(38,18)"
+    narrow = "decimal(28,18)"
+    # signal power sums DECOMPOSE (r9): each horizon's sx/sxx differ
+    # from the all-signal sums only by the ~h-per-symbol edge rows
+    # where fwd_h is null, so sum the base ONCE and subtract a
+    # near-empty correction sum per horizon — decimal sums are
+    # grouping-insensitive-exact, so base - correction is
+    # bit-identical to the direct masked sum the oracle computes.
+    # (Both operands narrow to (28,18) first: a (38,18)-(38,18)
+    # subtraction drops a scale digit under allowPrecisionLoss.)
+    sg = F.col("signal")
+    cb = sg.isNotNull()
+    aggs = [
+        F.sum(F.when(cb, sg).cast(dec)).cast(narrow).alias("sx_all"),
+        F.sum(F.when(cb, sg * sg).cast(dec)).cast(narrow).alias("sxx_all"),
+    ]
+    for h in horizons:
+        fw = F.col(f"_f{h}")
+        c = cb & fw.isNotNull()
+        ce = cb & fw.isNull()  # edge rows: in base but not in horizon h
+        aggs += [
+            F.count(F.when(c, F.lit(1))).alias(f"n_{h}"),
+            F.sum(F.when(ce, sg).cast(dec)).cast(narrow).alias(f"sxc_{h}"),
+            F.sum(F.when(ce, sg * sg).cast(dec))
+            .cast(narrow)
+            .alias(f"sxxc_{h}"),
+            F.sum(F.when(c, fw).cast(dec)).cast("double").alias(f"sy_{h}"),
+            F.sum(F.when(c, fw * fw).cast(dec))
+            .cast("double")
+            .alias(f"syy_{h}"),
+            F.sum(F.when(c, sg * fw).cast(dec))
+            .cast("double")
+            .alias(f"sxy_{h}"),
+        ]
+    one = s.agg(*aggs)
+    zero = F.lit(0).cast(narrow)
+
+    def ic_struct(h: int):
+        n_obs = F.col(f"n_{h}")
+        n = n_obs.cast("double")
+        sx = (
+            F.col("sx_all") - F.coalesce(F.col(f"sxc_{h}"), zero)
+        ).cast("double")
+        sxx = (
+            F.col("sxx_all") - F.coalesce(F.col(f"sxxc_{h}"), zero)
+        ).cast("double")
+        sy, syy = F.col(f"sy_{h}"), F.col(f"syy_{h}")
+        sxy = F.col(f"sxy_{h}")
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        ok = (n_obs >= 2) & (vx > 0) & (vy > 0)
+        ic = (sxy - sx * sy / n) / F.sqrt(vx * vy)
+        return F.struct(
+            F.lit(h).alias("horizon"),
+            n_obs.alias("n_obs"),
+            F.when(ok, ic).alias("ic"),
+        )
+
+    g = one.select(
+        F.explode(F.array(*[ic_struct(h) for h in horizons])).alias("_g")
+    ).select("_g.horizon", "_g.n_obs", "_g.ic")
     return g.select(
         F.col("horizon").cast("int").alias("horizon"),
         "n_obs",
-        _r6(F.when(ok, ic)).alias("ic"),
+        _r6(F.col("ic")).alias("ic"),
     )
 
 
