@@ -12,19 +12,26 @@ decode + encode; jpeg.py: baseline T.81 Huffman/DCT decode + 4:4:4
 encode; stdlib-wave PCM) — decode, stats-over-decoded-bytes, and the
 full decode→resample→re-encode resize round-trip all run inside
 mapInPandas. Video container METADATA (brand/duration/tracks/
-dimensions) parses via the ISO BMFF box walker (mp4.py); PIXEL decode
-keeps the documented NotImplementedError slot (no codec stack
-in-container). The deterministic fake decoder (byte-level
-stats over the raw payload) remains the default and the oracle target,
-keeping schemas, batch shapes, and partitioning checkable end-to-end.
+dimensions) parses via the ISO BMFF box walker (mp4.py), and since
+r9 MJPEG-track PIXELS decode for real too: the sample table
+(parse_mp4_samples) resolves each frame's byte range and the in-repo
+baseline-JPEG decoder takes it from there (decode_mjpeg_frames,
+video_frame_stats). Non-MJPEG video codecs (H.264 etc.) remain the
+one documented NotImplementedError. The deterministic fake decoder
+(byte-level stats over the raw payload) remains the default and the
+oracle target, keeping schemas, batch shapes, and partitioning
+checkable end-to-end.
 """
 
 from marketdatapipeline_spark.multimodal.mp4 import (
     make_minimal_mp4,
+    make_mjpeg_mp4,
     parse_mp4_metadata,
+    parse_mp4_samples,
 )
 from marketdatapipeline_spark.multimodal.codecs import (
     decode_jpeg,
+    decode_mjpeg_frames,
     decode_png,
     decode_wav,
     encode_jpeg,
@@ -43,6 +50,7 @@ from marketdatapipeline_spark.multimodal.ops import (
     near_duplicate_images,
     resize_images,
     sample_frames,
+    video_frame_stats,
 )
 
 __all__ = [
@@ -64,5 +72,9 @@ __all__ = [
     "encode_wav",
     "resize_nearest",
     "make_minimal_mp4",
+    "make_mjpeg_mp4",
     "parse_mp4_metadata",
+    "parse_mp4_samples",
+    "decode_mjpeg_frames",
+    "video_frame_stats",
 ]

@@ -16,9 +16,14 @@ the standard library alone:
   1x1/2x2 sampling, and a 4:4:4 baseline encoder — the DCT runs as
   one einsum over all blocks; only the bit-serial entropy layer loops.
 
-Video stays a documented NotImplementedError slot (an MP4 demuxer is
-not reasonably reimplementable here); its metadata/frame-index
-plumbing is real and oracle-checked via the fake path.
+Video (r9): **MJPEG-track MP4 decodes for real** — the ISO BMFF
+sample table (mp4.parse_mp4_samples) resolves each frame's byte
+range and every frame is an independent baseline JPEG the decoder
+above already handles (``decode_mjpeg_frames``). Non-MJPEG codecs
+(H.264/H.265/VP9…) remain the one documented NotImplementedError:
+inter-frame codec stacks are not reasonably reimplementable here.
+The metadata/frame-index plumbing stays oracle-checked via the fake
+path.
 
 These codecs run INSIDE mapInPandas batches (see ops.py) — per-item
 Python is acceptable there because each item is an opaque blob whose
@@ -210,3 +215,43 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
     xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)
     return arr[ys[:, None], xs[None, :]]
+
+
+#: sample-entry fourccs that carry per-frame baseline JPEG payloads
+MJPEG_FOURCCS = frozenset({"jpeg", "mjpa", "mjpg", "avdj", "dmb1"})
+
+
+def decode_mjpeg_frames(
+    data: bytes, every_n: int = 1, limit: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Decode an MJPEG-track MP4 to ``[(frame_idx, (H, W, C) uint8
+    array), ...]`` — the r9 closure of the video NotImplementedError:
+    mp4.parse_mp4_samples resolves each frame's byte range, and every
+    frame is an independent baseline JPEG the in-repo decoder
+    (multimodal/jpeg.py) already handles. ``every_n`` keeps every
+    n-th frame (the frame-sampling convention of sample_frames);
+    ``limit`` caps the decoded count.
+
+    Raises ValueError on corrupt containers/frames and
+    NotImplementedError for non-MJPEG codecs (H.264 etc. stay the
+    documented gap — inter-frame codec stacks are out of scope).
+    """
+    from marketdatapipeline_spark.multimodal.mp4 import parse_mp4_samples
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    info = parse_mp4_samples(data)
+    codec = (info["codec"] or "").lower()
+    if codec not in MJPEG_FOURCCS:
+        raise NotImplementedError(
+            f"no in-container decoder for video codec {info['codec']!r} "
+            "(only MJPEG tracks decode without an external codec stack)"
+        )
+    out: list[tuple[int, np.ndarray]] = []
+    for idx, (off, size) in enumerate(info["samples"]):
+        if idx % every_n:
+            continue
+        if limit is not None and len(out) >= limit:
+            break
+        out.append((idx, decode_jpeg(bytes(data[off : off + size]))))
+    return out

@@ -177,6 +177,7 @@ def _decode_media_real(df: DataFrame, on_error: str) -> DataFrame:
 
     from marketdatapipeline_spark.multimodal.codecs import (
         decode_jpeg,
+        decode_mjpeg_frames,
         decode_png,
         decode_wav,
     )
@@ -195,6 +196,18 @@ def _decode_media_real(df: DataFrame, on_error: str) -> DataFrame:
                     elif mime == "audio/wav":
                         pcm, _rate = decode_wav(bytes(content or b""))
                         flat = np.frombuffer(pcm.tobytes(), dtype=np.uint8)
+                    elif mime == "video/mp4":
+                        # r9: MJPEG tracks decode for real (mp4 sample
+                        # table -> per-frame baseline JPEG); other
+                        # codecs raise NotImplementedError below.
+                        frames = decode_mjpeg_frames(bytes(content or b""))
+                        flat = (
+                            np.concatenate(
+                                [f.reshape(-1) for _, f in frames]
+                            )
+                            if frames
+                            else np.empty(0, dtype=np.uint8)
+                        )
                     else:
                         raise NotImplementedError(
                             f"no in-container demuxer for {mime}"
@@ -529,8 +542,9 @@ def mp4_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Container metadata per ``video/mp4`` row via the ISO BMFF box
     walker (multimodal/mp4.py): brand, duration, track kinds, video
     dimensions — the demux-boundary facts routing and frame-index
-    planning need (pixel decode stays the documented
-    NotImplementedError: no codec stack in-container). Non-MP4 mimes
+    planning need. (Pixel decode: MJPEG tracks decode for real via
+    video_frame_stats / decode_media(fake=False) since r9; other
+    codecs remain the documented NotImplementedError.) Non-MP4 mimes
     are skipped; corrupt payloads follow ``on_error`` (``"raise"`` /
     ``"null"``). mapInPandas, per-item work, no shuffle."""
     from marketdatapipeline_spark.multimodal.mp4 import parse_mp4_metadata
@@ -571,6 +585,85 @@ def mp4_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(batches, schema=MP4_META_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("pix_mean", DoubleType()),
+        StructField("pix_std", DoubleType()),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame, every_n: int = 1, max_frames: int | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL per-frame pixel statistics for MJPEG-track MP4 rows (r9 —
+    the closure of the video-decode NotImplementedError): the MP4
+    sample table resolves each frame's byte range, the in-repo
+    baseline-JPEG decoder reaches pixels, and each decoded frame
+    emits (frame_idx, dims, pixel mean/std). ``every_n``/
+    ``max_frames`` bound the per-item work the way a training
+    pipeline samples frames. Non-MP4 mimes are skipped; corrupt
+    payloads and non-MJPEG codecs (still the documented gap) follow
+    ``on_error`` — ``"null"`` emits one all-null-stats row so the
+    item stays visible to downstream audits.
+
+    mapInPandas, per-item work by nature (each blob decodes
+    independently), no shuffle; partition parallelism is the scale
+    axis, exactly like decode_media."""
+    from marketdatapipeline_spark.multimodal.codecs import (
+        decode_mjpeg_frames,
+    )
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error: {on_error}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, mime, content in zip(
+                pdf["doc_id"], pdf["mime"], pdf["content"]
+            ):
+                if str(mime) != "video/mp4":
+                    continue
+                try:
+                    frames = decode_mjpeg_frames(
+                        bytes(content or b""),
+                        every_n=every_n,
+                        limit=max_frames,
+                    )
+                    n = len(frames)
+                    for idx, arr in frames:
+                        rows.append(
+                            (
+                                doc_id,
+                                idx,
+                                n,
+                                int(arr.shape[1]),
+                                int(arr.shape[0]),
+                                int(arr.shape[2]),
+                                float(arr.mean()),
+                                float(arr.std()),
+                            )
+                        )
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(

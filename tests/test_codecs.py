@@ -434,3 +434,117 @@ def test_spark_real_decode_and_resize_jpeg(spark):
     from marketdatapipeline_spark.multimodal.codecs import resize_nearest
 
     assert _psnr(out_img, resize_nearest(decoded, 8, 12)) > 35.0
+
+
+# ---------------------------------------------------------------------------
+# r9: MJPEG-in-MP4 — the video pixel-decode closure
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.multimodal.codecs import (  # noqa: E402
+    decode_mjpeg_frames,
+)
+from marketdatapipeline_spark.multimodal.mp4 import (  # noqa: E402
+    make_mjpeg_mp4,
+    parse_mp4_metadata,
+    parse_mp4_samples,
+)
+
+
+def _mjpeg_fixture(n_frames=4, w=24, h=16, seed=11):
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+        for _ in range(n_frames)
+    ]
+    return frames, make_mjpeg_mp4(frames, w, h, fps=4)
+
+
+def test_mjpeg_mp4_sample_table_roundtrip():
+    """The muxer's stbl resolves back to exactly the frame payloads."""
+    frames, mp4 = _mjpeg_fixture()
+    info = parse_mp4_samples(mp4)
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (24, 16)
+    assert len(info["samples"]) == len(frames)
+    for (off, size), f in zip(info["samples"], frames):
+        assert mp4[off : off + size] == f
+    # and the metadata walker still reads the same container
+    m = parse_mp4_metadata(mp4)
+    assert m["has_video"] and (m["width"], m["height"]) == (24, 16)
+    assert m["duration_s"] == pytest.approx(1.0)  # 4 frames @ 4 fps
+
+
+def test_mjpeg_frames_decode_identical_to_direct_jpeg():
+    """Pixel closure: frames decoded THROUGH the container equal
+    decode_jpeg on the raw frame bytes, bit for bit."""
+    frames, mp4 = _mjpeg_fixture(n_frames=5)
+    dec = decode_mjpeg_frames(mp4)
+    assert [i for i, _ in dec] == [0, 1, 2, 3, 4]
+    for (_, arr), f in zip(dec, frames):
+        assert (arr == decode_jpeg(f)).all()
+    # frame sampling + cap
+    assert [i for i, _ in decode_mjpeg_frames(mp4, every_n=2)] == [0, 2, 4]
+    assert len(decode_mjpeg_frames(mp4, limit=2)) == 2
+
+
+def test_mjpeg_rejects_non_mjpeg_codec_and_corrupt():
+    frames, mp4 = _mjpeg_fixture(n_frames=2)
+    # flip the sample-entry fourcc to a codec we can't decode
+    avc = mp4.replace(b"jpeg", b"avc1", 1)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mjpeg_frames(avc)
+    with pytest.raises(ValueError):
+        decode_mjpeg_frames(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="every_n"):
+        decode_mjpeg_frames(mp4, every_n=0)
+    # metadata-only fixture has no sample table
+    from marketdatapipeline_spark.multimodal.mp4 import make_minimal_mp4
+
+    with pytest.raises(ValueError, match="sample table"):
+        parse_mp4_samples(make_minimal_mp4())
+
+
+def test_video_frame_stats_operator(spark):
+    """Spark plumbing: per-frame stats rows for MJPEG payloads,
+    null-stat rows for undecodable video under on_error='null'."""
+    from marketdatapipeline_spark.multimodal.ops import video_frame_stats
+
+    frames, mp4 = _mjpeg_fixture(n_frames=3)
+    bad = mp4.replace(b"jpeg", b"avc1", 1)
+    df = spark.createDataFrame(
+        [
+            (1, "video/mp4", bytearray(mp4)),
+            (2, "video/mp4", bytearray(bad)),
+            (3, "image/png", bytearray(b"not video")),
+        ],
+        "doc_id long, mime string, content binary",
+    )
+    out = video_frame_stats(df, on_error="null").toPandas()
+    got = out[out["doc_id"] == 1].sort_values("frame_idx")
+    assert list(got["frame_idx"]) == [0, 1, 2]
+    assert (got["n_frames"] == 3).all()
+    assert (got["width"] == 24).all() and (got["height"] == 16).all()
+    ref = decode_jpeg(frames[0])
+    assert got.iloc[0]["pix_mean"] == pytest.approx(float(ref.mean()))
+    assert got.iloc[0]["pix_std"] == pytest.approx(float(ref.std()))
+    bad_rows = out[out["doc_id"] == 2]
+    assert len(bad_rows) == 1 and pd.isna(bad_rows.iloc[0]["frame_idx"])
+    assert (out["doc_id"] != 3).all()  # non-video skipped entirely
+    with pytest.raises(Exception):
+        video_frame_stats(df, on_error="raise").toPandas()
+
+
+def test_real_decode_media_handles_mjpeg_video(spark):
+    """decode_media(decoder='real') byte-stats video over DECODED
+    pixels now — concatenated frames, not container bytes."""
+    from marketdatapipeline_spark.multimodal.ops import decode_media
+
+    frames, mp4 = _mjpeg_fixture(n_frames=2)
+    df = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(mp4))],
+        "doc_id long, mime string, content binary",
+    )
+    row = decode_media(df, decoder="real").collect()[0]
+    pix = np.concatenate([decode_jpeg(f).reshape(-1) for f in frames])
+    assert row["byte_len"] == pix.size
+    assert row["byte_mean"] == pytest.approx(float(pix.mean()), rel=1e-6)
