@@ -539,6 +539,10 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
+#: rounds the most recent duplicate_clusters call took to converge
+LAST_CONVERGENCE_ROUNDS: int = 0
+
+
 def duplicate_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -553,18 +557,29 @@ def duplicate_clusters(
     ``cluster_size``. This is the step that turns pairwise dedup
     output into keep-one-per-group decisions.
 
-    Iterative min-label propagation: each round, every node takes the
-    minimum of its own label and its neighbours' labels (one
-    equi-join + one aggregation per round), until a full round moves
-    nothing. Rounds needed = graph diameter — near-dup components are
-    shallow (dozens of rounds covers pathological chains; real corpora
-    converge in a handful). Per-round lineage is truncated with
-    ``localCheckpoint`` — the standard Spark pattern for iterative
-    graph algorithms (on a cluster, ``spark.checkpoint`` against the
-    checkpoint dir, or GraphFrames' alternating large/small-star CC,
-    which shares this exact convergence structure). Convergence is
-    detected by the label-sum: labels only ever decrease, so an
-    unchanged sum means an unchanged labelling.
+    Iterative min-label propagation WITH SHORTCUTTING (r9): each
+    round, every node takes the minimum of (a) its own label, (b) its
+    neighbours' labels (one equi-join + one aggregation), and (c) its
+    label's label (one self-equi-join on the label — the
+    Shiloach-Vishkin / pointer-doubling move, the same
+    chain-collapsing effect as Kiveris et al.'s alternating
+    large-star/small-star rounds). Neighbour propagation alone needs
+    diameter rounds; the label-of-label hop squares the reach each
+    round, so chains converge in O(log diameter) rounds — on a
+    1000-link chain, 11 rounds instead of 1000 (pinned in
+    test_corpus). Safe because labels are always ids of
+    same-component nodes (so the label's label is too), labels are
+    monotone non-increasing, and any fixed point of the extended
+    update is a fixed point of plain propagation — hence labels are
+    constant per component and pinned to the component min.
+
+    Per-round lineage is truncated with ``localCheckpoint`` — the
+    standard Spark pattern for iterative graph algorithms (on a
+    cluster, ``spark.checkpoint`` against the checkpoint dir).
+    Convergence is detected by the label-sum: labels only ever
+    decrease, so an unchanged sum means an unchanged labelling.
+    ``LAST_CONVERGENCE_ROUNDS`` records the rounds of the most recent
+    call (observability for exactly this scaling claim).
     """
     edges = (
         pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
@@ -580,11 +595,12 @@ def duplicate_clusters(
             F.sum(F.col("_lbl").cast("decimal(38,0)"))
         ).collect()[0][0]
 
+    global LAST_CONVERGENCE_ROUNDS
     labels = nodes.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
     ).localCheckpoint(eager=True)
     prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -596,18 +612,27 @@ def duplicate_clusters(
             .agg(F.min("_nl").alias("_nbr_min"))
             .withColumnRenamed("_src", "_id")
         )
+        # shortcut hop: each node also reads the CURRENT label of the
+        # node its label points at (pointer doubling)
+        ll = labels.select(
+            F.col("_id").alias("_lbl"), F.col("_lbl").alias("_ll")
+        )
         labels = (
             labels.join(nbr_min, "_id", "left")
+            .join(ll, "_lbl", "left")
             .select(
                 "_id",
                 F.least(
-                    F.col("_lbl"), F.coalesce(F.col("_nbr_min"), F.col("_lbl"))
+                    F.col("_lbl"),
+                    F.coalesce(F.col("_nbr_min"), F.col("_lbl")),
+                    F.coalesce(F.col("_ll"), F.col("_lbl")),
                 ).alias("_lbl"),
             )
             .localCheckpoint(eager=True)
         )
         s = label_sum(labels)
         if s == prev_sum:  # labels are monotone ⇒ equal sum ⇒ fixed point
+            LAST_CONVERGENCE_ROUNDS = rounds
             break
         prev_sum = s
     else:

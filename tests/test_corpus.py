@@ -302,6 +302,25 @@ def test_duplicate_clusters_chain_and_singletons(spark):
     assert out[8]["cluster_size"] == 1
 
 
+def test_duplicate_clusters_shortcutting_collapses_chains(spark):
+    """r9: the pointer-doubling hop makes a long chain converge in
+    O(log diameter) rounds — plain neighbour propagation would need
+    ~diameter rounds and trip max_iter here."""
+    import marketdatapipeline_spark.textops.corpus as corpus_mod
+    from marketdatapipeline_spark.textops.corpus import duplicate_clusters
+
+    n = 200  # a 200-link chain: plain propagation needs ~200 rounds
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    out = duplicate_clusters(nodes, pairs, max_iter=25).collect()
+    assert all(r["cluster_id"] == 1 for r in out)
+    assert all(r["cluster_size"] == n for r in out)
+    # log2(200) ~ 8; leave slack but stay far under the diameter
+    assert corpus_mod.LAST_CONVERGENCE_ROUNDS <= 14
+
+
 def test_stateless_corpus_ops_run_on_streams(spark, docs, tmp_path):
     """The scrub/estimate/split/chunk operators are pure row
     expressions, so the same code must run unchanged on a streaming
