@@ -990,3 +990,82 @@ def test_online_bollinger_rejects_bad_window(spark, tick_dir):
     ticks_stream = read_tick_stream(spark, tick_dir)
     with pytest.raises(ValueError, match="window"):
         online_bollinger(ticks_stream, window=1)
+
+
+# ---------------------------------------------------------------------------
+# r9: micro-batch re-slicing property test — the state contract itself
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_stateful_ops_invariant_under_micro_batch_slicing(
+    spark, bars_pdf, tmp_path, seed
+):
+    """The stream==batch parity tests above fix ONE batch slicing
+    (file splits); this pins the state contract itself: split the
+    same time-ordered tick tape at RANDOM cut points into 1..6
+    micro-batches and every stateful operator must produce its batch
+    twin's output bit-for-bit regardless of where the boundaries
+    fall. Catches any scan that accidentally closes over batch
+    boundaries (warmup restarts, per-batch re-initialization,
+    watermark-coupled state)."""
+    from marketdatapipeline_spark.streaming import (
+        online_atr,
+        online_atr_batch,
+        online_bollinger,
+        online_bollinger_batch,
+        online_cusum,
+        online_cusum_batch,
+        online_kama,
+        online_kama_batch,
+        online_volume_clock,
+        online_volume_clock_batch,
+    )
+
+    rng = np.random.default_rng(20260815 + seed)
+    pdf = bars_pdf.rename(
+        columns={"datetime": "ts", "close": "price", "volume": "size"}
+    )[["symbol", "ts", "price", "size"]].sort_values("ts", kind="stable")
+    n = len(pdf)
+    k = int(rng.integers(1, 7))  # 1..6 micro-batches
+    cuts = sorted(rng.choice(np.arange(1, n), size=k - 1, replace=False)) if k > 1 else []
+    bounds = [0, *[int(c) for c in cuts], n]
+    root = str(tmp_path / f"slices{seed}")
+    for i in range(len(bounds) - 1):
+        spark.createDataFrame(
+            pdf.iloc[bounds[i] : bounds[i + 1]], TICK_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/s{i:02d}")
+
+    ticks_batch = spark.read.schema(TICK_SCHEMA).parquet(f"{root}/s*")
+    from pyspark.sql import functions as F
+
+    closes = ticks_batch.select(
+        "symbol", "ts", F.col("price").alias("close")
+    )
+    cases = [
+        ("atr", lambda s: online_atr(s, window=7),
+         online_atr_batch(closes, window=7, order_cols=("ts",))),
+        ("boll", lambda s: online_bollinger(s, window=10, n_std=2.0),
+         online_bollinger_batch(ticks_batch, window=10, n_std=2.0, order_cols=("ts",))),
+        ("kama", lambda s: online_kama(s, window=5, fast=2, slow=10),
+         online_kama_batch(ticks_batch, window=5, fast=2, slow=10, order_cols=("ts",))),
+        ("vclock", lambda s: online_volume_clock(s, 500.0),
+         online_volume_clock_batch(ticks_batch, 500.0)),
+        ("cusum", lambda s: online_cusum(s, 0.02),
+         online_cusum_batch(ticks_batch, 0.02)),
+    ]
+    for name, mk_stream, batch_df in cases:
+        stream = (
+            spark.readStream.schema(TICK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/s*")
+        )
+        got = _run_stream_to_memory(
+            spark, mk_stream(stream), f"reslice_{name}_{seed}"
+        ).toPandas()
+        want = batch_df.toPandas()
+        key = ["symbol", "ts"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)[got.columns]
+        assert len(got) == len(want) == n, (name, k)
+        pd.testing.assert_frame_equal(got, want, check_exact=True), (name, k)
