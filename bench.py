@@ -232,12 +232,24 @@ def main() -> None:
     # claimed. Same plan shape as the 1M run (already JIT-warm). Runs
     # LAST so its heap churn cannot contaminate the frozen series.
     scaling: dict[str, float] = {}
-    for label, mult in (("feature_pipeline_5m", 5), ("feature_pipeline_10m", 10)):
+    # r9 adds the 50M decade: one more order-of-magnitude of evidence
+    # for the 100x-scale claim (does the chunk/halo path hold past the
+    # page-cache knee?). Single timed run after one warmup — at ~50 s
+    # a run, medians would double the bench's tail for noise the
+    # smaller decades already characterize.
+    for label, mult, reps, wus in (
+        ("feature_pipeline_5m", 5, 3, 1),
+        ("feature_pipeline_10m", 10, 3, 1),
+        ("feature_pipeline_50m", 50, 1, 1),
+    ):
         bars_n = replicated_bars(spark, sf_dir, copies * mult, multi_symbol=True)
-        timings[label] = run_feature_pipeline(spark, bars_n, repeats=3, warmups=1)
+        timings[label] = run_feature_pipeline(
+            spark, bars_n, repeats=reps, warmups=wus
+        )
         scaling[f"rows_per_sec_{mult}m"] = round(
             mult * 1_000_000 / timings[label]
         )
+        _gc()
 
     # The slim stdout line carries ONLY the r4-frozen series keys
     # (REGISTRY + headline + 1sym + sf-native): the r6 additions
@@ -246,7 +258,7 @@ def main() -> None:
     # window's failure band (r5 recorded parsed:null at ~2600). They
     # live in bench_detail.json and the detail stdout line instead.
     slim_only = {"feature_pipeline_1m_cached", "feature_pipeline_5m",
-                 "feature_pipeline_10m"}
+                 "feature_pipeline_10m", "feature_pipeline_50m"}
     # r8: the slim line's per-query values are the MEDIAN-of-3 series
     # (the headline entries were already medians) — the first-post-cold
     # single samples kept recording host noise as fake regressions

@@ -93,7 +93,10 @@ def _rolling_mean_decimal(
     wl = Window.partitionBy(symbol_col).orderBy(*order_cols)
     staged = df.withColumns(
         {
-            "_cs": F.sum(F.col(term_col).cast(_DEC)).over(wc),
+            # narrowed back to _DEC before the window-edge diff: the
+            # (38,14) sum type would lose a scale digit under the
+            # subtraction's allowPrecisionLoss rescale (r9)
+            "_cs": F.sum(F.col(term_col).cast(_DEC)).over(wc).cast(_DEC),
             "_cc": F.count(term_col).over(wc),
         }
     )
@@ -411,8 +414,9 @@ def money_flow_index(
     neg_t = F.when(F.col("_dtp") < 0, mf).when(F.col("_dtp") >= 0, F.lit(0.0))
     staged = staged.withColumns(
         {
-            "_cp": F.sum(pos_t.cast(_DEC)).over(wc),
-            "_cn": F.sum(neg_t.cast(_DEC)).over(wc),
+            # narrowed like sma's running sum (r9): keep scale 14 exact
+            "_cp": F.sum(pos_t.cast(_DEC)).over(wc).cast(_DEC),
+            "_cn": F.sum(neg_t.cast(_DEC)).over(wc).cast(_DEC),
             "_cc": F.count(F.col("_dtp")).over(wc),
         }
     )

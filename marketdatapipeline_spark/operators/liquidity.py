@@ -396,9 +396,13 @@ def vpin(
     wb = Window.partitionBy(symbol_col).orderBy("bucket")
     wbr = wb.rowsBetween(Window.unboundedPreceding, 0)
     rdec = "decimal(28,14)"
+    # narrowed back to (28,14): sum() types the running column
+    # (38,14), and the window-edge subtraction below would drop a
+    # scale digit under allowPrecisionLoss — 1 ulp of drift vs the
+    # oracle's direct frame sums (r9)
     g = g.withColumns(
         {
-            "_cs": F.sum(F.col("imbalance").cast(rdec)).over(wbr),
+            "_cs": F.sum(F.col("imbalance").cast(rdec)).over(wbr).cast(rdec),
             "_cc": F.count("imbalance").over(wbr),
         }
     )

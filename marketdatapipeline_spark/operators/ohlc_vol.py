@@ -82,7 +82,12 @@ def ohlc_volatility(
         wl = Window.partitionBy(symbol_col).orderBy(*order_cols)
         cums = {}
         for k, term in terms.items():
-            cums[f"_cs{k}"] = F.sum(term.cast("decimal(28,14)")).over(wc)
+            # narrowed back to (28,14): the (38,14) sum type would lose a
+            # scale digit under the diff's allowPrecisionLoss rescale (r9)
+            cums[f"_cs{k}"] = (
+                F.sum(term.cast("decimal(28,14)")).over(wc)
+                .cast("decimal(28,14)")
+            )
             # the min_periods gate counts NON-NULL terms (a null price
             # nulls its ln-term; counting rows would understate)
             cums[f"_cc{k}"] = F.count(term).over(wc)

@@ -157,14 +157,21 @@ def rolling_pair_correlation(
     dec = "decimal(28,14)"
     run = Window.orderBy("_idx").rowsBetween(Window.unboundedPreceding, 0)
     x, y = F.col("ret_a"), F.col("ret_b")
+    # running sums NARROW back to (28,14) before the window-edge diff
+    # (r9): sum() types them (38,14), and a (38,14)-(38,14)
+    # subtraction needs precision 39, which allowPrecisionLoss
+    # resolves by dropping a scale digit — 1 ulp at 1e-13 vs the
+    # oracle's direct frame sums, enough to flip a round-6 tie. The
+    # (28,14) re-cast is exact while prefix magnitudes < 1e14, and
+    # (28,14)-(28,14) types as (29,14): full scale kept.
     rets = rets.withColumns(
         {
             "_cn": F.count(F.lit(1)).over(run),
-            "_cx": F.sum(x.cast(dec)).over(run),
-            "_cy": F.sum(y.cast(dec)).over(run),
-            "_cxx": F.sum((x * x).cast(dec)).over(run),
-            "_cyy": F.sum((y * y).cast(dec)).over(run),
-            "_cxy": F.sum((x * y).cast(dec)).over(run),
+            "_cx": F.sum(x.cast(dec)).over(run).cast(dec),
+            "_cy": F.sum(y.cast(dec)).over(run).cast(dec),
+            "_cxx": F.sum((x * x).cast(dec)).over(run).cast(dec),
+            "_cyy": F.sum((y * y).cast(dec)).over(run).cast(dec),
+            "_cxy": F.sum((x * y).cast(dec)).over(run).cast(dec),
         }
     )
     lag = Window.orderBy("_idx")

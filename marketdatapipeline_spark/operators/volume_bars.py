@@ -66,12 +66,22 @@ def volume_bars(
         bucket = F.floor(start_cum / F.lit(float(bucket_size)))
     else:
         clock = (F.col(price_col) * F.col(volume_col)).cast(_DEC)
-        cum = F.sum(clock).over(run)
-        # subtract in decimal (exact), divide/floor in double: the
-        # quotient sits at a bucket boundary only for exact multiples,
-        # where the decimal->double conversion is itself exact.
+        # the PRIOR cumulative comes from a strictly-before frame, not
+        # from subtracting the current term (r9): cum - clock is a
+        # (38,18)-(38,18) decimal subtraction, which Spark's
+        # allowPrecisionLoss rescales to (38,17) — 1 ulp of rounding
+        # that can push a start_cum sitting 1e-18 below a bucket
+        # multiple ONTO the boundary and flip the floor. The
+        # (unboundedPreceding, -1) frame is still evaluated
+        # incrementally (UnboundedPrecedingWindowFunctionFrame takes
+        # any fixed upper offset), involves NO arithmetic beyond the
+        # exact decimal accumulation, and shares the window node.
+        start_cum = F.coalesce(
+            F.sum(clock).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast(_DEC),
+        )
         bucket = F.floor(
-            (cum - clock).cast("double") / F.lit(float(bucket_size))
+            start_cum.cast("double") / F.lit(float(bucket_size))
         )
     rn = F.row_number().over(w)
     staged = df.select(

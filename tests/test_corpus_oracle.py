@@ -7,12 +7,17 @@ them to a STRICTER standard on every pytest run: cell-exact value
 comparison after canonical sorting (tools/check_oracle.py), the same
 machinery test_gate_tail.py uses for the gate-exempt tail.
 
-Two tiers run by default: sf0.001 (fast) AND sf0.1 — rounding-boundary
-divergence from cross-engine sum association provably appears only at
-volume (the r6 vwap round-to-6 flip hit one row in 100k at sf0.1 and
-was invisible below), so a tier this size must be in CI, not a manual
-per-round sweep. Set SPARK_GRAFT_EXT_TIERS (colon-separated dirs) to
-override, e.g. a quick local loop on sf0.001 only.
+Two tiers: sf0.001 (fast — every default pytest run) and sf0.1 —
+rounding-boundary divergence from cross-engine sum association
+provably appears only at volume (the r6 vwap round-to-6 flip hit one
+row in 100k at sf0.1 and was invisible below), so the big tier stays
+a first-class pytest target. r9: it carries the ``full`` marker and
+pytest.ini deselects it by default (it alone was ~15 of the suite's
+18 minutes); run it with ``pytest tests/ -m full`` or the equivalent
+per-round sweep ``python tools/check_oracle.py /root/testdata/sf0.1``
+— one of the two MUST pass before any round ships a rounding-family
+change (the verify skill says the same). Set SPARK_GRAFT_EXT_TIERS
+(colon-separated dirs) to override the tier list.
 """
 
 from __future__ import annotations
@@ -53,7 +58,14 @@ def extended_registry():
     return EXTENDED_REGISTRY
 
 
-@pytest.fixture(scope="module", params=TIERS, ids=_tier_id)
+#: every tier beyond the first (fastest) is the heavy sweep
+_TIER_PARAMS = [
+    d if i == 0 else pytest.param(d, marks=pytest.mark.full)
+    for i, d in enumerate(TIERS)
+]
+
+
+@pytest.fixture(scope="module", params=_TIER_PARAMS, ids=_tier_id)
 def tier_con(request):
     """(sf_dir, DuckDB connection with the tier's tables as views)."""
     from marketdatapipeline_spark.sources.tables import TABLES
