@@ -11061,3 +11061,173 @@ def q_bars_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "datetime", "bar_id",
         _r6(F.when(ok, sharpe)).alias("rolling_sharpe_60"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave: noise-robust realized volatility + dual (upside/downside) beta
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.operators.beta import dual_beta  # noqa: E402
+from marketdatapipeline_spark.operators.moments import (  # noqa: E402
+    realized_kernel_volatility,
+)
+
+_RK_WEIGHTS = [1.0 - h / 6.0 for h in range(1, 6)]  # Bartlett, H=5
+
+
+@register_extended(
+    "bars_realized_kernel",
+    _bars_sql(
+        """
+        , r AS (
+            SELECT symbol, datetime, bar_id,
+                   (close - lag(close) OVER w) / lag(close) OVER w AS ret
+            FROM bars
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        l AS (
+            SELECT symbol, ret,
+                   lag(ret, 1) OVER w AS l1,
+                   lag(ret, 2) OVER w AS l2,
+                   lag(ret, 3) OVER w AS l3,
+                   lag(ret, 4) OVER w AS l4,
+                   lag(ret, 5) OVER w AS l5
+            FROM r
+            WINDOW w AS (PARTITION BY symbol ORDER BY datetime, bar_id)
+        ),
+        g AS (
+            SELECT symbol, count(*) AS n_obs,
+                   CAST(sum(CAST(ret * ret AS DECIMAL(38,18)))
+                        AS DOUBLE) AS g0,
+                   CAST(sum(CAST(ret * l1 AS DECIMAL(38,18)))
+                        AS DOUBLE) AS g1,
+                   CAST(sum(CAST(ret * l2 AS DECIMAL(38,18)))
+                        AS DOUBLE) AS g2,
+                   CAST(sum(CAST(ret * l3 AS DECIMAL(38,18)))
+                        AS DOUBLE) AS g3,
+                   CAST(sum(CAST(ret * l4 AS DECIMAL(38,18)))
+                        AS DOUBLE) AS g4,
+                   CAST(sum(CAST(ret * l5 AS DECIMAL(38,18)))
+                        AS DOUBLE) AS g5
+            FROM l WHERE ret IS NOT NULL
+            GROUP BY symbol
+        ),
+        k AS (
+            SELECT symbol, n_obs, g0,
+                   g0 + {w1} * (2.0 * g1) + {w2} * (2.0 * g2)
+                      + {w3} * (2.0 * g3) + {w4} * (2.0 * g4)
+                      + {w5} * (2.0 * g5) AS rk_var
+            FROM g
+        )
+        SELECT symbol, CAST(n_obs AS BIGINT) AS n_obs,
+               round(g0, 6) + 0.0 AS rv,
+               round(rk_var, 6) + 0.0 AS rk_var,
+               CASE WHEN rk_var > 0 THEN round(sqrt(rk_var), 6) + 0.0
+               END AS rk_vol
+        FROM k
+        """.format(
+            w1=repr(_RK_WEIGHTS[0]), w2=repr(_RK_WEIGHTS[1]),
+            w3=repr(_RK_WEIGHTS[2]), w4=repr(_RK_WEIGHTS[3]),
+            w5=repr(_RK_WEIGHTS[4]),
+        )
+    ),
+)
+def q_bars_realized_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett-kernel realized variance, H=5
+    (operators/moments.py:realized_kernel_volatility): plain RV plus
+    Newey-West-weighted autocovariance corrections — the
+    noise-robust realized-vol estimator next to the OHLC range
+    family. The kernel weights are injected into BOTH engines as
+    identical repr() double literals and the assembly is a left fold
+    in h order, so the only cross-engine noise is the decimal→double
+    cast — round-6. One symbol window (return + 5 lags in one node),
+    one map-side-combinable agg, S rows out."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = realized_kernel_volatility(bars, n_lags=5)
+    return out.select(
+        "symbol",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        _r6(F.col("rv")).alias("rv"),
+        _r6(F.col("rk_var")).alias("rk_var"),
+        _r6(F.col("rk_vol")).alias("rk_vol"),
+    )
+
+
+@register_extended(
+    "bars_dual_beta",
+    _bars_sql(
+        _RETS_NN_SQL
+        + """
+        , mkt AS (
+            SELECT _idx,
+                   CAST(sum(CAST(_ret AS DECIMAL(38,18))) AS DOUBLE)
+                       / count(*) AS _m
+            FROM nn GROUP BY _idx
+        ),
+        j AS (
+            SELECT nn._sym, nn._ret AS _r, mkt._m
+            FROM nn JOIN mkt USING (_idx)
+        ),
+        g AS (
+            SELECT _sym AS symbol,
+                   count(CASE WHEN _m > 0 THEN 1 END) AS n_up,
+                   count(CASE WHEN _m < 0 THEN 1 END) AS n_down,
+                   CAST(sum(CASE WHEN _m > 0 THEN
+                        CAST(_r AS DECIMAL(38,18)) END) AS DOUBLE) AS sr_u,
+                   CAST(sum(CASE WHEN _m > 0 THEN
+                        CAST(_m AS DECIMAL(38,18)) END) AS DOUBLE) AS sm_u,
+                   CAST(sum(CASE WHEN _m > 0 THEN
+                        CAST(_r * _m AS DECIMAL(38,18)) END) AS DOUBLE)
+                       AS srm_u,
+                   CAST(sum(CASE WHEN _m > 0 THEN
+                        CAST(_m * _m AS DECIMAL(38,18)) END) AS DOUBLE)
+                       AS smm_u,
+                   CAST(sum(CASE WHEN _m < 0 THEN
+                        CAST(_r AS DECIMAL(38,18)) END) AS DOUBLE) AS sr_d,
+                   CAST(sum(CASE WHEN _m < 0 THEN
+                        CAST(_m AS DECIMAL(38,18)) END) AS DOUBLE) AS sm_d,
+                   CAST(sum(CASE WHEN _m < 0 THEN
+                        CAST(_r * _m AS DECIMAL(38,18)) END) AS DOUBLE)
+                       AS srm_d,
+                   CAST(sum(CASE WHEN _m < 0 THEN
+                        CAST(_m * _m AS DECIMAL(38,18)) END) AS DOUBLE)
+                       AS smm_d
+            FROM j GROUP BY _sym
+        )
+        SELECT symbol,
+               CAST(n_up AS BIGINT) AS n_up,
+               CAST(n_down AS BIGINT) AS n_down,
+               CASE WHEN n_up >= 10
+                         AND CAST(n_up AS DOUBLE) * smm_u - sm_u * sm_u > 0
+               THEN round((CAST(n_up AS DOUBLE) * srm_u - sr_u * sm_u)
+                          / (CAST(n_up AS DOUBLE) * smm_u - sm_u * sm_u),
+                          6) + 0.0
+               END AS beta_up,
+               CASE WHEN n_down >= 10
+                         AND CAST(n_down AS DOUBLE) * smm_d - sm_d * sm_d
+                             > 0
+               THEN round((CAST(n_down AS DOUBLE) * srm_d - sr_d * sm_d)
+                          / (CAST(n_down AS DOUBLE) * smm_d - sm_d * sm_d),
+                          6) + 0.0
+               END AS beta_down
+        FROM g
+        """
+    ),
+)
+def q_bars_dual_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upside/downside beta vs the equal-weight market
+    (operators/beta.py:dual_beta): beta conditioned on market-up vs
+    market-down bars — the asymmetry screen behind defensive-stock
+    selection. Null-gated conditional decimal co-moment sums (each
+    regime's sums see exactly its bars; the oracle's CASE WHEN sums
+    are bit-identical); one shared returns window, one _idx window
+    for the market mean, ONE symbol agg; round-6 at the ratios."""
+    bars = _bars_from_events_r8(spark, sf_dir)
+    out = dual_beta(bars, min_obs=10)
+    return out.select(
+        "symbol",
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        _r6(F.col("beta_up")).alias("beta_up"),
+        _r6(F.col("beta_down")).alias("beta_down"),
+    )

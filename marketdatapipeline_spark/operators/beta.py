@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.operators.correlation import bar_index_returns
 
-__all__ = ["rolling_beta"]
+__all__ = ["dual_beta", "rolling_beta"]
 
 _DEC = "decimal(38,18)"
 
@@ -115,4 +115,81 @@ def rolling_beta(
         r.alias("ret"),
         m.alias("mkt_ret"),
         beta.alias("beta"),
+    )
+
+
+def dual_beta(
+    df: DataFrame,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    min_obs: int = 10,
+) -> DataFrame:
+    """(symbol, n_up, n_down, beta_up, beta_down): upside/downside
+    betas vs the equal-weight market — the asymmetry decomposition
+    behind defensive-stock screens (Ang/Chen/Xing downside-risk
+    framing): beta conditioned on market-up bars vs market-down bars.
+
+        beta_up   = cov(r, m | m > 0) / var(m | m > 0)
+        beta_down = cov(r, m | m < 0) / var(m | m < 0)
+
+    (sample covariance/variance over the conditioned subset; null
+    when the subset has < ``min_obs`` bars or zero market variance —
+    a one-sided regime degenerates honestly rather than emitting
+    ±inf.)
+
+    Plan: the shared :func:`bar_index_returns` window, the r8
+    window-based market mean (one _idx exchange, no join), then ONE
+    groupBy(symbol) of null-gated conditional decimal co-moment sums
+    — ``when(m > 0, ...)`` nulls the off-regime rows and ``sum``
+    skips them, so each regime's sums see exactly its bars
+    (grouping-insensitive-exact; the oracle's ``CASE WHEN`` sums are
+    bit-identical). Map-side combinable, S output rows.
+    """
+    rets = bar_index_returns(df, price_col, symbol_col, order_cols)
+    wm = Window.partitionBy("_idx")
+    j = rets.withColumn(
+        "_m",
+        F.sum(F.col("_ret").cast(_DEC)).over(wm).cast("double")
+        / F.count(F.lit(1)).over(wm),
+    )
+    r, m = F.col("_ret"), F.col("_m")
+
+    def side(tag: str, cond):
+        rc = F.when(cond, r)
+        mc = F.when(cond, m)
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(rc.cast(_DEC)).cast("double").alias(f"_sr_{tag}"),
+            F.sum(mc.cast(_DEC)).cast("double").alias(f"_sm_{tag}"),
+            F.sum(F.when(cond, r * m).cast(_DEC))
+            .cast("double")
+            .alias(f"_srm_{tag}"),
+            F.sum(F.when(cond, m * m).cast(_DEC))
+            .cast("double")
+            .alias(f"_smm_{tag}"),
+        ]
+
+    g = j.groupBy(F.col("_sym").alias(symbol_col)).agg(
+        *side("up", m > 0), *side("down", m < 0)
+    )
+
+    def beta(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        var_m = n * F.col(f"_smm_{tag}") - F.col(f"_sm_{tag}") * F.col(
+            f"_sm_{tag}"
+        )
+        cov = n * F.col(f"_srm_{tag}") - F.col(f"_sr_{tag}") * F.col(
+            f"_sm_{tag}"
+        )
+        return F.when(
+            (F.col(f"n_{tag}") >= min_obs) & (var_m > 0), cov / var_m
+        )
+
+    return g.select(
+        symbol_col,
+        "n_up",
+        "n_down",
+        beta("up").alias("beta_up"),
+        beta("down").alias("beta_down"),
     )

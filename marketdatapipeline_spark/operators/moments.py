@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["realized_moments", "return_autocorrelation"]
+__all__ = [
+    "realized_kernel_volatility",
+    "realized_moments",
+    "return_autocorrelation",
+]
 
 _DEC = "decimal(38,18)"
 
@@ -154,4 +158,76 @@ def return_autocorrelation(
             rho.alias("autocorr"),
             half.alias("half_life"),
         )
+    )
+
+
+def realized_kernel_volatility(
+    df: DataFrame,
+    n_lags: int = 5,
+    price_col: str = "close",
+    symbol_col: str = "symbol",
+    order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+) -> DataFrame:
+    """(symbol, n_obs, rv, rk_var, rk_vol): Bartlett-kernel realized
+    variance per symbol — the noise-robust realized-volatility
+    estimator (Barndorff-Nielsen/Hansen/Lunde/Shephard family;
+    Newey-West weighting):
+
+        rk_var = γ0 + Σ_{h=1..H} (1 - h/(H+1)) · 2·γ_h
+        γ_h    = Σ_t r_t · r_{t-h}
+
+    Plain realized variance (``rv`` = γ0) treats microstructure noise
+    as signal; the weighted autocovariance terms subtract the serial
+    component bid-ask bounce induces. ``rk_vol = sqrt(rk_var)`` when
+    positive, null otherwise (the Bartlett weights guarantee
+    positive-semidefinite in the H→n limit but finite-sample negatives
+    are possible and honest).
+
+    One window exchange produces the return and its H lags; ONE
+    groupBy accumulates the H+1 co-moment sums as ``decimal(38,18)``
+    (association-free — the oracle's identically-cast sums match
+    bit-for-bit); the kernel assembly is literal double arithmetic in
+    written order. Map-side combinable, S output rows, nothing but the
+    symbol exchange moves.
+    """
+    if n_lags < 1:
+        raise ValueError(f"n_lags must be >= 1, got {n_lags}")
+    w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+    prev = F.lag(F.col(price_col)).over(w)
+    rets = df.select(
+        F.col(symbol_col),
+        *[F.col(c) for c in order_cols],
+        ((F.col(price_col) - prev) / prev).alias("_ret"),
+    )
+    lags = rets.select(
+        F.col(symbol_col),
+        "_ret",
+        *[
+            F.lag(F.col("_ret"), h).over(w).alias(f"_l{h}")
+            for h in range(1, n_lags + 1)
+        ],
+    ).filter(F.col("_ret").isNotNull())
+    r = F.col("_ret")
+    g = lags.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum((r * r).cast(_DEC)).cast("double").alias("_g0"),
+        *[
+            F.sum((r * F.col(f"_l{h}")).cast(_DEC))
+            .cast("double")
+            .alias(f"_g{h}")
+            for h in range(1, n_lags + 1)
+        ],
+    )
+    rk = F.col("_g0")
+    for h in range(1, n_lags + 1):
+        wgt = 1.0 - h / (n_lags + 1.0)
+        rk = rk + F.lit(wgt) * (F.lit(2.0) * F.col(f"_g{h}"))
+    out = g.select(
+        F.col(symbol_col),
+        "n_obs",
+        F.col("_g0").alias("rv"),
+        rk.alias("rk_var"),
+    )
+    return out.withColumn(
+        "rk_vol", F.when(F.col("rk_var") > 0, F.sqrt(F.col("rk_var")))
     )

@@ -1612,3 +1612,76 @@ def test_underwater_spells_hand_computed(spark):
     assert abs(r["mean_spell"] - 2.5) < 1e-12
     assert abs(r["worst_spell_dd"] - (8.0 / 11.0 - 1.0)) < 1e-12
     assert abs(r["pct_underwater"] - 0.5) < 1e-12
+
+
+def test_realized_kernel_vs_numpy(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.moments import (
+        realized_kernel_volatility,
+    )
+
+    H = 5
+    got = {
+        r["symbol"]: r
+        for r in realized_kernel_volatility(
+            bars_df, n_lags=H, order_cols=("datetime",)
+        ).collect()
+    }
+    for sym, grp in bars_pdf.sort_values(["symbol", "datetime"]).groupby("symbol"):
+        p = grp["close"].to_numpy()
+        r = p[1:] / p[:-1] - 1.0
+        g0 = float((r * r).sum())
+        rk = g0
+        for h in range(1, H + 1):
+            gh = float((r[h:] * r[:-h]).sum())
+            rk += (1.0 - h / (H + 1.0)) * 2.0 * gh
+        row = got[sym]
+        assert row["n_obs"] == len(r)
+        assert row["rv"] == pytest.approx(g0, rel=1e-9)
+        assert row["rk_var"] == pytest.approx(rk, rel=1e-9)
+        if rk > 0:
+            assert row["rk_vol"] == pytest.approx(rk**0.5, rel=1e-9)
+    from marketdatapipeline_spark.operators.moments import (
+        realized_kernel_volatility as rkv,
+    )
+
+    with pytest.raises(ValueError, match="n_lags"):
+        rkv(bars_df, n_lags=0)
+
+
+def test_dual_beta_vs_numpy(spark, bars_df, bars_pdf):
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.beta import dual_beta
+
+    got = {
+        r["symbol"]: r
+        for r in dual_beta(
+            bars_df, order_cols=("datetime",), min_obs=5
+        ).collect()
+    }
+    # rebuild the aligned return/market series the operator defines
+    per = {}
+    for sym, grp in bars_pdf.sort_values(["symbol", "datetime"]).groupby("symbol"):
+        p = grp["close"].to_numpy()
+        per[sym] = p[1:] / p[:-1] - 1.0
+    max_len = max(len(v) for v in per.values())
+    for sym, r in per.items():
+        ups, downs = [], []
+        for i in range(len(r)):
+            present = [s for s, v in per.items() if len(v) > i]
+            m = float(np.mean([per[s][i] for s in present]))
+            (ups if m > 0 else downs if m < 0 else []).append((r[i], m))
+        row = got[sym]
+        assert row["n_up"] == len(ups) and row["n_down"] == len(downs)
+        for tag, pairs in (("beta_up", ups), ("beta_down", downs)):
+            if len(pairs) >= 5:
+                x = np.array([a for a, _ in pairs])
+                mm = np.array([b for _, b in pairs])
+                denom = len(pairs) * (mm * mm).sum() - mm.sum() ** 2
+                if denom > 0:
+                    want = (
+                        len(pairs) * (x * mm).sum() - x.sum() * mm.sum()
+                    ) / denom
+                    assert row[tag] == pytest.approx(want, rel=1e-9), (sym, tag)
