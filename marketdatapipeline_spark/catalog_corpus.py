@@ -8798,9 +8798,13 @@ def q_bars_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ok, ic).alias("ic"),
         )
 
+    # the keyless agg emits ONE row even on empty input (-> 4 unfolded
+    # rows with n_obs=0) where the oracle's GROUP BY emits none — the
+    # n_obs>0 filter realigns the degenerate case and is a no-op on
+    # any populated tier
     g = one.select(
         F.explode(F.array(*[ic_struct(h) for h in horizons])).alias("_g")
-    ).select("_g.horizon", "_g.n_obs", "_g.ic")
+    ).select("_g.horizon", "_g.n_obs", "_g.ic").filter(F.col("n_obs") > 0)
     return g.select(
         F.col("horizon").cast("int").alias("horizon"),
         "n_obs",

@@ -50,6 +50,31 @@ def _run_stream_to_memory(spark, stream_df, name):
     return spark.table(name)
 
 
+def _run_stream_until_rows(spark, stream_df, name, n_rows, timeout=120.0):
+    """Like _run_stream_to_memory, but for queries that do NOT
+    self-terminate under availableNow (TTL-stateful queries stay alive
+    servicing processing-time timers — awaitTermination would burn its
+    whole timeout): poll the memory sink until the expected row count
+    lands, then stop the query explicitly."""
+    import time as _time
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + timeout
+    while _time.time() < deadline and q.isActive:
+        if spark.table(name).count() >= n_rows:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    return spark.table(name)
+
+
 def test_ticks_to_bars_matches_batch(spark, tick_dir):
     ticks_stream = read_tick_stream(spark, tick_dir)
     ticks_batch = spark.read.schema(TICK_SCHEMA).parquet(tick_dir)
@@ -404,8 +429,9 @@ def test_online_indicators_with_ttl_matches_no_ttl_on_live_feed(spark, bars_pdf,
         "overwrite"
     ).parquet(path)
     stream = spark.readStream.schema(TICK_SCHEMA).parquet(path)
-    with_ttl = _run_stream_to_memory(
-        spark, online_indicators(stream, state_ttl="1 hour"), "ttl_on"
+    with_ttl = _run_stream_until_rows(
+        spark, online_indicators(stream, state_ttl="1 hour"), "ttl_on",
+        n_rows=len(pdf),
     ).toPandas()
     stream2 = spark.readStream.schema(TICK_SCHEMA).parquet(path)
     without = _run_stream_to_memory(
