@@ -587,3 +587,51 @@ def test_r8_event_and_ml_plan_shapes(spark):
     z = _plan(apply_standardizer(bars, stats, ["close", "volume"]))
     assert "BroadcastNestedLoopJoin" in z or "BroadcastExchange" in z
     assert "SortMergeJoin" not in z
+
+
+def test_r9_rolling_queries_plan_prefix_not_sliding(spark):
+    """The r9 RollingPlan rewrites must never regress to sliding
+    frames: Spark re-evaluates a `ROWS BETWEEN k PRECEDING` aggregate
+    over the whole frame per output row (O(rows x k)), while the
+    unbounded-preceding running sums these queries now ride are
+    incremental. The frame text in the executed plan is the tell."""
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
+
+    for name, frame in [
+        ("bars_rolling_sharpe", "59"),
+        ("bars_vol_of_vol", "19"),
+        ("bars_yang_zhang_vol", "19"),
+    ]:
+        df = EXTENDED_REGISTRY[name].fn(spark, SF)
+        plan = _plan(df)
+        assert f"-{frame}, 0" not in plan and f"{frame} PRECEDING" not in plan, (
+            name,
+            "sliding frame crept back in",
+        )
+        low = plan.lower()
+        assert "unboundedpreceding" in low, name
+        # the prefix diffs read the lagged running sums
+        assert "lag(" in low, name
+
+
+def test_price_extremes_block_decomposition_single_exchange(spark):
+    """r9 van Herk/Gil-Werman rewrite: rolling min/max via per-block
+    prefix/suffix extremes. hash(symbol) must satisfy the
+    (symbol, _blk) window clustering — ONE data exchange total, with
+    the block windows planned as chained sorts, and no 251-row
+    sliding frame anywhere."""
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
+
+    df = EXTENDED_REGISTRY["bars_price_extremes"].fn(spark, SF)
+    plan = _plan(df)
+    # the 252-row sliding frame is (RowFrame, -251, 0); the legitimate
+    # -251 lag of the suffix extremes is (RowFrame, -251, -251)
+    assert "-251, 0" not in plan, "sliding min/max frame crept back in"
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges == 1, plan[:2000]
