@@ -11235,3 +11235,564 @@ def q_bars_dual_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("beta_up")).alias("beta_up"),
         _r6(F.col("beta_down")).alias("beta_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 TPC-H completion wave: the eight query shapes the family lacked
+# (Q2/Q4/Q8/Q11/Q12/Q16/Q20/Q21), each adapted to the fixture schema
+# (no partsupp / shipmode / commit-receipt dates — the adaptation per
+# query is documented in its docstring). Plan conventions follow the
+# existing family: broadcast-eligible dims, fact shuffles once,
+# decimal(28,10) money sums, deterministic tie-broken top-k cuts.
+# ---------------------------------------------------------------------------
+
+
+@register_extended(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH avail AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(l_extendedprice / l_quantity
+                             AS DECIMAL(28,10))) AS DOUBLE)
+                   AS min_unit_price
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey AS p_key, min(min_unit_price) AS best_price
+        FROM avail GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_type,
+           s.s_name, n.n_name AS nation, r.r_name AS region,
+           round(a.min_unit_price, 6) + 0.0 AS unit_price,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM avail a
+    JOIN best b ON a.l_partkey = b.p_key
+                AND a.min_unit_price = b.best_price
+    JOIN part p ON p.p_partkey = a.l_partkey
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 15
+    ORDER BY s_acctbal DESC, nation, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (minimum-cost supplier): no partsupp table in
+    the fixture, so "supply cost" is each supplier's observed minimum
+    unit price (extendedprice/quantity) per part from lineitem, and
+    the correlated min-subquery becomes a per-part broadcast of the
+    best price. The unit-price division is IEEE-identical in both
+    engines; the min over exact decimal casts is engine-independent;
+    round-6 at emission. Fact aggregates once; part/supplier/nation/
+    region broadcast."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+        "decimal(28,10)"
+    )
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).cast("double").alias("min_unit_price")
+    )
+    best = avail.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.min("min_unit_price").alias("best_price")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = (
+        avail.join(
+            best,
+            (avail.l_partkey == best.p_key)
+            & (avail.min_unit_price == best.best_price),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        j.select(
+            "p_partkey", "p_brand", "p_type", "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            _r6(F.col("min_unit_price")).alias("unit_price"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        # (s_name, p_partkey) is unique, so the top-20 cut is fully
+        # deterministic and engine-identical
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register_extended(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (order-priority checking): the fixture has no
+    commit/receipt dates, so a "late" order is one with ANY line
+    shipped more than 90 days after the order date. The EXISTS becomes
+    a left-semi join with the inequality folded into the join
+    condition — one shuffle of the date-pruned orders against
+    lineitem, counts by priority. Timestamp+interval arithmetic is
+    exact in both engines; counts are integers — UNROUNDED."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register_extended(
+    "tpch_q8_market_share",
+    """
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                    AS DECIMAL(28,10)) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(
+               CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                             THEN volume END) AS DOUBLE)
+               / CAST(sum(volume) AS DOUBLE), 6) + 0.0 AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (national market share): NATION_1 suppliers'
+    share of PROMO-part order volume sold into REGION_0 customers,
+    by order year. Supplier attribution comes straight from
+    l_suppkey (no partsupp in the fixture). Both the conditional and
+    total volume accumulate as decimal(28,10) (null-gated CASE sums
+    are grouping-insensitive-exact); the share rounds at 6. The fact
+    table shuffles once into orders; every dimension broadcasts."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+    )
+    vol = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(28,10)")
+    )
+    g = j.select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        vol.alias("volume"),
+        "supp_nation",
+    ).groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")))
+        .cast("double")
+        .alias("_num"),
+        F.sum("volume").cast("double").alias("_den"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return g.select(
+        "o_year",
+        _r6(F.col("_num") / F.col("_den")).alias("mkt_share"),
+        "n_lines",
+    ).orderBy("o_year")
+
+
+@register_extended(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+        SELECT l.l_partkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,10)))
+                    AS DECIMAL(28,10)) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value) AS DOUBLE) AS total FROM val)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(v.value AS DOUBLE) AS value
+    FROM val v, tot t
+    WHERE CAST(v.value AS DOUBLE) > t.total * 0.0001
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (important stock): per-part traded value
+    (sum of extendedprice) through NATION_3 suppliers, keeping parts
+    whose value exceeds 0.0001 of the nation's grand total (the
+    spec scales this fraction by 1/SF; 0.0001 keeps the cut
+    non-empty from sf0.001 through sf0.1) — the
+    having-a-global-scalar shape. The grand total is a 1-row
+    broadcast (crossJoin); both sides compare CAST(decimal AS
+    DOUBLE) > total * 0.001 with identical doubles, so the cut is
+    engine-identical. value emits as the exact decimal→double cast,
+    UNROUNDED (single cast of an exact sum; ordering key)."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+            .cast("decimal(28,10)")
+            .alias("value")
+        )
+    )
+    tot = val.agg(F.sum("value").cast("double").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double") > F.col("total") * F.lit(0.0001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@register_extended(
+    "tpch_q12_priority_classes",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (shipping-mode priority classes): no
+    l_shipmode in the fixture, so lines group by l_returnflag, and
+    the late-delivery predicate (receipt past commit) becomes
+    shipped > 30 days after order date, within the 1997 ship-year.
+    Pure integer conditional counts — UNROUNDED; one fact shuffle
+    into orders."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, F.lit(1)).otherwise(F.lit(0))).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register_extended(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 adapted (parts/supplier relationship): distinct
+    suppliers able to supply each (brand, type, size) combination —
+    supply relationships read from lineitem (no partsupp), and the
+    'customer complaints' exclusion subquery becomes
+    negative-balance suppliers (s_acctbal < 0), excluded via a
+    broadcast anti-join. Integer distinct-counts — UNROUNDED; the
+    full sort is on the small grouped result."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    j = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register_extended(
+    "tpch_q20_promotion_suppliers",
+    """
+    WITH q AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(l.l_quantity AS DECIMAL(28,10))
+                        ELSE CAST(0 AS DECIMAL(28,10)) END)
+                    AS DOUBLE) AS qty_1997,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(28,10)))
+                    AS DOUBLE) AS qty_total
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    hot AS (
+        SELECT DISTINCT l_suppkey FROM q
+        WHERE qty_1997 > 0.5 * qty_total
+    )
+    SELECT s.s_name, n.n_name AS nation,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM hot h
+    JOIN supplier s ON h.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20_promotion_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 adapted (potential part promotion): suppliers who
+    shipped more than half of their all-time volume of 'small%'
+    parts during 1997 — the excess-inventory screen restated from
+    shipments (no partsupp availqty in the fixture). Quantities sum
+    as decimals per (supplier, part) with a null-free conditional
+    (ELSE 0 keeps the 1997 sum non-null), the 0.5 comparison runs on
+    identical doubles in both engines, and the supplier/nation
+    decoration is broadcast. s_name is unique — deterministic
+    order."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    dec = "decimal(28,10)"
+    q = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in97, F.col("l_quantity").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("qty_1997"),
+            F.sum(F.col("l_quantity").cast(dec))
+            .cast("double")
+            .alias("qty_total"),
+        )
+    )
+    hot = (
+        q.filter(F.col("qty_1997") > F.lit(0.5) * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        hot.join(F.broadcast(supp), hot.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy("s_name")
+    )
+
+
+@register_extended(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               max(supp_last) AS order_last,
+               count(*) AS n_supps,
+               count(CASE WHEN supp_last = mx THEN 1 END) AS n_at_max
+        FROM (
+            SELECT l_orderkey, l_suppkey, supp_last,
+                   max(supp_last) OVER (PARTITION BY l_orderkey) AS mx
+            FROM per_supp
+        ) t
+        GROUP BY l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    JOIN orders o ON ps.l_orderkey = o.o_orderkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE po.n_supps > 1
+      AND po.n_at_max = 1
+      AND ps.supp_last = po.order_last
+      AND o.o_orderstatus = 'F'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_waiting_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 adapted (suppliers who kept orders waiting): in
+    finished multi-supplier orders, the UNIQUE last-to-ship supplier
+    is the one every other participant waited on — the
+    commit/receipt-date lateness test restated on ship dates (the
+    only dates the fixture carries). Two hash aggs build per-supplier
+    and per-order last-ship tables (timestamp max — exact), the
+    unique-blocker test is an integer count at the order grain, and
+    the top-20 cut ties break on the unique s_name. The fact table
+    aggregates BEFORE any join, so only order-grain rows shuffle."""
+    from marketdatapipeline_spark.sources.tables import load_table
+
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    wmx = W.partitionBy("l_orderkey")
+    per_order = (
+        per_supp.withColumn("mx", F.max("supp_last").over(wmx))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("supp_last").alias("order_last"),
+            F.count(F.lit(1)).alias("n_supps"),
+            F.count(
+                F.when(F.col("supp_last") == F.col("mx"), F.lit(1))
+            ).alias("n_at_max"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("n_supps") > 1)
+            & (F.col("n_at_max") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return (
+        j.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
