@@ -11796,3 +11796,154 @@ def q_tpch_q21_waiting_suppliers(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 second wave: ANN threshold calibration + session path analytics
+# ---------------------------------------------------------------------------
+
+from marketdatapipeline_spark.similarity.search import (  # noqa: E402
+    cosine_pairs_above,
+)
+
+
+@register_extended(
+    "embeddings_distance_histogram",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    pairs AS (
+        SELECT CAST(floor(
+                   (list_dot_product(a.emb, b.emb)
+                    / (sqrt(list_dot_product(a.emb, a.emb))
+                       * sqrt(list_dot_product(b.emb, b.emb)))) * 20.0
+               ) AS INT) AS bin
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT bin,
+           CAST(bin AS DOUBLE) / 20.0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER () AS DOUBLE), 6) + 0.0
+               AS share
+    FROM pairs
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q_embeddings_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic 1-in-7 embedding
+    sample (0.05-wide bins) — the calibration curve behind every
+    near-dup/ANN threshold choice: where the intra-duplicate mass
+    separates from the background bulk. Cosines are the exact
+    double-fold values (bit-identical across engines — the
+    list_dot_product mirror similarity_cosine_pairs pins), so the
+    floor binning cannot tie-flip; counts are integers; only the
+    share ratio rounds. The sample bound keeps the quadratic pair
+    stage at calibration scale (a production sweep would sample by
+    hash the same way); pairs come from the blocked numpy-matmul
+    path, never a per-pair expression join."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 7 == 0)
+    pairs = cosine_pairs_above(emb, threshold=-1.1, method="blocked")
+    binned = pairs.select(
+        F.floor(F.col("cosine") * F.lit(20.0)).cast("int").alias("bin")
+    )
+    g = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n_pairs").over(W.partitionBy())
+    return g.select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(20.0)).alias("bin_lo"),
+        "n_pairs",
+        _r6(
+            F.col("n_pairs").cast("double") / tot.cast("double")
+        ).alias("share"),
+    ).orderBy("bin")
+
+
+@register_extended(
+    "events_top_session_paths",
+    f"""
+    WITH pf AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pn AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM pf
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM pn
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening event paths (first 3 events of each
+    30-minute-gap session, joined with '>') — the funnel-discovery
+    view product analytics runs before committing to a fixed funnel
+    definition. Session numbering follows the catalog's one boundary
+    convention (strictly-beyond-gap starts a session, event_id ties);
+    the path string is an ordered in-session aggregation (rn is
+    unique, so the collected order is deterministic); counts are
+    integers and the top-20 cut tie-breaks on the path string."""
+    from marketdatapipeline_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    st = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = ev.select("user_id", "ts", "event_id", "event_type", st.alias("st"))
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("st").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = numbered.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
