@@ -11947,3 +11947,110 @@ def q_events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register_extended(
+    "embeddings_knn_label_purity",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS anchor, a.label AS anchor_label,
+               b.vec_id AS nbr, b.label AS nbr_label,
+               list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+        SELECT anchor, anchor_label, nbr_label,
+               row_number() OVER (
+                   PARTITION BY anchor ORDER BY cosine DESC, nbr
+               ) AS rnk
+        FROM scored
+    ),
+    per_anchor AS (
+        SELECT anchor, anchor_label,
+               count(CASE WHEN nbr_label = anchor_label THEN 1 END)
+                   AS n_match
+        FROM topk WHERE rnk <= 3
+        GROUP BY anchor, anchor_label
+    )
+    SELECT anchor_label AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(n_match) AS BIGINT) AS n_label_matches,
+           round(CAST(sum(n_match) AS DOUBLE)
+                 / (3.0 * CAST(count(*) AS DOUBLE)), 6) + 0.0
+               AS purity_at_3
+    FROM per_anchor
+    GROUP BY anchor_label
+    ORDER BY anchor_label
+    """,
+)
+def q_embeddings_knn_label_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN label purity at k=3 over the deterministic 1-in-7 sample:
+    for each anchor, how many of its 3 nearest neighbors (exact
+    cosine) share its label — the retrieval-quality audit run before
+    trusting an embedding space for labeled dedup or search.
+    Cosines are exact double folds (bit-identical across engines)
+    and the top-3 cut tie-breaks on the neighbor id, so the
+    neighbor sets are engine-identical; counts are integers; only
+    the purity ratio rounds. Quadratic pair stage runs on the same
+    blocked matmul path as the histogram (never a per-pair
+    expression join); a production sweep hash-samples identically."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 7 == 0)
+    lab = emb.select("vec_id", "label")
+    pairs = cosine_pairs_above(emb, threshold=-1.1, method="blocked")
+    # both directions: each unordered pair serves both anchors
+    both = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("nbr"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("nbr"),
+            "cosine",
+        )
+    )
+    wr = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nbr")
+    top3 = both.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= 3
+    )
+    j = (
+        top3.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("anchor"),
+                                   F.col("label").alias("anchor_label"))),
+            "anchor",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("nbr"),
+                                   F.col("label").alias("nbr_label"))),
+            "nbr",
+        )
+    )
+    per = j.groupBy("anchor", "anchor_label").agg(
+        F.count(
+            F.when(F.col("nbr_label") == F.col("anchor_label"), F.lit(1))
+        ).alias("n_match")
+    )
+    return (
+        per.groupBy(F.col("anchor_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum("n_match").alias("n_label_matches"),
+        )
+        .select(
+            "label",
+            "n_anchors",
+            "n_label_matches",
+            _r6(
+                F.col("n_label_matches").cast("double")
+                / (F.lit(3.0) * F.col("n_anchors").cast("double"))
+            ).alias("purity_at_3"),
+        )
+        .orderBy("label")
+    )
