@@ -11296,20 +11296,24 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(unit).cast("double").alias("min_unit_price")
     )
-    best = avail.groupBy(F.col("l_partkey").alias("p_key")).agg(
-        F.min("min_unit_price").alias("best_price")
+    # best-price-per-part as a WINDOW MIN over the aggregated table
+    # (r9): the agg+equi-join restatement of the oracle's `best` CTE
+    # exchanged the avail table three more times (second agg, then
+    # both join sides on the composite key); a whole-partition window
+    # min computes the identical double and the filter keeps the same
+    # rows — two exchanges of compact aggregated rows total.
+    from pyspark.sql import Window as W
+
+    best_w = F.min("min_unit_price").over(W.partitionBy("l_partkey"))
+    avail = avail.withColumn("_best", best_w).filter(
+        F.col("min_unit_price") == F.col("_best")
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     j = (
-        avail.join(
-            best,
-            (avail.l_partkey == best.p_key)
-            & (avail.min_unit_price == best.best_price),
-        )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        avail.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
