@@ -293,6 +293,162 @@ def q_corpus_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(nodes, pairs)
 
 
+# DuckDB fragment: the canonical (id_a < id_b) semantic-similarity
+# graph the graph-analytics queries below run on — exact pairwise
+# cosine >= 0.2 over the module's standard deterministic 1-in-7
+# embedding sample (the word-3-gram dup graph is bimodal on this
+# fixture: near-clones or strangers, max degree 2 — no structure for
+# graph measures to see; the embedding graph has hubs and triangles
+# at every tier). Edge MEMBERSHIP compares the UNROUNDED cosine:
+# DuckDB's list_dot_product is the same left fold as the Spark side's
+# aggregate() once every operand is DOUBLE (the similarity_cosine_pairs
+# pin), so both engines build the identical edge set.
+_SIM_GRAPH_CTES = """s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 7 = 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v)))
+              >= CAST(0.2 AS DOUBLE)
+    ),
+    uedges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM uedges GROUP BY src)
+"""
+
+_PR_DAMPING = 0.85
+# scalar literals injected into BOTH engines as identical repr()
+# doubles (the bars_realized_kernel convention) — note 1 - 0.85 is
+# 0.15000000000000002 in IEEE double, NOT 0.15
+_PR_TELEPORT = repr(1.0 - _PR_DAMPING)
+
+
+def _pr_step(prev: str) -> str:
+    """One SQL power-iteration CTE body over ``prev``."""
+    return f"""
+        SELECT d.node, d.degree, d.n_nodes,
+               CAST({_PR_TELEPORT} AS DOUBLE)
+                   / CAST(d.n_nodes AS DOUBLE)
+               + CAST({_PR_DAMPING!r} AS DOUBLE)
+                   * CAST(sum(CAST(p.pr / CAST(p.degree AS DOUBLE)
+                                   AS DECIMAL(28,18))) AS DOUBLE) AS pr
+        FROM uedges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN {prev} d ON d.node = e.dst
+        GROUP BY d.node, d.degree, d.n_nodes
+    """
+
+
+@register_extended(
+    "graph_pagerank",
+    f"""
+    WITH {_SIM_GRAPH_CTES},
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    pr0 AS (
+        SELECT node, degree, n_nodes,
+               CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS pr
+        FROM deg CROSS JOIN n
+    ),
+    pr1 AS ({_pr_step("pr0")}),
+    pr2 AS ({_pr_step("pr1")}),
+    pr3 AS ({_pr_step("pr2")})
+    SELECT node AS vec_id, CAST(degree AS BIGINT) AS degree,
+           round(pr, 6) + 0.0 AS pagerank
+    FROM pr3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 power iterations, d=0.85) over the
+    semantic-similarity graph (textops/graph.py:pagerank) — the
+    content-aware canonical-document score inside each similarity
+    neighborhood (highest-rank node = the natural keep representative,
+    vs the blunt min-id policy). Neighbor-contribution sums accumulate
+    as decimal(28,18) and the teleport/damping literals are injected
+    into both engines as identical repr() doubles, so the rank vector
+    is engine-identical at every iteration; round-6 at emission
+    only."""
+    from marketdatapipeline_spark.similarity import cosine_pairs_above
+    from marketdatapipeline_spark.textops.graph import pagerank
+
+    emb = _emb(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
+    )
+    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+        "id_a", "id_b"
+    )
+    out = pagerank(pairs, iterations=3, damping=_PR_DAMPING, partitions=8)
+    return out.select(
+        F.col("node").alias("vec_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        _r6(F.col("pr")).alias("pagerank"),
+    )
+
+
+@register_extended(
+    "graph_triangle_stats",
+    f"""
+    WITH {_SIM_GRAPH_CTES},
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        WHERE EXISTS (
+            SELECT 1 FROM pairs e3
+            WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        )
+    ),
+    corners AS (
+        SELECT node, count(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS vec_id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               round(CAST(2.0 AS DOUBLE) * coalesce(c.n_triangles, 0)
+                     / (CAST(d.degree AS DOUBLE)
+                        * (CAST(d.degree AS DOUBLE)
+                           - CAST(1.0 AS DOUBLE))), 6) + 0.0
+           END AS clustering
+    FROM deg d LEFT JOIN corners c ON c.node = d.node
+    """,
+)
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficients over the
+    semantic-similarity graph (textops/graph.py:triangle_stats):
+    dense triangle neighborhoods are template families (drop
+    wholesale), chains are revision sequences (keep one) — a
+    structural signal no pairwise threshold carries. Edge-iterator
+    enumeration (canonical edge list self-join + closing-edge
+    semi-join), integer counts UNROUNDED, coefficient round-6."""
+    from marketdatapipeline_spark.similarity import cosine_pairs_above
+    from marketdatapipeline_spark.textops.graph import triangle_stats
+
+    emb = _emb(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
+    )
+    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+        "id_a", "id_b"
+    )
+    out = triangle_stats(pairs, partitions=8)
+    return out.select(
+        F.col("node").alias("vec_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "clustering",
+    )
+
+
 _BPE_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
 
 

@@ -1,0 +1,187 @@
+"""Graph analytics over document-similarity graphs.
+
+The near-dup pair graph (``jaccard_similar_pairs`` /
+``lsh_candidate_pairs`` output) is a graph, and two classic graph
+measures answer curation questions no per-pair threshold can:
+
+* :func:`pagerank` — which document is the *canonical* member of a
+  duplicate neighborhood?  Within a dup cluster the highest-PageRank
+  node is the one most-connected to the rest — the natural "keep"
+  representative (dedup keep-policies usually take min-id; PageRank
+  gives a content-aware alternative).
+* :func:`triangle_stats` — triangle counts + local clustering
+  coefficients.  Dense triangle neighborhoods are *template families*
+  (boilerplate instantiated many times) as opposed to chains of
+  pairwise-similar revisions; the distinction matters because template
+  families are usually dropped wholesale while revision chains keep
+  one member.
+
+Both are fixed-plan DataFrame computations (no driver-side iteration
+state beyond a bounded Python ``for`` over a constant iteration
+count), so they compose with the rest of the catalog and restate
+exactly in SQL for the DuckDB value oracles.
+
+Scale notes (100 TB):
+
+* PageRank is the textbook distributed shape: per iteration ONE
+  equi-join of the edge list against the rank table (shuffle on node
+  id) and ONE aggregation — both map-side combinable.  Contributions
+  accumulate as ``decimal(28,18)`` so every iteration's rank vector is
+  bit-identical regardless of partitioning (float sums would drift
+  between engines and between runs).
+* Triangle enumeration joins the canonical (a < b) edge list with
+  itself on the shared endpoint and semi-joins the closing edge — the
+  standard edge-iterator algorithm, cost O(sum of deg^2) bounded by
+  the similarity threshold's sparsity, never all-triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketdatapipeline_spark.caching import scoped_persist
+
+__all__ = ["pagerank", "triangle_stats"]
+
+#: contribution accumulator type — association-insensitive exact sums
+_DEC = "decimal(28,18)"
+
+
+def _symmetrize(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Both directions of an undirected edge list: (a, b) ∪ (b, a)."""
+    return edges.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    ).unionAll(
+        edges.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(node, degree, pagerank) over the undirected graph of ``edges``.
+
+    Standard damped PageRank restricted to the non-isolated node set,
+    uniform ``1/N`` start, a FIXED number of power iterations (so the
+    computation — and its SQL restatement — is a finite plan, not a
+    convergence loop):
+
+        pr_{k+1}(v) = (1 - d) / N  +  d * sum_{u ~ v} pr_k(u) / deg(u)
+
+    Every neighbor-contribution sum accumulates as ``decimal(28,18)``
+    and the scalar assembly is ordered identically in the SQL oracle,
+    so the full rank vector is engine-identical at every iteration.
+    Per iteration: one shuffle join (edges x ranks on the source id) +
+    one map-side-combinable aggregation — the distributed-PageRank
+    plan shape that holds at any graph size.
+    """
+    # persist the symmetrized edge list: it is read 2 + iterations
+    # times (degree, node count, every power iteration) — without
+    # this the edge-GENERATION subplan (often an expensive similarity
+    # join) is re-executed per consumer and the plan tree blows up
+    # combinatorially. ``partitions`` additionally hash-clusters the
+    # cached edges by source node, which (a) lets the degree groupBy
+    # and every iteration's contribution join reuse the cached
+    # partitioning instead of re-exchanging the edge list, and (b)
+    # right-sizes task counts when the graph is a bounded sample (the
+    # catalog's case); leave None at cluster scale to inherit the
+    # upstream layout.
+    und = _symmetrize(edges, id_a, id_b)
+    if partitions is not None:
+        und = und.repartition(partitions, "_src")
+    und = scoped_persist(und)
+    deg = und.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_row = deg.agg(F.count(F.lit(1)).alias("_n"))
+    # node table with degree + the global node count on every row
+    # (1-row broadcast — the having-a-global-scalar shape)
+    base = scoped_persist(deg.crossJoin(F.broadcast(n_row)))
+
+    pr = base.withColumn(
+        "pr", F.lit(1.0) / F.col("_n").cast("double")
+    )
+    for _ in range(iterations):
+        src = pr.select(
+            F.col("node").alias("_src"),
+            (F.col("pr") / F.col("degree").cast("double")).alias("_c"),
+        )
+        contrib = (
+            und.join(src, "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("_c").cast(_DEC)).alias("_s"))
+        )
+        # every non-isolated node of a symmetric graph receives at
+        # least one contribution, so the inner join is total
+        pr = base.join(contrib, "node").withColumn(
+            "pr",
+            F.lit(1.0 - damping) / F.col("_n").cast("double")
+            + F.lit(damping) * F.col("_s").cast("double"),
+        )
+    return pr.select("node", "degree", "pr")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(node, degree, n_triangles, clustering) for the undirected
+    graph of canonical (``id_a < id_b``) ``edges``.
+
+    Edge-iterator triangle enumeration: wedges (a < b < c) from
+    joining the canonical edge list with itself on the shared middle
+    endpoint, closed by a left-semi join against the (a, c) edge.
+    Each triangle is enumerated exactly once and credited to all
+    three corners; the local clustering coefficient is
+
+        2 * triangles(v) / (deg(v) * (deg(v) - 1))     for deg >= 2
+
+    (null for degree-1 nodes — a single edge has no closable wedge).
+    Integer counts are exact; the coefficient rounds at 6.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if partitions is not None:
+        # bounded-sample graphs (the catalog's case): right-size task
+        # counts for the wedge/closing joins; leave None at scale
+        e = e.repartition(partitions, "b")
+    e = scoped_persist(e)
+    # wedges a-b-c with a < b < c: (a,b) joined to (b,c)
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    ac = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(ac, ["a", "c"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    # symmetrize from the PERSISTED canonical list so the degree pass
+    # re-reads cached edges instead of re-running edge generation
+    und = _symmetrize(e, "a", "b")
+    deg = und.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    out = deg.join(corners, "node", "left").withColumn(
+        "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
+    )
+    d = F.col("degree").cast("double")
+    clustering = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("n_triangles").cast("double")
+            / (d * (d - F.lit(1.0))),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return out.select(
+        "node", "degree", "n_triangles", clustering.alias("clustering")
+    )

@@ -1,0 +1,76 @@
+"""Graph analytics (textops/graph.py) against hand-computed answers.
+
+The catalog's graph_pagerank / graph_triangle_stats entries are
+value-oracled against DuckDB on the real similarity graph
+(test_corpus_oracle.py); these tests pin the operator SEMANTICS on a
+tiny graph whose answers are computable by hand / a few lines of pure
+Python — independent of both engines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from marketdatapipeline_spark.textops.graph import pagerank, triangle_stats
+
+# triangle {1,2,3} with a pendant 4 hanging off node 3
+EDGES = [(1, 2), (1, 3), (2, 3), (3, 4)]
+
+
+@pytest.fixture()
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["id_a", "id_b"])
+
+
+def _reference_pagerank(edges, iterations=3, damping=0.85):
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    n = len(nbrs)
+    pr = {v: 1.0 / n for v in nbrs}
+    for _ in range(iterations):
+        pr = {
+            v: (1.0 - damping) / n
+            + damping * sum(pr[u] / len(nbrs[u]) for u in nbrs[v])
+            for v in nbrs
+        }
+    return pr
+
+
+def test_triangle_stats_hand_graph(edges_df):
+    rows = {
+        r["node"]: r for r in triangle_stats(edges_df).collect()
+    }
+    assert {n: rows[n]["degree"] for n in rows} == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert {n: rows[n]["n_triangles"] for n in rows} == {
+        1: 1, 2: 1, 3: 1, 4: 0,
+    }
+    assert rows[1]["clustering"] == 1.0
+    assert rows[2]["clustering"] == 1.0
+    assert rows[3]["clustering"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[4]["clustering"] is None  # degree-1: no closable wedge
+
+
+def test_pagerank_hand_graph(edges_df):
+    got = {r["node"]: r["pr"] for r in pagerank(edges_df).collect()}
+    want = _reference_pagerank(EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        # decimal-summed contributions vs pure-float reference: the
+        # only difference is sub-ulp association noise
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # the triangle hub (3) outranks its pendant and the rank vector
+    # sums to ~1 (undirected connected graph, no dangling mass)
+    assert got[3] > got[1] > got[4] or got[3] > got[2] > got[4]
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # a 4-cycle is 2-regular: PageRank must stay exactly uniform
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(cyc).collect()}
+    for v, p in got.items():
+        assert p == pytest.approx(0.25, abs=1e-15)
