@@ -581,7 +581,14 @@ def duplicate_clusters(
     ``LAST_CONVERGENCE_ROUNDS`` records the rounds of the most recent
     call (observability for exactly this scaling claim).
     """
-    edges = (
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    # persist the symmetrized edge list: it is re-read EVERY round,
+    # and without the pin each round re-runs the whole upstream
+    # pair-generation pipeline (the Jaccard similarity join) from its
+    # last cached stage (r9 — measured ~40% of per-round cost at
+    # sf0.1)
+    edges = scoped_persist(
         pairs.select(F.col(a_col).alias("_src"), F.col(b_col).alias("_dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
