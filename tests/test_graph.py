@@ -74,3 +74,52 @@ def test_pagerank_uniform_on_regular_graph(spark):
     got = {r["node"]: r["pr"] for r in pagerank(cyc).collect()}
     for v, p in got.items():
         assert p == pytest.approx(0.25, abs=1e-15)
+
+
+# ---------------------------------------------------------------------------
+# randomized parity vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _random_edges(seed: int, n_nodes: int = 12, n_edges: int = 18):
+    import random
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(range(1, n_nodes + 1), 2)
+        edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _reference_triangles(edges):
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in nbrs}
+    for a, b in edges:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # count each triangle once at its max corner
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return {v: (len(nbrs[v]), tri[v]) for v in nbrs}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_graph_ops_match_python_reference_on_random_graphs(spark, seed):
+    edges = _random_edges(seed)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    want_tri = _reference_triangles(edges)
+    got_tri = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_stats(df).collect()
+    }
+    assert got_tri == want_tri
+
+    want_pr = _reference_pagerank(edges)
+    got_pr = {r["node"]: r["pr"] for r in pagerank(df).collect()}
+    assert set(got_pr) == set(want_pr)
+    for v in want_pr:
+        assert got_pr[v] == pytest.approx(want_pr[v], abs=1e-12)
