@@ -309,12 +309,13 @@ _SIM_GRAPH_CTES = """s AS (
         WHERE embedding IS NOT NULL AND vec_id % 7 = 0
     ),
     pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM s a JOIN s b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v)))
-              >= CAST(0.2 AS DOUBLE)
+        SELECT id_a, id_b, w FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS w
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+        ) WHERE w >= CAST(0.2 AS DOUBLE)
     ),
     uedges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -446,6 +447,77 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree").cast("bigint").alias("degree"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
         "clustering",
+    )
+
+
+def _wpr_step(prev: str) -> str:
+    """One weighted-PageRank SQL power-iteration CTE body."""
+    return f"""
+        SELECT d.node, d.strength, d.n_nodes,
+               CAST({_PR_TELEPORT} AS DOUBLE)
+                   / CAST(d.n_nodes AS DOUBLE)
+               + CAST({_PR_DAMPING!r} AS DOUBLE)
+                   * CAST(sum(CAST(e.w * (p.pr / p.strength)
+                                   AS DECIMAL(28,18))) AS DOUBLE) AS pr
+        FROM uw e
+        JOIN {prev} p ON p.node = e.src
+        JOIN {prev} d ON d.node = e.dst
+        GROUP BY d.node, d.strength, d.n_nodes
+    """
+
+
+@register_extended(
+    "graph_pagerank_weighted",
+    f"""
+    WITH {_SIM_GRAPH_CTES},
+    uw AS (
+        SELECT id_a AS src, id_b AS dst, w FROM pairs
+        UNION ALL
+        SELECT id_b, id_a, w FROM pairs
+    ),
+    st AS (
+        SELECT src AS node,
+               CAST(sum(CAST(w AS DECIMAL(28,18))) AS DOUBLE) AS strength
+        FROM uw GROUP BY src
+    ),
+    n AS (SELECT count(*) AS n_nodes FROM st),
+    wpr0 AS (
+        SELECT node, strength, n_nodes,
+               CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS pr
+        FROM st CROSS JOIN n
+    ),
+    wpr1 AS ({_wpr_step("wpr0")}),
+    wpr2 AS ({_wpr_step("wpr1")}),
+    wpr3 AS ({_wpr_step("wpr2")})
+    SELECT node AS vec_id, round(strength, 6) + 0.0 AS strength,
+           round(pr, 6) + 0.0 AS pagerank
+    FROM wpr3
+    """,
+)
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-WEIGHTED PageRank over the semantic-similarity graph
+    (textops/graph.py:weighted_pagerank): a 0.9-cosine neighbor
+    endorses harder than a 0.2 one — the faithful canonical-document
+    rank (the unweighted entry is the threshold-flattened view).
+    Strengths and contribution sums accumulate as decimal(28,18) over
+    the bit-identical cosine folds; w * (pr / strength) is IEEE-ordered
+    scalar math in both engines; round-6 at emission only."""
+    from marketdatapipeline_spark.similarity import cosine_pairs_above
+    from marketdatapipeline_spark.textops.graph import weighted_pagerank
+
+    emb = _emb(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
+    )
+    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+        "id_a", "id_b", F.col("cosine").alias("weight")
+    )
+    out = weighted_pagerank(
+        pairs, iterations=3, damping=_PR_DAMPING, partitions=8
+    )
+    return out.select(
+        F.col("node").alias("vec_id"),
+        _r6(F.col("strength")).alias("strength"),
+        _r6(F.col("pr")).alias("pagerank"),
     )
 
 

@@ -123,3 +123,33 @@ def test_graph_ops_match_python_reference_on_random_graphs(spark, seed):
     assert set(got_pr) == set(want_pr)
     for v in want_pr:
         assert got_pr[v] == pytest.approx(want_pr[v], abs=1e-12)
+
+
+def test_weighted_pagerank_degenerates_and_discriminates(spark):
+    from marketdatapipeline_spark.textops.graph import weighted_pagerank
+
+    # equal weights ==> identical to the unweighted operator
+    eq = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in EDGES], ["id_a", "id_b", "weight"]
+    )
+    got_w = {r["node"]: r["pr"] for r in weighted_pagerank(eq).collect()}
+    got_u = {
+        r["node"]: r["pr"]
+        for r in pagerank(spark.createDataFrame(EDGES, ["id_a", "id_b"])).collect()
+    }
+    assert set(got_w) == set(got_u)
+    for v in got_u:
+        assert got_w[v] == pytest.approx(got_u[v], abs=1e-12)
+
+    # skewing all weight onto the 3-4 edge must pull rank toward 4
+    # relative to the equal-weight ranking
+    sk = spark.createDataFrame(
+        [(1, 2, 0.1), (1, 3, 0.1), (2, 3, 0.1), (3, 4, 10.0)],
+        ["id_a", "id_b", "weight"],
+    )
+    got_s = {r["node"]: r["pr"] for r in weighted_pagerank(sk).collect()}
+    assert got_s[4] > got_w[4]
+    # strengths are the decimal-exact incident-weight sums
+    st = {r["node"]: r["strength"] for r in weighted_pagerank(sk).collect()}
+    assert st[3] == pytest.approx(10.2, abs=1e-12)
+    assert st[4] == pytest.approx(10.0, abs=1e-12)
