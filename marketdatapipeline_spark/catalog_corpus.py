@@ -521,6 +521,57 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extended(
+    "graph_adamic_adar",
+    f"""
+    WITH {_SIM_GRAPH_CTES},
+    cand AS (
+        SELECT a.dst AS id_a, b.dst AS id_b, a.src AS m
+        FROM uedges a JOIN uedges b
+          ON a.src = b.src AND a.dst < b.dst
+    ),
+    sc AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common,
+               CAST(sum(CAST(CAST(1.0 AS DOUBLE)
+                             / ln(CAST(d.degree AS DOUBLE))
+                             AS DECIMAL(28,18))) AS DOUBLE) AS aa
+        FROM cand c JOIN deg d ON d.node = c.m
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b, CAST(s.n_common AS BIGINT) AS n_common,
+           round(s.aa, 6) + 0.0 AS aa_score
+    FROM sc s
+    LEFT JOIN pairs p ON p.id_a = s.id_a AND p.id_b = s.id_b
+    WHERE p.id_a IS NULL
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the semantic-similarity graph
+    (textops/graph.py:adamic_adar): non-adjacent pairs whose shared
+    neighborhoods say the pairwise threshold probably missed an edge —
+    the review queue drained before lowering a global threshold
+    blindly. Wedge middles always have degree >= 2 so ln(deg) > 0;
+    per-wedge 1/ln(deg) terms (IEEE-identical: ln of an integer-valued
+    double) accumulate as decimal(28,18); counts UNROUNDED, score
+    round-6."""
+    from marketdatapipeline_spark.similarity import cosine_pairs_above
+    from marketdatapipeline_spark.textops.graph import adamic_adar
+
+    emb = _emb(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
+    )
+    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+        "id_a", "id_b"
+    )
+    out = adamic_adar(pairs, partitions=8)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        _r6(F.col("aa_score")).alias("aa_score"),
+    )
+
+
 _BPE_SQL = BPE_TOKEN_PATTERN.replace("'", "''")
 
 

@@ -42,7 +42,12 @@ from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.caching import scoped_persist
 
-__all__ = ["pagerank", "triangle_stats", "weighted_pagerank"]
+__all__ = [
+    "adamic_adar",
+    "pagerank",
+    "triangle_stats",
+    "weighted_pagerank",
+]
 
 #: contribution accumulator type — association-insensitive exact sums
 _DEC = "decimal(28,18)"
@@ -253,4 +258,56 @@ def triangle_stats(
     )
     return out.select(
         "node", "degree", "n_triangles", clustering.alias("clustering")
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common, aa_score): Adamic-Adar link prediction
+    over the undirected graph of canonical ``edges`` — for every
+    NON-adjacent pair sharing at least one neighbor,
+
+        aa_score = sum over common neighbors m of 1 / ln(deg(m))
+
+    (rare shared neighbors count more than promiscuous hubs).  On a
+    similarity graph these are the *missed edges*: pairs the pairwise
+    threshold didn't connect but whose shared neighborhood says it
+    probably should have — the review queue a dedup pipeline drains
+    before lowering a global threshold blindly.
+
+    A wedge's middle always has degree >= 2, so ln(deg) > 0 by
+    construction.  Per-wedge terms accumulate as ``decimal(28,18)``;
+    integer common-neighbor counts are exact.  Plan: one wedge
+    self-join of the persisted symmetrized edge list on the middle
+    node + one degree join + one pair aggregation + one left-anti
+    join against the existing edges — O(sum deg^2) wedge rows, never
+    all-pairs.
+    """
+    und = _symmetrize(edges, id_a, id_b)
+    if partitions is not None:
+        und = und.repartition(partitions, "_src")
+    und = scoped_persist(und)
+    deg = und.groupBy(F.col("_src").alias("_m")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    wa = und.select(F.col("_src").alias("_m"), F.col("_dst").alias("_x"))
+    wb = und.select(F.col("_src").alias("_m"), F.col("_dst").alias("_z"))
+    cand = (
+        wa.join(wb, "_m")
+        .filter(F.col("_x") < F.col("_z"))
+        .join(deg, "_m")
+    )
+    term = (F.lit(1.0) / F.log(F.col("_deg").cast("double"))).cast(_DEC)
+    sc = cand.groupBy(
+        F.col("_x").alias(id_a), F.col("_z").alias(id_b)
+    ).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(term).cast("double").alias("aa_score"),
+    )
+    return sc.join(
+        edges.select(id_a, id_b), [id_a, id_b], "left_anti"
     )

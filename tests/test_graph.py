@@ -153,3 +153,41 @@ def test_weighted_pagerank_degenerates_and_discriminates(spark):
     st = {r["node"]: r["strength"] for r in weighted_pagerank(sk).collect()}
     assert st[3] == pytest.approx(10.2, abs=1e-12)
     assert st[4] == pytest.approx(10.0, abs=1e-12)
+
+
+def _reference_adamic_adar(edges):
+    import math
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    out = {}
+    for x in nbrs:
+        for z in nbrs:
+            if x < z and (x, z) not in es:
+                common = nbrs[x] & nbrs[z]
+                if common:
+                    out[(x, z)] = (
+                        len(common),
+                        sum(1.0 / math.log(len(nbrs[m])) for m in common),
+                    )
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_adamic_adar_matches_python_reference(spark, seed):
+    from marketdatapipeline_spark.textops.graph import adamic_adar
+
+    edges = _random_edges(seed)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar(df).collect()
+    }
+    want = _reference_adamic_adar(edges)
+    assert set(got) == set(want)
+    for k, (nc, aa) in want.items():
+        assert got[k][0] == nc
+        assert got[k][1] == pytest.approx(aa, abs=1e-12)
