@@ -36,6 +36,12 @@ from marketdatapipeline_spark.textops.export import (
     export_training_shards,
     read_training_shards,
 )
+from marketdatapipeline_spark.textops.graph import (
+    adamic_adar,
+    pagerank,
+    triangle_stats,
+    weighted_pagerank,
+)
 from marketdatapipeline_spark.textops.incremental import (
     LSHDedupStore,
     build_lsh_store,
@@ -93,4 +99,8 @@ __all__ = [
     "minhash_signature",
     "simhash",
     "word_shingles",
+    "adamic_adar",
+    "pagerank",
+    "triangle_stats",
+    "weighted_pagerank",
 ]

@@ -86,49 +86,13 @@ def pagerank(
     one map-side-combinable aggregation — the distributed-PageRank
     plan shape that holds at any graph size.
     """
-    # persist the symmetrized edge list: it is read 2 + iterations
-    # times (degree, node count, every power iteration) — without
-    # this the edge-GENERATION subplan (often an expensive similarity
-    # join) is re-executed per consumer and the plan tree blows up
-    # combinatorially. ``partitions`` additionally hash-clusters the
-    # cached edges by source node, which (a) lets the degree groupBy
-    # and every iteration's contribution join reuse the cached
-    # partitioning instead of re-exchanging the edge list, and (b)
-    # right-sizes task counts when the graph is a bounded sample (the
-    # catalog's case); leave None at cluster scale to inherit the
-    # upstream layout.
-    und = _symmetrize(edges, id_a, id_b)
-    if partitions is not None:
-        und = und.repartition(partitions, "_src")
-    und = scoped_persist(und)
-    deg = und.groupBy(F.col("_src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    n_row = deg.agg(F.count(F.lit(1)).alias("_n"))
-    # node table with degree + the global node count on every row
-    # (1-row broadcast — the having-a-global-scalar shape)
-    base = scoped_persist(deg.crossJoin(F.broadcast(n_row)))
-
-    pr = base.withColumn(
-        "pr", F.lit(1.0) / F.col("_n").cast("double")
-    )
-    for _ in range(iterations):
-        src = pr.select(
-            F.col("node").alias("_src"),
-            (F.col("pr") / F.col("degree").cast("double")).alias("_c"),
-        )
-        contrib = (
-            und.join(src, "_src")
-            .groupBy(F.col("_dst").alias("node"))
-            .agg(F.sum(F.col("_c").cast(_DEC)).alias("_s"))
-        )
-        # every non-isolated node of a symmetric graph receives at
-        # least one contribution, so the inner join is total
-        pr = base.join(contrib, "node").withColumn(
-            "pr",
-            F.lit(1.0 - damping) / F.col("_n").cast("double")
-            + F.lit(damping) * F.col("_s").cast("double"),
-        )
+    # the weight-1 case of the shared iteration core: strength ==
+    # degree exactly (decimal sums of 1.0), pr/strength is the same
+    # double division as pr/deg, and 1.0 * x is an IEEE identity —
+    # bit-identical to a dedicated unweighted loop (asserted by the
+    # equal-weights parity test)
+    und = _symmetrize(edges, id_a, id_b).withColumn("_w", F.lit(1.0))
+    pr = _damped_rank(und, iterations, damping, partitions)
     return pr.select("node", "degree", "pr")
 
 
@@ -171,14 +135,42 @@ def weighted_pagerank(
             F.col(weight_col).alias("_w"),
         )
     )
+    pr = _damped_rank(und, iterations, damping, partitions)
+    return pr.select("node", "strength", "pr")
+
+
+def _damped_rank(
+    und: DataFrame,
+    iterations: int,
+    damping: float,
+    partitions: int | None,
+) -> DataFrame:
+    """Shared damped power-iteration core over a weighted directed
+    edge list ``(_src, _dst, _w)`` (callers symmetrize): returns
+    (node, degree, strength, pr).
+
+    The symmetrized edge list is persisted — it is read 2 + iterations
+    times (stats, node count, every power iteration) and without the
+    pin the edge-GENERATION subplan (often an expensive similarity
+    join) re-executes per consumer and the plan tree blows up
+    combinatorially. ``partitions`` additionally hash-clusters the
+    cached edges by source node, which (a) lets the stats groupBy and
+    every iteration's contribution join reuse the cached partitioning
+    instead of re-exchanging the edge list, and (b) right-sizes task
+    counts when the graph is a bounded sample (the catalog's case);
+    leave None at cluster scale to inherit the upstream layout.
+    """
     if partitions is not None:
         und = und.repartition(partitions, "_src")
     und = scoped_persist(und)
-    strength = und.groupBy(F.col("_src").alias("node")).agg(
-        F.sum(F.col("_w").cast(_DEC)).cast("double").alias("strength")
+    stats = und.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum(F.col("_w").cast(_DEC)).cast("double").alias("strength"),
     )
-    n_row = strength.agg(F.count(F.lit(1)).alias("_n"))
-    base = scoped_persist(strength.crossJoin(F.broadcast(n_row)))
+    n_row = stats.agg(F.count(F.lit(1)).alias("_n"))
+    # node table with degree/strength + the global node count on every
+    # row (1-row broadcast — the having-a-global-scalar shape)
+    base = scoped_persist(stats.crossJoin(F.broadcast(n_row)))
 
     pr = base.withColumn("pr", F.lit(1.0) / F.col("_n").cast("double"))
     for _ in range(iterations):
@@ -193,12 +185,14 @@ def weighted_pagerank(
                 F.sum((F.col("_w") * F.col("_ps")).cast(_DEC)).alias("_s")
             )
         )
+        # every non-isolated node of a symmetric graph receives at
+        # least one contribution, so the inner join is total
         pr = base.join(contrib, "node").withColumn(
             "pr",
             F.lit(1.0 - damping) / F.col("_n").cast("double")
             + F.lit(damping) * F.col("_s").cast("double"),
         )
-    return pr.select("node", "strength", "pr")
+    return pr
 
 
 def triangle_stats(
