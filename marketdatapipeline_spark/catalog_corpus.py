@@ -11775,7 +11775,7 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-empty from sf0.001 through sf0.1) — the
     having-a-global-scalar shape. The grand total is a 1-row
     broadcast (crossJoin); both sides compare CAST(decimal AS
-    DOUBLE) > total * 0.001 with identical doubles, so the cut is
+    DOUBLE) > total * 0.0001 with identical doubles, so the cut is
     engine-identical. value emits as the exact decimal→double cast,
     UNROUNDED (single cast of an exact sum; ordering key)."""
     from marketdatapipeline_spark.sources.tables import load_table

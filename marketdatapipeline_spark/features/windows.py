@@ -90,18 +90,37 @@ class RollingPlan:
         self._cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         self._tag = tag
         self._stage_sums: dict[str, Column] = {}
+        self._stage_reprs: dict[str, str] = {}
         self._stage_lags: dict[str, tuple[str, int]] = {}
 
-    def _running(self, kind: str, col: Column, key: str) -> str:
-        name = f"_{self._tag}_{kind}_{key}"
-        if name not in self._stage_sums:
-            agg = {
-                "s": F.sum(col),
-                "c": F.count(col),
-                "q": F.sum(col * col),
-            }[kind]
-            self._stage_sums[name] = agg.over(self._cum)
+    def _register(self, name: str, built: Column, key: str) -> str:
+        """Register a running column, or validate an existing
+        registration is the SAME expression — silently reusing a key
+        across different columns/types would return the first
+        registration's running sum and produce wrong frame sums with
+        no error (r9 review)."""
+        rep = str(built)
+        if name in self._stage_sums:
+            if self._stage_reprs[name] != rep:
+                raise ValueError(
+                    f"RollingPlan key {key!r} already registered with a "
+                    f"different expression: {self._stage_reprs[name]} "
+                    f"vs {rep}; use a distinct key"
+                )
+        else:
+            self._stage_sums[name] = built
+            self._stage_reprs[name] = rep
         return name
+
+    def _running(self, kind: str, col: Column, key: str) -> str:
+        agg = {
+            "s": F.sum(col),
+            "c": F.count(col),
+            "q": F.sum(col * col),
+        }[kind]
+        return self._register(
+            f"_{self._tag}_{kind}_{key}", agg.over(self._cum), key
+        )
 
     def _lagged(self, base: str, n: int) -> str:
         name = f"{base}_l{n}"
@@ -138,11 +157,9 @@ class RollingPlan:
 
     def _running_expr(self, built: Column, key: str) -> str:
         """Register a fully-built running column (already ``.over``'d,
-        possibly post-cast) under a stable name."""
-        name = f"_{self._tag}_x_{key}"
-        if name not in self._stage_sums:
-            self._stage_sums[name] = built
-        return name
+        possibly post-cast) under a stable name; raises on a
+        conflicting re-registration of the same key."""
+        return self._register(f"_{self._tag}_x_{key}", built, key)
 
     def dec_sum(
         self, col: Column, n: int, key: str, dec: str = "decimal(38,18)"

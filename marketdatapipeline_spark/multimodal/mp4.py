@@ -192,6 +192,17 @@ def parse_mp4_samples(data: bytes) -> dict:
     when no video track with a sample table exists — same contract as
     the other codecs.
     """
+    # a field count that points a fixed-width unpack past the box end
+    # surfaces as struct.error deep in the walk; the documented
+    # contract (and every on_error='null' handler upstream) is
+    # ValueError for ANY corrupt input, so normalize here
+    try:
+        return _parse_mp4_samples_unchecked(data)
+    except struct.error as e:
+        raise ValueError(f"corrupt MP4: truncated box payload ({e})") from e
+
+
+def _parse_mp4_samples_unchecked(data: bytes) -> dict:
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("not an MP4: no moov box")
@@ -268,9 +279,17 @@ def parse_mp4_samples(data: bytes) -> dict:
         samples: list[tuple[int, int]] = []
         si = 0
         for ri, (first, spc, _sdi) in enumerate(runs):
+            # chunk numbers are 1-based; a corrupt first_chunk of 0
+            # would make ci = -1 index the LAST chunk offset silently
+            if first < 1:
+                raise ValueError("corrupt MP4: stsc first_chunk < 1")
             last = (
                 runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
             )
+            if last > n_chunks:
+                raise ValueError(
+                    "corrupt MP4: stsc run exceeds chunk count"
+                )
             for ci in range(first - 1, last):
                 off = chunk_offsets[ci]
                 for _ in range(spc):

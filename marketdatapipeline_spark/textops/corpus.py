@@ -603,6 +603,9 @@ def duplicate_clusters(
         ).collect()[0][0]
 
     global LAST_CONVERGENCE_ROUNDS
+    # reset on entry: after a non-convergence RuntimeError the global
+    # must not keep reporting an EARLIER call's round count (r9 review)
+    LAST_CONVERGENCE_ROUNDS = 0
     labels = nodes.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
     ).localCheckpoint(eager=True)

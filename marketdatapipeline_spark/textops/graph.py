@@ -302,6 +302,12 @@ def adamic_adar(
         F.count(F.lit(1)).alias("n_common"),
         F.sum(term).cast("double").alias("aa_score"),
     )
-    return sc.join(
-        edges.select(id_a, id_b), [id_a, id_b], "left_anti"
+    # anti-join against the CACHED symmetrized list, not the raw
+    # `edges` DataFrame: referencing `edges` here would re-execute the
+    # whole edge-generation subplan (the expensive similarity join)
+    # a second time per run.  und's _src < _dst half IS the canonical
+    # edge set (callers pass id_a < id_b pairs).
+    canon = und.filter(F.col("_src") < F.col("_dst")).select(
+        F.col("_src").alias(id_a), F.col("_dst").alias(id_b)
     )
+    return sc.join(canon, [id_a, id_b], "left_anti")

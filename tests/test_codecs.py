@@ -548,3 +548,31 @@ def test_real_decode_media_handles_mjpeg_video(spark):
     pix = np.concatenate([decode_jpeg(f).reshape(-1) for f in frames])
     assert row["byte_len"] == pix.size
     assert row["byte_mean"] == pytest.approx(float(pix.mean()), rel=1e-6)
+
+
+def test_parse_mp4_samples_corrupt_inputs_raise_valueerror():
+    """Every corrupt-input path must honor the ValueError contract —
+    the on_error='null' handlers upstream catch exactly that (r9
+    review: a flipped stsc count surfaced as struct.error and killed
+    the whole job on_error='null' exists to survive)."""
+    import struct
+
+    frames, mp4 = _mjpeg_fixture(n_frames=2)
+
+    # stsc n_runs inflated past the box end -> was struct.error
+    i = mp4.index(b"stsc") + 8  # past fourcc + version/flags
+    inflated = mp4[:i] + struct.pack(">I", 1 << 20) + mp4[i + 4 :]
+    with pytest.raises(ValueError, match="corrupt MP4"):
+        parse_mp4_samples(inflated)
+
+    # stsc first_chunk = 0 -> silently indexed chunk_offsets[-1]
+    (n_runs,) = struct.unpack(">I", mp4[i : i + 4])
+    assert n_runs >= 1
+    zeroed = mp4[: i + 4] + struct.pack(">I", 0) + mp4[i + 8 :]
+    with pytest.raises(ValueError, match="first_chunk"):
+        parse_mp4_samples(zeroed)
+
+    # truncated stsz payload -> ValueError, not struct.error
+    j = mp4.index(b"stsz")
+    with pytest.raises(ValueError):
+        parse_mp4_samples(mp4[: j + 10])
