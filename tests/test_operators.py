@@ -1685,3 +1685,62 @@ def test_dual_beta_vs_numpy(spark, bars_df, bars_pdf):
                         len(pairs) * (x * mm).sum() - x.sum() * mm.sum()
                     ) / denom
                     assert row[tag] == pytest.approx(want, rel=1e-9), (sym, tag)
+
+
+def test_pairwise_correlation_randomized_lags_vs_numpy(spark):
+    """Randomized parity across lags 0 / +1 / +2 / -2 with UNEQUAL
+    series lengths — the prefix boundary lookups (a at m, b at m+k
+    and k) are only right if every length/lag combination aligns
+    exactly; the r8 negative-lag defect lived precisely here."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from marketdatapipeline_spark.operators.correlation import (
+        pairwise_return_correlation,
+    )
+
+    rng = np.random.default_rng(42)
+    base = datetime(2024, 1, 1)
+    lengths = {"A": 37, "B": 52, "C": 23, "D": 44}
+    prices = {
+        s: 100.0 * np.cumprod(1.0 + rng.normal(0, 0.01, n))
+        for s, n in lengths.items()
+    }
+    rows = [
+        (s, base + timedelta(hours=i), i, float(p))
+        for s, ps in prices.items()
+        for i, p in enumerate(ps)
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "datetime", "bar_id", "close"])
+    rets = {s: ps[1:] / ps[:-1] - 1.0 for s, ps in prices.items()}
+
+    def want(a, b, k):
+        ra, rb = rets[a], rets[b]
+        if k >= 0:
+            m = min(len(ra), len(rb) - k)
+            x, y = ra[:m], rb[k : m + k]
+        else:
+            return want(b, a, -k)
+        if m < 2:
+            return None
+        return m, float(np.corrcoef(x, y)[0, 1])
+
+    for lag in (0, 1, 2, -2):
+        got = {
+            (r["symbol_a"], r["symbol_b"]): r
+            for r in pairwise_return_correlation(df, lag=lag).collect()
+        }
+        syms = sorted(lengths)
+        expected_pairs = (
+            {(a, b) for a in syms for b in syms if a < b}
+            if lag == 0
+            else {(a, b) for a in syms for b in syms if a != b}
+        )
+        assert set(got) == expected_pairs, f"lag={lag}"
+        for (a, b), row in got.items():
+            m, rho = want(a, b, lag)  # want() handles the negative-lag swap
+            assert row["n_obs"] == m, f"lag={lag} pair={a},{b}"
+            assert row["corr"] == pytest.approx(rho, rel=1e-9), (
+                f"lag={lag} pair={a},{b}"
+            )
