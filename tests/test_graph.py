@@ -191,3 +191,40 @@ def test_adamic_adar_matches_python_reference(spark, seed):
     for k, (nc, aa) in want.items():
         assert got[k][0] == nc
         assert got[k][1] == pytest.approx(aa, abs=1e-12)
+
+
+def _reference_weighted_pagerank(wedges, iterations=3, damping=0.85):
+    nbrs: dict[int, list[tuple[int, float]]] = {}
+    for a, b, w in wedges:
+        nbrs.setdefault(a, []).append((b, w))
+        nbrs.setdefault(b, []).append((a, w))
+    strength = {v: sum(w for _, w in es) for v, es in nbrs.items()}
+    n = len(nbrs)
+    pr = {v: 1.0 / n for v in nbrs}
+    for _ in range(iterations):
+        pr = {
+            v: (1.0 - damping) / n
+            + damping
+            * sum(w * (pr[u] / strength[u]) for u, w in nbrs[v])
+            for v in nbrs
+        }
+    return pr
+
+
+@pytest.mark.parametrize("seed", [13, 59])
+def test_weighted_pagerank_matches_python_reference(spark, seed):
+    import random
+
+    from marketdatapipeline_spark.textops.graph import weighted_pagerank
+
+    rng = random.Random(seed)
+    wedges = [
+        (a, b, round(rng.uniform(0.1, 2.0), 6))
+        for a, b in _random_edges(seed)
+    ]
+    df = spark.createDataFrame(wedges, ["id_a", "id_b", "weight"])
+    got = {r["node"]: r["pr"] for r in weighted_pagerank(df).collect()}
+    want = _reference_weighted_pagerank(wedges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
