@@ -76,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
 def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
 
@@ -91,6 +92,7 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extended_oracle_sql() -> dict[str, str]:
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY
 

@@ -18,6 +18,16 @@ individually at the given scale factor.
 
 Materialization uses the noop sink: every column is computed and
 serialized, nothing is collected to the driver.
+
+FAULT ISOLATION (r10): round 9's driver run died with one Python
+worker "Connection reset" mid-Arrow-stream and the whole bench record
+was lost (BENCH_r09.json rc=1, parsed:null). Every timed unit is now
+individually try/except-ed (a failure records ``null`` and the run
+continues), a dead SparkSession is restarted between queries, the slim
+final line is STAGED to stdout as soon as the per-query series
+completes, the 5M/10M/50M scaling decades run after that staging, and
+the final emission happens in a ``finally`` so even a mid-run crash
+leaves a parseable last line and exit code 0.
 """
 
 from __future__ import annotations
@@ -97,32 +107,166 @@ def run_feature_pipeline(
     return (median, raw) if return_times else median
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+def safe(label: str, fn, errors: dict):
+    """Run ``fn()``; on ANY failure record a truncated repr under
+    ``label`` and return None instead of propagating. One dead Python
+    worker (or one bad query) must never zero the round's bench record
+    (BENCH_r09: rc=1, parsed:null from a single Arrow-stream
+    'Connection reset')."""
+    try:
+        return fn()
+    except BaseException as e:  # worker deaths surface as Py4JJavaError
+        errors[label] = repr(e)[:300]
+        return None
 
+
+def ensure_spark(spark, errors: dict):
+    """Return a live SparkSession: the given one if its context is
+    still running, else a fresh one (recorded in ``errors`` so the
+    detail payload shows the restart). A task failure does not stop a
+    local-mode context, but a JVM-side OOM can — without this, every
+    query after a session death would fail in sequence."""
+    try:
+        if not spark.sparkContext._jsc.sc().isStopped():
+            return spark
+    except BaseException:
+        pass
+    errors["__session_restart__"] = errors.get("__session_restart__", "") + "|restarted"
+    from marketdatapipeline_spark.session import get_spark
+
+    return get_spark(app_name="bench")
+
+
+def _r(v, nd=3):
+    return None if v is None else round(v, nd)
+
+
+class _State:
+    """Everything the emitter needs, accumulated incrementally so a
+    crash at any point still emits whatever was measured."""
+
+    def __init__(self, sf: str):
+        self.sf = sf
+        self.timings: dict[str, float | None] = {}
+        self.ext_timings: dict[str, float | None] = {}
+        self.cold: dict[str, float | None] = {}
+        self.med: dict[str, float | None] = {}
+        self.scaling: dict[str, float | None] = {}
+        self.errors: dict[str, str] = {}
+
+
+# slim stdout line carries ONLY the r4-frozen series keys (REGISTRY +
+# headline + 1sym + sf-native): the r6 additions (cached-input
+# headline, 5M/10M/50M scaling) pushed the line to ~1915 chars —
+# inside the driver's ~1900-2000 char capture window's failure band
+# (r5 recorded parsed:null at ~2600). They live in bench_detail.json
+# and the detail stdout line instead.
+SLIM_ONLY = {
+    "feature_pipeline_1m_cached",
+    "feature_pipeline_5m",
+    "feature_pipeline_10m",
+    "feature_pipeline_50m",
+}
+
+
+def build_result(st: _State) -> dict:
+    """The slim final-line record. Failed entries are JSON null —
+    parseable evidence of a partial run beats a lost round."""
+    headline = st.timings.get("feature_pipeline_1m")
+    # r8: the slim line's per-query values are the MEDIAN-of-3 series
+    # (the headline entries were already medians) — the first-post-cold
+    # single samples kept recording host noise as fake regressions.
+    result = {
+        "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",
+        "value": _r(headline),
+        "unit": "sec",
+        "queries": {
+            k: _r(st.med.get(k) if st.med.get(k) is not None else v)
+            for k, v in st.timings.items()
+            if k not in SLIM_ONLY
+        },
+        "sf": st.sf,
+        "rows_per_sec_1m": round(1_000_000 / headline) if headline else None,
+    }
+    if st.errors:
+        result["errors"] = len(st.errors)
+    return result
+
+
+def emit(st: _State) -> None:
+    """Write bench_detail.json, print the detail line, then the slim
+    line LAST. Idempotent — called once when the per-query series
+    completes (staging: a later hard kill leaves this line as the
+    final stdout) and again from main()'s ``finally``."""
+    result = build_result(st)
+    detail = dict(result)
+    # detail carries the UNFILTERED warm series: the slim_only keys
+    # (cached-input headline, 5M/10M/50M scaling) are excluded only
+    # from the slim stdout line for capture-window reasons.
+    detail["queries"] = {
+        **{k: _r(v) for k, v in st.timings.items()},
+        **{k: _r(v) for k, v in st.ext_timings.items()},
+    }
+    detail["queries_cold"] = {k: _r(v) for k, v in st.cold.items()}
+    # robust per-query series: median of 3 post-cold runs (r7; the
+    # single-sample warm keys above stay frozen for continuity)
+    detail["queries_med"] = {k: _r(v) for k, v in st.med.items()}
+    detail.update(st.scaling)  # 5M/10M/50M throughputs vs BASELINE.md
+    if st.errors:
+        detail["errors_detail"] = st.errors
+
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # parses the final line as the round's bench record; r5's single
+    # line (warm + cold dicts inline) exceeded that window and failed
+    # to parse. Keep the final line slim with margin.
+    line = json.dumps(result)
+    if len(line) > 1750:
+        result["queries"] = {
+            k: _r(v, 2) for k, v in result["queries"].items()
+        }
+        line = json.dumps(result)
+    print(line, flush=True)
+
+
+def _run_all(spark, sf_dir: str, st: _State) -> None:
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_operators  # noqa: F401 — registers
     import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
+    from marketdatapipeline_spark.caching import release_caches
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY, REGISTRY
-    from marketdatapipeline_spark.session import get_spark
     from marketdatapipeline_spark.sources import bars_from_events
 
-    spark = get_spark(app_name="bench")
-
-    timings: dict[str, float] = {}
-
     # warmup: codegen + JIT of the exact plan shape at the small tier
-    run_feature_pipeline(spark, bars_from_events(spark, "/root/testdata/sf0.001"))
+    safe(
+        "warmup",
+        lambda: run_feature_pipeline(
+            spark, bars_from_events(spark, "/root/testdata/sf0.001")
+        ),
+        st.errors,
+    )
 
     # headline: 1M-row feature pipeline (vs BASELINE.md 1.79 s @ 1M),
-    # median of 3 steady-state runs
+    # median of 5 steady-state runs
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     copies = max(1, round(1_000_000 / n_events))
     bars_multi = replicated_bars(spark, sf_dir, copies, multi_symbol=True)
-    timings["feature_pipeline_1m"] = run_feature_pipeline(
-        spark, bars_multi, repeats=5, warmups=4
+    st.timings["feature_pipeline_1m"] = safe(
+        "feature_pipeline_1m",
+        lambda: run_feature_pipeline(spark, bars_multi, repeats=5, warmups=4),
+        st.errors,
     )
 
     # reference-faithful INPUT methodology: the baseline times
@@ -131,84 +275,90 @@ def main() -> None:
     # alone (the parquet scan + crossJoin replication cost ~0.4 s of
     # the headline). Reported additively — feature_pipeline_1m keeps
     # its r4-frozen scan-inclusive definition for series comparability.
-    bars_cached = bars_multi.persist()
-    bars_cached.count()
-    timings["feature_pipeline_1m_cached"] = run_feature_pipeline(
-        spark, bars_cached, repeats=5, warmups=2
+    def _cached():
+        bars_cached = bars_multi.persist()
+        try:
+            bars_cached.count()
+            return run_feature_pipeline(
+                spark, bars_cached, repeats=5, warmups=2
+            )
+        finally:
+            bars_cached.unpersist()
+
+    st.timings["feature_pipeline_1m_cached"] = safe(
+        "feature_pipeline_1m_cached", _cached, st.errors
     )
-    bars_cached.unpersist()
 
     # faithful-to-reference single-symbol replication (serializes one
     # symbol's scan onto one task — reported for transparency)
-    bars_one = replicated_bars(spark, sf_dir, copies, multi_symbol=False)
-    timings["feature_pipeline_1m_1sym"] = run_feature_pipeline(
-        spark, bars_one, repeats=3, warmups=2
+    st.timings["feature_pipeline_1m_1sym"] = safe(
+        "feature_pipeline_1m_1sym",
+        lambda: run_feature_pipeline(
+            spark,
+            replicated_bars(spark, sf_dir, copies, multi_symbol=False),
+            repeats=3,
+            warmups=2,
+        ),
+        st.errors,
     )
 
     # native-scale pipeline on the raw sf tier
-    timings["feature_pipeline_sf"] = run_feature_pipeline(
-        spark, bars_from_events(spark, sf_dir)
+    st.timings["feature_pipeline_sf"] = safe(
+        "feature_pipeline_sf",
+        lambda: run_feature_pipeline(spark, bars_from_events(spark, sf_dir)),
+        st.errors,
     )
 
-    from marketdatapipeline_spark.caching import release_caches
-
     # collect heap debt from the headline runs before the frozen
-    # per-query series (the 5M/10M scaling runs execute AFTER the
-    # series for the same reason — ~60M rows of materialization would
-    # otherwise inflate the series' single-sample timings).
-    try:
-        spark._jvm.System.gc()
-    except Exception:
-        pass
-
-    cold: dict[str, float] = {}
-    # r4-frozen series keys (REGISTRY) first, then the r6 extended
-    # catalog — additive keys, same warm/cold methodology. Extended
-    # timings go to bench_detail.json only (the slim stdout line is
-    # already near the driver's 2000-char capture window).
-    ext_timings: dict[str, float] = {}
-    # r7: single-sample warm timings taken mid-session proved
-    # untrustworthy as a regression signal (r6: warm measured SLOWER
-    # than cold on queries whose code hadn't changed — session GC/host
-    # debt landing on whichever sample drew the short straw). The
-    # robust series is queries_med: median of 3 post-cold runs per
-    # query, recorded additively in bench_detail.json. The r4-frozen
-    # single-sample keys keep emitting exactly as before (first
-    # post-cold run) for series continuity.
-    med: dict[str, float] = {}
-
+    # per-query series (the 5M/10M/50M scaling runs execute AFTER the
+    # staged final line for the same reason — ~60M rows of
+    # materialization would otherwise inflate single-sample timings,
+    # and a worker death there must not cost the series).
     def _gc():
         try:
             spark._jvm.System.gc()
         except Exception:
             pass
 
+    _gc()
+
+    # r4-frozen series keys (REGISTRY) first, then the r6 extended
+    # catalog — additive keys, same warm/cold methodology. Extended
+    # timings go to bench_detail.json only.
     for qi, (name, spec) in enumerate(REGISTRY.items()):
         # periodic collection BETWEEN queries (never inside a timed
         # region): r7's clean run still drew one 4.7x first-warm
-        # outlier (dedup_minhash_lsh 7.3 s vs 1.6 s cold) from debt
-        # accumulated over the preceding ~40 materializations — the
-        # single-sample frozen series has no median to absorb it.
+        # outlier from debt accumulated over the preceding ~40
+        # materializations.
         if qi % 10 == 0:
             _gc()
-        df = spec.fn(spark, sf_dir)
-        # Steady-state timing, same methodology as the headline (which
-        # the reference's published numbers also use): the first run
-        # pays Janino codegen + C2 JIT + whatever GC debt the session
-        # accumulated — observed 3-5x run-to-run outliers on queries
-        # whose code had not changed. The first post-cold run stays the
-        # frozen series key; the median of all 3 is the robust signal.
-        cold[name] = materialize(df)
-        runs = [materialize(df) for _ in range(3)]
-        timings[name] = runs[0]
-        med[name] = sorted(runs)[1]
+        spark = ensure_spark(spark, st.errors)
+
+        def _series(spec=spec):
+            # Steady-state timing, same methodology as the headline:
+            # the first run pays Janino codegen + C2 JIT + session GC
+            # debt. First post-cold run stays the frozen series key;
+            # the median of all 3 is the robust signal.
+            df = spec.fn(spark, sf_dir)
+            cold = materialize(df)
+            runs = [materialize(df) for _ in range(3)]
+            return cold, runs
+
+        got = safe(name, _series, st.errors)
+        if got is None:
+            st.cold[name] = st.timings[name] = st.med[name] = None
+        else:
+            st.cold[name], runs = got
+            st.timings[name] = runs[0]
+            st.med[name] = sorted(runs)[1]
     # collect the REGISTRY loop's heap debt before the extended family
-    # so its first queries don't absorb it (same rationale as the gc
-    # before the series).
+    # so its first queries don't absorb it.
     _gc()
     for qi, (name, spec) in enumerate(EXTENDED_REGISTRY.items()):
         if qi % 10 == 0 and qi > 0:
             _gc()
+        spark = ensure_spark(spark, st.errors)
+
         # extended queries time construction + materialization per run:
         # corpus_dedup_clusters does its iterative work eagerly inside
         # fn() (localCheckpoint rounds), so timing only the final
@@ -220,97 +370,77 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             return (time.perf_counter() - t0) + materialize(df)
 
-        cold[name] = _run()
-        runs = [_run() for _ in range(3)]
-        ext_timings[name] = runs[0]
-        med[name] = sorted(runs)[1]
-    release_caches()  # last query's scoped persists
+        def _series(run=_run):
+            cold = run()
+            runs = [run() for _ in range(3)]
+            return cold, runs
+
+        got = safe(name, _series, st.errors)
+        if got is None:
+            st.cold[name] = st.ext_timings[name] = st.med[name] = None
+        else:
+            st.cold[name], runs = got
+            st.ext_timings[name] = runs[0]
+            st.med[name] = sorted(runs)[1]
+    safe("release_caches", release_caches, st.errors)
+
+    # STAGE the record now: everything the slim line carries is
+    # measured. If a scaling decade below hard-kills the process
+    # (SIGKILL — beyond what finally can catch), this already-printed
+    # line remains the final parseable stdout line.
+    emit(st)
 
     # the baseline's scaling curve (BASELINE.md: 1.79 s @ 1M, 9.34 s
     # @ 5M, 20.33 s @ 10M): Spark's fixed overhead amortizes with
     # size, so the ratio improves as rows grow — measured, not
     # claimed. Same plan shape as the 1M run (already JIT-warm). Runs
-    # LAST so its heap churn cannot contaminate the frozen series.
-    scaling: dict[str, float] = {}
-    # r9 adds the 50M decade: one more order-of-magnitude of evidence
-    # for the 100x-scale claim (does the chunk/halo path hold past the
-    # page-cache knee?). Single timed run after one warmup — at ~50 s
-    # a run, medians would double the bench's tail for noise the
-    # smaller decades already characterize.
+    # LAST so its heap churn cannot contaminate the frozen series and
+    # so a worker death here (the r9 failure's prime suspect window)
+    # costs only the scaling entries. Set MDP_BENCH_SKIP_SCALING=1 to
+    # omit the decades entirely.
+    if os.environ.get("MDP_BENCH_SKIP_SCALING"):
+        return
     for label, mult, reps, wus in (
         ("feature_pipeline_5m", 5, 3, 1),
         ("feature_pipeline_10m", 10, 3, 1),
         ("feature_pipeline_50m", 50, 1, 1),
     ):
-        bars_n = replicated_bars(spark, sf_dir, copies * mult, multi_symbol=True)
-        timings[label] = run_feature_pipeline(
-            spark, bars_n, repeats=reps, warmups=wus
+        spark = ensure_spark(spark, st.errors)
+        t = safe(
+            label,
+            lambda mult=mult, reps=reps, wus=wus: run_feature_pipeline(
+                spark,
+                replicated_bars(spark, sf_dir, copies * mult, multi_symbol=True),
+                repeats=reps,
+                warmups=wus,
+            ),
+            st.errors,
         )
-        scaling[f"rows_per_sec_{mult}m"] = round(
-            mult * 1_000_000 / timings[label]
+        st.timings[label] = t
+        st.scaling[f"rows_per_sec_{mult}m"] = (
+            round(mult * 1_000_000 / t) if t else None
         )
         _gc()
 
-    # The slim stdout line carries ONLY the r4-frozen series keys
-    # (REGISTRY + headline + 1sym + sf-native): the r6 additions
-    # (cached-input headline, 5M/10M scaling) pushed the line to
-    # ~1915 chars — inside the driver's ~1900-2000 char capture
-    # window's failure band (r5 recorded parsed:null at ~2600). They
-    # live in bench_detail.json and the detail stdout line instead.
-    slim_only = {"feature_pipeline_1m_cached", "feature_pipeline_5m",
-                 "feature_pipeline_10m", "feature_pipeline_50m"}
-    # r8: the slim line's per-query values are the MEDIAN-of-3 series
-    # (the headline entries were already medians) — the first-post-cold
-    # single samples kept recording host noise as fake regressions
-    # (r6: momentum_features; r7: feature_pipeline_1m_1sym). The
-    # frozen single-sample series still ships, unchanged, as
-    # bench_detail.json "queries" for cross-round continuity.
-    result = {
-        "metric": "feature_pipeline_1m_rows_sec_vs_baseline_1.79s",
-        "value": round(timings["feature_pipeline_1m"], 3),
-        "unit": "sec",
-        "queries": {
-            k: round(med.get(k, v), 3)
-            for k, v in timings.items()
-            if k not in slim_only
-        },
-        "sf": sf,
-        "rows_per_sec_1m": round(1_000_000 / timings["feature_pipeline_1m"]),
-    }
-    detail = dict(result)
-    # detail carries the UNFILTERED warm series: the slim_only keys
-    # (cached-input headline, 5M/10M scaling) are excluded only from
-    # the slim stdout line for capture-window reasons — dropping them
-    # from detail too lost the r6 warm numbers entirely (ADVICE r6).
-    detail["queries"] = {
-        **{k: round(v, 3) for k, v in timings.items()},
-        **{k: round(v, 3) for k, v in ext_timings.items()},
-    }
-    detail["queries_cold"] = {k: round(v, 3) for k, v in cold.items()}
-    # robust per-query series: median of 3 post-cold runs (r7; the
-    # single-sample warm keys above stay frozen for continuity)
-    detail["queries_med"] = {k: round(v, 3) for k, v in med.items()}
-    detail.update(scaling)  # 5M/10M throughputs vs BASELINE.md's curve
 
-    # The driver captures only the LAST ~2000 chars of stdout and parses
-    # the final line as the round's bench record; r5's single line (warm
-    # + cold dicts inline) exceeded that window and failed to parse.
-    # Keep both series: full payload goes to bench_detail.json and its
-    # own stdout line, the FINAL line is the slim parseable record.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=1)
-    print(json.dumps(detail))
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    st = _State(sf)
+    try:
+        from marketdatapipeline_spark.session import get_spark
 
-    line = json.dumps(result)
-    if len(line) > 1750:  # stay inside the capture window with margin
-        result["queries"] = {
-            k: round(v, 2) for k, v in result["queries"].items()
-        }
-        line = json.dumps(result)
-    print(line)
+        spark = get_spark(app_name="bench")
+        _run_all(spark, sf_dir, st)
+    except BaseException as e:
+        # swallow so rc stays 0: the driver records rc alongside the
+        # parsed line, and a partial-but-parseable record is the point
+        st.errors["__fatal__"] = repr(e)[:300]
+    finally:
+        # final emission — after a clean run this re-prints the staged
+        # line (now with scaling decades in the detail payload); after
+        # a crash it prints whatever was measured
+        safe("__emit__", lambda: emit(st), st.errors)
 
 
 if __name__ == "__main__":

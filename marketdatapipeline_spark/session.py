@@ -60,10 +60,33 @@ def get_spark(
         # 1M rows x ~1KB ~ 1GB worst-case per task-group — sized for
         # this container; on a cluster, set per executor memory and
         # salt monster symbols.
+        #
+        # r10: the spill thresholds were Int.MAX ("never spill") which
+        # removed the safety valve entirely — the prime suspect when
+        # the r9 driver bench died of memory pressure on a loaded host
+        # (one worker "Connection reset", whole record lost). Bounded
+        # now: the count threshold stays far above any per-symbol group
+        # this engine produces (chunk/halo routing caps groups ~200k
+        # rows), and the 4.1 byte-size thresholds cap each buffer at
+        # 2 GiB — normal runs never spill, a pathological group spills
+        # instead of OOMing the JVM.
         .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
-        .config("spark.sql.windowExec.buffer.spill.threshold", "2147483647")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "16777216")
+        .config("spark.sql.windowExec.buffer.spill.size.threshold", "2147483648")
         .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1048576")
-        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "2147483647")
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "16777216")
+        .config(
+            "spark.sql.sortMergeJoinExec.buffer.spill.size.threshold",
+            "2147483648",
+        )
+        # Arrow transfer batch cap (explicit; 10k is the default but it
+        # bounds pandas-UDF input frames and is load-bearing for worker
+        # memory — pin it so a future default change can't regress it).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # When a Python worker dies abruptly (the r9 failure mode), the
+        # JVM only sees "Connection reset". faulthandler makes the
+        # worker dump its Python stack into the error instead.
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         # testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # ns timestamp — read as long, convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

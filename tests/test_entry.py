@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -151,3 +153,40 @@ def test_scoped_persist_released_between_catalog_queries(spark):
     REGISTRY["bars_source"].fn(spark, "/root/testdata/sf0.001")
     assert len(caching._LIVE) == 0
     assert not df.storageLevel.useMemory  # actually unpersisted
+
+
+def test_extended_surface_complete_in_fresh_interpreter():
+    """r9 VERDICT item 5: extended_queries()/extended_oracle_sql() used
+    to omit the catalog_operators import and only worked because
+    catalog_corpus transitively imported it — one refactor away from
+    silently dropping every operators-module extended entry. Run in a
+    fresh interpreter (no conftest imports to mask the hole) and check
+    the entry module's own surface matches the union of all four
+    catalog modules' registrations."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import json, __spark_entry__ as e\n"
+        "got = set(e.extended_queries())\n"
+        "import marketdatapipeline_spark.catalog_corpus\n"
+        "import marketdatapipeline_spark.catalog_multimodal\n"
+        "import marketdatapipeline_spark.catalog_operators\n"
+        "import marketdatapipeline_spark.catalog_pipeline\n"
+        "from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY\n"
+        "print(json.dumps({'got': len(got),"
+        " 'want': len(EXTENDED_REGISTRY),"
+        " 'missing': sorted(set(EXTENDED_REGISTRY) - got)[:5]}))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["got"] == res["want"], res["missing"]
+    assert res["want"] >= 176
