@@ -47,6 +47,7 @@ def bar_index_returns(
     price_col: str = "close",
     symbol_col: str = "symbol",
     order_cols: tuple[str, ...] = ("datetime", "bar_id"),
+    decimal_prefix: str | None = None,
 ) -> DataFrame:
     """(_sym, _idx, _ret): simple returns with the per-symbol bar
     index — the aligned-series building block this module and
@@ -67,7 +68,15 @@ def bar_index_returns(
     projection happens BEFORE the first window so both key on the
     same ``_sym`` attribute — keying the first on the original column
     and the second on its alias planned a second exchange (the r7
-    aliased-key lesson, pinned in test_plans)."""
+    aliased-key lesson, pinned in test_plans).
+
+    ``decimal_prefix`` (r10): when set to a decimal type string, the
+    running prefix sums ``_cs`` = Σret and ``_css`` = Σret² (exact
+    decimal, per symbol, ordered by index) ride along IN THE SAME
+    window stage. The correlation paths used to derive them in a
+    second pass over ``rets``, which recomputed the whole
+    bars-scan + window chain — fusing them here makes one pass feed
+    both the pair aggregation and the boundary lookups."""
     base = df.select(
         F.col(symbol_col).alias("_sym"),
         *[F.col(c) for c in order_cols],
@@ -80,9 +89,16 @@ def bar_index_returns(
         *[F.col(c) for c in order_cols],
         ((F.col("_p") - prev) / prev).alias("_ret"),
     ).filter(F.col("_ret").isNotNull())
-    return rets.select(
-        "_sym", F.row_number().over(w).alias("_idx"), "_ret"
-    )
+    cols = ["_sym", F.row_number().over(w).alias("_idx"), F.col("_ret")]
+    if decimal_prefix is not None:
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cols += [
+            F.sum(F.col("_ret").cast(decimal_prefix)).over(wf).alias("_cs"),
+            F.sum((F.col("_ret") * F.col("_ret")).cast(decimal_prefix))
+            .over(wf)
+            .alias("_css"),
+        ]
+    return rets.select(*cols)
 
 
 def _corr_lag0_prefix(
@@ -108,7 +124,11 @@ def _corr_lag0_prefix(
     upper-triangle explode (array_sort + posexplode + slice emits
     exactly the symbol_a < symbol_b pairs) -> ONE decimal sum per
     pair; the tiny pair table then broadcast-joins back to the
-    prefix-sum rows at each pair's boundary index."""
+    prefix-sum rows at each pair's boundary index. ``rets`` arrives
+    persisted WITH its fused ``_cs``/``_css`` prefix columns
+    (bar_index_returns decimal_prefix), so the pair chain and the
+    boundary lookup read one cached pass instead of recomputing the
+    bars-scan + window chain twice (r10)."""
     entry = F.collect_list(F.struct("_sym", "_ret"))
     sorted_e = rets.groupBy("_idx").agg(
         F.array_sort(entry).alias("_ea")
@@ -147,15 +167,7 @@ def _corr_lag0_prefix(
         .alias("_sxy"),
     ).filter(F.col("n_obs") >= min_obs)
 
-    w = Window.partitionBy("_sym").orderBy("_idx")
-    pre = rets.select(
-        "_sym",
-        "_idx",
-        F.sum(F.col("_ret").cast(dec)).over(w).alias("_cs"),
-        F.sum((F.col("_ret") * F.col("_ret")).cast(dec))
-        .over(w)
-        .alias("_css"),
-    )
+    pre = rets.select("_sym", "_idx", "_cs", "_css")
     # both joins broadcast the SMALL (pair-table) side and stream the
     # prefix rows past it — at no point do the N prefix rows shuffle
     first = pre.select(
@@ -204,11 +216,8 @@ def pairwise_return_correlation(
     columns swap back. The r8 decomposition alone mishandled k < 0 —
     its b-side lower-boundary lookup ``_idx == lag`` matches no rows
     for negative lag, silently emitting zero pairs."""
-    rets = bar_index_returns(df, price_col, symbol_col, order_cols)
     dec = "decimal(38,18)"
 
-    if lag == 0:
-        return _corr_lag0_prefix(rets, min_obs, dec)
     if lag < 0:
         res = pairwise_return_correlation(
             df, price_col, symbol_col, order_cols, min_obs, -lag
@@ -220,40 +229,43 @@ def pairwise_return_correlation(
             "corr",
         )
 
-    # ONE shuffle builds both role arrays (r9): a return at index i is
-    # the a-side row at key i AND the b-side row at key i-lag, so the
-    # union carries each return twice (tagged) through a single
-    # groupBy — replacing r8's two pivot groupBys + sort-merge join
-    # (2.75 s -> 1.56 s for the pair-sum stage at sf0.1, identical
-    # output). collect_list drops the when()-nulled other-role rows,
-    # so each key ends with exactly its a-array and b-array.
-    u = rets.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("_idx").alias("_k"), F.lit(0).alias("_role")
-                ),
-                F.struct(
-                    (F.col("_idx") - F.lit(lag)).alias("_k"),
-                    F.lit(1).alias("_role"),
-                ),
-            )
-        ).alias("_e"),
-        F.struct("_sym", "_ret").alias("_s"),
-    ).select(
-        F.col("_e._k").alias("_idx"), "_s", F.col("_e._role").alias("_role")
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    # ONE pass computes returns, indexes, AND the decimal prefix sums
+    # (fused into the same window stage), persisted so the pair chain
+    # and the boundary lookup both read it — previously each path
+    # recomputed the whole bars-scan + window chain (r10: ~0.4 s of
+    # duplicated work per query at sf0.1).
+    rets = scoped_persist(
+        bar_index_returns(
+            df, price_col, symbol_col, order_cols, decimal_prefix=dec
+        )
+    )
+
+    if lag == 0:
+        return _corr_lag0_prefix(rets, min_obs, dec)
+
+    # ONE pivot groupBy, self-joined at the shifted key (r10): the
+    # persisted index pivot serves as BOTH sides — the a-side at key
+    # i and, re-keyed to i-lag, the b-side — so the pivot's 100k-
+    # struct shuffle happens once and the join streams the cached
+    # ~N/S-row table against itself. Replaces the r9 union-explode
+    # (which carried every return TWICE through the groupBy with
+    # when()-nulled role tagging): construction+materialize 2.3 s ->
+    # 1.2 s at sf0.1. The join stays a shuffle join, not a broadcast
+    # — the pivot table is N/S rows and does not fit a driver at
+    # 100 TB.
+    ea = scoped_persist(
+        rets.groupBy("_idx").agg(
+            F.collect_list(F.struct("_sym", "_ret")).alias("_ea")
+        )
+    )
+    eb = ea.select(
+        (F.col("_idx") - F.lit(lag)).alias("_idx"),
+        F.col("_ea").alias("_eb"),
     )
     joined = (
-        u.groupBy("_idx")
-        .agg(
-            F.collect_list(
-                F.when(F.col("_role") == 0, F.col("_s"))
-            ).alias("_ea"),
-            F.collect_list(
-                F.when(F.col("_role") == 1, F.col("_s"))
-            ).alias("_eb"),
-        )
-        .filter((F.size("_ea") > 0) & (F.size("_eb") > 0))
+        ea.join(eb, "_idx")
         # same single-task-explode guard as the lag-0 path: the pivot
         # table is byte-small (AQE coalesces it) but fans out to S^2
         # pair rows per index — force the explode to spread.
@@ -288,8 +300,6 @@ def pairwise_return_correlation(
     # The tiny pair table is PERSISTED (it anchors both the output and
     # the boundary-key generator below; unpersisted, the fork would
     # re-run the whole pair aggregation — the expensive stage).
-    from marketdatapipeline_spark.caching import scoped_persist
-
     g = scoped_persist(
         pairs.groupBy("symbol_a", "symbol_b")
         .agg(
@@ -308,15 +318,11 @@ def pairwise_return_correlation(
     # tie. (28,18)-(28,18) types as (29,18): full scale, exact. (The
     # narrowing cast is itself exact while prefix magnitudes < 1e10.)
     narrow = "decimal(28,18)"
-    w = Window.partitionBy("_sym").orderBy("_idx")
     pre = rets.select(
         "_sym",
         "_idx",
-        F.sum(F.col("_ret").cast(dec)).over(w).cast(narrow).alias("_cs"),
-        F.sum((F.col("_ret") * F.col("_ret")).cast(dec))
-        .over(w)
-        .cast(narrow)
-        .alias("_css"),
+        F.col("_cs").cast(narrow).alias("_cs"),
+        F.col("_css").cast(narrow).alias("_css"),
     )
     # Boundary lookups in ONE pass over the prefix rows (r9): each
     # pair needs three prefix-sum boundary rows — a's prefix at m,
