@@ -168,6 +168,12 @@ SLIM_ONLY = {
     "feature_pipeline_50m",
 }
 
+# module-level so tests can redirect the detail payload away from the
+# repo's real sf0.1 record
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+)
+
 
 def build_result(st: _State) -> dict:
     """The slim final-line record. Failed entries are JSON null —
@@ -216,12 +222,7 @@ def emit(st: _State) -> None:
         detail["errors_detail"] = st.errors
 
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-            ),
-            "w",
-        ) as f:
+        with open(DETAIL_PATH, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass

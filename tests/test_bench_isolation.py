@@ -62,7 +62,7 @@ def test_emit_final_line_parseable_with_partial_state(tmp_path, capsys, monkeypa
     # even a state captured mid-crash (half-filled dicts) must emit a
     # valid final line and a bench_detail.json
     monkeypatch.setattr(
-        bench.os.path, "dirname", lambda p: str(tmp_path), raising=True
+        bench, "DETAIL_PATH", str(tmp_path / "bench_detail.json")
     )
     st = bench._State("0.1")
     st.timings["feature_pipeline_1m"] = 1.5
@@ -111,11 +111,18 @@ def test_worker_death_is_isolated_and_session_survives(spark):
 
 
 @pytest.mark.full
-def test_bench_main_emits_final_line_despite_injected_failure(monkeypatch, capsys):
+def test_bench_main_emits_final_line_despite_injected_failure(
+    monkeypatch, capsys, tmp_path
+):
     """End-to-end: run bench.main() at the tiny tier with a registry
     entry that kills its worker; the run must finish rc-clean with a
     parseable final line where the victim is null and real queries
-    have numbers."""
+    have numbers. bench_detail.json is redirected to tmp so this
+    sf0.001 fault-injection run cannot clobber the repo's real
+    sf0.1 record (it did once, r10)."""
+    monkeypatch.setattr(
+        bench, "DETAIL_PATH", str(tmp_path / "bench_detail.json")
+    )
     import marketdatapipeline_spark.catalog_corpus  # noqa: F401
     import marketdatapipeline_spark.catalog_multimodal  # noqa: F401
     import marketdatapipeline_spark.catalog_operators  # noqa: F401
