@@ -56,23 +56,68 @@ def hurst_exponent(
         *[F.col(c) for c in order_cols],
         ret.alias("_ret"),
     ).filter(F.col("_ret").isNotNull())
+    # Block sums are PREFIX-SUM DIFFERENCES (r10): the q-block ending
+    # at index i (i.e. (i+1) % q == 0) sums returns (i-q, i], which is
+    # cs(i) - cs(i-q) of the exact decimal running sum — identical
+    # values to aggregating the block's returns directly (decimal
+    # addition/subtraction is exact), so the DuckDB oracle's direct
+    # block GROUP BY is untouched. This replaces a groupBy(symbol, q,
+    # block) whose q=1 groups were singletons — a rows x |scales|
+    # shuffle with no map-side combining — with ONE window pass (the
+    # same exchange that indexes the returns: running sum + one lag
+    # per scale in a single WindowExec) and a tiny symbols x |scales|
+    # aggregation that combines map-side. sf0.1: 2.36 s -> see bench.
+    # The running sum narrows to (28,18) before the lag subtraction so
+    # the difference types as (29,18) — full scale, exact (the (38,18)
+    # difference would need precision 39 and allowPrecisionLoss drops
+    # a scale digit).
     widx = Window.partitionBy("symbol").orderBy(*order_cols)
-    rets = rets.withColumn("_idx", F.row_number().over(widx) - F.lit(1))
-    fan = rets.select(
+    wcum = widx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = rets.select(
         "symbol",
-        "_ret",
+        *[F.col(c) for c in order_cols],  # the lag windows below sort on these
+        (F.row_number().over(widx) - F.lit(1)).alias("_idx"),
+        F.sum(F.col("_ret").cast(_DEC))
+        .over(wcum)
+        .cast("decimal(28,18)")
+        .alias("_cs"),
+    )
+    zero = F.lit(0).cast("decimal(28,18)")
+    # window lags are plain columns first (a generator expression
+    # cannot contain window functions), then the per-scale struct
+    # array explodes from those columns
+    lagged = d.select(
+        "symbol",
         "_idx",
-        F.explode(F.array(*[F.lit(int(q)) for q in scales])).alias("q"),
+        "_cs",
+        *[
+            F.lag("_cs", int(q)).over(widx).alias(f"_lag{q}")
+            for q in scales
+        ],
     )
-    blocks = (
-        fan.groupBy("symbol", "q", F.floor(F.col("_idx") / F.col("q")).alias("_blk"))
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum(F.col("_ret").cast(_DEC)).cast("double").alias("_bs"),
-        )
-        .filter(F.col("_cnt") == F.col("q"))
-    )
-    per_scale = blocks.groupBy("symbol", "q").agg(
+    terms = lagged.select(
+        "symbol",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(q)).alias("q"),
+                        F.when(
+                            (F.col("_idx") + 1) % int(q) == 0,
+                            (
+                                F.col("_cs")
+                                - F.coalesce(F.col(f"_lag{q}"), zero)
+                            ).cast("double"),
+                        ).alias("_bs"),
+                    )
+                    for q in scales
+                ]
+            )
+        ).alias("_t"),
+    ).select("symbol", F.col("_t.q").alias("q"), F.col("_t._bs").alias("_bs"))
+    per_scale = terms.filter(F.col("_bs").isNotNull()).groupBy(
+        "symbol", "q"
+    ).agg(
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum(F.col("_bs").cast(_DEC)).cast("double").alias("_s1"),
         F.sum((F.col("_bs") * F.col("_bs")).cast(_DEC))

@@ -635,3 +635,29 @@ def test_price_extremes_block_decomposition_single_exchange(spark):
         if "Exchange hashpartitioning" in line
     )
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_hurst_prefix_diff_no_block_shuffle(spark, bars_df):
+    """r10 hurst rewrite: q-block sums come from prefix-sum
+    differences inside the ONE symbol window (running decimal sum +
+    one lag per scale), so the old groupBy(symbol, q, block) shuffle
+    — whose q=1 groups were singletons, rows x |scales| with no
+    map-side combining — is gone. Pin: no join, the window sorts on
+    the symbol exchange, and the only aggregations are the tiny
+    per-(symbol, q) and per-symbol reductions with partial
+    (map-side) combining."""
+    from marketdatapipeline_spark.operators.hurst import hurst_exponent
+
+    out = hurst_exponent(bars_df, order_cols=("datetime",))
+    plan = _plan(out)
+    assert "Join" not in plan
+    # one data exchange for the symbol window, one for the
+    # per-(symbol, q) aggregation (AQE may add query-stage wrappers,
+    # so count hashpartitioning exchanges, not nodes)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial" in plan.lower()
+    # the prefix-difference lags are present; the old floor(idx/q)
+    # block grouping key is not
+    low = plan.lower()
+    assert "lag(" in low
+    assert "floor(" not in low
