@@ -933,16 +933,22 @@ def unigram_perplexity(
     row, one per-doc aggregation. Per-term ``tf·ln p`` goes through
     decimal(28,14) sums (association-free; ln/exp are the libm
     boundaries, ~1-ulp → far below round-6)."""
+    from marketdatapipeline_spark.caching import scoped_persist
+
     words = df.select(
         F.col(id_col), F.explode(_words(text_col)).alias("_w")
     ).filter(F.col("_w") != "")
-    tf = (
+    # tf feeds the vocabulary count AND the scoring join; vocab feeds
+    # the totals AND the join — persisted (r10) so the corpus is
+    # scanned and tokenized once, not once per consumer (same
+    # no-exchange-reuse shape as bigram_perplexity)
+    tf = scoped_persist(
         words.select(F.col(id_col), md5_int(F.col("_w")).alias("term_hash"))
         .groupBy(id_col, "term_hash")
         .agg(F.count("*").alias("tf"))
     )
-    vocab = tf.groupBy("term_hash").agg(
-        F.sum("tf").cast("long").alias("_cw")
+    vocab = scoped_persist(
+        tf.groupBy("term_hash").agg(F.sum("tf").cast("long").alias("_cw"))
     )
     totals = vocab.agg(
         F.sum("_cw").cast("long").alias("_n"),
@@ -1004,12 +1010,22 @@ def bigram_perplexity(
     count tables join back on bigint keys, the two corpus totals ride
     one broadcast row, and the per-doc reduction sums decimal(28,14)
     log-prob terms (association-free; ln/exp are the libm boundary,
-    round-6 at emission)."""
+    round-6 at emission).
+
+    The shared subplans are persisted (r10): un-cached, Spark planned
+    FIVE document scans (tokenize+md5 each time — the expensive text
+    work) because base feeds two chains, tf feeds the join AND the
+    bigram-count table, and cb/cw each feed a reduction AND a join,
+    with no exchange reuse across the differently-keyed consumers.
+    Caching base/tf/cb/cw cuts it to one scan and one tokenize pass;
+    all four release via release_caches at the next catalog query."""
+    from marketdatapipeline_spark.caching import scoped_persist
+
     harr = F.transform(
         F.filter(_words(text_col), lambda w: w != ""),
         lambda w: md5_int(w),
     )
-    base = df.select(F.col(id_col), harr.alias("_h"))
+    base = scoped_persist(df.select(F.col(id_col), harr.alias("_h")))
     n = F.size(F.col("_h"))
     pairs = base.filter(n >= 2).select(
         F.col(id_col),
@@ -1021,13 +1037,19 @@ def bigram_perplexity(
             )
         ).alias("_bg"),
     )
-    tf = pairs.groupBy(
-        id_col, F.col("_bg.h1").alias("h1"), F.col("_bg.h2").alias("h2")
-    ).agg(F.count("*").alias("tf"))
-    cb = tf.groupBy("h1", "h2").agg(F.sum("tf").cast("long").alias("_cb"))
+    tf = scoped_persist(
+        pairs.groupBy(
+            id_col, F.col("_bg.h1").alias("h1"), F.col("_bg.h2").alias("h2")
+        ).agg(F.count("*").alias("tf"))
+    )
+    cb = scoped_persist(
+        tf.groupBy("h1", "h2").agg(F.sum("tf").cast("long").alias("_cb"))
+    )
     c1 = cb.groupBy("h1").agg(F.sum("_cb").cast("long").alias("_c1"))
     uni = base.select(F.col(id_col), F.explode(F.col("_h")).alias("h2"))
-    cw = uni.groupBy("h2").agg(F.count("*").cast("long").alias("_cw"))
+    cw = scoped_persist(
+        uni.groupBy("h2").agg(F.count("*").cast("long").alias("_cw"))
+    )
     totals = cw.agg(
         F.sum("_cw").cast("long").alias("_n"), F.count("*").alias("_v")
     )
