@@ -5608,13 +5608,16 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 adapted (large-volume customers): group-HAVING →
-    semi-join → re-aggregate, the classic two-pass-over-the-fact
-    shape. The HAVING side reduces lineitem to order keys BEFORE the
-    join (a left-semi on the fact's own key — map-side combinable);
-    customer/orders join broadcast-side. Quantities are integral
-    doubles, summed as decimals; deterministic LIMIT via the unique
-    o_orderkey tiebreak."""
+    """TPC-H Q18 adapted (large-volume customers). The textbook plan
+    re-joins raw lineitem after the HAVING semi-join and re-aggregates
+    — but the final grouping is per ORDER, so the per-order quantity
+    sum the HAVING pass already computed IS total_qty (r10): one
+    lineitem scan + one map-side-combinable agg, then the >150 rows
+    (a few per million orders) join orders and the broadcast customer
+    dim. Half the fact-table work of the two-pass shape at any scale.
+    Quantities are integral doubles, summed as decimals — the single
+    agg is bit-identical to the oracle's re-aggregation; deterministic
+    LIMIT via the unique o_orderkey tiebreak."""
     from marketdatapipeline_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5622,21 +5625,17 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("_q"))
         .filter(F.col("_q") > 150)
-        .select("l_orderkey")
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+    g = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    )
-    g = j.groupBy(
-        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(
-        F.sum(F.col("l_quantity").cast("decimal(28,10)"))
-        .cast("double")
-        .alias("total_qty")
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
     )
     return g.orderBy(
         F.desc("o_totalprice"), "o_orderdate", "o_orderkey"
@@ -11026,10 +11025,12 @@ def q_tpch_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue (cent-rounded BEFORE ranking — the decimal sums' double
     conversion is ulp-noisy at these magnitudes) and order counts,
     zero-order customers included at LTV 0 — the account-scoring
-    table. One fact agg + a left join onto the customer dim + one
-    rank window."""
-    from pyspark.sql import Window as W
-
+    table. One fact agg + a left join onto the customer dim + a
+    DISTRIBUTED global rank (operators/ranking.py, r10): the old
+    ``partitionBy(lit(1))`` window serialized every customer through
+    one task — fine at sf0.1, a wall at 100 TB; range-partitioned
+    rank + prefix offsets is bit-identical and spreads."""
+    from marketdatapipeline_spark.operators.ranking import global_row_number
     from marketdatapipeline_spark.sources.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders")
@@ -11058,13 +11059,8 @@ def q_tpch_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         (F.coalesce("_ltv", F.lit(0.0)) + F.lit(0.0)).alias("ltv"),
     )
-    wall = W.partitionBy(F.lit(1))
-    r = j.select(
-        "*",
-        F.row_number()
-        .over(wall.orderBy(F.desc("ltv"), "c_custkey"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    r = global_row_number(
+        j, F.desc("ltv"), F.col("c_custkey"), out_col="rk", total_col="n"
     )
     return r.select(
         "c_custkey", "c_name", "c_mktsegment",

@@ -94,6 +94,7 @@ from marketdatapipeline_spark.operators.pairs import (
     rolling_pair_correlation,
 )
 from marketdatapipeline_spark.operators.portfolio import portfolio_returns
+from marketdatapipeline_spark.operators.ranking import global_row_number
 from marketdatapipeline_spark.operators.variance_ratio import variance_ratio
 from marketdatapipeline_spark.operators.volume_bars import volume_bars
 from marketdatapipeline_spark.operators.vwap import anchored_twap, anchored_vwap
@@ -104,6 +105,7 @@ from marketdatapipeline_spark.operators.salting import (
 from marketdatapipeline_spark.operators.sessions import sessionize
 
 __all__ = [
+    "global_row_number",
     "amihud_illiquidity",
     "corwin_schultz_spread",
     "anchored_twap",

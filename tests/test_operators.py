@@ -1744,3 +1744,61 @@ def test_pairwise_correlation_randomized_lags_vs_numpy(spark):
             assert row["corr"] == pytest.approx(rho, rel=1e-9), (
                 f"lag={lag} pair={a},{b}"
             )
+
+
+def test_global_row_number_matches_single_task_window(spark):
+    """r10 distributed rank: range-partitioned row_number + prefix
+    offsets must be bit-identical to the lit(1) global window it
+    replaces — including duplicate order keys resolved by the
+    tiebreak, descending order, and the free total column."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0.0, 1.5, 2.5, 7.25])) for i in range(2003)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+
+    got = {
+        r["k"]: (r["rk"], r["n"])
+        for r in global_row_number(
+            df, F.desc("v"), F.col("k"), out_col="rk", total_col="n"
+        ).collect()
+    }
+    wall = W.partitionBy(F.lit(1)).orderBy(F.desc("v"), "k")
+    want = {
+        r["k"]: r["rk"]
+        for r in df.select("k", F.row_number().over(wall).alias("rk")).collect()
+    }
+    assert len(got) == 2003
+    for k, (rk, n) in got.items():
+        assert n == 2003
+        assert rk == want[k], k
+
+
+def test_global_row_number_spreads_across_partitions(spark):
+    """The point of the operator: no single task sees the whole
+    table. With enough input rows the range partitioner must produce
+    more than one non-empty partition."""
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    out = global_row_number(df, F.col("k"), out_col="rk")
+    npart = (
+        out.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert npart > 1
+    # dense 1..N
+    agg = out.agg(F.min("rk"), F.max("rk"), F.count(F.lit(1))).first()
+    assert tuple(agg) == (1, 10_000, 10_000)
+
+
+def test_global_row_number_requires_order():
+    import pytest as _pytest
+
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    with _pytest.raises(ValueError, match="order column"):
+        global_row_number(None)
