@@ -6082,19 +6082,23 @@ def q_ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully tiebroken), cut into ten equal-count buckets by rank
     arithmetic (no ntile dependence), per-decile positive rate, the
     cumulative gains curve, and lift over the base rate. Integer
-    ratios UNROUNDED; lift (ratio of ratios) round-6. One window
-    sort exchange + one 10-row agg."""
+    ratios UNROUNDED; lift (ratio of ratios) round-6. Distributed
+    rank (operators/ranking.py, r10 — the lit(1) window serialized
+    every scored row through one task) + one 10-row agg; the grand
+    totals fall out of the rank's offset pass as literals."""
     from pyspark.sql import Window as W
 
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
     b = _scored_bars(spark, sf_dir)
-    wall = W.partitionBy(F.lit(1))
-    r = b.select(
-        "target",
-        F.row_number()
-        .over(wall.orderBy(F.desc("score"), "symbol", "datetime", "bar_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("target").over(wall).alias("tot_pos"),
+    r = global_row_number(
+        b.select("target", "score", "symbol", "datetime", "bar_id"),
+        F.desc("score"), F.col("symbol"), F.col("datetime"), F.col("bar_id"),
+        out_col="rn", total_col="n",
+    )
+    # total positives: one broadcast scalar off the rank pass's cache
+    r = r.crossJoin(
+        F.broadcast(r.agg(F.sum("target").alias("tot_pos")))
     )
     d = r.select(
         (
@@ -7417,30 +7421,23 @@ def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary label, with the label entropy and the MI/H(Y) uncertainty
     coefficient — the model-free 'is there any signal' number next
     to AUC/KS. Joint and marginal counts are exact integers off one
-    rank window + one 20-cell agg; plogp terms decimal-quantized,
+    DISTRIBUTED rank (operators/ranking.py, r10 — no single-task
+    window) + one 20-cell agg; plogp terms decimal-quantized,
     round-6."""
-    from pyspark.sql import Window as W
+    from marketdatapipeline_spark.operators.ranking import global_row_number
 
     b = _scored_bars(spark, sf_dir)
-    wall = W.partitionBy(F.lit(1))
-    r = b.select(
+    rr = global_row_number(
+        b.select("target", "score", "symbol", "datetime", "bar_id"),
+        F.desc("score"), F.col("symbol"), F.col("datetime"), F.col("bar_id"),
+        out_col="_rn", total_col="_n",
+    )
+    r = rr.select(
         "target",
         (
-            F.floor(
-                (
-                    (
-                        F.row_number().over(
-                            wall.orderBy(
-                                F.desc("score"), "symbol", "datetime",
-                                "bar_id",
-                            )
-                        )
-                        - 1
-                    )
-                    * F.lit(10.0)
-                )
-                / F.count(F.lit(1)).over(wall)
-            ).cast("int")
+            F.floor(((F.col("_rn") - 1) * F.lit(10.0)) / F.col("_n")).cast(
+                "int"
+            )
             + 1
         ).alias("bin"),
     )
@@ -10006,23 +10003,20 @@ def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the positives' ranks in the round-6-score ordering — the
     metric that, unlike ROC-AUC, collapses under class imbalance
     exactly when it should. Each precision@k is an exact integer
-    ratio; their mean accumulates as decimal(28,14), round-6. One
-    rank window + one agg."""
-    from pyspark.sql import Window as W
+    ratio; their mean accumulates as decimal(28,14), round-6.
+    Distributed rank + distributed running true-positive sum
+    (operators/ranking.py cumsum, r10): integer addition is exact, so
+    the per-partition running sums plus prefix offsets are
+    bit-identical to the single-task ``sum() OVER (ORDER BY)`` this
+    replaces — and no task ever holds the full scored table."""
+    from marketdatapipeline_spark.operators.ranking import global_row_number
 
     b = _scored_bars(spark, sf_dir)
-    wall = W.partitionBy(F.lit(1))
-    r = b.select(
-        "target",
-        F.row_number()
-        .over(wall.orderBy(F.desc("score"), "symbol", "datetime", "bar_id"))
-        .alias("rk"),
-    )
-    c = r.select(
-        "rk", "target",
-        F.sum("target").over(wall.orderBy("rk")).alias("tp_cum"),
-        F.sum("target").over(wall).alias("n_pos"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    c = global_row_number(
+        b.select("target", "score", "symbol", "datetime", "bar_id"),
+        F.desc("score"), F.col("symbol"), F.col("datetime"), F.col("bar_id"),
+        out_col="rk", total_col="n",
+        cumsum={"tp_cum": "target"}, cumsum_totals={"n_pos": "tp_cum"},
     )
     prec = F.col("tp_cum").cast("double") / F.col("rk").cast("double")
     term = F.when(

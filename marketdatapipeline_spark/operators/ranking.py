@@ -38,17 +38,42 @@ def global_row_number(
     *order: Column | str,
     out_col: str = "rk",
     total_col: str | None = None,
+    cumsum: dict[str, str] | None = None,
+    cumsum_totals: dict[str, str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` plus a dense 1-based global row number ``out_col`` under
     the total order ``order`` (include a unique tiebreak column —
-    same determinism contract as a window ``row_number``). When
-    ``total_col`` is given, the total row count rides along as an
-    extra column (it falls out of the offset pass for free — callers
-    computing quantile buckets need it and would otherwise pay a
-    ``count(*) OVER ()`` global window)."""
+    same determinism contract as a window ``row_number``).
+
+    ``total_col``: the total row count rides along as an extra column
+    (it falls out of the offset pass for free — callers computing
+    quantile buckets need it and would otherwise pay a
+    ``count(*) OVER ()`` global window).
+
+    ``cumsum``: ``{out_name: input_col}`` — global RUNNING sums over
+    the same order (per-partition running sum + the preceding
+    partitions' totals), the distributed twin of
+    ``sum(x) OVER (ORDER BY ...)``. Restricted by contract to
+    integer/long/decimal inputs: the offset addition re-associates
+    the sum, which only stays bit-identical to the single-task window
+    when addition is exact. ``cumsum_totals``: ``{out_name:
+    cumsum_out_name}`` — the grand total of a cumsum column as a
+    literal column, free from the same driver pass."""
     if not order:
         raise ValueError("global_row_number needs at least one order column")
+    cumsum = dict(cumsum or {})
+    for out_name, in_col in cumsum.items():
+        kind = dict(df.dtypes).get(in_col, "")
+        if not (
+            kind in ("tinyint", "smallint", "int", "bigint")
+            or kind.startswith("decimal")
+        ):
+            raise ValueError(
+                f"cumsum column {in_col!r} is {kind or 'unknown'}; only "
+                "exact (integer/decimal) types keep the distributed "
+                "running sum bit-identical to the window version"
+            )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = scoped_persist(
@@ -56,24 +81,46 @@ def global_row_number(
             "_gpid", F.spark_partition_id()
         )
     )
-    counts = {
-        r["_gpid"]: r["cnt"]
-        for r in d.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    omap = F.create_map(
-        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-    )
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(F.col(in_col)).alias(f"_s_{out_name}")
+        for out_name, in_col in cumsum.items()
+    ]
+    stats = {r["_gpid"]: r for r in d.groupBy("_gpid").agg(*aggs).collect()}
+    count_off: dict[int, int] = {}
+    sum_off: dict[str, dict[int, int]] = {o: {} for o in cumsum}
+    acc_c = 0
+    acc_s = {o: 0 for o in cumsum}
+    for pid in sorted(stats):
+        count_off[pid] = acc_c
+        acc_c += stats[pid]["_cnt"]
+        for o in cumsum:
+            sum_off[o][pid] = acc_s[o]
+            acc_s[o] += stats[pid][f"_s_{o}"] or 0
     w = Window.partitionBy("_gpid").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _map(offsets: dict[int, int]):
+        return F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        )
+
     out = d.withColumn(
         out_col,
-        (F.row_number().over(w) + omap[F.col("_gpid")]).cast("long"),
-    ).drop("_gpid")
+        (F.row_number().over(w) + _map(count_off)[F.col("_gpid")]).cast(
+            "long"
+        ),
+    )
+    for out_name, in_col in cumsum.items():
+        out = out.withColumn(
+            out_name,
+            F.sum(F.col(in_col)).over(wrun)
+            + _map(sum_off[out_name])[F.col("_gpid")],
+        )
+    out = out.drop("_gpid")
     if total_col is not None:
-        out = out.withColumn(total_col, F.lit(total).cast("long"))
+        out = out.withColumn(total_col, F.lit(acc_c).cast("long"))
+    for name, src in (cumsum_totals or {}).items():
+        if src not in cumsum:
+            raise ValueError(f"cumsum_totals source {src!r} not in cumsum")
+        out = out.withColumn(name, F.lit(acc_s[src]).cast("long"))
     return out

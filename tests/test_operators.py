@@ -1802,3 +1802,47 @@ def test_global_row_number_requires_order():
 
     with _pytest.raises(ValueError, match="order column"):
         global_row_number(None)
+
+
+def test_global_row_number_cumsum_matches_window(spark):
+    """Distributed running sums (integer-exact) must match the
+    single-task sum() OVER (ORDER BY) bit-for-bit, including the free
+    grand-total column."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice([0.0, 3.5, 9.25]), rng.randint(0, 1)) for i in range(1501)]
+    df = spark.createDataFrame(rows, ["k", "v", "t"]).repartition(5)
+    got = {
+        r["k"]: (r["rk"], r["tp"], r["tp_tot"])
+        for r in global_row_number(
+            df, F.desc("v"), F.col("k"),
+            out_col="rk", cumsum={"tp": "t"}, cumsum_totals={"tp_tot": "tp"},
+        ).collect()
+    }
+    wall = W.partitionBy(F.lit(1)).orderBy(F.desc("v"), "k")
+    wrun = wall.rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["k"]: (r["rk"], r["tp"], r["tp_tot"])
+        for r in df.select(
+            "k",
+            F.row_number().over(wall).alias("rk"),
+            F.sum("t").over(wrun).alias("tp"),
+            F.sum("t").over(W.partitionBy(F.lit(1))).alias("tp_tot"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_rejects_float_cumsum(spark):
+    import pytest as _pytest
+
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    df = spark.range(10).select(F.col("id"), F.rand(1).alias("x"))
+    with _pytest.raises(ValueError, match="exact"):
+        global_row_number(df, F.col("id"), cumsum={"cx": "x"})
