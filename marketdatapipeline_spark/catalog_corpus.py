@@ -5868,14 +5868,17 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
-    wall = W.partitionBy(F.lit(1))
-    r = c.select(
-        "n_ev",
-        F.row_number().over(wall.orderBy("n_ev", "user_id")).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("n_ev").over(wall).alias("tot"),
+    # distributed rank (r10): user grain, no single-task window; the
+    # event total is a broadcast scalar off the rank pass's cache, and
+    # max(rk) == n for a dense 1..n rank, so the old max-over-all
+    # window is just n
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    r = global_row_number(
+        c, F.col("n_ev"), F.col("user_id"), out_col="rk", total_col="n"
     )
-    r = r.withColumn("max_rk", F.max("rk").over(wall)).withColumn(
+    r = r.crossJoin(F.broadcast(r.agg(F.sum("n_ev").alias("tot"))))
+    r = r.withColumn(
         "top_k",
         F.ceil(F.col("n").cast("double") / F.lit(10.0)).cast("bigint"),
     )
@@ -5885,7 +5888,7 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rk") * F.col("n_ev")).alias("_rksum"),
         F.sum(
             F.when(
-                F.col("rk") > F.col("max_rk") - F.col("top_k"), F.col("n_ev")
+                F.col("rk") > F.col("n") - F.col("top_k"), F.col("n_ev")
             ).otherwise(F.lit(0))
         ).alias("_topsum"),
     )
@@ -8305,19 +8308,21 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.col("_monetary")).alias("monetary"),
         )
     )
-    wall = W.partitionBy(F.lit(1))
-    r = u.select(
-        "user_id", "recency_us", "frequency", "monetary",
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.row_number().over(wall.orderBy("recency_us", "user_id")).alias(
-            "rr"
-        ),
-        F.row_number().over(
-            wall.orderBy(F.desc("frequency"), "user_id")
-        ).alias("rf"),
-        F.row_number().over(
-            wall.orderBy(F.desc("monetary"), "user_id")
-        ).alias("rm"),
+    # three DISTRIBUTED ranks (operators/ranking.py, r10): the user
+    # grain is billions of rows at scale and the lit(1) windows
+    # serialized it through one task three times; chained range-
+    # partitioned ranks are bit-identical and spread
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    r = global_row_number(
+        u, F.col("recency_us"), F.col("user_id"),
+        out_col="rr", total_col="n",
+    )
+    r = global_row_number(
+        r, F.desc("frequency"), F.col("user_id"), out_col="rf"
+    )
+    r = global_row_number(
+        r, F.desc("monetary"), F.col("user_id"), out_col="rm"
     )
 
     def quint(rank_col: str):
@@ -10752,14 +10757,12 @@ def q_events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
-    wall = W.partitionBy(F.lit(1))
-    r = c.select(
-        "n_ev",
-        F.row_number().over(wall.orderBy(F.desc("n_ev"), "user_id")).alias(
-            "rk"
-        ),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
+    # distributed rank (r10): user grain, no single-task window
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    r = global_row_number(
+        c, F.desc("n_ev"), F.col("user_id"), out_col="rk", total_col="n"
+    ).select("n_ev", "rk", "n")
     k = r.withColumn(
         "topk",
         F.greatest(
