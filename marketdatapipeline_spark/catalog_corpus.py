@@ -6225,35 +6225,36 @@ def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     score grid, plus the smallest score attaining it. Cumulative
     integer-count ratios end-to-end — every float op is a division
     or subtraction of identical operands both engines, UNROUNDED.
-    One hash-agg on distinct scores + one ordered window over that
-    (small) grid."""
-    from pyspark.sql import Window as W
+    One hash-agg on distinct scores + DISTRIBUTED cumulative counts
+    over that grid (operators/ranking.py, r10 — round-6 scores can
+    approach one row per input row, so the old lit(1) ordered window
+    was a single-task pass over up to n rows)."""
+    from marketdatapipeline_spark.operators.ranking import global_row_number
 
     b = _scored_bars(spark, sf_dir)
     s = b.groupBy("score").agg(
         F.sum((F.col("target") == 1).cast("int")).alias("p"),
         F.sum((F.col("target") == 0).cast("int")).alias("q"),
     )
-    wall = W.partitionBy(F.lit(1))
-    cum = wall.orderBy("score")
-    c = s.select(
-        "score",
+    r = global_row_number(
+        s, F.col("score"), out_col="_rk",
+        cumsum={"_cp": "p", "_cq": "q"},
+        cumsum_totals={"tp": "_cp", "tq": "_cq"},
+    )
+    c = r.select(
+        "score", "tp", "tq",
         (
-            F.sum("p").over(cum).cast("double")
-            / F.sum("p").over(wall).cast("double")
+            F.col("_cp").cast("double") / F.col("tp").cast("double")
         ).alias("f_pos"),
         (
-            F.sum("q").over(cum).cast("double")
-            / F.sum("q").over(wall).cast("double")
+            F.col("_cq").cast("double") / F.col("tq").cast("double")
         ).alias("f_neg"),
-        F.sum("p").over(wall).alias("tp"),
-        F.sum("q").over(wall).alias("tq"),
     )
-    k = c.select(
+    kd = c.select(
         "score", "tp", "tq",
         F.abs(F.col("f_pos") - F.col("f_neg")).alias("d"),
-        F.max(F.abs(F.col("f_pos") - F.col("f_neg"))).over(wall).alias("ks"),
     )
+    k = kd.crossJoin(F.broadcast(kd.agg(F.max("d").alias("ks"))))
     return k.agg(
         F.max("tp").alias("n_pos"),
         F.max("tq").alias("n_neg"),
