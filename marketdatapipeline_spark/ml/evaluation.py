@@ -99,12 +99,15 @@ def roc_auc(
     single final division is the only float op and the result is
     bit-identical across engines.
 
-    Scale note: the window sorts the distinct-score table on a single
-    partition. Continuous scores should be quantized upstream (e.g.
-    ``F.round(score, 6)`` — ≤ 2M distinct values for probabilities,
-    trivially one task after the collapse); the aggregation itself is
-    fully distributed with map-side partials.
+    Scale note (r10): the prefix counts over the distinct-score table
+    use the DISTRIBUTED running sum (operators/ranking.py — range-
+    partitioned cumulative + exact integer offsets), so even a
+    continuous score with one distinct value per row never funnels
+    through a single task; the aggregation itself is fully
+    distributed with map-side partials.
     """
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
     y = F.col(label_col).cast("long")
     s = F.col(score_col).cast("double")
     g = (
@@ -112,10 +115,10 @@ def roc_auc(
         .groupBy("_s")
         .agg(F.count("*").alias("_n"), F.sum("_y").alias("_np"))
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = g.withColumn(
-        "_cb", F.coalesce(F.sum("_n").over(w), F.lit(0).cast("long"))
-    )
+    # exclusive-preceding count = inclusive running count - own count
+    ranked = global_row_number(
+        g, F.col("_s"), out_col="_gr", cumsum={"_ci": "_n"}
+    ).withColumn("_cb", F.col("_ci") - F.col("_n"))
     agg = ranked.agg(
         F.sum(
             F.col("_np") * (2 * F.col("_cb") + F.col("_n") + 1)

@@ -100,6 +100,8 @@ def global_row_number(
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     def _map(offsets: dict[int, int]):
+        if not offsets:  # empty input: no rows will evaluate this,
+            return F.create_map(F.lit(0), F.lit(0))  # but it must typecheck
         return F.create_map(
             *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
         )

@@ -1105,10 +1105,16 @@ def zipf_fit(
     tf = words.select(md5_int(F.col("_w")).alias("_h")).groupBy("_h").agg(
         F.count("*").alias("_c")
     )
+    # top-k via orderBy().limit() — Spark plans TakeOrderedAndProject
+    # (per-partition heaps + a k-row merge), so the full vocabulary
+    # never sorts on one task the way the old rank-then-filter window
+    # did (r10); the rank is then assigned on the k surviving rows,
+    # where a single-partition window is the correct plan
     w = Window.orderBy(F.desc("_c"), F.col("_h"))
     ranked = (
-        tf.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= top_k)
+        tf.orderBy(F.desc("_c"), F.col("_h"))
+        .limit(int(top_k))
+        .withColumn("_r", F.row_number().over(w))
     )
     x = F.log(F.col("_r").cast("double"))
     y = F.log(F.col("_c").cast("double"))

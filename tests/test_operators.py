@@ -1846,3 +1846,13 @@ def test_global_row_number_rejects_float_cumsum(spark):
     df = spark.range(10).select(F.col("id"), F.rand(1).alias("x"))
     with _pytest.raises(ValueError, match="exact"):
         global_row_number(df, F.col("id"), cumsum={"cx": "x"})
+
+
+def test_global_row_number_empty_input(spark):
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    df = spark.range(0).select(F.col("id").alias("k"), F.lit(0).alias("t"))
+    out = global_row_number(
+        df, F.col("k"), out_col="rk", total_col="n", cumsum={"ct": "t"}
+    )
+    assert out.count() == 0
