@@ -144,9 +144,12 @@ def _cutkey_split(
     row_number ONLY the boundary key's own rows to divide residual
     ties. ``n_train`` is the exact number of rows that must land in
     the first half."""
-    wk = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # distributed cumulative (r10): the per-key count table scales
+    # with distinct order keys — no single-task ORDER BY window
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
     boundary = (
-        counts.withColumn("_cum", F.sum("_cnt").over(wk))
+        global_row_number(counts, *order, out_col="_gr", cumsum={"_cum": "_cnt"})
         .filter(F.col("_cum") >= n_train)
         .orderBy(*order)
         .limit(1)
@@ -206,14 +209,18 @@ def assign_time_segments(
         return df.withColumn(segment_col, F.lit(0))
 
     counts = df.groupBy(*order_cols).agg(F.count("*").alias("_cnt"))
-    wk = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     # rename the key columns on the count side so the join is
     # unambiguous (self-referencing attributes through a join +
     # window otherwise trip Catalyst's resolver)
-    cum = counts.withColumn(
-        "_cum_before", (F.sum("_cnt").over(wk) - F.col("_cnt")).cast("long")
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    # distributed cumulative (r10): inclusive running count minus own
+    # count, exact integers — no single-task ORDER BY window over the
+    # per-key table
+    cum = global_row_number(
+        counts, *order, out_col="_gr", cumsum={"_ci": "_cnt"}
+    ).withColumn(
+        "_cum_before", (F.col("_ci") - F.col("_cnt")).cast("long")
     ).select(
         *[F.col(c).alias(f"_k_{i}") for i, c in enumerate(order_cols)],
         "_cum_before",
