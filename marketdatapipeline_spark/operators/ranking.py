@@ -33,6 +33,13 @@ from marketdatapipeline_spark.caching import scoped_persist
 __all__ = ["global_row_number"]
 
 
+#: below this row count the single-partition window wins locally —
+#: one task sorting a few million narrow rows beats the distributed
+#: path's extra jobs; above it the range-partitioned path is the only
+#: shape that survives
+SINGLE_TASK_THRESHOLD = 2_000_000
+
+
 def global_row_number(
     df: DataFrame,
     *order: Column | str,
@@ -41,6 +48,7 @@ def global_row_number(
     cumsum: dict[str, str] | None = None,
     cumsum_totals: dict[str, str] | None = None,
     num_partitions: int | None = None,
+    single_task_threshold: int | None = None,
 ) -> DataFrame:
     """``df`` plus a dense 1-based global row number ``out_col`` under
     the total order ``order`` (include a unique tiebreak column —
@@ -59,7 +67,16 @@ def global_row_number(
     the sum, which only stays bit-identical to the single-task window
     when addition is exact. ``cumsum_totals``: ``{out_name:
     cumsum_out_name}`` — the grand total of a cumsum column as a
-    literal column, free from the same driver pass."""
+    literal column, free from the same driver pass.
+
+    ``single_task_threshold`` routes by size (the engine="auto"
+    pattern): the input is persisted and counted once; at or below
+    the threshold the classic single-partition window runs — for a
+    few million rows one task sorts faster than the distributed
+    machinery's extra jobs (range-bounds sampling + offset collect)
+    — and above it the range-partitioned path takes over. Both paths
+    are value-identical (pinned by parity tests), so routing is
+    purely a physical decision."""
     if not order:
         raise ValueError("global_row_number needs at least one order column")
     cumsum = dict(cumsum or {})
@@ -75,9 +92,44 @@ def global_row_number(
                 "running sum bit-identical to the window version"
             )
     spark = df.sparkSession
+    threshold = (
+        SINGLE_TASK_THRESHOLD
+        if single_task_threshold is None
+        else single_task_threshold
+    )
+    d0 = scoped_persist(df)
+    n_rows = d0.count()
+    if n_rows <= threshold:
+        wall = Window.partitionBy(F.lit(1)).orderBy(*order)
+        wrun = wall.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = d0.withColumn(
+            out_col, F.row_number().over(wall).cast("long")
+        )
+        for out_name, in_col in cumsum.items():
+            out = out.withColumn(out_name, F.sum(F.col(in_col)).over(wrun))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(n_rows).cast("long"))
+        if cumsum_totals:
+            by_out = {o: c for o, c in cumsum.items()}
+            tot_row = d0.agg(
+                *[
+                    F.sum(F.col(c)).alias(o)
+                    for o, c in by_out.items()
+                ]
+            ).first()
+            for name, src in cumsum_totals.items():
+                if src not in cumsum:
+                    raise ValueError(
+                        f"cumsum_totals source {src!r} not in cumsum"
+                    )
+                out = out.withColumn(
+                    name, F.lit(tot_row[src] or 0).cast("long")
+                )
+        return out
+
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = scoped_persist(
-        df.repartitionByRange(n, *order).withColumn(
+        d0.repartitionByRange(n, *order).withColumn(
             "_gpid", F.spark_partition_id()
         )
     )

@@ -1761,12 +1761,23 @@ def test_global_row_number_matches_single_task_window(spark):
     rows = [(i, rng.choice([0.0, 1.5, 2.5, 7.25])) for i in range(2003)]
     df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
 
+    # threshold=0 pins the DISTRIBUTED path; the default routing
+    # (single-task window at this size) is checked by the same
+    # assertions afterwards — both must match the window exactly
     got = {
+        r["k"]: (r["rk"], r["n"])
+        for r in global_row_number(
+            df, F.desc("v"), F.col("k"), out_col="rk", total_col="n",
+            single_task_threshold=0,
+        ).collect()
+    }
+    got_auto = {
         r["k"]: (r["rk"], r["n"])
         for r in global_row_number(
             df, F.desc("v"), F.col("k"), out_col="rk", total_col="n"
         ).collect()
     }
+    assert got_auto == got
     wall = W.partitionBy(F.lit(1)).orderBy(F.desc("v"), "k")
     want = {
         r["k"]: r["rk"]
@@ -1785,7 +1796,9 @@ def test_global_row_number_spreads_across_partitions(spark):
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
     df = spark.range(10_000).select(F.col("id").alias("k"))
-    out = global_row_number(df, F.col("k"), out_col="rk")
+    out = global_row_number(
+        df, F.col("k"), out_col="rk", single_task_threshold=0
+    )
     npart = (
         out.select(F.spark_partition_id().alias("p")).distinct().count()
     )
@@ -1822,6 +1835,7 @@ def test_global_row_number_cumsum_matches_window(spark):
         for r in global_row_number(
             df, F.desc("v"), F.col("k"),
             out_col="rk", cumsum={"tp": "t"}, cumsum_totals={"tp_tot": "tp"},
+            single_task_threshold=0,
         ).collect()
     }
     wall = W.partitionBy(F.lit(1)).orderBy(F.desc("v"), "k")
