@@ -5862,8 +5862,6 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-user curve in two numbers. One user hash-agg, then windows
     over the (small) per-user count table; integer sums end-to-end,
     round-6 on the final float chains."""
-    from pyspark.sql import Window as W
-
     from marketdatapipeline_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -8284,8 +8282,6 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread can't flip rank order; recency/frequency are exact
     integers. One user agg + three rank windows over the (small)
     per-user table."""
-    from pyspark.sql import Window as W
-
     from marketdatapipeline_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -10752,8 +10748,6 @@ def q_events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a quantified power law (alpha < 2 means unbounded variance:
     plan for whales). Integer order statistics pick the tail
     deterministically; log terms decimal-quantized, round-6."""
-    from pyspark.sql import Window as W
-
     from marketdatapipeline_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
