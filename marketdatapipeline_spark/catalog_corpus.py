@@ -3448,7 +3448,13 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer-exact, ln terms round-6, the total a decimal sum."""
     from marketdatapipeline_spark.ml.preparation import chronological_split
 
-    bars = _bars_from_events_r8(spark, sf_dir)
+    # persisted (r10): the cutkey split's count/boundary jobs and the
+    # two split halves all re-executed the bars derivation otherwise
+    bars = scoped_persist(
+        _bars_from_events_r8(spark, sf_dir).select(
+            "datetime", "bar_id", "close", "volume"
+        )
+    )
     train, test = chronological_split(
         bars,
         test_size=0.2,

@@ -59,44 +59,77 @@ def psi_drift(
         raise ValueError(f"unknown method: {method!r}")
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from marketdatapipeline_spark.caching import scoped_persist
+
     fracs = F.array(
         *[F.lit(i / n_bins) for i in range(1, n_bins)]
     )
-    pieces = []
-    for c in cols:
-        x = F.col(c).cast("double")
-        if method == "exact":
-            q = F.percentile(x, fracs)
-        else:
-            q = F.approx_percentile(x, fracs, F.lit(10_000))
-        edges_row = F.broadcast(
-            train.agg(
-                F.transform(q, lambda e: F.round(e, 6) + F.lit(0.0)).alias(
-                    "_edges"
-                )
+    # r10: ONE pass per input, all features together. The per-column
+    # loop referenced `train` twice (edges agg + union) and `test`
+    # once PER FEATURE — with upstream chains (splits, feature
+    # engineering) recomputed at every reference, 2 features meant
+    # six executions of the source plan. Now: narrow projections are
+    # persisted once, every feature's quantile edges come from one
+    # agg over the cache, and one union pass emits (feature, bin)
+    # structs scan-side (null values dropped per feature, exactly as
+    # the per-column filter did).
+    tr = scoped_persist(
+        train.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    )
+    te = scoped_persist(
+        test.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    )
+
+    def q_of(c: str):
+        x = F.col(c)
+        return (
+            F.percentile(x, fracs)
+            if method == "exact"
+            else F.approx_percentile(x, fracs, F.lit(10_000))
+        )
+
+    edges_row = F.broadcast(
+        tr.agg(
+            *[
+                F.transform(q_of(c), lambda e: F.round(e, 6) + F.lit(0.0))
+                .alias(f"_edges_{i}")
+                for i, c in enumerate(cols)
+            ]
+        )
+    )
+    both = tr.withColumn("_w", F.lit("train")).unionByName(
+        te.withColumn("_w", F.lit("test"))
+    )
+    per_feature = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.size(
+                        F.filter(
+                            F.col(f"_edges_{i}"), lambda e: F.col(c) >= e
+                        )
+                    ),
+                ).alias("bin"),
             )
-        )
-        both = (
-            train.select(x.alias("_x")).withColumn("_w", F.lit("train"))
-        ).unionByName(
-            test.select(x.alias("_x")).withColumn("_w", F.lit("test"))
-        ).filter(F.col("_x").isNotNull())
-        binned = both.crossJoin(edges_row).select(
-            "_w",
-            F.size(
-                F.filter(F.col("_edges"), lambda e: F.col("_x") >= e)
-            ).alias("bin"),
-        )
-        counts = binned.groupBy("bin").agg(
-            F.sum(F.when(F.col("_w") == "train", 1).otherwise(0)).alias(
-                "train_n"
-            ),
-            F.sum(F.when(F.col("_w") == "test", 1).otherwise(0)).alias(
-                "test_n"
-            ),
-        )
-        pieces.append(counts.select(F.lit(c).alias("feature"), "*"))
-    out = reduce(lambda a, b: a.unionByName(b), pieces)
+            for i, c in enumerate(cols)
+        ]
+    )
+    binned = (
+        both.crossJoin(edges_row)
+        .select("_w", F.explode(per_feature).alias("_s"))
+        .select("_w", F.col("_s.feature").alias("feature"), F.col("_s.bin").alias("bin"))
+        .filter(F.col("bin").isNotNull())
+    )
+    out = binned.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("_w") == "train", 1).otherwise(0)).alias(
+            "train_n"
+        ),
+        F.sum(F.when(F.col("_w") == "test", 1).otherwise(0)).alias(
+            "test_n"
+        ),
+    )
     from pyspark.sql import Window
 
     wf = Window.partitionBy("feature")
