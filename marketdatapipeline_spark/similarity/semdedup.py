@@ -53,26 +53,38 @@ def assign_clusters(
     structs — lexicographic struct ordering IS the tie rule). The
     vector side is never shuffled, grouped, or joined on a key:
     assignment costs one narrow projection."""
+    # centroid norms computed ONCE per centroid inside the broadcast
+    # struct and the vector norm staged as a column (r10): inlined,
+    # sqrt(dot(v, v)) re-evaluated per CENTROID element and
+    # sqrt(dot(cv, cv)) per vector x centroid — k x 2 extra O(d)
+    # reductions per row. Same operations, same order, so cosines are
+    # bit-identical.
+    cv_cast = F.col(centroid_col).cast("array<double>")
     one = F.broadcast(
-        centroids.agg(
+        centroids.select(
+            F.col(label_col).alias("lab"),
+            cv_cast.alias("cv"),
+            F.sqrt(dot(cv_cast, cv_cast)).alias("cn"),
+        ).agg(
             F.collect_list(
-                F.struct(
-                    F.col(label_col).alias("lab"),
-                    F.col(centroid_col).cast("array<double>").alias("cv"),
-                )
+                F.struct(F.col("lab"), F.col("cv"), F.col("cn"))
             ).alias("_cents")
         )
     )
     v = F.col(vec_col)
-    vnorm = F.sqrt(dot(v, v))
+    staged = vectors.crossJoin(one).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(v, v)).alias("_vn"),
+        F.col("_cents"),
+    )
 
     def scored(s):
-        cv = s["cv"]
-        cos = dot(v, cv) / (vnorm * F.sqrt(dot(cv, cv)))
+        cos = dot(v, s["cv"]) / (F.col("_vn") * s["cn"])
         return F.struct(cos.alias("cos"), s["lab"].alias("cluster"))
 
     best = F.array_max(F.transform(F.col("_cents"), scored))
-    return vectors.crossJoin(one).select(
+    return staged.select(
         F.col(id_col),
         best["cluster"].alias("cluster"),
         best["cos"].alias("best_cos"),
@@ -97,21 +109,34 @@ def semantic_dedup(
     smallest such id (keep-min-id — the same canonical-survivor
     convention as the exact/MinHash dedup family, so downstream
     anti-joins compose across all dedup operators)."""
-    assigned = assign_clusters(
-        vectors, centroids, id_col, vec_col, label_col, centroid_col
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    # persisted (r10): `assigned` anchors both pair-join sides AND the
+    # final output — un-cached, the centroid-argmax assignment ran
+    # three times. Per-vector norms are staged per SIDE so the pair
+    # filter computes one O(d) dot instead of three; the sqrt-then-
+    # multiply order matches the old inline expression, so cosines
+    # are bit-identical.
+    assigned = scoped_persist(
+        assign_clusters(
+            vectors, centroids, id_col, vec_col, label_col, centroid_col
+        )
     )
+    vv = F.col(vec_col)
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
+        F.sqrt(dot(vv, vv)).alias("_na"),
     )
     b = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
+        F.sqrt(dot(vv, vv)).alias("_nb"),
     )
     va, vb = F.col("_va"), F.col("_vb")
-    cos = dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+    cos = dot(va, vb) / (F.col("_na") * F.col("_nb"))
     dups = (
         a.join(b, on="cluster")
         .filter(F.col("_ida") < F.col("_idb"))
