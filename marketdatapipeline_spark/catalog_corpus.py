@@ -3190,7 +3190,13 @@ def q_ml_standardize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     four-op IEEE chain, round-6 at emission."""
     from marketdatapipeline_spark.ml.preparation import chronological_split
 
-    bars = _bars_from_events_r8(spark, sf_dir)
+    # persisted (r10): the cutkey split's count/boundary jobs plus the
+    # fit pass and both z-scored halves otherwise each re-derive bars
+    bars = scoped_persist(
+        _bars_from_events_r8(spark, sf_dir).select(
+            "datetime", "bar_id", "close", "volume"
+        )
+    )
     train, test = chronological_split(
         bars,
         test_size=0.2,
