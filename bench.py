@@ -115,6 +115,12 @@ def safe(label: str, fn, errors: dict):
     'Connection reset')."""
     try:
         return fn()
+    except (KeyboardInterrupt, SystemExit):
+        # Ctrl-C / interpreter shutdown must still stop the run —
+        # main()'s outer handler records it and the finally emits the
+        # staged final line. Only worker-death BaseExceptions
+        # (Py4JJavaError and friends) are per-query survivable.
+        raise
     except BaseException as e:  # worker deaths surface as Py4JJavaError
         errors[label] = repr(e)[:300]
         return None

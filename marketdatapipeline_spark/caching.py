@@ -26,22 +26,39 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_LIVE: list[tuple[DataFrame, bool]] = []
 
 #: backstop bound on registered-but-unreleased frames; generous —
 #: a single query registers at most a handful.
 MAX_LIVE = 16
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
-    """Persist at MEMORY_AND_DISK and register for later release."""
+def scoped_persist(df: DataFrame, *, pin: bool = False) -> DataFrame:
+    """Persist at MEMORY_AND_DISK and register for later release.
+
+    ``pin=True`` exempts the frame from the MAX_LIVE pop-oldest
+    backstop. Use it ONLY for frames whose recomputation is NOT
+    value-safe — e.g. the range-partitioned layout inside
+    ``operators/ranking.py``, where RangePartitioner's boundary
+    sampling is seeded per execution, so an evicted-and-recomputed
+    frame could place rows in different partitions than the offsets
+    were computed for (silently wrong ranks). Pinned frames are still
+    released by :func:`release_caches` — their owners' contract is
+    that the returned plan is fully consumed within the same
+    query/stage scope (every catalog consumer materializes before the
+    next ``release_caches``)."""
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     while len(_LIVE) >= MAX_LIVE:
+        idx = next(
+            (i for i, (_, pinned) in enumerate(_LIVE) if not pinned), None
+        )
+        if idx is None:  # everything pinned — never evict a pinned frame
+            break
         try:
-            _LIVE.pop(0).unpersist()
+            _LIVE.pop(idx)[0].unpersist()
         except Exception:
             pass
-    _LIVE.append(out)
+    _LIVE.append((out, pin))
     return out
 
 
@@ -49,7 +66,7 @@ def release_caches() -> int:
     """Unpersist every registered frame; returns how many were released."""
     n = 0
     while _LIVE:
-        df = _LIVE.pop()
+        df, _ = _LIVE.pop()
         try:
             df.unpersist()
             n += 1

@@ -8190,10 +8190,14 @@ def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponent ln(V)/ln(N) — the saturation curve that says when more
     data stops buying new vocabulary. First-occurrence attribution
     (min doc per hashed term) turns cumulative-distinct into one
-    hash-agg + one ordered window; token hashes are bigints
-    pre-shuffle; integer ratios unrounded, libm ln ratio round-6."""
-    from pyspark.sql import Window as W
-
+    hash-agg + one distributed cumulative rank (operators/ranking.py
+    — the per-doc frame is data-scaled, so the old
+    ``partitionBy(lit(1))`` window was the engine's last single-task
+    global sort; integer-exact inputs make the conversion
+    bit-identical by the operator's contract); token hashes are
+    bigints pre-shuffle; integer ratios unrounded, libm ln ratio
+    round-6."""
+    from marketdatapipeline_spark.operators.ranking import global_row_number
     from marketdatapipeline_spark.textops.dedup import md5_int
 
     docs = _docs(spark, sf_dir)
@@ -8212,18 +8216,12 @@ def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     newv = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("new_terms")
     )
-    wall = W.partitionBy(F.lit(1))
-    cum_w = wall.orderBy("doc_id")
-    cum = (
-        per_doc.join(newv, "doc_id", "left")
-        .na.fill({"new_terms": 0})
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(cum_w).alias("cum_tokens"),
-            F.sum("new_terms").over(cum_w).alias("cum_vocab"),
-            F.row_number().over(cum_w).alias("rn"),
-            F.count(F.lit(1)).over(wall).alias("n_docs"),
-        )
+    cum = global_row_number(
+        per_doc.join(newv, "doc_id", "left").na.fill({"new_terms": 0}),
+        F.col("doc_id"),
+        out_col="rn",
+        cumsum={"cum_tokens": "n_tok", "cum_vocab": "new_terms"},
+        total_col="n_docs",
     )
     g = cum.groupBy(
         (

@@ -28,8 +28,6 @@ with the same downstream contract, at the cost of edge exactness
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -49,6 +49,7 @@ def global_row_number(
     cumsum_totals: dict[str, str] | None = None,
     num_partitions: int | None = None,
     single_task_threshold: int | None = None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """``df`` plus a dense 1-based global row number ``out_col`` under
     the total order ``order`` (include a unique tiebreak column —
@@ -76,7 +77,25 @@ def global_row_number(
     machinery's extra jobs (range-bounds sampling + offset collect)
     — and above it the range-partitioned path takes over. Both paths
     are value-identical (pinned by parity tests), so routing is
-    purely a physical decision."""
+    purely a physical decision. ``size_hint`` lets a caller that
+    already knows (even approximately) the row count skip the probe's
+    persist+count job entirely — routing is physical, so the hint
+    only needs to land on the right side of the threshold; every
+    emitted VALUE (total_col, cumsum_totals) is still computed
+    exactly from the data, never from the hint.
+
+    Null semantics match the single-task window exactly: a cumsum is
+    NULL only while every value so far (across ALL preceding
+    partitions) is null, and a cumsum_total of an all-null column is
+    NULL — the ``sum() OVER ()`` convention.
+
+    Consumption contract: the distributed path's range layout is
+    pinned in the cache registry (RangePartitioner samples bounds
+    per-execution, so a recompute after eviction could re-bucket rows
+    against stale offsets). Pinned frames are exempt from MAX_LIVE
+    eviction but ARE released by ``release_caches()`` — materialize
+    the returned frame before the next catalog-query boundary (every
+    in-repo consumer does)."""
     if not order:
         raise ValueError("global_row_number needs at least one order column")
     cumsum = dict(cumsum or {})
@@ -91,16 +110,33 @@ def global_row_number(
                 "exact (integer/decimal) types keep the distributed "
                 "running sum bit-identical to the window version"
             )
+    for name, src in (cumsum_totals or {}).items():
+        if src not in cumsum:
+            raise ValueError(f"cumsum_totals source {src!r} not in cumsum")
     spark = df.sparkSession
     threshold = (
         SINGLE_TASK_THRESHOLD
         if single_task_threshold is None
         else single_task_threshold
     )
-    d0 = scoped_persist(df)
-    n_rows = d0.count()
+    # the window-sum result dtype for each cumsum input (sum over
+    # decimal(p,s) widens to decimal(min(p+10,38),s)): both routes cast
+    # their running sums and totals to it so the output schema is
+    # route-independent and matches the plain window exactly.
+    sum_dtype = {
+        o: df.select(F.sum(F.col(c)).alias("_t")).schema[0].dataType
+        for o, c in cumsum.items()
+    }
+    if size_hint is not None:
+        d0, n_rows = df, int(size_hint)
+    else:
+        d0 = scoped_persist(df)
+        n_rows = d0.count()
     if n_rows <= threshold:
         wall = Window.partitionBy(F.lit(1)).orderBy(*order)
+        wfull = wall.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
         wrun = wall.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         out = d0.withColumn(
             out_col, F.row_number().over(wall).cast("long")
@@ -108,30 +144,28 @@ def global_row_number(
         for out_name, in_col in cumsum.items():
             out = out.withColumn(out_name, F.sum(F.col(in_col)).over(wrun))
         if total_col is not None:
-            out = out.withColumn(total_col, F.lit(n_rows).cast("long"))
-        if cumsum_totals:
-            by_out = {o: c for o, c in cumsum.items()}
-            tot_row = d0.agg(
-                *[
-                    F.sum(F.col(c)).alias(o)
-                    for o, c in by_out.items()
-                ]
-            ).first()
-            for name, src in cumsum_totals.items():
-                if src not in cumsum:
-                    raise ValueError(
-                        f"cumsum_totals source {src!r} not in cumsum"
-                    )
-                out = out.withColumn(
-                    name, F.lit(tot_row[src] or 0).cast("long")
-                )
+            # window count, not lit(n_rows): exact even when routing
+            # came from an approximate size_hint, and value-identical
+            # otherwise (same single task either way).
+            out = out.withColumn(
+                total_col, F.count(F.lit(1)).over(wfull).cast("long")
+            )
+        for name, src in (cumsum_totals or {}).items():
+            out = out.withColumn(
+                name, F.sum(F.col(cumsum[src])).over(wfull)
+            )
         return out
 
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # pin=True: this frame's physical layout IS the correctness
+    # contract (offsets below are per-_gpid), and RangePartitioner's
+    # bound sampling is seeded per execution — an evicted recompute
+    # could re-bucket rows. Never evict; released at query boundary.
     d = scoped_persist(
         d0.repartitionByRange(n, *order).withColumn(
             "_gpid", F.spark_partition_id()
-        )
+        ),
+        pin=True,
     )
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         F.sum(F.col(in_col)).alias(f"_s_{out_name}")
@@ -139,23 +173,34 @@ def global_row_number(
     ]
     stats = {r["_gpid"]: r for r in d.groupBy("_gpid").agg(*aggs).collect()}
     count_off: dict[int, int] = {}
-    sum_off: dict[str, dict[int, int]] = {o: {} for o in cumsum}
+    # a None offset means "no non-null value in any preceding
+    # partition" — the window's running sum would still be NULL there
+    sum_off: dict[str, dict[int, object]] = {o: {} for o in cumsum}
     acc_c = 0
-    acc_s = {o: 0 for o in cumsum}
+    acc_s: dict[str, object] = {o: None for o in cumsum}
     for pid in sorted(stats):
         count_off[pid] = acc_c
         acc_c += stats[pid]["_cnt"]
         for o in cumsum:
             sum_off[o][pid] = acc_s[o]
-            acc_s[o] += stats[pid][f"_s_{o}"] or 0
+            part_sum = stats[pid][f"_s_{o}"]
+            if part_sum is not None:
+                acc_s[o] = (acc_s[o] or 0) + part_sum
     w = Window.partitionBy("_gpid").orderBy(*order)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    def _map(offsets: dict[int, int]):
+    def _map(offsets: dict, dtype=None):
         if not offsets:  # empty input: no rows will evaluate this,
             return F.create_map(F.lit(0), F.lit(0))  # but it must typecheck
+        def _lit(v):
+            lit = F.lit(v)
+            return lit.cast(dtype) if dtype is not None else lit
         return F.create_map(
-            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+            *[
+                c
+                for k, v in sorted(offsets.items())
+                for c in (F.lit(k), _lit(v))
+            ]
         )
 
     out = d.withColumn(
@@ -165,16 +210,21 @@ def global_row_number(
         ),
     )
     for out_name, in_col in cumsum.items():
+        run = F.sum(F.col(in_col)).over(wrun)
+        off = _map(sum_off[out_name], sum_dtype[out_name])[F.col("_gpid")]
+        # window null semantics: NULL only while ALL values so far are
+        # null — coalesce(run+off, run, off) reproduces that exactly
+        # (run null → carry the preceding partitions' total; off null
+        # → this partition's running sum stands alone).
         out = out.withColumn(
             out_name,
-            F.sum(F.col(in_col)).over(wrun)
-            + _map(sum_off[out_name])[F.col("_gpid")],
+            F.coalesce(run + off, run, off).cast(sum_dtype[out_name]),
         )
     out = out.drop("_gpid")
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc_c).cast("long"))
     for name, src in (cumsum_totals or {}).items():
-        if src not in cumsum:
-            raise ValueError(f"cumsum_totals source {src!r} not in cumsum")
-        out = out.withColumn(name, F.lit(acc_s[src]).cast("long"))
+        out = out.withColumn(
+            name, F.lit(acc_s[src]).cast(sum_dtype[src])
+        )
     return out

@@ -1870,3 +1870,136 @@ def test_global_row_number_empty_input(spark):
         df, F.col("k"), out_col="rk", total_col="n", cumsum={"ct": "t"}
     )
     assert out.count() == 0
+
+
+def test_global_row_number_null_cumsum_matches_window(spark):
+    """r11 (ADVICE): nullable cumsum inputs must reproduce the
+    window's null-skipping semantics exactly — NULL only while every
+    value so far (across partition boundaries) is null, carrying the
+    preceding partitions' total after a null, and an all-null column's
+    grand total staying NULL."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            # leading all-null run so early range partitions have
+            # NULL partition sums (offset must stay NULL there)
+            None if i < 400 else rng.choice([None, 1, 3, 7]),
+            None,  # all-null column: totals must be NULL, not 0
+        )
+        for i in range(2201)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, t int, z int"
+    ).repartition(6)
+    got = {
+        r["k"]: (r["ct"], r["ct_tot"], r["cz"], r["cz_tot"])
+        for r in global_row_number(
+            df, F.col("k"), out_col="rk",
+            cumsum={"ct": "t", "cz": "z"},
+            cumsum_totals={"ct_tot": "ct", "cz_tot": "cz"},
+            single_task_threshold=0,
+        ).collect()
+    }
+    wall = W.partitionBy(F.lit(1)).orderBy("k")
+    wrun = wall.rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["k"]: (r["ct"], r["ct_tot"], r["cz"], r["cz_tot"])
+        for r in df.select(
+            "k",
+            F.sum("t").over(wrun).alias("ct"),
+            F.sum("t").over(W.partitionBy(F.lit(1))).alias("ct_tot"),
+            F.sum("z").over(wrun).alias("cz"),
+            F.sum("z").over(W.partitionBy(F.lit(1))).alias("cz_tot"),
+        ).collect()
+    }
+    assert got == want
+    # the all-null column's cumulative and total really are NULL
+    assert all(v[2] is None and v[3] is None for v in got.values())
+
+
+def test_global_row_number_decimal_cumsum_total_type(spark):
+    """r11 (ADVICE): decimal cumsum totals must keep the window-sum
+    decimal dtype (no silent cast to long truncating fractions), on
+    BOTH routes."""
+    from decimal import Decimal
+
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    rows = [(i, Decimal(f"{i}.25")) for i in range(9)]
+    df = spark.createDataFrame(rows, "k int, v decimal(10,2)")
+    for thr in (0, 10_000):  # distributed, then single-task
+        out = global_row_number(
+            df, F.col("k"), out_col="rk",
+            cumsum={"cv": "v"}, cumsum_totals={"tv": "cv"},
+            single_task_threshold=thr,
+        )
+        kinds = dict(out.dtypes)
+        assert kinds["cv"] == "decimal(20,2)", (thr, kinds)
+        assert kinds["tv"] == "decimal(20,2)", (thr, kinds)
+        rs = {r["k"]: (r["cv"], r["tv"]) for r in out.collect()}
+        assert rs[8] == (Decimal("38.25"), Decimal("38.25")), (thr, rs[8])
+        assert rs[0] == (Decimal("0.25"), Decimal("38.25")), (thr, rs[0])
+
+
+def test_global_row_number_size_hint_skips_probe(spark):
+    """size_hint routes without the persist+count probe; values
+    (including the exact total columns) must be identical to the
+    probed routing on both sides of the threshold."""
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("t")
+    )
+    base = {
+        r["k"]: (r["rk"], r["n"], r["ct"], r["tt"])
+        for r in global_row_number(
+            df, F.col("k"), out_col="rk", total_col="n",
+            cumsum={"ct": "t"}, cumsum_totals={"tt": "ct"},
+        ).collect()
+    }
+    for hint, thr in ((500, 1000), (500, 10)):  # small route, big route
+        got = {
+            r["k"]: (r["rk"], r["n"], r["ct"], r["tt"])
+            for r in global_row_number(
+                df, F.col("k"), out_col="rk", total_col="n",
+                cumsum={"ct": "t"}, cumsum_totals={"tt": "ct"},
+                size_hint=hint, single_task_threshold=thr,
+            ).collect()
+        }
+        assert got == base, thr
+    # an approximate hint still yields exact totals (routing is
+    # physical; values never come from the hint)
+    got = {
+        r["k"]: (r["n"], r["tt"])
+        for r in global_row_number(
+            df, F.col("k"), out_col="rk", total_col="n",
+            cumsum={"ct": "t"}, cumsum_totals={"tt": "ct"},
+            size_hint=99_999,
+        ).collect()
+    }
+    want_tt = sum(i % 3 for i in range(500))
+    assert all(v == (500, want_tt) for v in got.values())
+
+
+def test_scoped_persist_pin_survives_max_live(spark):
+    """r11 (ADVICE medium): pinned frames (ranking's range layout,
+    whose recompute is NOT value-safe) must never be evicted by the
+    MAX_LIVE pop-oldest backstop; unpinned frames still rotate."""
+    from marketdatapipeline_spark import caching
+    from marketdatapipeline_spark.caching import release_caches, scoped_persist
+
+    release_caches()
+    pinned = scoped_persist(spark.range(5), pin=True)
+    frames = [scoped_persist(spark.range(i + 10)) for i in range(caching.MAX_LIVE + 4)]
+    assert pinned.storageLevel.useMemory  # still persisted
+    assert not frames[0].storageLevel.useMemory  # oldest unpinned evicted
+    n = release_caches()
+    assert n >= 1
+    assert not pinned.storageLevel.useMemory  # release still frees pins
