@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from marketdatapipeline_spark.caching import scoped_persist
 
@@ -210,15 +211,27 @@ def global_row_number(
         ),
     )
     for out_name, in_col in cumsum.items():
+        dt = sum_dtype[out_name]
         run = F.sum(F.col(in_col)).over(wrun)
-        off = _map(sum_off[out_name], sum_dtype[out_name])[F.col("_gpid")]
+        off = _map(sum_off[out_name], dt)[F.col("_gpid")]
+        # full-precision decimals ((38,s) — any decimal input wider
+        # than (28,s) sums to it) would LOSE their last scale digit in
+        # the offset addition ((38,s)+(38,s) needs (39,s), resolved by
+        # dropping a digit): narrow both addends one digit first so
+        # the (37,s)+(37,s) sum re-widens to (38,s) exactly. Headroom
+        # contract: running-sum magnitudes < 10^(37-s) (one decade
+        # under the type's own ceiling; every in-repo decimal cumsum
+        # is a bounded log/return series, orders of magnitude below).
+        if isinstance(dt, DecimalType) and dt.precision >= 38:
+            addt = DecimalType(37, dt.scale)
+            run, off = run.cast(addt), off.cast(addt)
         # window null semantics: NULL only while ALL values so far are
         # null — coalesce(run+off, run, off) reproduces that exactly
         # (run null → carry the preceding partitions' total; off null
         # → this partition's running sum stands alone).
         out = out.withColumn(
             out_name,
-            F.coalesce(run + off, run, off).cast(sum_dtype[out_name]),
+            F.coalesce(run + off, run, off).cast(dt),
         )
     out = out.drop("_gpid")
     if total_col is not None:

@@ -875,3 +875,35 @@ def test_rolling_pair_correlation_random_parity(spark, seed):
     np.testing.assert_array_equal(np.isnan(g), np.isnan(want))
     ok = ~np.isnan(g)
     np.testing.assert_allclose(g[ok], want[ok], rtol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [43])
+def test_pair_operators_forced_distributed_route_parity(spark, seed):
+    """r11 size-routing: forcing the distributed prefix-difference
+    path (threshold=0 → ranking's range-partitioned cumsums + the
+    rank-window equi-join) must reproduce the single-task window
+    plan BIT-FOR-BIT — the decimal narrowing before the window-edge
+    subtraction keeps both routes exact."""
+    from marketdatapipeline_spark.operators.pairs import (
+        pair_spread_zscore,
+        rolling_pair_correlation,
+    )
+
+    pdf = _random_bars(seed, n_symbols=3)
+    df = spark.createDataFrame(pdf)
+
+    for fn, kw in (
+        (pair_spread_zscore, {"window": 5}),
+        (rolling_pair_correlation, {"window": 7}),
+    ):
+        base = {
+            r["bar_index"]: tuple(r)
+            for r in fn(df, "S0", "S1", **kw).collect()
+        }
+        dist = {
+            r["bar_index"]: tuple(r)
+            for r in fn(
+                df, "S0", "S1", single_task_threshold=0, **kw
+            ).collect()
+        }
+        assert dist == base, fn.__name__
