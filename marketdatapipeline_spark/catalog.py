@@ -161,6 +161,28 @@ def _r6(col):
     return F.round(col, 6) + F.lit(0.0)
 
 
+#: routing-hint cache — testdata parquet is immutable, so one count
+#: per (sf_dir, table) serves the whole session
+_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _pq_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Cheap size-routing hint for global_row_number: the parquet
+    table's row count (a column-pruned scan, cached — far cheaper
+    than the operator's default persist+count probe over a derived
+    frame, r11 VERDICT item 5). The hint's only job is to land on the
+    right side of the single-task threshold — for grouped/filtered
+    rank inputs it is an UPPER bound, which errs toward the
+    distributed path, never toward overloading one task; every
+    emitted value is still computed exactly from the data."""
+    key = (sf_dir, table)
+    if key not in _ROWS_CACHE:
+        _ROWS_CACHE[key] = spark.read.parquet(
+            f"{sf_dir}/{table}.parquet"
+        ).count()
+    return _ROWS_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # sources / row-op queries
 # ---------------------------------------------------------------------------
@@ -1008,7 +1030,12 @@ def q_ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = labeled.withColumn("score", (close - prev) / prev).filter(
         F.col("score").isNotNull()
     )
-    return roc_auc(scored, label_col="target", score_col="score")
+    return roc_auc(
+        scored, label_col="target", score_col="score",
+        # events rows upper-bound the distinct-score table: skips the
+        # rank operator's persist+count probe (routing only, r11)
+        size_hint=_pq_rows(spark, sf_dir, "events"),
+    )
 
 
 @register(

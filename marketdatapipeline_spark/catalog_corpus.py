@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketdatapipeline_spark.caching import scoped_persist
-from marketdatapipeline_spark.catalog import _r6, register, register_extended
+from marketdatapipeline_spark.catalog import (
+    _pq_rows,
+    _r6,
+    register,
+    register_extended,
+)
 from marketdatapipeline_spark.catalog_pipeline import _H_SQL, _docs, _emb, tokens3_cte
 from marketdatapipeline_spark.similarity.quantize import quantization_summary
 from marketdatapipeline_spark.textops.corpus import (
@@ -5878,16 +5883,19 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
-    # distributed rank (r10): user grain, no single-task window; the
-    # event total is a broadcast scalar off the rank pass's cache, and
+    # distributed rank (r10): user grain, no single-task window;
     # max(rk) == n for a dense 1..n rank, so the old max-over-all
-    # window is just n
+    # window is just n. r11: the event total rides the rank pass as a
+    # cumsum grand total (exact long sum) instead of a second agg +
+    # crossJoin, and the events row count (= upper bound on users)
+    # replaces the persist+count routing probe.
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
     r = global_row_number(
-        c, F.col("n_ev"), F.col("user_id"), out_col="rk", total_col="n"
+        c, F.col("n_ev"), F.col("user_id"), out_col="rk", total_col="n",
+        cumsum={"_ce": "n_ev"}, cumsum_totals={"tot": "_ce"},
+        size_hint=_pq_rows(spark, sf_dir, "events"),
     )
-    r = r.crossJoin(F.broadcast(r.agg(F.sum("n_ev").alias("tot"))))
     r = r.withColumn(
         "top_k",
         F.ceil(F.col("n").cast("double") / F.lit(10.0)).cast("bigint"),
@@ -6104,14 +6112,16 @@ def q_ml_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
     b = _scored_bars(spark, sf_dir)
+    # r11: total positives ride the rank pass as a cumsum grand total
+    # (exact long) instead of a second agg + crossJoin, and the events
+    # row count (= upper bound on scored bars) replaces the
+    # persist+count routing probe — one pass, no cache dependency.
     r = global_row_number(
         b.select("target", "score", "symbol", "datetime", "bar_id"),
         F.desc("score"), F.col("symbol"), F.col("datetime"), F.col("bar_id"),
         out_col="rn", total_col="n",
-    )
-    # total positives: one broadcast scalar off the rank pass's cache
-    r = r.crossJoin(
-        F.broadcast(r.agg(F.sum("target").alias("tot_pos")))
+        cumsum={"_tpc": "target"}, cumsum_totals={"tot_pos": "_tpc"},
+        size_hint=_pq_rows(spark, sf_dir, "events"),
     )
     d = r.select(
         (
@@ -6250,6 +6260,7 @@ def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, F.col("score"), out_col="_rk",
         cumsum={"_cp": "p", "_cq": "q"},
         cumsum_totals={"tp": "_cp", "tq": "_cq"},
+        size_hint=_pq_rows(spark, sf_dir, "events"),
     )
     c = r.select(
         "score", "tp", "tq",
@@ -7445,6 +7456,7 @@ def q_ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.select("target", "score", "symbol", "datetime", "bar_id"),
         F.desc("score"), F.col("symbol"), F.col("datetime"), F.col("bar_id"),
         out_col="_rn", total_col="_n",
+        size_hint=_pq_rows(spark, sf_dir, "events"),
     )
     r = rr.select(
         "target",
@@ -8222,6 +8234,7 @@ def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="rn",
         cumsum={"cum_tokens": "n_tok", "cum_vocab": "new_terms"},
         total_col="n_docs",
+        size_hint=_pq_rows(spark, sf_dir, "documents"),
     )
     g = cum.groupBy(
         (
@@ -8321,15 +8334,18 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned ranks are bit-identical and spread
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
+    hint = _pq_rows(spark, sf_dir, "events")  # upper bound on users
     r = global_row_number(
         u, F.col("recency_us"), F.col("user_id"),
-        out_col="rr", total_col="n",
+        out_col="rr", total_col="n", size_hint=hint,
     )
     r = global_row_number(
-        r, F.desc("frequency"), F.col("user_id"), out_col="rf"
+        r, F.desc("frequency"), F.col("user_id"), out_col="rf",
+        size_hint=hint,
     )
     r = global_row_number(
-        r, F.desc("monetary"), F.col("user_id"), out_col="rm"
+        r, F.desc("monetary"), F.col("user_id"), out_col="rm",
+        size_hint=hint,
     )
 
     def quint(rank_col: str):
@@ -10029,6 +10045,7 @@ def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score"), F.col("symbol"), F.col("datetime"), F.col("bar_id"),
         out_col="rk", total_col="n",
         cumsum={"tp_cum": "target"}, cumsum_totals={"n_pos": "tp_cum"},
+        size_hint=_pq_rows(spark, sf_dir, "events"),
     )
     prec = F.col("tp_cum").cast("double") / F.col("rk").cast("double")
     term = F.when(
@@ -10766,7 +10783,8 @@ def q_events_power_law_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
     r = global_row_number(
-        c, F.desc("n_ev"), F.col("user_id"), out_col="rk", total_col="n"
+        c, F.desc("n_ev"), F.col("user_id"), out_col="rk", total_col="n",
+        size_hint=_pq_rows(spark, sf_dir, "events"),
     ).select("n_ev", "rk", "n")
     k = r.withColumn(
         "topk",
@@ -11062,7 +11080,8 @@ def q_tpch_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("_ltv", F.lit(0.0)) + F.lit(0.0)).alias("ltv"),
     )
     r = global_row_number(
-        j, F.desc("ltv"), F.col("c_custkey"), out_col="rk", total_col="n"
+        j, F.desc("ltv"), F.col("c_custkey"), out_col="rk", total_col="n",
+        size_hint=_pq_rows(spark, sf_dir, "customer"),  # exact: cust grain
     )
     return r.select(
         "c_custkey", "c_name", "c_mktsegment",

@@ -83,7 +83,10 @@ def regression_metrics(
 
 
 def roc_auc(
-    df: DataFrame, label_col: str = "target", score_col: str = "score"
+    df: DataFrame,
+    label_col: str = "target",
+    score_col: str = "score",
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Distributed ROC-AUC via the Mann-Whitney rank statistic
     (the metric the reference publishes for its classifier,
@@ -116,8 +119,11 @@ def roc_auc(
         .agg(F.count("*").alias("_n"), F.sum("_y").alias("_np"))
     )
     # exclusive-preceding count = inclusive running count - own count
+    # size_hint (r11): an input-row upper bound on the distinct-score
+    # table skips the operator's persist+count probe (routing only)
     ranked = global_row_number(
-        g, F.col("_s"), out_col="_gr", cumsum={"_ci": "_n"}
+        g, F.col("_s"), out_col="_gr", cumsum={"_ci": "_n"},
+        size_hint=size_hint,
     ).withColumn("_cb", F.col("_ci") - F.col("_n"))
     agg = ranked.agg(
         F.sum(

@@ -124,10 +124,11 @@ def chronological_split(
             rest = nrn.filter(F.col("_rn") > n_train).drop("_rn")
             return train, rest.unionByName(nonnull)
         head, tail = _cutkey_split(
-            nonnull, counts.filter(~null_key), n_train - n_null, order, ties, order_cols
+            nonnull, counts.filter(~null_key), n_train - n_null, order, ties,
+            order_cols, size_hint=n,
         )
         return nulls.unionByName(head), tail
-    return _cutkey_split(df, counts, n_train, order, ties, order_cols)
+    return _cutkey_split(df, counts, n_train, order, ties, order_cols, size_hint=n)
 
 
 def _cutkey_split(
@@ -137,6 +138,7 @@ def _cutkey_split(
     order: list,
     ties: list,
     order_cols: tuple[str, ...],
+    size_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cut-key boundary location + key-comparison split for a frame
     with NO null order keys: find the boundary key on the tiny
@@ -148,8 +150,13 @@ def _cutkey_split(
     # with distinct order keys — no single-task ORDER BY window
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
+    # size_hint: the caller's already-computed total row count upper-
+    # bounds the distinct-key table — skips the operator's probe job
     boundary = (
-        global_row_number(counts, *order, out_col="_gr", cumsum={"_cum": "_cnt"})
+        global_row_number(
+            counts, *order, out_col="_gr", cumsum={"_cum": "_cnt"},
+            size_hint=size_hint,
+        )
         .filter(F.col("_cum") >= n_train)
         .orderBy(*order)
         .limit(1)
@@ -218,7 +225,8 @@ def assign_time_segments(
     # count, exact integers — no single-task ORDER BY window over the
     # per-key table
     cum = global_row_number(
-        counts, *order, out_col="_gr", cumsum={"_ci": "_cnt"}
+        counts, *order, out_col="_gr", cumsum={"_ci": "_cnt"},
+        size_hint=n,  # total rows upper-bound the distinct-key table
     ).withColumn(
         "_cum_before", (F.col("_ci") - F.col("_cnt")).cast("long")
     ).select(
