@@ -606,9 +606,13 @@ def duplicate_clusters(
     # reset on entry: after a non-convergence RuntimeError the global
     # must not keep reporting an EARLIER call's round count (r9 review)
     LAST_CONVERGENCE_ROUNDS = 0
+    # eager=False (r11): the label-sum collect right below is the
+    # materializing action, so each round runs ONE job (checkpoint +
+    # fixed-point check together) instead of two — half the per-round
+    # job-launch overhead that dominated this operator's sf0.1 median.
     labels = nodes.select(
         F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = label_sum(labels)
     for rounds in range(1, max_iter + 1):
         nbr_min = (
@@ -638,9 +642,9 @@ def duplicate_clusters(
                     F.coalesce(F.col("_ll"), F.col("_lbl")),
                 ).alias("_lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        s = label_sum(labels)
+        s = label_sum(labels)  # materializes the round's checkpoint
         if s == prev_sum:  # labels are monotone ⇒ equal sum ⇒ fixed point
             LAST_CONVERGENCE_ROUNDS = rounds
             break
