@@ -172,6 +172,7 @@ SLIM_ONLY = {
     "feature_pipeline_5m",
     "feature_pipeline_10m",
     "feature_pipeline_50m",
+    "feature_pipeline_100m",
 }
 
 # module-level so tests can redirect the detail payload away from the
@@ -407,11 +408,19 @@ def _run_all(spark, sf_dir: str, st: _State) -> None:
     # omit the decades entirely.
     if os.environ.get("MDP_BENCH_SKIP_SCALING"):
         return
-    for label, mult, reps, wus in (
+    decades = [
         ("feature_pipeline_5m", 5, 3, 1),
         ("feature_pipeline_10m", 10, 3, 1),
         ("feature_pipeline_50m", 50, 1, 1),
-    ):
+    ]
+    # fifth decade (r11): ~100 s of materialization at the measured
+    # ~935k rows/s — opt-in so the driver's default run can't lose a
+    # round record to the page-cache/spill knee it exists to measure.
+    # Run `MDP_BENCH_100M=1 python bench.py` for the ballast-style
+    # record (committed per-round as BENCH_DETAIL_r{N}).
+    if os.environ.get("MDP_BENCH_100M"):
+        decades.append(("feature_pipeline_100m", 100, 1, 1))
+    for label, mult, reps, wus in decades:
         spark = ensure_spark(spark, st.errors)
         t = safe(
             label,
