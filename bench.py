@@ -53,7 +53,16 @@ def replicated_bars(spark, sf_dir: str, copies: int, multi_symbol: bool):
 
     from marketdatapipeline_spark.sources import bars_from_events
 
-    bars = bars_from_events(spark, sf_dir)
+    # The sf0.1 events parquet is one small file -> ONE scan split, so
+    # without this the crossJoin replication AND the 1M-row shuffle
+    # write for the first window exchange all run inside a single
+    # task (a serial stage head worth ~0.2 s of the headline, r11
+    # A/B: 1.56->1.36 / 1.36->1.15 same-session medians). Round-robin
+    # the small pre-replication frame across the worker threads first;
+    # at cluster scale this is the standard fan-out-before-explode
+    # move and costs one narrow exchange of the UNreplicated rows.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bars = bars_from_events(spark, sf_dir).repartition(n_parts)
     reps = spark.range(copies).select(F.col("id").alias("_rep"))
     out = bars.crossJoin(reps)
     if multi_symbol:
