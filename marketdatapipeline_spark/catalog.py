@@ -407,14 +407,27 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: 1 row in 10k flips vs the oracle). momentum/volatility
     use the prefix-sum path (their aggregates are over small-magnitude
     inputs where the association error is ~1e-15); this query pins the
-    reference sliding semantics exactly."""
+    reference sliding semantics exactly.
+
+    sma/sd are STAGED through one aliased select before the band
+    arithmetic (the r10 expression-staging rule): inlined, the two
+    sliding-frame window expressions are re-evaluated per referencing
+    output (sma x4, sd x2 — Catalyst does not dedupe repeated window
+    subtrees), each an O(rows x 20) SlidingWindowFunctionFrame pass.
+    Staging computes each once; the band doubles are the same IEEE
+    values, so the oracle hash is unchanged."""
     w = _w()
     close = F.col("close")
-    sma = rolling_mean(close, 20, w)
-    sd = rolling_std(close, 20, w)
+    staged = bars_from_events(spark, sf_dir).select(
+        "symbol",
+        "bar_id",
+        rolling_mean(close, 20, w).alias("_sma"),
+        rolling_std(close, 20, w).alias("_sd"),
+    )
+    sma, sd = F.col("_sma"), F.col("_sd")
     upper = sma + sd * 2.0
     lower = sma - sd * 2.0
-    return bars_from_events(spark, sf_dir).select(
+    return staged.select(
         "symbol",
         "bar_id",
         _r6(sma).alias("bb_middle"),
