@@ -5268,14 +5268,21 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from corpus boilerplate even when no single pair
     crosses a dedup threshold). Hashed shingles (bigints in every
     shuffle), document-frequency join, integer-ratio novelty —
-    UNROUNDED."""
+    UNROUNDED.
+
+    ``sh`` is persisted (the r10 perplexity lesson): it feeds BOTH the
+    document-frequency aggregation and the join probe side, and the
+    two consumers' exchanges differ (one has a partial count below),
+    so without the pin the tokenize+hash+distinct subplan — the
+    expensive part — executes twice."""
+    from marketdatapipeline_spark.caching import scoped_persist
     from marketdatapipeline_spark.textops.dedup import (
         _shingle_array,
         md5_int,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sh = (
+    sh = scoped_persist(
         docs.select(
             "doc_id",
             F.explode(_shingle_array("text", 3)).alias("shingle"),
