@@ -47,9 +47,21 @@ def get_spark(
         # (shuffle, sort, window buffers) spills to disk by design; a
         # big heap just postpones collection until it's catastrophic.
         .config("spark.driver.memory", os.getenv("MDP_DRIVER_MEMORY", "12g"))
+        # ReservedCodeCacheSize: whole-stage codegen emits one
+        # generated class per distinct plan shape, and a full-catalog
+        # session JIT-compiles thousands of them. Measured here: the
+        # profiled-nmethods code heap reached 69 of its 116 MB default
+        # cap after only 100 small-tier queries — a 230-query sf0.1
+        # bench saturates it, after which the JVM flushes/deopts hot
+        # code and late-run queries read slow (the "session debt"
+        # pattern in in-suite medians). 512m is the Spark-docs
+        # recommendation for long codegen-heavy sessions.
         .config(
             "spark.driver.extraJavaOptions",
-            os.getenv("MDP_DRIVER_JAVA_OPTS", "-XX:+UseG1GC"),
+            os.getenv(
+                "MDP_DRIVER_JAVA_OPTS",
+                "-XX:+UseG1GC -XX:ReservedCodeCacheSize=512m",
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
