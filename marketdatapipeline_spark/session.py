@@ -99,6 +99,17 @@ def get_spark(
         # JVM only sees "Connection reset". faulthandler makes the
         # worker dump its Python stack into the error instead.
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # JVM<->Python-worker channel over a Unix domain socket instead
+        # of loopback TCP. Measured at the 100M-row decade: under heavy
+        # bidirectional Arrow flow, Spark 4's single-threaded
+        # PythonRunner wedged over TCP — worker blocked in send (its
+        # 4 MiB Send-Q full), task thread parked in select() with both
+        # socket directions jammed; the last tasks of the stage hung
+        # >10 min and the worker eventually died. The same workload
+        # over UDS completes in ~60 s warm (AF_UNIX stream buffering
+        # has no TCP window machinery to wedge). The worker channel is
+        # host-local by design, so this holds on a real cluster too.
+        .config("spark.python.unix.domain.socket.enabled", "true")
         # testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # ns timestamp — read as long, convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
