@@ -39,6 +39,16 @@ from pyspark.sql import DataFrame
 EPS = 1e-10
 PI_LITERAL = 3.14159
 
+#: upper bound on rows funneled through one applyInPandas task when
+#: the caller knows the input size (the engine="auto" probe passes it
+#: down). Two reasons: (a) per-task memory/stream volume stays flat as
+#: the input grows — the shuffle partition count scales instead of the
+#: task size, which is the only shape that survives 100 TB; (b) at
+#: ~3M rows/task the 100M-row bench wedged Spark 4's single-threaded
+#: PythonRunner on loopback-TCP flow control (see session.py), while
+#: every <=1.6M rows/task run has sustained the stream without issue.
+TARGET_ROWS_PER_TASK = 1_500_000
+
 
 def _feature_frame(
     pdf: pd.DataFrame,
@@ -214,6 +224,7 @@ def compute_all_features_arrow(
     bb_std: float = 2.0,
     target_horizon: int | None = None,
     target_type: str = "classification",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Distributed full-feature computation, one Arrow pass per symbol.
 
@@ -222,6 +233,15 @@ def compute_all_features_arrow(
     (plus the fused target options); NaNs produced by pandas map back
     to Spark NULLs afterwards so downstream filters and the SQL oracle
     agree with the Polars-null reference semantics.
+
+    ``n_rows`` (when the caller knows the input size — the
+    engine="auto" probe passes it) widens the kernel exchange so no
+    task carries more than ~``TARGET_ROWS_PER_TASK`` rows: an explicit
+    hash repartition on the group key satisfies applyInPandas'
+    clustering requirement at ANY partition count, so this is one
+    exchange either way — only its width changes. Inputs small enough
+    for the session default keep the plain groupBy exchange (AQE
+    coalescing stays available there).
     """
     momentum_periods = tuple(momentum_periods or (5, 10, 20, 50))
     volatility_windows = tuple(volatility_windows or (10, 20, 60))
@@ -243,6 +263,13 @@ def compute_all_features_arrow(
             bb_period, bb_std, datetime_col, target_horizon, target_type,
         )
 
+    if n_rows is not None:
+        session_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        parts = -(-int(n_rows) // TARGET_ROWS_PER_TASK)
+        if parts > session_parts:
+            df = df.repartition(parts, symbol_col)
     out = df.groupBy(symbol_col).applyInPandas(run, schema=schema)
 
     from marketdatapipeline_spark.features.ewm import nan_to_null

@@ -343,7 +343,10 @@ def compute_all_features(
             compute_all_features_arrow if engine == "arrow"
             else compute_all_features_chunked
         )
-        extra = {"n_rows": probed_n} if engine == "chunked" else {}
+        # both engines use the probed size: chunked for block layout,
+        # arrow to widen the kernel exchange past the session default
+        # (rows-per-task cap — see arrow_engine.TARGET_ROWS_PER_TASK)
+        extra = {"n_rows": probed_n} if probed_n is not None else {}
         return impl(
             df,
             **extra,

@@ -99,17 +99,24 @@ def get_spark(
         # JVM only sees "Connection reset". faulthandler makes the
         # worker dump its Python stack into the error instead.
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
-        # JVM<->Python-worker channel over a Unix domain socket instead
-        # of loopback TCP. Measured at the 100M-row decade: under heavy
-        # bidirectional Arrow flow, Spark 4's single-threaded
-        # PythonRunner wedged over TCP — worker blocked in send (its
-        # 4 MiB Send-Q full), task thread parked in select() with both
-        # socket directions jammed; the last tasks of the stage hung
-        # >10 min and the worker eventually died. The same workload
-        # over UDS completes in ~60 s warm (AF_UNIX stream buffering
-        # has no TCP window machinery to wedge). The worker channel is
-        # host-local by design, so this holds on a real cluster too.
-        .config("spark.python.unix.domain.socket.enabled", "true")
+        # JVM<->Python-worker channel transport. Measured at the
+        # 100M-row decade: under heavy bidirectional Arrow flow with
+        # ~3M rows per task, Spark 4's single-threaded PythonRunner
+        # wedged over loopback TCP — worker blocked in send (its 4 MiB
+        # Send-Q full), task thread parked in select() with both
+        # socket directions jammed; the stage's last tasks hung
+        # >10 min until a worker died. Two mitigations exist:
+        # (1) the arrow engine caps rows-per-task (arrow_engine.py
+        # TARGET_ROWS_PER_TASK) at the level every <=50M run has
+        # sustained over TCP without a wedge, and (2) MDP_PY_UDS=1
+        # switches the channel to a Unix domain socket, which has no
+        # TCP window machinery to wedge and completes 100M in ~60 s
+        # warm — but costs ~0.5 s on the 1M many-small-groups shape
+        # (AF_UNIX's small default buffers), so TCP stays the default.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "true" if os.getenv("MDP_PY_UDS") else "false",
+        )
         # testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # ns timestamp — read as long, convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -227,3 +227,53 @@ def test_chunked_engine_randomized_shapes(spark):
                 assert ok.all(), (trial, col, int((~ok).sum()))
             else:
                 assert (a[col].to_numpy() == c[col].to_numpy()).all(), (trial, col)
+
+
+def test_arrow_engine_rows_per_task_cap(spark, bars_df):
+    """The kernel exchange widens with the declared input size (one
+    hash exchange either way — only its width changes), and values are
+    identical on the widened route. Small inputs keep the plain
+    groupBy exchange so AQE coalescing stays available."""
+    import re
+
+    from marketdatapipeline_spark.features.arrow_engine import (
+        TARGET_ROWS_PER_TASK,
+        compute_all_features_arrow,
+    )
+
+    kwargs = dict(order_cols=("datetime",))
+
+    def symbol_repartitions(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.findall(
+            r"RepartitionByExpression \[symbol[^\]]*\], (\d+)", plan
+        )
+
+    small = compute_all_features_arrow(
+        bars_df, n_rows=TARGET_ROWS_PER_TASK, **kwargs
+    )
+    assert symbol_repartitions(small) == []
+
+    n_big = TARGET_ROWS_PER_TASK * 100
+    big = compute_all_features_arrow(bars_df, n_rows=n_big, **kwargs)
+    assert symbol_repartitions(big) == ["100"]
+
+    base = (
+        compute_all_features_arrow(bars_df, **kwargs)
+        .orderBy("symbol", "datetime")
+        .toPandas()
+    )
+    wide = big.orderBy("symbol", "datetime").toPandas()
+    assert base.columns.tolist() == wide.columns.tolist()
+    for col in base.columns:
+        x, y = base[col], wide[col]
+        if x.dtype.kind == "f":
+            import numpy as _np
+
+            ok = (x.to_numpy("float64") == y.to_numpy("float64")) | (
+                _np.isnan(x.to_numpy("float64"))
+                & _np.isnan(y.to_numpy("float64"))
+            )
+            assert ok.all(), col
+        else:
+            assert (x.to_numpy() == y.to_numpy()).all(), col
