@@ -242,7 +242,7 @@ def _exact_pair_rerank(
     return joined.mapInPandas(rerank, schema=schema)
 
 
-def _blocked_candidate_pairs(
+def _blocked_exact_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str,
@@ -250,7 +250,7 @@ def _blocked_candidate_pairs(
     num_blocks: int,
     margin: float = 1e-6,
 ) -> DataFrame:
-    """Exact all-pairs candidate generation as a blocked numpy matmul.
+    """Exact all-pairs cosine as ONE blocked numpy-matmul pass.
 
     Vectors are hashed into ``num_blocks`` blocks; every unordered
     block pair (i <= j) becomes one applyInPandas group holding block
@@ -258,10 +258,16 @@ def _blocked_candidate_pairs(
     factor = num_blocks, work per group = |i| x |j| BLAS multiply-adds
     — millions of pairs per second per core, vs a 64-step interpreted
     fold per pair in the naive theta-join). Each unordered vector pair
-    lands in exactly one group. Emits id pairs whose matmul cosine
-    clears ``threshold - margin``; the margin (>> the ~1e-14 gap
-    between pairwise-BLAS and sequential-fold summation) guarantees no
-    true pair is lost, and the exact rerank re-decides the boundary.
+    lands in exactly one group. Candidate screening uses the matmul
+    cosine at ``threshold - margin`` (the margin >> the ~1e-14 gap
+    between pairwise-BLAS and sequential-fold summation, so no true
+    pair is lost); survivors are re-scored IN-KERNEL with the
+    sequential fold (:func:`_seq_dot_np` — bit-identical to the
+    scalar :func:`dot` fold and DuckDB's list_dot_product) and the
+    ``>= threshold`` boundary is decided on that exact value. Fusing
+    the rerank into the kernel removes a second Python stage plus the
+    two candidate->vector shuffle joins the old two-pass shape paid —
+    at any scale the pair set never re-crosses an exchange.
     """
     d = df.select(
         F.col(id_col).alias("_id"),
@@ -281,6 +287,18 @@ def _blocked_candidate_pairs(
         F.lit(1).alias("_side"),
     )
     cut = threshold - margin
+    idt = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", idt),
+            T.StructField("id_b", idt),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "cosine": pd.Series(dtype="float64")}
+    )
 
     def kernel(key, pdf):
         same_block = key[0] == key[1]
@@ -289,7 +307,7 @@ def _blocked_candidate_pairs(
         else:
             lf, rt = pdf[pdf["_side"] == 0], pdf[pdf["_side"] == 1]
         if lf.empty or rt.empty:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return empty
         va = np.stack(lf["_v"].to_numpy())
         vb = va if same_block else np.stack(rt["_v"].to_numpy())
         na = np.linalg.norm(va, axis=1)
@@ -302,9 +320,24 @@ def _blocked_candidate_pairs(
         id_b = rt["_id"].to_numpy()[jb]
         if same_block:  # both orders present: keep one canonically
             keep = id_a < id_b
-            return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
-        return pd.DataFrame(  # each pair once, in arbitrary id order
-            {"id_a": np.minimum(id_a, id_b), "id_b": np.maximum(id_a, id_b)}
+            ia, jb, id_a, id_b = ia[keep], jb[keep], id_a[keep], id_b[keep]
+        # exact rescore: sequential-fold dot + per-row fold norms —
+        # identical values to the old separate rerank stage (norms are
+        # per-row, the fold dot is symmetric multiply-by-multiply, so
+        # the cross-block min/max id reorder below cannot change it)
+        na_x = np.sqrt(_seq_dot_np(va, va))
+        nb_x = na_x if same_block else np.sqrt(_seq_dot_np(vb, vb))
+        cos = _seq_dot_np(va[ia], vb[jb]) / (na_x[ia] * nb_x[jb])
+        keep2 = cos >= threshold
+        id_a, id_b, cos = id_a[keep2], id_b[keep2], cos[keep2]
+        if same_block:
+            return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+        return pd.DataFrame(  # each pair once, canonical id order
+            {
+                "id_a": np.minimum(id_a, id_b),
+                "id_b": np.maximum(id_a, id_b),
+                "cosine": cos,
+            }
         )
 
     # Each unordered vector pair lands in exactly one (bi, bj) group,
@@ -312,7 +345,7 @@ def _blocked_candidate_pairs(
     return (
         left.unionByName(right)
         .groupBy("bi", "bj")
-        .applyInPandas(kernel, schema="id_a long, id_b long")
+        .applyInPandas(kernel, schema=out_schema)
     )
 
 
@@ -332,11 +365,13 @@ def cosine_pairs_above(
 
     Methods:
 
-    - ``"blocked"`` (default, exact): blocked numpy-matmul candidate
-      generation + exact rerank. Still O(n^2) multiply-adds — that is
-      what exact all-pairs means — but BLAS-batched and spread over
-      num_blocks*(num_blocks+1)/2 independent tasks instead of a
-      nested-loop join with a per-pair expression fold.
+    - ``"blocked"`` (default, exact): ONE fused blocked numpy-matmul
+      pass — BLAS matmul screens candidates, the sequential fold
+      rescores survivors in the same kernel. Still O(n^2)
+      multiply-adds — that is what exact all-pairs means — but
+      BLAS-batched and spread over num_blocks*(num_blocks+1)/2
+      independent tasks instead of a nested-loop join with a per-pair
+      expression fold, and the pair set never re-crosses an exchange.
     - ``"lsh"`` (the 100 TB path, approximate recall): banded
       sign-random-projection candidates (equi-join on band keys, never
       a cross product) + exact rerank. Tune n_planes/bands to the
@@ -353,8 +388,7 @@ def cosine_pairs_above(
             df, candidates, threshold, id_col, vec_col, broadcast_pairs=True
         )
     if method == "blocked":
-        cands = _blocked_candidate_pairs(df, threshold, id_col, vec_col, num_blocks)
-        return _exact_pair_rerank(df, cands, threshold, id_col, vec_col)
+        return _blocked_exact_pairs(df, threshold, id_col, vec_col, num_blocks)
     if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         keys = df.select(

@@ -543,6 +543,16 @@ def decontaminate(
 LAST_CONVERGENCE_ROUNDS: int = 0
 
 
+#: at or below this many DIRECTED edges the pair graph collects to the
+#: driver and components resolve by union-find — pure integer work
+#: (labels are min doc ids), so the route is trivially value-identical
+#: to min-label propagation while replacing O(log diameter) rounds of
+#: (2 joins + agg + checkpoint + fixed-point collect) with one collect
+#: and one broadcast join back onto the node table. Above it, the
+#: distributed pointer-doubling loop is the only shape that survives.
+DRIVER_ROUTE_MAX_EDGES = 2_000_000
+
+
 def duplicate_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -550,6 +560,7 @@ def duplicate_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 30,
+    driver_route_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every
     document gets ``cluster_id`` = the smallest doc id reachable
@@ -606,6 +617,16 @@ def duplicate_clusters(
     # reset on entry: after a non-convergence RuntimeError the global
     # must not keep reporting an EARLIER call's round count (r9 review)
     LAST_CONVERGENCE_ROUNDS = 0
+    threshold = (
+        DRIVER_ROUTE_MAX_EDGES
+        if driver_route_max_edges is None
+        else driver_route_max_edges
+    )
+    # the count is the action that materializes the persisted edge
+    # list — work both routes need before their first pass, so the
+    # probe costs one scan of cached rows, not a rebuild
+    if threshold > 0 and edges.count() <= threshold:
+        return _clusters_driver(nodes, edges, id_col)
     # eager=False (r11): the label-sum collect right below is the
     # materializing action, so each round runs ONE job (checkpoint +
     # fixed-point check together) instead of two — half the per-round
@@ -663,6 +684,90 @@ def duplicate_clusters(
             F.col("_id").alias(id_col),
             F.col("_lbl").alias("cluster_id"),
             F.col("cluster_size").cast("int").alias("cluster_size"),
+        )
+    )
+
+
+def _clusters_driver(
+    nodes: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Driver-side union-find twin of the min-label propagation, for
+    pair graphs at or below ``DRIVER_ROUTE_MAX_EDGES`` directed edges.
+
+    Labels are pure integers (the component's min doc id), so the two
+    routes are value-identical by definition — no numeric-tower care
+    needed, unlike the PageRank twin. Propagation only moves labels
+    along edges whose BOTH endpoints carry a label (the distributed
+    loop's inner equi-joins drop the rest), so edge endpoints are
+    membership-filtered against ``nodes`` first; non-edge nodes stay
+    singletons via the left join + coalesce, exactly like the
+    distributed tail. Assumes unique node ids (the doc-table
+    contract — both routes count one row per node)."""
+    from pyspark.sql import types as T
+
+    spark = nodes.sparkSession
+    rows = edges.collect()
+    touched = sorted({r["_src"] for r in rows} | {r["_dst"] for r in rows})
+    id_type = nodes.schema[id_col].dataType
+    if touched:
+        t_df = spark.createDataFrame(
+            [(t,) for t in touched],
+            T.StructType([T.StructField(id_col, id_type)]),
+        )
+        member = {
+            r[0]
+            for r in nodes.join(F.broadcast(t_df), id_col, "left_semi")
+            .select(id_col)
+            .collect()
+        }
+    else:
+        member = set()
+    parent = {v: v for v in member}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["_src"], r["_dst"]
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union on min id: the root IS the component label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    labels = {v: find(v) for v in member}
+    counts: dict = {}
+    for lbl in labels.values():
+        counts[lbl] = counts.get(lbl, 0) + 1
+    lbl_schema = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("_lbl", id_type),
+            T.StructField("_csz", T.IntegerType()),
+        ]
+    )
+    lbl_df = spark.createDataFrame(
+        [(v, l, counts[l]) for v, l in sorted(labels.items())], lbl_schema
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(
+            F.broadcast(lbl_df),
+            F.col(id_col) == F.col("_id"),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_lbl"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("_csz"), F.lit(1)).cast("int").alias(
+                "cluster_size"
+            ),
         )
     )
 

@@ -62,6 +62,19 @@ def _symmetrize(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
     )
 
 
+#: at or below this many DIRECTED edges the whole graph collects to
+#: the driver and the power iteration runs as exact scalar arithmetic
+#: in-process — a fixture-scale graph pays ~20 Spark jobs (persists,
+#: broadcast materializations, one join + one agg per iteration) for
+#: sub-millisecond real work, so the driver twin wins by an order of
+#: magnitude; above it the distributed join+agg loop is the only
+#: shape that survives. Both routes are BIT-identical (the driver
+#: twin reproduces Spark's double->decimal(28,18) cast — shortest
+#: decimal repr, HALF_UP at 18 — and exact decimal sums as scaled
+#: integers; pinned by the forced-route parity tests).
+DRIVER_ROUTE_MAX_EDGES = 100_000
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -69,6 +82,7 @@ def pagerank(
     id_a: str = "id_a",
     id_b: str = "id_b",
     partitions: int | None = None,
+    driver_route_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, degree, pagerank) over the undirected graph of ``edges``.
 
@@ -92,7 +106,9 @@ def pagerank(
     # bit-identical to a dedicated unweighted loop (asserted by the
     # equal-weights parity test)
     und = _symmetrize(edges, id_a, id_b).withColumn("_w", F.lit(1.0))
-    pr = _damped_rank(und, iterations, damping, partitions)
+    pr = _damped_rank(
+        und, iterations, damping, partitions, driver_route_max_edges
+    )
     return pr.select("node", "degree", "pr")
 
 
@@ -104,6 +120,7 @@ def weighted_pagerank(
     id_b: str = "id_b",
     weight_col: str = "weight",
     partitions: int | None = None,
+    driver_route_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, strength, pr): PageRank where each neighbor's vote is
     proportional to EDGE WEIGHT (e.g. the cosine similarity that
@@ -135,7 +152,9 @@ def weighted_pagerank(
             F.col(weight_col).alias("_w"),
         )
     )
-    pr = _damped_rank(und, iterations, damping, partitions)
+    pr = _damped_rank(
+        und, iterations, damping, partitions, driver_route_max_edges
+    )
     return pr.select("node", "strength", "pr")
 
 
@@ -144,6 +163,7 @@ def _damped_rank(
     iterations: int,
     damping: float,
     partitions: int | None,
+    driver_route_max_edges: int | None = None,
 ) -> DataFrame:
     """Shared damped power-iteration core over a weighted directed
     edge list ``(_src, _dst, _w)`` (callers symmetrize): returns
@@ -163,6 +183,17 @@ def _damped_rank(
     if partitions is not None:
         und = und.repartition(partitions, "_src")
     und = scoped_persist(und)
+    threshold = (
+        DRIVER_ROUTE_MAX_EDGES
+        if driver_route_max_edges is None
+        else driver_route_max_edges
+    )
+    if threshold > 0:
+        # the count is the action that materializes the persisted edge
+        # list — work BOTH routes need before their first real pass, so
+        # the probe costs one extra scan of cached rows, not a rebuild
+        if und.count() <= threshold:
+            return _damped_rank_driver(und, iterations, damping)
     stats = und.groupBy(F.col("_src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree"),
         F.sum(F.col("_w").cast(_DEC)).cast("double").alias("strength"),
@@ -193,6 +224,96 @@ def _damped_rank(
             + F.lit(damping) * F.col("_s").cast("double"),
         )
     return pr
+
+
+def _dec18_scaled(x: float) -> int:
+    """``x`` as an integer of 1e-18 units, reproducing Spark's
+    ``cast(double AS decimal(28,18))`` exactly: the SHORTEST decimal
+    representation of the double (``repr`` — same value contract as
+    Java's ``Double.toString``, verified against the live cast for
+    the r11 routing work), rounded HALF_UP at 18 fractional digits.
+    Summing the scaled integers in Python is then the exact
+    decimal(38,18) accumulation, association-free by construction."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x)).scaleb(18).to_integral_value(ROUND_HALF_UP)
+    )
+
+
+def _unscale18(total: int) -> float:
+    """decimal(38,18) -> double, Spark's cast: correctly-rounded
+    nearest double of the exact decimal value."""
+    from decimal import Decimal
+
+    return float(Decimal(total).scaleb(-18))
+
+
+def _damped_rank_driver(
+    und: DataFrame, iterations: int, damping: float
+) -> DataFrame:
+    """Driver-side exact twin of the distributed power iteration, for
+    graphs at or below ``DRIVER_ROUTE_MAX_EDGES`` directed edges.
+
+    Every arithmetic step mirrors the distributed plan op-for-op:
+    strengths and per-node contribution sums are exact decimal(_,18)
+    accumulations (scaled integers — addition order cannot matter);
+    ``pr / strength``, ``w * ps`` and the teleport assembly
+    ``(1-d)/n + d * s`` are scalar IEEE doubles in the same order the
+    Column expressions evaluate; decimal->double edges are correctly
+    rounded in both engines. Bit-identity is pinned by the
+    forced-route parity tests (randomized weighted graphs compared
+    float-for-float against the distributed route)."""
+    from pyspark.sql import types as T
+
+    rows = und.collect()
+    deg: dict = {}
+    st_scaled: dict = {}
+    for r in rows:
+        s = r["_src"]
+        deg[s] = deg.get(s, 0) + 1
+        st_scaled[s] = st_scaled.get(s, 0) + _dec18_scaled(r["_w"])
+    strength = {v: _unscale18(t) for v, t in st_scaled.items()}
+    n = len(deg)
+    spark = und.sparkSession
+    id_type = und.schema["_src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", id_type),
+            T.StructField("degree", T.LongType()),
+            T.StructField("strength", T.DoubleType()),
+            T.StructField("pr", T.DoubleType()),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    nf = float(n)
+    pr = {v: 1.0 / nf for v in deg}
+    for _ in range(iterations):
+        ps = {u: p / strength[u] for u, p in pr.items()}
+        acc: dict = {}
+        for r in rows:
+            u = r["_src"]
+            if u not in ps:  # mirrors the inner joins' row drops
+                continue
+            term = r["_w"] * ps[u]
+            d = r["_dst"]
+            acc[d] = acc.get(d, 0) + _dec18_scaled(term)
+        # base JOIN contrib is inner: only nodes that received a
+        # contribution carry a rank into the next round (total on any
+        # symmetrized graph — every non-isolated node has an in-edge)
+        pr = {
+            v: (1.0 - damping) / nf + damping * _unscale18(t)
+            for v, t in acc.items()
+            if v in deg
+        }
+    return spark.createDataFrame(
+        [
+            (v, deg[v], strength[v], p)
+            for v, p in sorted(pr.items())
+        ],
+        out_schema,
+    )
 
 
 def triangle_stats(

@@ -314,7 +314,11 @@ def test_duplicate_clusters_shortcutting_collapses_chains(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
     )
-    out = duplicate_clusters(nodes, pairs, max_iter=25).collect()
+    # force the distributed route: this test pins the PROPAGATION
+    # loop's round count, which the driver union-find route skips
+    out = duplicate_clusters(
+        nodes, pairs, max_iter=25, driver_route_max_edges=0
+    ).collect()
     assert all(r["cluster_id"] == 1 for r in out)
     assert all(r["cluster_size"] == n for r in out)
     # log2(200) ~ 8; leave slack but stay far under the diameter

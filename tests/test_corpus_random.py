@@ -132,3 +132,36 @@ def test_duplicate_clusters_matches_union_find(spark, seed):
     sizes = Counter(roots)
     for i in range(n):
         assert got[i] == (roots[i], sizes[roots[i]]), i
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29])
+def test_duplicate_clusters_driver_route_matches_distributed(spark, seed):
+    """r11 size routing: driver union-find vs distributed min-label
+    propagation — integer outputs, so exact equality, including pairs
+    that reference ids OUTSIDE the node table (the distributed loop's
+    inner joins ignore them; the driver route must too)."""
+    from marketdatapipeline_spark.textops.corpus import duplicate_clusters
+
+    rng = random.Random(seed)
+    n = 40
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(n + 10), 2)))  # some ids > n
+            for _ in range(rng.randint(1, 50))
+        }
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs_df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    dist = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(
+            nodes, pairs_df, max_iter=n, driver_route_max_edges=0
+        ).collect()
+    }
+    drv = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(
+            nodes, pairs_df, max_iter=n, driver_route_max_edges=10**9
+        ).collect()
+    }
+    assert dist == drv

@@ -228,3 +228,58 @@ def test_weighted_pagerank_matches_python_reference(spark, seed):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 404])
+def test_weighted_pagerank_driver_route_bit_identical(spark, seed):
+    """r11 size routing: the driver-side exact-decimal twin must match
+    the distributed join+agg loop FLOAT-FOR-FLOAT (not approximately —
+    the DuckDB oracle hashes these doubles), on randomized weighted
+    graphs with awkward float weights."""
+    import random
+
+    from marketdatapipeline_spark.textops.graph import weighted_pagerank
+
+    rng = random.Random(seed)
+    # raw uniform doubles, NOT rounded: exercises the shortest-repr
+    # HALF_UP decimal cast on full-entropy mantissas
+    wedges = [
+        (a, b, rng.uniform(0.05, 2.0)) for a, b in _random_edges(seed)
+    ]
+    df = spark.createDataFrame(wedges, ["id_a", "id_b", "weight"])
+    dist = {
+        r["node"]: (r["strength"], r["pr"])
+        for r in weighted_pagerank(df, driver_route_max_edges=0).collect()
+    }
+    drv = {
+        r["node"]: (r["strength"], r["pr"])
+        for r in weighted_pagerank(
+            df, driver_route_max_edges=10**9
+        ).collect()
+    }
+    assert set(dist) == set(drv)
+    for v in dist:
+        assert dist[v] == drv[v], (v, dist[v], drv[v])
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_pagerank_driver_route_bit_identical(spark, seed):
+    from marketdatapipeline_spark.textops.graph import pagerank
+
+    df = spark.createDataFrame(_random_edges(seed), ["id_a", "id_b"])
+    dist = {
+        r["node"]: (r["degree"], r["pr"])
+        for r in pagerank(df, driver_route_max_edges=0).collect()
+    }
+    drv = {
+        r["node"]: (r["degree"], r["pr"])
+        for r in pagerank(df, driver_route_max_edges=10**9).collect()
+    }
+    assert dist == drv
+
+
+def test_pagerank_driver_route_empty_graph(spark):
+    from marketdatapipeline_spark.textops.graph import pagerank
+
+    df = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert pagerank(df, driver_route_max_edges=10**9).collect() == []

@@ -108,13 +108,21 @@ def test_no_global_window_on_data_scaled_frames(spark):
     from marketdatapipeline_spark.caching import release_caches
     from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY, REGISTRY
     from marketdatapipeline_spark.operators import pairs, ranking
+    from marketdatapipeline_spark.textops import corpus as corpus_mod
+    from marketdatapipeline_spark.textops import graph as graph_mod
 
     old_rank, old_pair = (
         ranking.SINGLE_TASK_THRESHOLD,
         pairs.PAIR_SINGLE_TASK_THRESHOLD,
     )
+    old_graph, old_cc = (
+        graph_mod.DRIVER_ROUTE_MAX_EDGES,
+        corpus_mod.DRIVER_ROUTE_MAX_EDGES,
+    )
     ranking.SINGLE_TASK_THRESHOLD = 0
     pairs.PAIR_SINGLE_TASK_THRESHOLD = 0
+    graph_mod.DRIVER_ROUTE_MAX_EDGES = 0
+    corpus_mod.DRIVER_ROUTE_MAX_EDGES = 0
     offenders: dict[str, list[str]] = {}
     errors: dict[str, str] = {}
     try:
@@ -133,6 +141,8 @@ def test_no_global_window_on_data_scaled_frames(spark):
     finally:
         ranking.SINGLE_TASK_THRESHOLD = old_rank
         pairs.PAIR_SINGLE_TASK_THRESHOLD = old_pair
+        graph_mod.DRIVER_ROUTE_MAX_EDGES = old_graph
+        corpus_mod.DRIVER_ROUTE_MAX_EDGES = old_cc
     assert not errors, errors
     assert not offenders, (
         "global ordered window over a non-allowlisted frame — either "
