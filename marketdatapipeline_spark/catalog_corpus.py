@@ -12393,27 +12393,17 @@ def q_embeddings_knn_label_purity(
     Cosines are exact double folds (bit-identical across engines)
     and the top-3 cut tie-breaks on the neighbor id, so the
     neighbor sets are engine-identical; counts are integers; only
-    the purity ratio rounds. Quadratic pair stage runs on the same
-    blocked matmul path as the histogram (never a per-pair
-    expression join); a production sweep hash-samples identically."""
-    from pyspark.sql import Window as W
+    the purity ratio rounds. The kNN stage is the blocked
+    local-topk-then-merge shape (similarity/search.py
+    cosine_knn_all): each block pair emits per-anchor local top-3,
+    so the exchange carries O(n·blocks·k) candidate rows — never
+    the O(n^2) scored pair set (r11; the old window-over-all-pairs
+    shuffle was this query's scale liability)."""
+    from marketdatapipeline_spark.similarity.search import cosine_knn_all
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 7 == 0)
     lab = emb.select("vec_id", "label")
-    pairs = cosine_pairs_above(emb, threshold=-1.1, method="blocked")
-    # both directions: each unordered pair serves both anchors
-    both = pairs.select(
-        F.col("id_a").alias("anchor"), F.col("id_b").alias("nbr"), "cosine"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("anchor"), F.col("id_a").alias("nbr"),
-            "cosine",
-        )
-    )
-    wr = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nbr")
-    top3 = both.withColumn("rnk", F.row_number().over(wr)).filter(
-        F.col("rnk") <= 3
-    )
+    top3 = cosine_knn_all(emb, k=3)
     j = (
         top3.join(
             F.broadcast(lab.select(F.col("vec_id").alias("anchor"),

@@ -349,6 +349,119 @@ def _blocked_exact_pairs(
     )
 
 
+def cosine_knn_all(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 16,
+) -> DataFrame:
+    """Exact k nearest neighbours for EVERY vector: (anchor, nbr,
+    cosine, rank), rank 1..k by (cosine desc, nbr asc) on the
+    unrounded double — the all-anchors twin of :func:`cosine_topk`
+    (whose probe set is driver-collected by contract).
+
+    Same blocked layout as :func:`_blocked_exact_pairs`: every
+    unordered block pair is one applyInPandas group. The kernel
+    scores the |i| x |j| panel with the sequential fold (bit-identical
+    to the pairwise fold and DuckDB's list_dot_product) and emits each
+    anchor's LOCAL top-k against the opposing block; the global top-k
+    per anchor is then a keyed window over n*num_blocks*k rows. The
+    point at scale: the exchange carries O(n·B·k) candidate rows,
+    never the O(n^2) scored pair set a window-over-all-pairs shape
+    shuffles — local-topk-then-merge is the standard distributed
+    brute-force kNN. Tie-breaks are exact: block columns are
+    pre-sorted by id, so a STABLE argsort on descending cosine IS the
+    (cosine desc, id asc) order; NaN cosines (zero-norm vectors) sort
+    first, matching Spark/DuckDB's NaN-greatest double ordering."""
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("_b"),
+    )
+    left = d.select(
+        "_id", "_v",
+        F.col("_b").alias("bi"),
+        F.explode(F.sequence(F.col("_b"), F.lit(num_blocks - 1))).alias("bj"),
+        F.lit(0).alias("_side"),
+    )
+    right = d.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("bi"),
+        F.col("_b").alias("bj"),
+        F.lit(1).alias("_side"),
+    )
+    idt = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("anchor", idt),
+            T.StructField("nbr", idt),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _local_topk(anchors, anchor_ids, nbrs, nbr_ids, self_block):
+        """Top-k rows of the exact cosine panel anchors x nbrs; nbr
+        side MUST already be sorted ascending by id."""
+        acc = np.zeros((anchors.shape[0], nbrs.shape[0]), dtype=np.float64)
+        for dd in range(anchors.shape[1]):
+            acc = acc + anchors[:, dd : dd + 1] * nbrs[:, dd]
+        an = np.sqrt(_seq_dot_np(anchors, anchors))
+        nn = np.sqrt(_seq_dot_np(nbrs, nbrs))
+        cos = acc / (an[:, None] * nn[None, :])
+        # sort key: cosine desc with NaN FIRST (Spark/DuckDB treat NaN
+        # as the largest double), self-pairs dead last
+        key = np.where(np.isnan(cos), -np.inf, -cos)
+        if self_block:
+            # ids are hash-disjoint across blocks, so self-pairs only
+            # exist on the diagonal of a same-block panel
+            np.fill_diagonal(key, np.inf)
+        order = np.argsort(key, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(np.arange(cos.shape[0]), order.shape[1])
+        cols = order.ravel()
+        keep = key[rows, cols] != np.inf  # drop self-pairs
+        return pd.DataFrame(
+            {
+                "anchor": anchor_ids[rows[keep]],
+                "nbr": nbr_ids[cols[keep]],
+                "cosine": cos[rows[keep], cols[keep]],
+            }
+        )
+
+    def kernel(key, pdf):
+        same_block = key[0] == key[1]
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        if same_block:
+            lf = rt = pdf[pdf["_side"] == 0]
+        else:
+            lf, rt = pdf[pdf["_side"] == 0], pdf[pdf["_side"] == 1]
+        if lf.empty or rt.empty:
+            return pd.DataFrame(
+                {"anchor": [], "nbr": [], "cosine": []}
+            ).astype({"cosine": "float64"})
+        va = np.stack(lf["_v"].to_numpy())
+        ia = lf["_id"].to_numpy()
+        if same_block:
+            return _local_topk(va, ia, va, ia, True)
+        vb = np.stack(rt["_v"].to_numpy())
+        ib = rt["_id"].to_numpy()
+        out_a = _local_topk(va, ia, vb, ib, False)
+        out_b = _local_topk(vb, ib, va, ia, False)
+        return pd.concat([out_a, out_b], ignore_index=True)
+
+    cands = (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), F.col("nbr"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "nbr", "cosine", "rank")
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     threshold: float,

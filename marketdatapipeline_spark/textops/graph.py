@@ -342,6 +342,11 @@ def triangle_stats(
         # counts for the wedge/closing joins; leave None at scale
         e = e.repartition(partitions, "b")
     e = scoped_persist(e)
+    # NO driver route here, deliberately (r11): a measured same-session
+    # A/B showed the single-pass wedge/semi-join plan consistently
+    # BEATING a collect-and-enumerate driver twin on the fixture graph
+    # — the route only pays when it replaces an ITERATIVE loop's jobs
+    # (PageRank, connected components), not a one-shot join tree.
     # wedges a-b-c with a < b < c: (a,b) joined to (b,c)
     ab = e
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -402,6 +407,13 @@ def adamic_adar(
     join against the existing edges — O(sum deg^2) wedge rows, never
     all-pairs.
     """
+    # NO driver route here, deliberately (r11): unlike PageRank /
+    # triangle_stats, this operator's OUTPUT is wedge-pair-scaled
+    # (Σ deg² candidate pairs — 19k rows already on the sf0.1 fixture
+    # graph), and a measured A/B showed collect-compute-createDataFrame
+    # round-tripping that output costs ~2x the distributed joins it
+    # replaced. Small-graph overhead here is bounded by the plan
+    # (one wedge self-join + one agg), not by iteration count.
     und = _symmetrize(edges, id_a, id_b)
     if partitions is not None:
         und = und.repartition(partitions, "_src")

@@ -793,3 +793,51 @@ def test_norm_audit_detects_planted_outliers(spark):
     out2 = {r["vec_id"]: r for r in norm_audit(df2, z_threshold=3.0).collect()}
     assert out2[901]["is_outlier"] and out2[901]["z"] < -3.0
     assert {k for k, r in out2.items() if r["is_outlier"]} == {901}
+
+
+def test_cosine_knn_all_matches_window_over_all_pairs(spark):
+    """r11: the blocked local-topk-then-merge kNN must equal the
+    window-over-the-full-scored-set construction EXACTLY — same
+    neighbor ids, same ranks, same unrounded cosine doubles — with
+    duplicated vectors planted so cosine ties exercise the stable
+    id tie-break."""
+    from pyspark.sql import Window as W
+
+    from marketdatapipeline_spark.similarity.search import cosine_knn_all
+
+    v = _vectors()
+    v[5] = v[0]  # exact duplicate: cosine-1.0 ties against ids 0/1/5
+    v[9] = v[0]
+    rows = [(i, v[i].tolist()) for i in range(N)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    k = 4
+
+    got = {
+        (r["anchor"], r["rank"]): (r["nbr"], r["cosine"])
+        for r in cosine_knn_all(df, k=k, num_blocks=5).collect()
+    }
+
+    pairs = cosine_pairs_above(df, threshold=-1.1, num_blocks=5)
+    both = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("nbr"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("nbr"),
+            "cosine",
+        )
+    )
+    wr = W.partitionBy("anchor").orderBy(F.desc("cosine"), "nbr")
+    want = {
+        (r["anchor"], r["rnk"]): (r["nbr"], r["cosine"])
+        for r in both.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+    assert got == want
