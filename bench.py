@@ -116,12 +116,61 @@ def run_feature_pipeline(
     return (median, raw) if return_times else median
 
 
+#: per-unit hang watchdog (r11): a wedged Python worker does not DIE,
+#: it parks forever in loopback-TCP flow control (both socket queues
+#: full — observed live at the 50M decade even with the rows-per-task
+#: cap), and a hang is worse than a death: safe() never gets an
+#: exception, the process never exits, and the round's record depends
+#: on whatever was staged before the driver's kill. The watchdog
+#: converts a hang into an ordinary per-query error: after
+#: MDP_BENCH_UNIT_TIMEOUT seconds it cancels the unit's job group
+#: (interrupt-on-cancel closes the worker sockets, which unwedges the
+#: kernel-blocked sender), escalating to cancelAllJobs a minute later.
+_WATCHDOG = {
+    "spark": None,
+    "timeout": float(os.environ.get("MDP_BENCH_UNIT_TIMEOUT", "300")),
+}
+
+
 def safe(label: str, fn, errors: dict):
     """Run ``fn()``; on ANY failure record a truncated repr under
     ``label`` and return None instead of propagating. One dead Python
     worker (or one bad query) must never zero the round's bench record
     (BENCH_r09: rc=1, parsed:null from a single Arrow-stream
-    'Connection reset')."""
+    'Connection reset'). When the watchdog is armed (bench runs arm it
+    at session acquisition), a HUNG unit is cancelled and recorded the
+    same way instead of stalling the whole run."""
+    import threading
+
+    spark = _WATCHDOG["spark"]
+    timeout = _WATCHDOG["timeout"]
+    done = None
+    if spark is not None and timeout > 0:
+        try:
+            sc = spark.sparkContext
+            group = f"bench-{label}"
+            sc.setJobGroup(group, label, interruptOnCancel=True)
+            done = threading.Event()
+
+            def _watchdog():
+                if done.wait(timeout):
+                    return
+                errors[f"{label}__watchdog"] = (
+                    f"unit exceeded {timeout:.0f}s; job group cancelled"
+                )
+                try:
+                    sc.cancelJobGroup(group)
+                except BaseException:
+                    pass
+                if not done.wait(60):
+                    try:
+                        sc.cancelAllJobs()
+                    except BaseException:
+                        pass
+
+            threading.Thread(target=_watchdog, daemon=True).start()
+        except BaseException:
+            done = None
     try:
         return fn()
     except (KeyboardInterrupt, SystemExit):
@@ -133,6 +182,13 @@ def safe(label: str, fn, errors: dict):
     except BaseException as e:  # worker deaths surface as Py4JJavaError
         errors[label] = repr(e)[:300]
         return None
+    finally:
+        if done is not None:
+            done.set()
+            try:
+                spark.sparkContext.setJobGroup("", "")
+            except BaseException:
+                pass
 
 
 def ensure_spark(spark, errors: dict):
@@ -149,7 +205,9 @@ def ensure_spark(spark, errors: dict):
     errors["__session_restart__"] = errors.get("__session_restart__", "") + "|restarted"
     from marketdatapipeline_spark.session import get_spark
 
-    return get_spark(app_name="bench")
+    fresh = get_spark(app_name="bench")
+    _WATCHDOG["spark"] = fresh  # re-arm the hang watchdog on the new session
+    return fresh
 
 
 def _r(v, nd=3):
@@ -456,6 +514,7 @@ def main() -> None:
         from marketdatapipeline_spark.session import get_spark
 
         spark = get_spark(app_name="bench")
+        _WATCHDOG["spark"] = spark  # arm the hang watchdog
         _run_all(spark, sf_dir, st)
     except BaseException as e:
         # swallow so rc stays 0: the driver records rc alongside the

@@ -45,9 +45,16 @@ PI_LITERAL = 3.14159
 #: the input grows — the shuffle partition count scales instead of the
 #: task size, which is the only shape that survives 100 TB; (b) at
 #: ~3M rows/task the 100M-row bench wedged Spark 4's single-threaded
-#: PythonRunner on loopback-TCP flow control (see session.py), while
-#: every <=1.6M rows/task run has sustained the stream without issue.
-TARGET_ROWS_PER_TASK = 1_500_000
+#: PythonRunner on loopback-TCP flow control (see session.py).
+#: 1.5M rows/task sustained every run on a quiet host, but a loaded
+#: r11 session wedged TWICE at that size (50M and 100M decades, both
+#: socket queues full — kernel TCP buffer autotuning shrinks under
+#: memory pressure, so the jam threshold is host-state-dependent);
+#: 750k doubles the flow-control margin, and bench.py's unit
+#: watchdog now converts any residual wedge into a recorded per-query
+#: error instead of a round-killing hang. MDP_PY_UDS=1 remains the
+#: transport-level cure (no TCP window machinery at all).
+TARGET_ROWS_PER_TASK = 750_000
 
 
 def _feature_frame(

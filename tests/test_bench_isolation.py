@@ -154,3 +154,39 @@ def test_bench_main_emits_final_line_despite_injected_failure(
     assert final["errors"] >= 1
     numbers = [v for v in final["queries"].values() if v is not None]
     assert len(numbers) > 30  # the rest of the suite still measured
+
+
+def test_watchdog_cancels_hung_unit_and_run_continues(spark):
+    """r11: a WEDGED worker (hang, not death — observed live as both
+    loopback socket queues full at the 50M decade) must be cancelled
+    by the unit watchdog and recorded as an ordinary per-query error,
+    with the next unit unaffected."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    old_spark, old_timeout = bench._WATCHDOG["spark"], bench._WATCHDOG["timeout"]
+    bench._WATCHDOG["spark"] = spark
+    bench._WATCHDOG["timeout"] = 10.0
+    errors: dict[str, str] = {}
+    try:
+        @F.udf(LongType())
+        def stall(x):
+            time.sleep(1800)
+            return x
+
+        def hung_unit():
+            return spark.range(4).select(stall("id")).collect()
+
+        t0 = time.monotonic()
+        assert bench.safe("hung", hung_unit, errors) is None
+        assert time.monotonic() - t0 < 120  # cancelled, not 1800s
+        assert "hung__watchdog" in errors
+        assert "hung" in errors  # the cancellation surfaced as an error
+        # the session survives and the next unit runs clean
+        assert bench.safe("next", lambda: spark.range(5).count(), errors) == 5
+        assert "next" not in errors
+    finally:
+        bench._WATCHDOG["spark"] = old_spark
+        bench._WATCHDOG["timeout"] = old_timeout
