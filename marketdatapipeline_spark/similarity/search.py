@@ -372,8 +372,10 @@ def cosine_knn_all(
     shuffles — local-topk-then-merge is the standard distributed
     brute-force kNN. Tie-breaks are exact: block columns are
     pre-sorted by id, so a STABLE argsort on descending cosine IS the
-    (cosine desc, id asc) order; NaN cosines (zero-norm vectors) sort
-    first, matching Spark/DuckDB's NaN-greatest double ordering."""
+    (cosine desc, id asc) order. Zero-norm vectors produce NaN
+    cosines, which Arrow transmits as NULL — so both the local and
+    merge phases rank them LAST (the window's NULLS-LAST), a single
+    documented convention pinned by the zero-norm parity test."""
     d = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -402,24 +404,41 @@ def cosine_knn_all(
 
     def _local_topk(anchors, anchor_ids, nbrs, nbr_ids, self_block):
         """Top-k rows of the exact cosine panel anchors x nbrs; nbr
-        side MUST already be sorted ascending by id."""
+        side MUST already be sorted ascending by id.
+
+        NaN cosines (zero-norm vectors) rank LAST with the id
+        tie-break: the kernel's pandas output crosses Arrow, which
+        transmits float NaN as NULL, and the merge window's
+        ``desc(cosine)`` puts NULLs last — the local order must match
+        the merge order or the forwarded candidate set is wrong
+        (pinned by the zero-norm parity test)."""
         acc = np.zeros((anchors.shape[0], nbrs.shape[0]), dtype=np.float64)
         for dd in range(anchors.shape[1]):
             acc = acc + anchors[:, dd : dd + 1] * nbrs[:, dd]
         an = np.sqrt(_seq_dot_np(anchors, anchors))
         nn = np.sqrt(_seq_dot_np(nbrs, nbrs))
-        cos = acc / (an[:, None] * nn[None, :])
-        # sort key: cosine desc with NaN FIRST (Spark/DuckDB treat NaN
-        # as the largest double), self-pairs dead last
-        key = np.where(np.isnan(cos), -np.inf, -cos)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = acc / (an[:, None] * nn[None, :])
+        # sort key: cosine desc, NaN/NULL last; stable argsort over
+        # id-sorted columns supplies the (…, nbr asc) tie-break for
+        # finite ties AND within the NaN group
+        key = np.where(np.isnan(cos), np.inf, -cos)
+        n_rows, n_cols = cos.shape
+        window = min(k + 1, n_cols) if self_block else min(k, n_cols)
+        order = np.argsort(key, axis=1, kind="stable")[:, :window]
+        rows = np.repeat(np.arange(n_rows), order.shape[1])
+        cols = order.ravel()
         if self_block:
             # ids are hash-disjoint across blocks, so self-pairs only
-            # exist on the diagonal of a same-block panel
-            np.fill_diagonal(key, np.inf)
-        order = np.argsort(key, axis=1, kind="stable")[:, :k]
-        rows = np.repeat(np.arange(cos.shape[0]), order.shape[1])
-        cols = order.ravel()
-        keep = key[rows, cols] != np.inf  # drop self-pairs
+            # exist on the diagonal of a same-block panel; the window
+            # is k+1 wide so dropping self still leaves k candidates,
+            # and NaN self-rows tie into the NaN group by id like the
+            # merge window would
+            valid = (cols != rows).reshape(n_rows, -1)
+            pos = np.cumsum(valid, axis=1) - 1
+            keep = (valid & (pos < k)).ravel()
+        else:
+            keep = np.ones(len(cols), dtype=bool)
         return pd.DataFrame(
             {
                 "anchor": anchor_ids[rows[keep]],

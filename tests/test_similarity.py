@@ -841,3 +841,59 @@ def test_cosine_knn_all_matches_window_over_all_pairs(spark):
         .collect()
     }
     assert got == want
+
+
+def test_cosine_knn_all_nan_ordering_matches_window(spark):
+    """Zero-norm vectors produce NaN cosines, which cross Arrow as
+    NULL — so the merge window ranks them LAST (desc = NULLS LAST),
+    and the kernel's LOCAL top-k must use the same order or the
+    forwarded candidate set is wrong (the first kernel version sorted
+    NaN first and this test caught the divergence live)."""
+    from marketdatapipeline_spark.similarity.search import cosine_knn_all
+
+    v = _vectors()
+    v[2] = 0.0  # zero-norm rows: every cosine against them is NaN
+    v[7] = 0.0
+    rows = [(i, v[i].tolist()) for i in range(N)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    k = 3
+
+    got = {
+        (r["anchor"], r["rank"]): r["nbr"]
+        for r in cosine_knn_all(df, k=k, num_blocks=4).collect()
+    }
+    # independent numpy reference (NOT cosine_pairs_above: its
+    # ``cosine >= threshold`` filter DROPS NaN rows — correct for a
+    # threshold-pair operator, wrong for top-k ranking): exact
+    # sequential-fold cosines, NaN/NULL last, neighbor-id tie-break.
+    v64 = v.astype(np.float64)  # float32 -> double, the kernel's cast
+    want = {}
+    for i in range(N):
+        cos = np.zeros(N)
+        for j in range(N):
+            acc = 0.0
+            na = nb = 0.0
+            for d in range(DIM):
+                acc = acc + v64[i, d] * v64[j, d]
+                na = na + v64[i, d] * v64[i, d]
+                nb = nb + v64[j, d] * v64[j, d]
+            with np.errstate(invalid="ignore"):
+                cos[j] = acc / (np.sqrt(na) * np.sqrt(nb))
+        key = np.where(np.isnan(cos), np.inf, -cos)
+        order = sorted(
+            (j for j in range(N) if j != i), key=lambda j: (key[j], j)
+        )[:k]
+        for rnk, j in enumerate(order, start=1):
+            want[(i, rnk)] = j
+    assert got == want
+    # the NaN neighbors (zero-norm ids 2, 7) rank LAST everywhere;
+    # for the zero-norm anchor itself every cosine is NULL, so its
+    # top-3 is pure id order
+    assert want[(2, 1)] == 0 and want[(2, 2)] == 1 and want[(2, 3)] == 3
+    assert 2 not in (got[(0, 1)], got[(0, 2)], got[(0, 3)])
