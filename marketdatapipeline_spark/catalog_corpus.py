@@ -12361,7 +12361,12 @@ def q_events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk AS (
         SELECT anchor, anchor_label, nbr_label,
                row_number() OVER (
-                   PARTITION BY anchor ORDER BY cosine DESC, nbr
+                   -- NaN cosines (zero-norm embeddings) rank LAST to
+                   -- match the Spark kernel's Arrow-NULL + DESC NULLS
+                   -- LAST convention; bare DESC in DuckDB sorts NaN
+                   -- greater than every number (FIRST)
+                   PARTITION BY anchor
+                   ORDER BY isnan(cosine), cosine DESC, nbr
                ) AS rnk
         FROM scored
     ),

@@ -703,23 +703,30 @@ def _clusters_driver(
     singletons via the left join + coalesce, exactly like the
     distributed tail. Assumes unique node ids (the doc-table
     contract — both routes count one row per node)."""
+    import pandas as pd
     from pyspark.sql import types as T
 
     spark = nodes.sparkSession
-    rows = edges.collect()
-    touched = sorted({r["_src"] for r in rows} | {r["_dst"] for r in rows})
+    # Arrow-batched collect (toPandas): at the 2M-edge threshold this
+    # moves two flat int columns (~32 MB) instead of 2M boxed Row
+    # objects, and the touched-id / label frames ship back the same
+    # way — the driver route's worst case stays bounded (r11 advice).
+    epdf = edges.select("_src", "_dst").toPandas()
+    src_ids = epdf["_src"].tolist()
+    dst_ids = epdf["_dst"].tolist()
+    touched = sorted(set(src_ids) | set(dst_ids))
     id_type = nodes.schema[id_col].dataType
     if touched:
         t_df = spark.createDataFrame(
-            [(t,) for t in touched],
+            pd.DataFrame({id_col: touched}),
             T.StructType([T.StructField(id_col, id_type)]),
         )
-        member = {
-            r[0]
-            for r in nodes.join(F.broadcast(t_df), id_col, "left_semi")
+        member = set(
+            nodes.join(F.broadcast(t_df), id_col, "left_semi")
             .select(id_col)
-            .collect()
-        }
+            .toPandas()[id_col]
+            .tolist()
+        )
     else:
         member = set()
     parent = {v: v for v in member}
@@ -732,8 +739,7 @@ def _clusters_driver(
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r["_src"], r["_dst"]
+    for a, b in zip(src_ids, dst_ids):
         if a in parent and b in parent:
             ra, rb = find(a), find(b)
             if ra != rb:
@@ -752,9 +758,20 @@ def _clusters_driver(
             T.StructField("_csz", T.IntegerType()),
         ]
     )
-    lbl_df = spark.createDataFrame(
-        [(v, l, counts[l]) for v, l in sorted(labels.items())], lbl_schema
-    )
+    ordered = sorted(labels.items())
+    if ordered:
+        lbl_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "_id": [v for v, _ in ordered],
+                    "_lbl": [l for _, l in ordered],
+                    "_csz": [counts[l] for _, l in ordered],
+                }
+            ),
+            lbl_schema,
+        )
+    else:
+        lbl_df = spark.createDataFrame([], lbl_schema)
     return (
         nodes.select(F.col(id_col))
         .join(

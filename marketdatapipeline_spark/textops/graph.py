@@ -207,7 +207,13 @@ def _damped_rank(
     for _ in range(iterations):
         src = pr.select(
             F.col("node").alias("_src"),
-            (F.col("pr") / F.col("strength")).alias("_ps"),
+            # try_divide: a zero-strength node (weights summing to
+            # exactly 0) gets a NULL per-edge rate instead of an ANSI
+            # DIVIDE_BY_ZERO crash; the NULL propagates through the
+            # contribution product and the null-skipping sum, so such
+            # nodes surface with pr NULL (r12, ADVICE parity fix —
+            # the driver twin mirrors this exactly)
+            F.try_divide(F.col("pr"), F.col("strength")).alias("_ps"),
         )
         contrib = (
             und.join(src, "_src")
@@ -272,6 +278,9 @@ def _damped_rank_driver(
     for r in rows:
         s = r["_src"]
         deg[s] = deg.get(s, 0) + 1
+        # non-finite weights raise here (OverflowError) just as the
+        # plan's ANSI cast(w AS decimal) raises — weights are
+        # data-contract finite cosines in every caller
         st_scaled[s] = st_scaled.get(s, 0) + _dec18_scaled(r["_w"])
     strength = {v: _unscale18(t) for v, t in st_scaled.items()}
     n = len(deg)
@@ -290,23 +299,45 @@ def _damped_rank_driver(
     nf = float(n)
     pr = {v: 1.0 / nf for v in deg}
     for _ in range(iterations):
-        ps = {u: p / strength[u] for u, p in pr.items()}
+        # pr / strength is try_divide in the plan: NULL on a zero
+        # divisor or NULL operand, never a crash (r12 ADVICE fix —
+        # the twin used to raise ZeroDivisionError, the plan used to
+        # raise ANSI DIVIDE_BY_ZERO).
+        ps: dict = {}
+        for u, p in pr.items():
+            s = strength[u]
+            ps[u] = None if (p is None or s == 0.0) else p / s
+        # contribution agg: cast((w * ps) AS decimal) nulls non-finite
+        # terms, sum() skips them but the groupBy still emits a group
+        # (NULL sum) for every _dst reached through the join — mirror
+        # with a seen-set so such nodes keep a NULL rank row instead
+        # of vanishing.
         acc: dict = {}
+        seen: set = set()
         for r in rows:
             u = r["_src"]
             if u not in ps:  # mirrors the inner joins' row drops
                 continue
-            term = r["_w"] * ps[u]
             d = r["_dst"]
+            seen.add(d)
+            if ps[u] is None:
+                continue
+            term = r["_w"] * ps[u]
             acc[d] = acc.get(d, 0) + _dec18_scaled(term)
         # base JOIN contrib is inner: only nodes that received a
-        # contribution carry a rank into the next round (total on any
-        # symmetrized graph — every non-isolated node has an in-edge)
-        pr = {
-            v: (1.0 - damping) / nf + damping * _unscale18(t)
-            for v, t in acc.items()
-            if v in deg
-        }
+        # contribution row carry a rank into the next round (total on
+        # any symmetrized graph — every non-isolated node has an
+        # in-edge)
+        pr = {}
+        for v in seen:
+            if v not in deg:
+                continue
+            t = acc.get(v)
+            pr[v] = (
+                None
+                if t is None
+                else (1.0 - damping) / nf + damping * _unscale18(t)
+            )
     return spark.createDataFrame(
         [
             (v, deg[v], strength[v], p)

@@ -283,3 +283,45 @@ def test_pagerank_driver_route_empty_graph(spark):
 
     df = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
     assert pagerank(df, driver_route_max_edges=10**9).collect() == []
+
+
+def test_weighted_pagerank_zero_strength_routes_agree(spark):
+    """r12 (ADVICE): a node whose incident weights sum to exactly 0.0
+    used to crash BOTH routes — ZeroDivisionError in the size-routed
+    driver twin, ANSI DIVIDE_BY_ZERO in the distributed plan. The
+    rate division is now try_divide (NULL on zero strength, rank
+    surfaces as NULL) and the twin mirrors it; both routes must
+    return identical rows."""
+    import math
+
+    from marketdatapipeline_spark.textops.graph import weighted_pagerank
+
+    # node 1-2 carry a zero-weight edge (strength 0 for node 2's only
+    # edge); nodes 3-4-5 are an ordinary weighted triangle
+    wedges = [
+        (1, 2, 0.0),
+        (3, 4, 0.5),
+        (4, 5, 1.5),
+        (3, 5, 0.25),
+    ]
+    df = spark.createDataFrame(wedges, ["id_a", "id_b", "weight"])
+
+    def snap(route_max):
+        return {
+            r["node"]: (r["strength"], r["pr"])
+            for r in weighted_pagerank(
+                df, driver_route_max_edges=route_max
+            ).collect()
+        }
+
+    dist = snap(0)       # forced distributed
+    drv = snap(10**9)    # forced driver twin
+    assert set(dist) == set(drv)
+    for v in dist:
+        for a, b in zip(dist[v], drv[v]):
+            if a is None or b is None:
+                assert a is b, (v, dist[v], drv[v])
+            elif isinstance(a, float) and math.isnan(a):
+                assert isinstance(b, float) and math.isnan(b), (v, dist[v], drv[v])
+            else:
+                assert a == b, (v, dist[v], drv[v])

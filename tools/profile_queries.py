@@ -40,7 +40,6 @@ def main() -> None:
         jobs = stages = tasks = 0
         for rep in range(args.reps):
             release_caches()
-            j0 = set(tracker.getJobIdsForGroup(None) or [])
             # count via a fresh job group so ids are attributable
             group = f"prof-{name}-{rep}"
             sc.setJobGroup(group, name)
