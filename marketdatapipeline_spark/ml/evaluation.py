@@ -108,11 +108,42 @@ def roc_auc(
     continuous score with one distinct value per row never funnels
     through a single task; the aggregation itself is fully
     distributed with map-side partials.
+
+    Small route (r12): at or below the ranking operator's single-task
+    threshold the distinct-score groupBy buys nothing (a continuous
+    score keeps one row per input row — the r11 measurement showed
+    the shuffle + cumsum machinery dominating the sf0.1 timing), so
+    the whole statistic computes inside ONE ordered window pass: two
+    range frames over the same sort give the tie-inclusive and
+    tie-peer counts, and ``2*avg_rank = 2*cnt_le - cnt_eq + 1`` stays
+    in exact int64. Same integers, same single float division —
+    value-identical to the distributed route (parity-pinned).
     """
+    from marketdatapipeline_spark.operators import ranking
     from marketdatapipeline_spark.operators.ranking import global_row_number
 
     y = F.col(label_col).cast("long")
     s = F.col(score_col).cast("double")
+    if (
+        size_hint is not None
+        and size_hint <= ranking.SINGLE_TASK_THRESHOLD
+    ):
+        wo = Window.orderBy("_s")
+        cnt_le = F.count(F.lit(1)).over(
+            wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cnt_eq = F.count(F.lit(1)).over(
+            wo.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        per = df.select(s.alias("_s"), y.alias("_y")).select(
+            "_y", (2 * cnt_le - cnt_eq + 1).alias("_2r")
+        )
+        agg = per.agg(
+            F.sum(F.when(F.col("_y") == 1, F.col("_2r"))).alias("_r2"),
+            F.sum("_y").alias("_p"),
+            F.sum(1 - F.col("_y")).alias("_neg"),
+        )
+        return _auc_from_doubled_ranksum(agg)
     g = (
         df.select(s.alias("_s"), y.alias("_y"))
         .groupBy("_s")
@@ -132,6 +163,13 @@ def roc_auc(
         F.sum("_np").alias("_p"),
         F.sum(F.col("_n") - F.col("_np")).alias("_neg"),
     )
+    return _auc_from_doubled_ranksum(agg)
+
+
+def _auc_from_doubled_ranksum(agg: DataFrame) -> DataFrame:
+    """AUC from the shared 1-row aggregate ``(_r2, _p, _neg)`` where
+    ``_r2`` is the doubled tie-averaged rank sum of the positives —
+    both roc_auc routes reduce to exactly these integers."""
     p, neg = F.col("_p"), F.col("_neg")
     # Single-class input (p or neg = 0) makes the divisor 0: return
     # 0.0 instead of NULL, matching _roc_auc_np's convention (a NULL

@@ -225,6 +225,38 @@ def test_roc_auc_known_values_and_ties(spark):
     assert roc_auc(df.filter(F.lit(False))).first()[0] == 0.0
 
 
+def test_roc_auc_small_route_parity(spark):
+    """r12: the size_hint fast path (single range-frame window, no
+    distinct-score groupBy) must be bit-identical to the distributed
+    distinct-score + cumsum route AND to the numpy twin, on random
+    scores with forced ties."""
+    import random
+
+    from marketdatapipeline_spark.ml.evaluation import _roc_auc_np
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(0, 1), round(rng.uniform(0, 1), 2))  # 2dp => ties
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["target", "score"])
+    fast = roc_auc(df, size_hint=500).first()[0]
+    dist = roc_auc(df, size_hint=None).first()[0]
+    ref = _roc_auc_np(
+        np.array([r[0] for r in rows]), np.array([r[1] for r in rows])
+    )
+    assert fast == dist, (fast, dist)
+    assert abs(fast - ref) < 1e-12
+    # fast-path degenerate cases share the 0.0-never-NULL guard
+    one_class = spark.createDataFrame(
+        [(1, 0.3), (1, 0.7)], ["target", "score"]
+    )
+    assert roc_auc(one_class, size_hint=2).first()[0] == 0.0
+    assert roc_auc(
+        one_class.filter(F.lit(False)), size_hint=0
+    ).first()[0] == 0.0
+
+
 def test_walk_forward_folds_expanding_and_leak_free(spark):
     """walk_forward_folds: folds partition time correctly — train
     grows by exactly one segment per fold, validation segments are
