@@ -7064,24 +7064,55 @@ def q_tpch_q5_local_supplier_volume(
 ) -> DataFrame:
     """TPC-H Q5 adapted (local supplier volume): the six-table star
     join with the supplier-nation = customer-nation co-location
-    predicate. Every dim (customer, supplier, nation, region) is
-    broadcast; lineitem shuffles once for the orders join. The region
-    pick is data-derived (min r_name) so the query is
-    fixture-agnostic. Revenue decimal-exact, round-6 at double's
+    predicate. The region pick is data-derived (min r_name) so the
+    query is fixture-agnostic. r12 static dim folding: region (5
+    rows) and nation (spec-bounded 25 rows) collect to driver
+    literals — the legal bounded-manifest shape — so the big join
+    tree carries a literal ``isin`` nation filter and a literal
+    nationkey→name map instead of two nested broadcast-join builds
+    (each an AQE stage job; this query's sf0.1 cost was ~17 job
+    launches, not data). Customer and supplier stay broadcast joins;
+    lineitem is scanned once. The 25-group-max final sort runs inside
+    one task (coalesce(1)) instead of paying a range-partitioning
+    sampling job. Revenue decimal-exact, round-6 at double's
     1e-8-ulp magnitudes."""
     from marketdatapipeline_spark.sources.tables import load_table
 
-    region = load_table(spark, sf_dir, "region")
-    rname = region.agg(F.min("r_name").alias("_r"))
-    r = region.join(
-        F.broadcast(rname), region.r_name == F.col("_r")
-    ).select("r_regionkey")
-    nation_all = load_table(spark, sf_dir, "nation")
-    nation = nation_all.join(
-        F.broadcast(r), nation_all.n_regionkey == r.r_regionkey
+    # two bare-scan collects (one job each, no agg/join stages); the
+    # min-region pick and the region->nation restriction are pure
+    # Python over the 5- and 25-row dims
+    region_rows = (
+        load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect()
     )
-    supp = load_table(spark, sf_dir, "supplier")
-    cust = load_table(spark, sf_dir, "customer")
+    rmin = min((r["r_name"] for r in region_rows), default=None)
+    rkeys = {r["r_regionkey"] for r in region_rows if r["r_name"] == rmin}
+    nation_rows = [
+        r
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+        if r["n_regionkey"] in rkeys
+    ]
+    nkeys = [r["n_nationkey"] for r in nation_rows]
+    name_map = (
+        F.create_map(
+            *[
+                F.lit(x)
+                for r in sorted(nation_rows)
+                for x in (r["n_nationkey"], r["n_name"])
+            ]
+        )
+        if nation_rows
+        else F.create_map(F.lit(0), F.lit(None).cast("string"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(nkeys)
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nkeys)
+    )
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -7095,7 +7126,7 @@ def q_tpch_q5_local_supplier_volume(
             (li.l_suppkey == supp.s_suppkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("n_name", name_map[F.col("s_nationkey")])
     )
     g = j.groupBy("n_name").agg(
         F.sum(
@@ -7106,9 +7137,11 @@ def q_tpch_q5_local_supplier_volume(
         .alias("_rev"),
         F.count(F.lit(1)).alias("n_lines"),
     )
-    return g.select(
-        "n_name", _r6(F.col("_rev")).alias("revenue"), "n_lines"
-    ).orderBy(F.desc("revenue"), "n_name")
+    return (
+        g.select("n_name", _r6(F.col("_rev")).alias("revenue"), "n_lines")
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("revenue"), "n_name")
+    )
 
 
 @register_extended(
