@@ -190,3 +190,105 @@ def test_watchdog_cancels_hung_unit_and_run_continues(spark):
     finally:
         bench._WATCHDOG["spark"] = old_spark
         bench._WATCHDOG["timeout"] = old_timeout
+
+
+def test_remeasure_series_keeps_best_attempt(monkeypatch):
+    """r12: a key whose warm median reads > OUTLIER_FACTOR x its
+    committed expectation is re-measured post-GC, best attempt wins;
+    in-band keys never re-run."""
+    st = bench._State("0.1")
+    monkeypatch.setitem(bench._WATCHDOG, "spark", None)
+    attempts = {"n": 0}
+
+    def make_fn(sp):
+        attempts["n"] += 1
+        return (0.5, [0.45, 0.46, 0.47])  # quiet-host series
+
+    # first measurement was a 5x outlier vs expected 0.4
+    got = bench.remeasure_series(
+        "k", make_fn, (2.0, [2.1, 2.2, 2.3]), {"k": 0.4}, st
+    )
+    assert attempts["n"] == 1  # one re-measure brought it in band
+    assert sorted(got[1])[1] == 0.46
+    assert st.remeasured["k"] == 1
+    # in-band result: no re-measure at all
+    st2 = bench._State("0.1")
+    attempts["n"] = 0
+    got2 = bench.remeasure_series(
+        "k", make_fn, (0.41, [0.41, 0.42, 0.43]), {"k": 0.4}, st2
+    )
+    assert attempts["n"] == 0 and st2.remeasured == {}
+    assert got2[1] == [0.41, 0.42, 0.43]
+    # no expectation on file: never re-run, value stands
+    st3 = bench._State("0.1")
+    got3 = bench.remeasure_series(
+        "unknown", make_fn, (9.0, [9.0, 9.1, 9.2]), {}, st3
+    )
+    assert got3[1] == [9.0, 9.1, 9.2] and st3.remeasured == {}
+
+
+def test_remeasure_gives_up_after_max_attempts(monkeypatch):
+    """A genuinely-slow key (every attempt out of band) records its
+    best attempt after MAX_REMEASURES — a real regression must not
+    retry forever or get masked."""
+    st = bench._State("0.1")
+    monkeypatch.setitem(bench._WATCHDOG, "spark", None)
+    calls = {"n": 0}
+
+    def make_fn(sp):
+        calls["n"] += 1
+        return (3.0, [3.0 - 0.1 * calls["n"]] * 3)
+
+    got = bench.remeasure_series(
+        "slow", make_fn, (3.5, [3.5, 3.6, 3.7]), {"slow": 0.4}, st
+    )
+    assert calls["n"] == bench.MAX_REMEASURES
+    assert st.remeasured["slow"] == bench.MAX_REMEASURES
+    assert sorted(got[1])[1] == pytest.approx(3.0 - 0.1 * calls["n"])
+
+
+def test_safe_unit_retries_on_uds_after_watchdog_wedge(spark, monkeypatch):
+    """r12 (verdict item 5): a watchdog-cancelled unit — a WEDGE, not
+    an ordinary failure — must trigger one UDS-channel session restart
+    and a retry, so the unit records a NUMBER instead of a null. The
+    restart itself is stubbed (a real stop would kill the shared test
+    session); its contract is covered by ensure_spark/get_spark tests."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    monkeypatch.setitem(bench._WATCHDOG, "spark", spark)
+    monkeypatch.setitem(bench._WATCHDOG, "timeout", 8.0)
+    monkeypatch.delenv("MDP_PY_UDS", raising=False)
+    restarts = {"n": 0}
+
+    def fake_restart(errors):
+        restarts["n"] += 1
+        os.environ["MDP_PY_UDS"] = "1"
+        errors["__uds_recovery__"] = "stubbed"
+        return spark
+
+    monkeypatch.setattr(bench, "restart_with_uds", fake_restart)
+    state = {"calls": 0}
+
+    @F.udf(LongType())
+    def stall_once(x):
+        time.sleep(600)
+        return x
+
+    def unit(sp):
+        state["calls"] += 1
+        if state["calls"] == 1:  # the wedge: hangs until cancelled
+            return sp.range(4).select(stall_once("id")).collect()
+        return 42
+
+    errors: dict[str, str] = {}
+    try:
+        val, _ = bench.safe_unit("wedgy", unit, errors)
+    finally:
+        monkeypatch.delenv("MDP_PY_UDS", raising=False)
+    assert val == 42  # the retry recorded a number, not a null
+    assert restarts["n"] == 1
+    assert "wedgy__watchdog" in errors  # evidence retained
+    assert "wedgy" not in errors  # the unit itself is not an error

