@@ -138,9 +138,13 @@ def run_feature_pipeline(
 #: MDP_BENCH_UNIT_TIMEOUT seconds it cancels the unit's job group
 #: (interrupt-on-cancel closes the worker sockets, which unwedges the
 #: kernel-blocked sender), escalating to cancelAllJobs a minute later.
+#: 480 s default (r12): the 100M decade legitimately runs ~100-200 s
+#: and a 3x-loaded host must not get its slowest-but-alive unit
+#: cancelled; a true wedge still converts to an error (and a UDS
+#: retry) inside 8 minutes.
 _WATCHDOG = {
     "spark": None,
-    "timeout": float(os.environ.get("MDP_BENCH_UNIT_TIMEOUT", "300")),
+    "timeout": float(os.environ.get("MDP_BENCH_UNIT_TIMEOUT", "480")),
 }
 
 

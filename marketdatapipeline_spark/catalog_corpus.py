@@ -7261,8 +7261,26 @@ def q_tpch_q17_small_quantity_revenue(
     sequence both engines; brand pick data-derived."""
     from marketdatapipeline_spark.sources.tables import load_table
 
+    from marketdatapipeline_spark.caching import scoped_persist
+
     li = load_table(spark, sf_dir, "lineitem")
-    avgq = li.groupBy("l_partkey").agg(
+    part = load_table(spark, sf_dir, "part")
+    # brand pick as a 1-row scalar probe (the q5 pattern, r12); the
+    # brand's partkey set scales with SF so it STAYS a broadcast join
+    brand = part.agg(F.min("p_brand")).collect()[0][0]
+    p = part.filter(F.col("p_brand") == F.lit(brand)).select("p_partkey")
+    # restrict the fact FIRST: the limit is per-part, and the brand
+    # filter is part-level, so per-part averages over the filtered
+    # rows are identical for every surviving part — the old full-fact
+    # avg aggregated 25x more rows than the query can use. One scan:
+    # the filtered slice persists and feeds both the limit agg and
+    # the final filter.
+    li_b = scoped_persist(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+    )
+    avgq = li_b.groupBy("l_partkey").agg(
         (
             F.lit(0.2)
             * (
@@ -7273,15 +7291,11 @@ def q_tpch_q17_small_quantity_revenue(
             )
         ).alias("lim")
     )
-    part = load_table(spark, sf_dir, "part")
-    brand = part.agg(F.min("p_brand").alias("_b"))
-    p = part.join(F.broadcast(brand), part.p_brand == F.col("_b")).select(
-        "p_partkey"
-    )
-    j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avgq, "l_partkey")
-        .filter(F.col("l_quantity") < F.col("lim"))
+    # no broadcast hint on avgq: it is tiny at catalog scale (AQE
+    # converts to broadcast at runtime) but scales with SF — a forced
+    # broadcast would be wrong at 100 TB
+    j = li_b.join(avgq, "l_partkey").filter(
+        F.col("l_quantity") < F.col("lim")
     )
     return j.agg(
         _r6(
@@ -11095,15 +11109,24 @@ def q_tpch_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # pre-aggregate lineitem at ORDER grain first (r12): o_orderkey is
+    # unique in orders, so the old count_distinct over the joined rows
+    # was a hidden Expand — every row duplicated through the custkey
+    # shuffle. Per-order decimal sums then per-customer count(*)+sum
+    # are both plain map-side-combinable aggs, and decimal addition is
+    # associative so the cent-rounded LTV is bit-identical.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice")
+             * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)")
+        ).alias("_orev")
+    )
     rev = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.count_distinct("o_orderkey").alias("n_orders"),
-            F.sum(
-                (F.col("l_extendedprice")
-                 * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)")
-            )
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_orev")
             # cent-round in decimal space (HALF_UP on the exact value
             # both engines); the double cast is then exact
             .cast("decimal(28,2)")
@@ -12182,41 +12205,49 @@ def q_tpch_q21_waiting_suppliers(
     and per-order last-ship tables (timestamp max — exact), the
     unique-blocker test is an integer count at the order grain, and
     the top-20 cut ties break on the unique s_name. The fact table
-    aggregates BEFORE any join, so only order-grain rows shuffle."""
+    aggregates BEFORE any join, so only order-grain rows shuffle.
+    r12 reshape: the order-grain stats are STACKED WINDOW columns
+    over the (order, supplier) table instead of a groupBy + self-join
+    — the old plan consumed the unpersisted per-supplier agg twice
+    (full fact re-aggregation) and re-exchanged it for the join; now
+    one agg, one orderkey exchange shared by the finished-order
+    semi-join and both window passes, no self-join."""
     from marketdatapipeline_spark.sources.tables import load_table
 
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_last")
-    )
-    wmx = W.partitionBy("l_orderkey")
-    per_order = (
-        per_supp.withColumn("mx", F.max("supp_last").over(wmx))
-        .groupBy("l_orderkey")
-        .agg(
-            F.max("supp_last").alias("order_last"),
-            F.count(F.lit(1)).alias("n_supps"),
-            F.count(
-                F.when(F.col("supp_last") == F.col("mx"), F.lit(1))
-            ).alias("n_at_max"),
-        )
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders_f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    supp = load_table(spark, sf_dir, "supplier")
-    j = (
-        per_supp.join(per_order, "l_orderkey")
-        .filter(
-            (F.col("n_supps") > 1)
-            & (F.col("n_at_max") == 1)
-            & (F.col("supp_last") == F.col("order_last"))
+    per_supp = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+        # finished orders only, BEFORE the window pass (drops whole
+        # orders, so the per-order counts below are unchanged)
+        .join(
+            orders_f,
+            F.col("l_orderkey") == orders_f.o_orderkey,
+            "left_semi",
         )
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
     )
+    wmx = W.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn(
+        "mx", F.max("supp_last").over(wmx)
+    ).withColumns(
+        {
+            "n_supps": F.count(F.lit(1)).over(wmx),
+            "n_at_max": F.count(
+                F.when(F.col("supp_last") == F.col("mx"), F.lit(1))
+            ).over(wmx),
+        }
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    j = flagged.filter(
+        (F.col("n_supps") > 1)
+        & (F.col("n_at_max") == 1)
+        & (F.col("supp_last") == F.col("mx"))
+    ).join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
     return (
         j.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
