@@ -697,6 +697,25 @@ def _run_all(spark, sf_dir: str, st: _State) -> None:
     if not os.environ.get("MDP_BENCH_SKIP_100M"):
         decades.append(("feature_pipeline_100m", 100, 1, 1))
     for label, mult, reps, wus in decades:
+        # Proactive channel switch at the 50M boundary (r12): both
+        # the r11 and r12 clean runs saw loopback TCP degrade at
+        # >=50M rows of sustained bidirectional Arrow flow (r12: 50M
+        # limped at 760k rows/s, then 100M wedged outright and only
+        # the UDS watchdog-retry recorded a number). UDS has no TCP
+        # window machinery to jam and measured FASTER there (50M
+        # 3.14M, 100M 3.48M rows/s standalone); its ~15% tax on
+        # smaller shapes keeps TCP for the 5M/10M decades.
+        if mult >= 50 and not os.environ.get("MDP_PY_UDS"):
+            os.environ["MDP_PY_UDS"] = "1"
+            try:
+                spark.stop()
+            except BaseException:
+                pass
+            from marketdatapipeline_spark.session import get_spark
+
+            spark = get_spark(app_name="bench")
+            _WATCHDOG["spark"] = spark
+            st.host["decades_channel"] = "uds from 50M (proactive)"
         spark = ensure_spark(spark, st.errors)
         _WATCHDOG["spark"] = spark
 
