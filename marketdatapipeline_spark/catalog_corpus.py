@@ -12472,7 +12472,14 @@ def q_embeddings_knn_label_purity(
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 7 == 0)
     lab = emb.select("vec_id", "label")
-    top3 = cosine_knn_all(emb, k=3)
+    top3 = cosine_knn_all(
+        emb,
+        k=3,
+        # parquet-footer row count / 7 bounds the sample: shrinks the
+        # block fan-out to the data (routing only — any block count
+        # returns identical rows)
+        size_hint=_pq_rows(spark, sf_dir, "embeddings") // 7 + 1,
+    )
     j = (
         top3.join(
             F.broadcast(lab.select(F.col("vec_id").alias("anchor"),
