@@ -11736,12 +11736,22 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdatapipeline_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # ONE part broadcast, BELOW the aggregation (r12): the join both
+    # filters non-qualifying parts out of the agg/window (per-part
+    # state — surviving rows unchanged) and carries the part
+    # attributes through the group keys (functionally dependent on
+    # l_partkey, so the group cardinality is identical)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    li = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
         "decimal(28,10)"
     )
-    avail = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit).cast("double").alias("min_unit_price")
-    )
+    avail = li.groupBy(
+        "l_partkey", "l_suppkey", "p_partkey", "p_brand", "p_type"
+    ).agg(F.min(unit).cast("double").alias("min_unit_price"))
     # best-price-per-part as a WINDOW MIN over the aggregated table
     # (r9): the agg+equi-join restatement of the oracle's `best` CTE
     # exchanged the avail table three more times (second agg, then
@@ -11754,15 +11764,43 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = avail.withColumn("_best", best_w).filter(
         F.col("min_unit_price") == F.col("_best")
     )
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    # nation (spec-bounded 25 rows) and region (5) fold to a literal
+    # nationkey -> (n_name, r_name) map via two bare-scan collects —
+    # the q5 pattern; two broadcast-join builds disappear from the
+    # join tree. Supplier/part scale with SF and stay broadcast joins.
+    reg_names = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect()
+    }
+    nat_rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    nation_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in sorted(nat_rows)
+            for x in (r["n_nationkey"], r["n_name"])
+        ]
+    ) if nat_rows else F.create_map(F.lit(0), F.lit(None).cast("string"))
+    region_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in sorted(nat_rows)
+            for x in (r["n_nationkey"], reg_names.get(r["n_regionkey"]))
+        ]
+    ) if nat_rows else F.create_map(F.lit(0), F.lit(None).cast("string"))
     supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
     j = (
-        avail.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        avail.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .withColumn("n_name", nation_map[F.col("s_nationkey")])
+        .withColumn("r_name", region_map[F.col("s_nationkey")])
+        # inner-join semantics of the folded dims: a supplier with a
+        # nationkey outside the nation table would have joined away
+        .filter(F.col("n_name").isNotNull() & F.col("r_name").isNotNull())
     )
     return (
         j.select(
