@@ -12344,7 +12344,13 @@ def q_embeddings_distance_histogram(
     hash the same way); pairs come from the blocked numpy-matmul
     path, never a per-pair expression join."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 7 == 0)
-    pairs = cosine_pairs_above(emb, threshold=-1.1, method="blocked")
+    pairs = cosine_pairs_above(
+        emb,
+        threshold=-1.1,
+        method="blocked",
+        # shrink the kernel fan-out to the 1-in-7 sample (routing only)
+        size_hint=_pq_rows(spark, sf_dir, "embeddings") // 7 + 1,
+    )
     binned = pairs.select(
         F.floor(F.col("cosine") * F.lit(20.0)).cast("int").alias("bin")
     )

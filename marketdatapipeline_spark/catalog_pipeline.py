@@ -481,7 +481,9 @@ def q_similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdatapipeline_spark.similarity import cosine_pairs_above
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 1000)
-    pairs = cosine_pairs_above(emb, threshold=0.4)
+    # the id filter bounds the sample at 1000 vectors: shrink the
+    # blocked kernel's fan-out to match (routing only, r12)
+    pairs = cosine_pairs_above(emb, threshold=0.4, size_hint=1000)
     return pairs.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 

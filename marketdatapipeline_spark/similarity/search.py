@@ -505,6 +505,7 @@ def cosine_pairs_above(
     n_planes: int = 8,
     bands: int = 2,
     candidates: DataFrame | None = None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """All vector pairs with cosine >= threshold (embedding near-dup),
     ``id_a < id_b``, exact fold-cosine values in every method.
@@ -528,12 +529,22 @@ def cosine_pairs_above(
     Pass ``candidates`` (id_a, id_b) to skip generation and verify an
     externally-produced pair set (mirrors jaccard_similar_pairs);
     external sets are assumed probe-sized and are broadcast.
+
+    ``size_hint`` (r12, blocked method): approximate input rows —
+    shrinks the block fan-out to the data exactly as in
+    :func:`cosine_knn_all` (routing only; the pair set is
+    block-count-invariant). A few-hundred-vector calibration sample
+    should not pay 136 Python kernel launches.
     """
     if candidates is not None:
         return _exact_pair_rerank(
             df, candidates, threshold, id_col, vec_col, broadcast_pairs=True
         )
     if method == "blocked":
+        if size_hint is not None:
+            num_blocks = max(
+                1, min(num_blocks, -(-int(size_hint) // 2000))
+            )
         return _blocked_exact_pairs(df, threshold, id_col, vec_col, num_blocks)
     if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
