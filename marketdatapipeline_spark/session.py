@@ -38,6 +38,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 1 MB minPartitionSize is measured in COMPRESSED
+        # shuffle bytes: a 100k-row decimal-heavy window input
+        # compresses under it, so AQE coalesced whole window/agg
+        # stages to ONE task and serialized the math (r12 forensics:
+        # bars_hurst_exponent ran 4 stages x 1 task, 1.5 s of
+        # single-threaded decimal sums). 256k measured best across an
+        # 18-key bench-methodology A/B (total 14.3 s vs 16.7 at 64k
+        # and 17.6 at the 1 MB default): enough floor that join-churny
+        # plans don't splinter, small enough that compute-dense window
+        # stages parallelize. Large shuffles are untouched (their
+        # per-partition share exceeds any floor) and values are
+        # partition-count invariant by the engine's decimal-sum
+        # discipline.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Measured on this container (tools/bench_variant.py): a 48g
