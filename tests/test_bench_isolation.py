@@ -292,3 +292,27 @@ def test_safe_unit_retries_on_uds_after_watchdog_wedge(spark, monkeypatch):
     assert restarts["n"] == 1
     assert "wedgy__watchdog" in errors  # evidence retained
     assert "wedgy" not in errors  # the unit itself is not an error
+
+
+def test_remeasure_budget_caps_global_attempts(monkeypatch):
+    """r12: on a uniformly-slow host every key would read out of band;
+    the GLOBAL budget stops re-measuring once spent so the run cannot
+    triple in length — later keys record as measured."""
+    monkeypatch.setitem(bench._WATCHDOG, "spark", None)
+    monkeypatch.setitem(bench._REMEASURE_SPENT, "n", 0)
+    monkeypatch.setattr(bench, "REMEASURE_BUDGET", 3)
+    st = bench._State("0.1")
+    calls = {"n": 0}
+
+    def slow(sp):
+        calls["n"] += 1
+        return (9.0, [9.0, 9.0, 9.0])  # never comes in band
+
+    exp = {f"k{i}": 0.1 for i in range(10)}
+    for i in range(10):
+        bench.remeasure_series(
+            f"k{i}", slow, (9.0, [9.0, 9.0, 9.0]), exp, st
+        )
+    assert calls["n"] == 3  # budget, not 10 keys x MAX_REMEASURES
+    assert bench._REMEASURE_SPENT["n"] == 3
+    assert sum(st.remeasured.values()) == 3
