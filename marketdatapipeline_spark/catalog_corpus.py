@@ -141,6 +141,55 @@ def q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extended(
+    "corpus_weighted_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, len({_WS_SQL}) AS wgt FROM documents
+    ),
+    c AS (
+        SELECT doc_id, wgt,
+               sum(CAST(wgt AS DECIMAL(28,10)))
+                   OVER (ORDER BY doc_id) AS cw,
+               sum(CAST(wgt AS DECIMAL(28,10))) OVER () AS tw
+        FROM w
+    )
+    SELECT doc_id, CAST(wgt AS DOUBLE) AS weight,
+           CAST(floor(CAST(cw AS DOUBLE) * 100.0 / CAST(tw AS DOUBLE))
+                AS BIGINT) AS tick
+    FROM c
+    WHERE floor(CAST(cw AS DOUBLE) * 100.0 / CAST(tw AS DOUBLE))
+          > floor(CAST(cw - wgt AS DOUBLE) * 100.0 / CAST(tw AS DOUBLE))
+    """,
+)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probability-proportional-to-size systematic
+    sample of ~100 documents weighted by word count
+    (textops/corpus.py:systematic_weighted_sample) — the
+    quality-weighted subsampling step of a data-mixing pipeline,
+    with zero randomness: the selected set is rerun- and
+    engine-identical. Cumulative weights are exact decimal sums over
+    the doc-id order (the DISTRIBUTED running-sum operator above the
+    single-task threshold); the tick quotient evaluates in DOUBLE
+    from those exact decimals, so both engines floor the identical
+    IEEE value. Output is integers plus an exact-integer-valued
+    double — nothing rounds."""
+    from marketdatapipeline_spark.textops.corpus import (
+        _words,
+        systematic_weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_words("text")).alias("wgt")
+    )
+    return systematic_weighted_sample(
+        docs,
+        k=100,
+        weight_col="wgt",
+        size_hint=_pq_rows(spark, sf_dir, "documents"),
+    ).orderBy("doc_id")
+
+
+@register_extended(
     "corpus_chunks",
     """
     WITH idx AS (

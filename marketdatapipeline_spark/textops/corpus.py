@@ -56,6 +56,7 @@ __all__ = [
     "bigram_perplexity",
     "unigram_perplexity",
     "quality_screen",
+    "systematic_weighted_sample",
     "zipf_fit",
 ]
 
@@ -1328,4 +1329,80 @@ def quality_screen(
         (
             ~too_short & ~low_entropy & ~digit_heavy & ~repetitive
         ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted systematic sampling (PPS corpus subsampling)
+# ---------------------------------------------------------------------------
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    size_hint: int | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size systematic
+    sample of ~``k`` rows — the quality-weighted corpus subsampling
+    step of a data-mixing pipeline (pick ~k documents with inclusion
+    probability proportional to ``weight_col``, e.g. token count or a
+    quality score), with NO randomness: reruns and both engines select
+    the identical set.
+
+    Classic systematic PPS: order rows by ``id_col`` (unique by
+    contract), accumulate exact decimal cumulative weights ``cw``,
+    and select every row whose weight interval ``(cw - w, cw]``
+    contains a sampling tick ``j * W / k`` (``W`` = total weight,
+    ``j = 1..k``) — i.e. ``floor(cw*k/W) > floor((cw-w)*k/W)``. Rows
+    heavier than ``W/k`` span multiple ticks but are emitted once
+    (the standard without-replacement clamp); the emitted ``tick`` is
+    the highest tick index inside the interval.
+
+    Exactness contract: the cumulative and total weights are exact
+    ``decimal(28,10)`` sums (association-free — the DISTRIBUTED
+    running sum, operators/ranking.py, above the single-task
+    threshold), and the tick quotient is evaluated in DOUBLE from
+    those exact decimals: both engines cast the identical decimal to
+    the identical correctly-rounded double and apply the same IEEE
+    multiply/divide/floor, so the selected set is engine-identical
+    even where the double quotient rounds differently from the ideal
+    rational. ``try_divide`` keeps an all-zero-weight frame a
+    no-rows result instead of an ANSI crash.
+
+    Scale: one pass through the cumsum operator + a scan-side filter;
+    nothing quadratic, no collect. ``size_hint`` routes the cumsum
+    (physical only, see global_row_number).
+    """
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    dec = "decimal(28,10)"
+    d = df.select(
+        F.col(id_col), F.col(weight_col).cast(dec).alias("_w")
+    )
+    r = global_row_number(
+        d,
+        id_col,
+        out_col="_rn",
+        cumsum={"_cw": "_w"},
+        cumsum_totals={"_tw": "_cw"},
+        size_hint=size_hint,
+    )
+    kd = F.lit(float(k))
+    c_tick = F.floor(
+        F.try_divide(F.col("_cw").cast("double") * kd,
+                     F.col("_tw").cast("double"))
+    )
+    p_tick = F.floor(
+        F.try_divide((F.col("_cw") - F.col("_w")).cast("double") * kd,
+                     F.col("_tw").cast("double"))
+    )
+    return (
+        r.filter(c_tick > p_tick)
+        .select(
+            F.col(id_col),
+            F.col("_w").cast("double").alias("weight"),
+            c_tick.cast("bigint").alias("tick"),
+        )
     )

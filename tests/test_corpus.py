@@ -653,3 +653,69 @@ def test_training_shard_export_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="does not match"):
         read_training_shards(spark, path, verify=True)
+
+
+def test_systematic_weighted_sample_matches_python_reference(spark):
+    """r12: the PPS systematic sample must select exactly the rows a
+    scalar reference selects (same decimal->double->floor pipeline),
+    emit each at its highest contained tick, clamp heavy rows to one
+    emission, and be identical across the single-task and distributed
+    cumsum routes and under input re-partitioning."""
+    import random
+    from decimal import Decimal
+
+    from marketdatapipeline_spark.textops.corpus import (
+        systematic_weighted_sample,
+    )
+
+    rng = random.Random(42)
+    rows = [(i, rng.randint(1, 50)) for i in range(400)]
+    # one monster row heavier than W/k: must appear exactly once
+    rows[137] = (137, 5000)
+    k = 25
+
+    def reference():
+        tw = sum(Decimal(w) for _, w in rows)
+        twd = float(tw)
+        out = {}
+        cw = Decimal(0)
+        for i, w in sorted(rows):
+            prev = cw
+            cw += Decimal(w)
+            c_tick = float(cw) * float(k) / twd
+            p_tick = float(prev) * float(k) / twd
+            import math
+
+            if math.floor(c_tick) > math.floor(p_tick):
+                out[i] = math.floor(c_tick)
+        return out
+
+    want = reference()
+    df = spark.createDataFrame(rows, ["doc_id", "wgt"])
+
+    def got(frame, **kw):
+        return {
+            r["doc_id"]: r["tick"]
+            for r in systematic_weighted_sample(
+                frame, k=k, weight_col="wgt", **kw
+            ).collect()
+        }
+
+    g1 = got(df, size_hint=400)            # single-task window route
+    g2 = got(df.repartition(13))           # probed route, reshuffled
+    from marketdatapipeline_spark.operators import ranking
+
+    old = ranking.SINGLE_TASK_THRESHOLD
+    ranking.SINGLE_TASK_THRESHOLD = 0      # force the distributed path
+    try:
+        g3 = got(df)
+    finally:
+        ranking.SINGLE_TASK_THRESHOLD = old
+    assert g1 == want
+    assert g2 == want
+    assert g3 == want
+    assert list(want).count(137) == 1      # heavy row emitted once
+    # at most k selections; the 5000-weight row (~33% of total mass)
+    # swallows its ~k/3 extra ticks by the without-replacement clamp
+    assert len(want) <= k
+    assert len(want) >= k - int(5000 / (sum(w for _, w in rows) / k)) - 2
