@@ -498,6 +498,18 @@ def emit(st: _State) -> None:
             k: _r(v, 2) for k, v in result["queries"].items()
         }
         line = json.dumps(result)
+    if len(line) > 1900:
+        # escalation (r12): a failure-heavy run (every null is ~30
+        # chars of key) could still overflow the driver's ~2000-char
+        # capture window — drop the null entries from the slim line
+        # (they remain in bench_detail.json) and say how many.
+        nulls = [k for k, v in result["queries"].items() if v is None]
+        if nulls:
+            result["queries"] = {
+                k: v for k, v in result["queries"].items() if v is not None
+            }
+            result["nulls_omitted"] = len(nulls)
+            line = json.dumps(result)
     print(line, flush=True)
 
 

@@ -316,3 +316,52 @@ def test_remeasure_budget_caps_global_attempts(monkeypatch):
     assert calls["n"] == 3  # budget, not 10 keys x MAX_REMEASURES
     assert bench._REMEASURE_SPENT["n"] == 3
     assert sum(st.remeasured.values()) == 3
+
+
+def test_slim_line_stays_inside_driver_capture_window(tmp_path, capsys, monkeypatch):
+    """r12: the driver parses only the LAST ~2000 stdout chars. With
+    the REAL registry's key-name budget (57 slim keys, the longest
+    real names) plus the r12 additions (errors + remeasured counters),
+    the slim line must stay under the window; and a failure-heavy run
+    (many nulls) must trigger the null-omission escalation rather
+    than overflow."""
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    monkeypatch.setattr(
+        bench, "DETAIL_PATH", str(tmp_path / "bench_detail.json")
+    )
+    st = bench._State("0.1")
+    st.timings["feature_pipeline_1m"] = 1.481
+    st.timings["feature_pipeline_1m_1sym"] = 12.345
+    st.timings["feature_pipeline_sf"] = 12.345
+    for name in REGISTRY:
+        st.timings[name] = 12.345
+        st.med[name] = 12.345
+    for i in range(30):
+        st.errors[f"errkey_{i}"] = "boom"
+    st.remeasured = {f"k{i}": 2 for i in range(20)}
+    bench.emit(st)
+    final = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(final) < 1950, len(final)
+    parsed = json.loads(final)
+    assert parsed["errors"] == 30 and parsed["remeasured"] == 20
+
+    # failure-heavy variant: half the series null -> escalation drops
+    # nulls and records the count, line still inside the window
+    st2 = bench._State("0.1")
+    st2.timings["feature_pipeline_1m"] = 1.481
+    for j, name in enumerate(REGISTRY):
+        st2.timings[name] = None if j % 2 else 12.345
+        st2.med[name] = st2.timings[name]
+        if j % 2:
+            st2.errors[name] = "dead"
+    # inflate with long synthetic keys to force past both guards
+    for i in range(40):
+        st2.timings[f"synthetic_failure_heavy_extended_key_{i:03d}"] = None
+    bench.emit(st2)
+    final2 = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed2 = json.loads(final2)
+    assert len(final2) < 1950, len(final2)
+    assert parsed2.get("nulls_omitted", 0) > 0
+    assert all(v is not None for v in parsed2["queries"].values())
