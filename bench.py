@@ -291,6 +291,11 @@ class _State:
         self.errors: dict[str, str] = {}
         #: keys re-measured by the outlier band, with attempt counts
         self.remeasured: dict[str, int] = {}
+        #: first-attempt values for re-measured keys (r13, ADVICE r12):
+        #: the committed record keeps BOTH the first reading and the
+        #: best attempt, so the min-bias of best-attempt-wins is
+        #: visible and cross-round comparisons can use either series.
+        self.first_attempt: dict[str, float | None] = {}
         #: host-state telemetry (load averages, headline dispersion)
         self.host: dict[str, object] = {}
 
@@ -337,12 +342,22 @@ MAX_REMEASURES = int(os.environ.get("MDP_BENCH_MAX_REMEASURES", "2"))
 #: self-identifying via the load/dispersion telemetry instead.
 REMEASURE_BUDGET = int(os.environ.get("MDP_BENCH_REMEASURE_BUDGET", "40"))
 _REMEASURE_SPENT = {"n": 0}
+#: per-key factor overrides (r13, VERDICT r12 item 2): keys whose
+#: expected median has been stable across >=2 committed rounds get a
+#: tighter band (1.5) in bench_expected.json's "factors" map — the
+#: graph_adamic_adar 1.88x drift slipped under the uniform 2.0 band.
+#: Known-variance keys (e.g. the ngram ground-truth audit) stay at the
+#: default. Populated as a side effect of load_expected().
+_FACTORS: dict[str, float] = {}
 
 
 def load_expected() -> dict:
     try:
         with open(EXPECTED_PATH) as f:
-            return json.load(f).get("expected", {}) or {}
+            data = json.load(f)
+        _FACTORS.clear()
+        _FACTORS.update(data.get("factors", {}) or {})
+        return data.get("expected", {}) or {}
     except (OSError, ValueError):
         return {}
 
@@ -375,7 +390,8 @@ def remeasure_series(name, make_fn, got, expected, st, factor=None):
     exp = expected.get(name)
     if got is None or not exp:
         return got
-    factor = OUTLIER_FACTOR if factor is None else factor
+    if factor is None:
+        factor = _FACTORS.get(name, OUTLIER_FACTOR)
 
     def med(series):
         r = sorted(series[1])
@@ -399,6 +415,7 @@ def remeasure_series(name, make_fn, got, expected, st, factor=None):
             best = again
     if attempts:
         st.remeasured[name] = attempts
+        st.first_attempt[name] = _r(med(got))
     return best
 
 
@@ -407,7 +424,8 @@ def remeasure_scalar(name, make_fn, val, expected, st, factor=None):
     exp = expected.get(name)
     if val is None or not exp:
         return val
-    factor = OUTLIER_FACTOR if factor is None else factor
+    if factor is None:
+        factor = _FACTORS.get(name, OUTLIER_FACTOR)
     best, attempts = val, 0
     while (
         attempts < MAX_REMEASURES
@@ -426,6 +444,7 @@ def remeasure_scalar(name, make_fn, val, expected, st, factor=None):
             best = again
     if attempts:
         st.remeasured[name] = attempts
+        st.first_attempt[name] = _r(val)
     return best
 
 
@@ -473,13 +492,22 @@ def emit(st: _State) -> None:
     # robust per-query series: median of 3 post-cold runs (r7; the
     # single-sample warm keys above stay frozen for continuity)
     detail["queries_med"] = {k: _r(v) for k, v in st.med.items()}
-    detail.update(st.scaling)  # 5M/10M/50M throughputs vs BASELINE.md
     if st.remeasured:
         detail["queries_remeasured"] = st.remeasured
+    if st.first_attempt:
+        # ADVICE r12: best-attempt-wins is min-biased — keep the first
+        # readings alongside so both series exist in the record
+        detail["queries_first_attempt"] = st.first_attempt
     st.host["load1_end"] = _load1()
     detail["host"] = st.host
     if st.errors:
         detail["errors_detail"] = st.errors
+    # scaling keys go LAST (r13, VERDICT r12 item 1): the driver
+    # captures only the final ~2000 chars of stdout, and r12's host
+    # telemetry — appended after st.scaling — pushed rows_per_sec_5m..
+    # 100m out of the captured tail. Last position survives any growth
+    # of the payloads above.
+    detail.update(st.scaling)  # 5M..100M throughputs vs BASELINE.md
 
     try:
         with open(DETAIL_PATH, "w") as f:
@@ -510,6 +538,21 @@ def emit(st: _State) -> None:
             }
             result["nulls_omitted"] = len(nulls)
             line = json.dumps(result)
+    # r13 (belt to the detail-line suspenders): carry the scaling
+    # decade throughputs on the slim line itself when the budget
+    # allows — the scaling evidence then survives even if the detail
+    # line is entirely outside the capture window.
+    decades = sorted(
+        (k for k in st.scaling if k.startswith("rows_per_sec_")),
+        key=lambda k: -int(k.rsplit("_", 1)[1].rstrip("m")),
+    )
+    for k in decades:  # greedy, largest decade first — 100m is the
+        trial = dict(result)  # one the record must not lose again
+        trial[k] = st.scaling[k]
+        tline = json.dumps(trial)
+        if len(tline) > 1900:
+            break
+        result, line = trial, tline
     print(line, flush=True)
 
 

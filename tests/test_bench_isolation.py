@@ -365,3 +365,109 @@ def test_slim_line_stays_inside_driver_capture_window(tmp_path, capsys, monkeypa
     assert len(final2) < 1950, len(final2)
     assert parsed2.get("nulls_omitted", 0) > 0
     assert all(v is not None for v in parsed2["queries"].values())
+
+
+def test_emit_scaling_keys_land_last_in_detail_and_on_slim_line(
+    tmp_path, capsys, monkeypatch
+):
+    """r13 (VERDICT r12 item 1): the driver captures only the LAST
+    ~2000 stdout chars — r12's host telemetry, appended after
+    st.scaling, pushed rows_per_sec_5m..100m out of the captured
+    tail. The scaling keys must now be the FINAL keys of the detail
+    line, and the largest decades must ride the slim line itself
+    when the char budget allows."""
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "d.json"))
+    st = bench._State("0.1")
+    st.timings["feature_pipeline_1m"] = 1.4
+    st.scaling = {
+        "rows_per_sec_5m": 1_530_000,
+        "rows_per_sec_10m": 2_170_000,
+        "rows_per_sec_50m": 2_770_000,
+        "rows_per_sec_100m": 2_820_000,
+    }
+    st.host["decades_channel"] = "uds from 50M (proactive)"
+    st.errors["some_unit"] = "boom " * 40  # long error must not displace scaling
+    bench.emit(st)
+    out = capsys.readouterr().out.strip().splitlines()
+    detail_line, slim_line = out[-2], out[-1]
+    # the four scaling keys are the last keys of the detail line: all
+    # inside the final 200 chars, AFTER host/errors_detail
+    tail = detail_line[-200:]
+    for k in st.scaling:
+        assert k in tail, f"{k} not in detail tail"
+    assert detail_line.index('"host"') < detail_line.index("rows_per_sec_5m")
+    # slim line carries at least the 100M decade (greedy from largest)
+    slim = json.loads(slim_line)
+    assert slim["rows_per_sec_100m"] == 2_820_000
+    assert len(slim_line) <= 1900
+
+
+def test_emit_slim_decade_carry_respects_char_budget(
+    tmp_path, capsys, monkeypatch
+):
+    """A slim line already near the window must not be pushed past
+    1900 by the decade carry — greedy add stops at the budget."""
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "d.json"))
+    st = bench._State("0.1")
+    st.timings["feature_pipeline_1m"] = 1.4
+    # inflate the slim queries dict to just under the 1900 budget so
+    # the base line fits but a full decade carry would not
+    i = 0
+    while len(json.dumps(bench.build_result(st))) < 1870:
+        st.timings[f"padding_query_with_a_rather_long_name_{i:03d}"] = 1.234
+        i += 1
+    st.scaling = {"rows_per_sec_100m": 2_820_000, "rows_per_sec_5m": 1}
+    bench.emit(st)
+    slim_line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(slim_line) <= 1900
+    slim = json.loads(slim_line)  # still parseable
+    # the greedy carry added at most what fits (100m first if any)
+    if "rows_per_sec_5m" in slim:
+        assert "rows_per_sec_100m" in slim
+
+
+def test_remeasure_records_first_attempt_alongside_best(monkeypatch):
+    """r13 (ADVICE r12): best-attempt-wins is min-biased — the record
+    must keep the first reading too, for both series and scalar."""
+    monkeypatch.setitem(bench._WATCHDOG, "spark", None)
+    monkeypatch.setitem(bench._REMEASURE_SPENT, "n", 0)
+    st = bench._State("0.1")
+    exp = {"k": 0.5, "s": 0.5}
+
+    got = bench.remeasure_series(
+        "k", lambda sp: (0.6, [0.6, 0.6, 0.6]), (2.0, [2.0, 2.0, 2.0]), exp, st
+    )
+    assert sorted(got[1])[1] == 0.6
+    assert st.first_attempt["k"] == 2.0
+    assert st.remeasured["k"] >= 1
+
+    val = bench.remeasure_scalar("s", lambda sp: 0.55, 3.0, exp, st)
+    assert val == 0.55
+    assert st.first_attempt["s"] == 3.0
+    # in-band keys record no first_attempt entry
+    bench.remeasure_scalar("s2", lambda sp: 0.1, 0.6, {"s2": 0.5}, st)
+    assert "s2" not in st.first_attempt
+
+
+def test_per_key_factor_override_tightens_band(monkeypatch, tmp_path):
+    """r13 (VERDICT r12 item 2): stable keys get a 1.5x band via
+    bench_expected.json's "factors" map; unlisted keys keep the
+    default 2.0x."""
+    monkeypatch.setitem(bench._WATCHDOG, "spark", None)
+    monkeypatch.setitem(bench._REMEASURE_SPENT, "n", 0)
+    p = tmp_path / "expected.json"
+    p.write_text(json.dumps({
+        "expected": {"stable_key": 1.0, "noisy_key": 1.0},
+        "factors": {"stable_key": 1.5},
+    }))
+    monkeypatch.setattr(bench, "EXPECTED_PATH", str(p))
+    exp = bench.load_expected()
+    assert bench._FACTORS == {"stable_key": 1.5}
+
+    st = bench._State("0.1")
+    # 1.8x the expectation: over the 1.5 band -> re-measured
+    bench.remeasure_scalar("stable_key", lambda sp: 1.7, 1.8, exp, st)
+    assert st.remeasured.get("stable_key", 0) >= 1
+    # same reading on a default-band key: inside 2.0 -> untouched
+    bench.remeasure_scalar("noisy_key", lambda sp: 1.7, 1.8, exp, st)
+    assert "noisy_key" not in st.remeasured
