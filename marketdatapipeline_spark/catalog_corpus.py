@@ -255,6 +255,127 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, target_chars=50_000, n_buckets=32)
 
 
+#: context-window token budget for the sequence-packing entries. 96 is
+#: deliberately INSIDE this corpus's token range (10..100 BPE-estimate
+#: tokens): docs at 97..100 exercise the truncation branch, everything
+#: else the fit/overflow branches, so the oracle pins all three.
+_PACK_CAP = 96
+#: BPE pre-tokenizer pattern, SQL-quoted (same as _BPE_SQL below —
+#: needed here, above its definition point)
+_PACK_BPE = BPE_TOKEN_PATTERN.replace("'", "''")
+#: recursive next-fit walk over (bucket, hash, id) order — the DuckDB
+#: twin of textops.corpus.pack_sequences' per-bucket kernel. One
+#: recursion step advances EVERY bucket by one row, so depth is
+#: max-rows-per-bucket (~corpus/32), not corpus size.
+_PACK_WALK = f"""
+    r AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{{bpe}}')) AS INT)
+                   AS n_tokens,
+               {_SHARD_H} AS h, {_SHARD_H} % 32 AS b
+        FROM documents
+    ),
+    rn AS (
+        SELECT doc_id, n_tokens, b,
+               least(n_tokens, {_PACK_CAP}) AS eff,
+               row_number() OVER (PARTITION BY b ORDER BY h, doc_id) AS i
+        FROM r
+    ),
+    walk AS (
+        SELECT b, i, doc_id, n_tokens, eff,
+               0 AS local_bin, 0 AS bin_offset, eff AS fill
+        FROM rn WHERE i = 1
+        UNION ALL
+        SELECT rn.b, rn.i, rn.doc_id, rn.n_tokens, rn.eff,
+               CASE WHEN w.fill + rn.eff <= {_PACK_CAP}
+                    THEN w.local_bin ELSE w.local_bin + 1 END,
+               CASE WHEN w.fill + rn.eff <= {_PACK_CAP}
+                    THEN w.fill ELSE 0 END,
+               CASE WHEN w.fill + rn.eff <= {_PACK_CAP}
+                    THEN w.fill + rn.eff ELSE rn.eff END
+        FROM walk w JOIN rn ON rn.b = w.b AND rn.i = w.i + 1
+    ),
+    counts AS (SELECT b, max(local_bin) + 1 AS nb FROM walk GROUP BY b),
+    offs AS (
+        SELECT b, coalesce(sum(nb) OVER (
+                   ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM counts
+    ),
+    assignment AS (
+        SELECT w.doc_id, w.n_tokens, w.eff,
+               CAST(w.local_bin + o.off AS INT) AS bin_id,
+               CAST(w.bin_offset AS INT) AS bin_offset,
+               (w.n_tokens > {_PACK_CAP}) AS truncated
+        FROM walk w JOIN offs o USING (b)
+    )
+"""
+
+
+@register_extended(
+    "corpus_sequence_packing",
+    "WITH RECURSIVE "
+    + _PACK_WALK.format(bpe=_PACK_BPE)
+    + """
+    SELECT doc_id, n_tokens, bin_id, bin_offset, truncated
+    FROM assignment
+    """,
+)
+def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents → fixed 96-token
+    context bins, deterministic next-fit in (hash-bucket, hash, id)
+    order, no document split across bins. The Spark side walks each
+    of 32 buckets in an Arrow kernel (exchange carries only
+    id/tokens/hash) and globalizes bin ids with a broadcast of the 32
+    per-bucket bin counts; the oracle replays the identical walk with
+    a recursive CTE, pinning every (bin_id, bin_offset, truncated)
+    cell."""
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+    )
+
+    docs = add_token_estimate(_docs(spark, sf_dir))
+    return pack_sequences(docs, context_tokens=_PACK_CAP, n_buckets=32)
+
+
+@register_extended(
+    "corpus_packing_waste",
+    "WITH RECURSIVE "
+    + _PACK_WALK.format(bpe=_PACK_BPE)
+    + f"""
+    , per_bin AS (
+        SELECT bin_id, sum(eff) AS fill, count(*) AS docs
+        FROM assignment GROUP BY bin_id
+    )
+    SELECT CAST(count(*) AS INT) AS n_bins,
+           CAST(sum(docs) AS BIGINT) AS n_docs,
+           CAST(sum(fill) AS BIGINT) AS packed_tokens,
+           CAST(sum({_PACK_CAP} - fill) AS BIGINT) AS padding_tokens,
+           round(sum({_PACK_CAP} - fill)
+                 / CAST(count(*) * {_PACK_CAP} AS DOUBLE), 6) + 0.0
+               AS padding_ratio,
+           round(avg(docs), 6) + 0.0 AS avg_docs_per_bin
+    FROM per_bin
+    """,
+)
+def q_corpus_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The padding-waste audit row for the 96-token packing: one
+    global row — bin count, packed vs padding tokens, padding ratio,
+    docs per bin — the number a data-mixing run tunes the context
+    budget against. Integer sums + one guarded division."""
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+        packing_waste,
+    )
+
+    docs = add_token_estimate(_docs(spark, sf_dir))
+    packed = pack_sequences(docs, context_tokens=_PACK_CAP, n_buckets=32)
+    return packing_waste(packed, context_tokens=_PACK_CAP)
+
+
 _SH_H = _H_SQL.format(x="shingle")
 
 

@@ -7,7 +7,11 @@ Everything here follows the repo's two house rules:
 1. **JVM-side only** — every operator is built from built-in
    expressions (split / slice / sequence / regexp / md5 / window
    aggregates); no Python UDFs, so the whole plan stays inside
-   whole-stage codegen.
+   whole-stage codegen. One documented exception: the sequence
+   packer's per-bucket next-fit walk (``pack_sequences``) is a
+   ratchet no SQL window frame expresses — it runs as an
+   Arrow-batched grouped kernel whose exchange carries only
+   ``(id, tokens, hash)``, never text.
 2. **Oracle-exact** — each operator has an ANSI-SQL equivalent
    (catalog_corpus.py) producing bit-identical values: integer
    arithmetic wherever possible, fixed-association double arithmetic
@@ -48,7 +52,9 @@ __all__ = [
     "domain_mix_sample",
     "duplicate_clusters",
     "hash_sample",
+    "pack_sequences",
     "pack_shards",
+    "packing_waste",
     "redact_pii",
     "remove_boilerplate_lines",
     "tfidf_top_terms",
@@ -416,6 +422,154 @@ def add_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
                 n_bpe > 0, F.length(text) / n_bpe.cast("double")
             ).otherwise(F.lit(0.0)),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens_bpe",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Pack documents into fixed ``context_tokens``-sized bins without
+    splitting a document across bins — the sample-efficiency step a
+    pretraining pipeline runs so short documents share a context
+    window instead of each paying full-window padding.
+
+    Deterministic **next-fit in hash order, bucketed**: rows are
+    bucketed by ``md5(id) % n_buckets`` (the same pseudo-random
+    deterministic order as :func:`pack_shards`); within each bucket,
+    walking (hash, id) order, a document joins the current bin when it
+    fits (``fill + tokens <= context_tokens``) and opens a new bin
+    otherwise. Per-bucket local bin ids are made global by cumulating
+    the tiny per-bucket bin counts (one row per bucket, broadcast
+    join back) — never a global sort. Documents longer than the
+    window occupy a whole bin alone, truncated to ``context_tokens``
+    (``truncated`` flag; ``n_tokens`` keeps the true count).
+
+    Next-fit's ratchet (each bin boundary depends on the previous
+    one) is not expressible with SQL window frames, so the per-bucket
+    walk is an Arrow-batched grouped kernel (``applyInPandas``). The
+    exchange into it carries only ``(id, tokens, hash)`` — never
+    text — and each task's row count is corpus_size / n_buckets:
+    size ``n_buckets`` to the cluster (the reference's 32 matches
+    local[32]; at 100 TB you'd pass thousands). Next-fit wastes at
+    most one document per bin boundary versus first-fit-decreasing
+    while staying streaming/order-deterministic and oracle-exact
+    (DuckDB reproduces the identical walk with a recursive CTE).
+
+    Returns ``id_col``, ``n_tokens``, ``bin_id`` (0-based, globally
+    dense), ``bin_offset`` (token start inside the bin),
+    ``truncated``.
+    """
+    if context_tokens <= 0:
+        raise ValueError("context_tokens must be positive")
+    h = md5_int(F.col(id_col).cast("string"))
+    rows = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("int").alias("n_tokens"),
+        h.alias("_h"),
+        (h % n_buckets).alias("_b"),
+    )
+
+    cap = context_tokens
+    out_schema = (
+        f"{id_col} long, n_tokens int, _b long, _local_bin int, "
+        "bin_offset int, truncated boolean"
+    )
+
+    def _next_fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_h", id_col], kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy()
+        bins, offs = [], []
+        cur_bin, fill = -1, cap  # force a new bin for the first row
+        for t in toks:
+            eff = min(int(t), cap)
+            if fill + eff > cap:
+                cur_bin += 1
+                fill = 0
+            offs.append(fill)
+            bins.append(cur_bin)
+            fill += eff
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "n_tokens": toks,
+                "_b": pdf["_b"].to_numpy(),
+                "_local_bin": bins,
+                "bin_offset": offs,
+                "truncated": toks > cap,
+            }
+        )
+
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    packed = scoped_persist(
+        rows.groupBy("_b").applyInPandas(_next_fit, schema=out_schema)
+    )
+    counts = packed.groupBy("_b").agg(
+        (F.max("_local_bin") + 1).alias("_nbins")
+    )
+    # one row per bucket — same constant-key window trick as
+    # pack_shards: the frame is n_buckets rows by construction
+    w_off = (
+        Window.partitionBy(F.col("_b") % 1)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_binoff", F.coalesce(F.sum("_nbins").over(w_off), F.lit(0))
+    ).select("_b", "_binoff")
+    return (
+        packed.join(F.broadcast(offsets), "_b")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_local_bin") + F.col("_binoff")).cast("int").alias("bin_id"),
+            "bin_offset",
+            "truncated",
+        )
+    )
+
+
+def packing_waste(
+    packed: DataFrame, context_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The padding-waste audit row for a :func:`pack_sequences`
+    assignment: one global row with bin count, packed-token totals,
+    and the padding ratio the packing leaves on the table (the number
+    a data-mixing run watches when tuning the context budget).
+
+    Pure aggregation over the assignment — integer sums plus one
+    guarded division, so it is oracle-exact.
+    """
+    eff = F.least(F.col("n_tokens"), F.lit(context_tokens))
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum(eff).alias("_fill"), F.count("*").alias("_docs")
+    )
+    budget = F.sum(F.lit(context_tokens) - F.col("_fill"))
+    return per_bin.agg(
+        F.count("*").cast("int").alias("n_bins"),
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.sum("_fill").cast("long").alias("packed_tokens"),
+        budget.cast("long").alias("padding_tokens"),
+        F.round(
+            budget
+            / (F.count("*") * F.lit(context_tokens)).cast("double"),
+            6,
+        ).alias("padding_ratio"),
+        F.round(
+            F.avg("_docs"),
+            6,
+        ).alias("avg_docs_per_bin"),
     )
 
 

@@ -719,3 +719,127 @@ def test_systematic_weighted_sample_matches_python_reference(spark):
     # swallows its ~k/3 extra ticks by the without-replacement clamp
     assert len(want) <= k
     assert len(want) >= k - int(5000 / (sum(w for _, w in rows) / k)) - 2
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing (r13)
+# ---------------------------------------------------------------------------
+
+
+def _next_fit_reference(items, cap):
+    """Scalar next-fit over [(id, tok, h, b)] — the kernel's ground
+    truth: walk each bucket in (h, id) order, new bin on overflow."""
+    out = {}
+    by_bucket: dict[int, list] = {}
+    for it in items:
+        by_bucket.setdefault(it[3], []).append(it)
+    bin_base = 0
+    for b in sorted(by_bucket):
+        rows = sorted(by_bucket[b], key=lambda x: (x[2], x[0]))
+        cur, fill = -1, cap
+        for doc_id, tok, _h, _b in rows:
+            eff = min(tok, cap)
+            if fill + eff > cap:
+                cur, fill = cur + 1, 0
+            out[doc_id] = (bin_base + cur, fill, tok > cap)
+            fill += eff
+        bin_base += cur + 1
+    return out
+
+
+def test_pack_sequences_matches_scalar_reference(spark, docs):
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+    )
+    from marketdatapipeline_spark.textops.dedup import md5_int
+
+    cap = 40
+    toks = add_token_estimate(docs)
+    items = [
+        (r["doc_id"], r["n_tokens_bpe"], r["_h"], r["_h"] % 32)
+        for r in toks.withColumn(
+            "_h", md5_int(F.col("doc_id").cast("string"))
+        ).collect()
+    ]
+    want = _next_fit_reference(items, cap)
+    got = pack_sequences(toks, context_tokens=cap).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wb, woff, wtr = want[r["doc_id"]]
+        assert (r["bin_id"], r["bin_offset"], r["truncated"]) == (wb, woff, wtr)
+
+
+def test_pack_sequences_invariants_and_determinism(spark, docs):
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+    )
+
+    cap = 64
+    toks = add_token_estimate(docs)
+    out = pack_sequences(toks, context_tokens=cap).collect()
+    # dense 0-based bin ids
+    bins = sorted({r["bin_id"] for r in out})
+    assert bins == list(range(len(bins)))
+    # no bin overflows the budget (truncated docs clamp to cap)
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + min(r["n_tokens"], cap)
+    assert all(v <= cap for v in fills.values())
+    # offsets are the running fill inside each bin
+    per_bin: dict[int, list] = {}
+    for r in out:
+        per_bin.setdefault(r["bin_id"], []).append(r)
+    for rows in per_bin.values():
+        rows.sort(key=lambda r: r["bin_offset"])
+        run = 0
+        for r in rows:
+            assert r["bin_offset"] == run
+            run += min(r["n_tokens"], cap)
+    # stable under physical layout changes
+    again = pack_sequences(
+        add_token_estimate(docs.repartition(7).sortWithinPartitions("n_chars")),
+        context_tokens=cap,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_truncates_oversized_docs(spark):
+    from marketdatapipeline_spark.textops.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 10), (3, 10), (4, 500)],
+        ["doc_id", "n_tokens_bpe"],
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, context_tokens=128).collect()}
+    # oversized docs sit alone at offset 0, flagged
+    for big in (1, 4):
+        assert out[big]["truncated"] and out[big]["bin_offset"] == 0
+        assert sum(1 for r in out.values() if r["bin_id"] == out[big]["bin_id"]) == 1
+    assert not out[2]["truncated"] and not out[3]["truncated"]
+    with pytest.raises(ValueError):
+        pack_sequences(df, context_tokens=0)
+
+
+def test_packing_waste_accounts_every_token(spark, docs):
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+        packing_waste,
+    )
+
+    cap = 64
+    toks = add_token_estimate(docs)
+    packed = pack_sequences(toks, context_tokens=cap)
+    rows = packed.collect()
+    audit = packing_waste(packed, context_tokens=cap).collect()[0]
+    n_bins = len({r["bin_id"] for r in rows})
+    packed_tokens = sum(min(r["n_tokens"], cap) for r in rows)
+    assert audit["n_bins"] == n_bins
+    assert audit["n_docs"] == len(rows)
+    assert audit["packed_tokens"] == packed_tokens
+    assert audit["padding_tokens"] == n_bins * cap - packed_tokens
+    assert audit["padding_ratio"] == round(
+        (n_bins * cap - packed_tokens) / (n_bins * cap), 6
+    )
