@@ -557,7 +557,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(
         F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
     )
-    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+    pairs = cosine_pairs_above(
+        emb,
+        threshold=0.2,
+        num_blocks=4,
+        # shrink the kernel fan-out to the 1-in-7 sample (routing
+        # only — the pair set is block-count-invariant; r13, closing
+        # the r12 drift adjudication: the graph family was the one
+        # blocked-kernel consumer still paying the fixed 10-group
+        # launch fan on ~286 vectors)
+        size_hint=_pq_rows(spark, sf_dir, "embeddings") // 7 + 1,
+    ).select(
         "id_a", "id_b"
     )
     out = pagerank(pairs, iterations=3, damping=_PR_DAMPING, partitions=8)
@@ -613,7 +623,17 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(
         F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
     )
-    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+    pairs = cosine_pairs_above(
+        emb,
+        threshold=0.2,
+        num_blocks=4,
+        # shrink the kernel fan-out to the 1-in-7 sample (routing
+        # only — the pair set is block-count-invariant; r13, closing
+        # the r12 drift adjudication: the graph family was the one
+        # blocked-kernel consumer still paying the fixed 10-group
+        # launch fan on ~286 vectors)
+        size_hint=_pq_rows(spark, sf_dir, "embeddings") // 7 + 1,
+    ).select(
         "id_a", "id_b"
     )
     out = triangle_stats(pairs, partitions=8)
@@ -683,7 +703,17 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(
         F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
     )
-    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+    pairs = cosine_pairs_above(
+        emb,
+        threshold=0.2,
+        num_blocks=4,
+        # shrink the kernel fan-out to the 1-in-7 sample (routing
+        # only — the pair set is block-count-invariant; r13, closing
+        # the r12 drift adjudication: the graph family was the one
+        # blocked-kernel consumer still paying the fixed 10-group
+        # launch fan on ~286 vectors)
+        size_hint=_pq_rows(spark, sf_dir, "embeddings") // 7 + 1,
+    ).select(
         "id_a", "id_b", F.col("cosine").alias("weight")
     )
     out = weighted_pagerank(
@@ -735,7 +765,17 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(
         F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0)
     )
-    pairs = cosine_pairs_above(emb, threshold=0.2, num_blocks=4).select(
+    pairs = cosine_pairs_above(
+        emb,
+        threshold=0.2,
+        num_blocks=4,
+        # shrink the kernel fan-out to the 1-in-7 sample (routing
+        # only — the pair set is block-count-invariant; r13, closing
+        # the r12 drift adjudication: the graph family was the one
+        # blocked-kernel consumer still paying the fixed 10-group
+        # launch fan on ~286 vectors)
+        size_hint=_pq_rows(spark, sf_dir, "embeddings") // 7 + 1,
+    ).select(
         "id_a", "id_b"
     )
     out = adamic_adar(pairs, partitions=8)
