@@ -242,6 +242,30 @@ def _exact_pair_rerank(
     return joined.mapInPandas(rerank, schema=schema)
 
 
+#: kernel-side safety cap on a block panel's rows-per-side, enforced
+#: only when a ``size_hint`` shrank the block layout (r13, ADVICE
+#: r12): a hint far BELOW the true row count (a stale filter
+#: assumption) collapses the fan-out toward one block, and the first
+#: symptom would otherwise be an executor OOM building an O(N^2)
+#: numpy panel. 32768 rows/side is 16x the ~2000-row routing target
+#: (generous hash-skew headroom; ~8.6 GB of panel doubles at the cap)
+#: — anything past it means the hint was wrong, and a ValueError
+#: naming the contract beats an opaque OOM. Unhinted layouts are
+#: never policed: the caller chose num_blocks explicitly.
+SIZE_HINT_SIDE_CAP = 32768
+
+
+def _check_side_cap(n_left: int, n_right: int, side_cap: int | None) -> None:
+    if side_cap is not None and max(n_left, n_right) > side_cap:
+        raise ValueError(
+            f"blocked-kernel panel side {max(n_left, n_right)} exceeds "
+            f"the size_hint safety cap {side_cap}: the size_hint passed "
+            "to this operator was far below the true input row count. "
+            "size_hint must be an upper-ish bound (underestimates are "
+            "unsafe) — fix the hint or pass size_hint=None."
+        )
+
+
 def _blocked_exact_pairs(
     df: DataFrame,
     threshold: float,
@@ -249,6 +273,7 @@ def _blocked_exact_pairs(
     vec_col: str,
     num_blocks: int,
     margin: float = 1e-6,
+    side_cap: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine as ONE blocked numpy-matmul pass.
 
@@ -308,6 +333,7 @@ def _blocked_exact_pairs(
             lf, rt = pdf[pdf["_side"] == 0], pdf[pdf["_side"] == 1]
         if lf.empty or rt.empty:
             return empty
+        _check_side_cap(len(lf), len(rt), side_cap)
         va = np.stack(lf["_v"].to_numpy())
         vb = va if same_block else np.stack(rt["_v"].to_numpy())
         na = np.linalg.norm(va, axis=1)
@@ -387,9 +413,18 @@ def cosine_knn_all(
     block count is purely PHYSICAL — any value returns identical rows
     (the parity tests run at 4/5/16). The hint only ever shrinks the
     count (``num_blocks`` stays the ceiling); panels target ~2000
-    rows per side (~32 MB of doubles)."""
+    rows per side (~32 MB of doubles). The hint must be an UPPER-ish
+    bound on the true row count: underestimates are unsafe and are
+    policed — when the hint shrank the layout, a panel side past
+    :data:`SIZE_HINT_SIDE_CAP` raises instead of OOMing."""
+    side_cap = None
     if size_hint is not None:
-        num_blocks = max(1, min(num_blocks, -(-int(size_hint) // 2000)))
+        hinted = max(1, min(num_blocks, -(-int(size_hint) // 2000)))
+        if hinted < num_blocks:
+            # the hint shrank the fan-out: police the contract that it
+            # was an upper-ish bound (see SIZE_HINT_SIDE_CAP)
+            side_cap = SIZE_HINT_SIDE_CAP
+        num_blocks = hinted
     d = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -472,6 +507,7 @@ def cosine_knn_all(
             return pd.DataFrame(
                 {"anchor": [], "nbr": [], "cosine": []}
             ).astype({"cosine": "float64"})
+        _check_side_cap(len(lf), len(rt), side_cap)
         va = np.stack(lf["_v"].to_numpy())
         ia = lf["_id"].to_numpy()
         if same_block:
@@ -534,18 +570,26 @@ def cosine_pairs_above(
     shrinks the block fan-out to the data exactly as in
     :func:`cosine_knn_all` (routing only; the pair set is
     block-count-invariant). A few-hundred-vector calibration sample
-    should not pay 136 Python kernel launches.
+    should not pay 136 Python kernel launches. The hint must be an
+    UPPER-ish bound on the rows actually reaching the kernel:
+    underestimates are unsafe (a collapsed layout builds huge panels)
+    and are policed — when the hint shrank the layout, a panel side
+    past :data:`SIZE_HINT_SIDE_CAP` raises instead of OOMing.
     """
     if candidates is not None:
         return _exact_pair_rerank(
             df, candidates, threshold, id_col, vec_col, broadcast_pairs=True
         )
     if method == "blocked":
+        side_cap = None
         if size_hint is not None:
-            num_blocks = max(
-                1, min(num_blocks, -(-int(size_hint) // 2000))
-            )
-        return _blocked_exact_pairs(df, threshold, id_col, vec_col, num_blocks)
+            hinted = max(1, min(num_blocks, -(-int(size_hint) // 2000)))
+            if hinted < num_blocks:
+                side_cap = SIZE_HINT_SIDE_CAP
+            num_blocks = hinted
+        return _blocked_exact_pairs(
+            df, threshold, id_col, vec_col, num_blocks, side_cap=side_cap
+        )
     if method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         keys = df.select(

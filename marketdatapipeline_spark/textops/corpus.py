@@ -867,6 +867,23 @@ def _clusters_driver(
     # objects, and the touched-id / label frames ship back the same
     # way — the driver route's worst case stays bounded (r11 advice).
     epdf = edges.select("_src", "_dst").toPandas()
+    # r13 (ADVICE r12): pandas has no nullable int64 by default, so a
+    # null-bearing endpoint column arrives as float64 — FLOAT ids in
+    # the union-find would silently mismatch the distributed route's
+    # exact ints. Nulls violate the edge contract outright: fail loud.
+    # With nulls excluded, integral Spark columns land as exact int64
+    # (the defensive cast below covers any residual float arrival).
+    for c in ("_src", "_dst"):
+        if epdf[c].isna().any():
+            raise ValueError(
+                "duplicate_clusters: edge endpoint column "
+                f"'{c}' contains NULL ids — edges must reference "
+                "non-null document ids on both ends"
+            )
+        if pd.api.types.is_float_dtype(epdf[c]) and isinstance(
+            edges.schema[c].dataType, T.IntegralType
+        ):
+            epdf[c] = epdf[c].astype("int64")
     src_ids = epdf["_src"].tolist()
     dst_ids = epdf["_dst"].tolist()
     touched = sorted(set(src_ids) | set(dst_ids))

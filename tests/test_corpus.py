@@ -843,3 +843,19 @@ def test_packing_waste_accounts_every_token(spark, docs):
     assert audit["padding_ratio"] == round(
         (n_bins * cap - packed_tokens) / (n_bins * cap), 6
     )
+
+
+def test_duplicate_clusters_driver_route_rejects_null_edge_ids(spark):
+    """r13 (ADVICE r12): a null edge endpoint would arrive in the
+    driver twin's toPandas as float64 (pandas has no nullable int64
+    by default) and feed FLOAT ids to the union-find — the contract
+    violation must fail loud instead."""
+    from marketdatapipeline_spark.textops.corpus import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(2, 1), (None, 3)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(Exception, match="NULL ids"):
+        # small edge list -> driver union-find route
+        duplicate_clusters(nodes, pairs).collect()

@@ -897,3 +897,32 @@ def test_cosine_knn_all_nan_ordering_matches_window(spark):
     # top-3 is pure id order
     assert want[(2, 1)] == 0 and want[(2, 2)] == 1 and want[(2, 3)] == 3
     assert 2 not in (got[(0, 1)], got[(0, 2)], got[(0, 3)])
+
+
+def test_size_hint_underestimate_raises_not_ooms(emb, monkeypatch):
+    """r13 (ADVICE r12): a size_hint far below the true row count
+    collapses the block layout toward one O(N^2) panel — the guard
+    must raise a clear contract error instead of building it. Only
+    HINTED layouts are policed; explicit num_blocks never raises."""
+    from marketdatapipeline_spark.similarity import search as S
+
+    monkeypatch.setattr(S, "SIZE_HINT_SIDE_CAP", 50)
+
+    # pairs kernel: hint=1 collapses 16 blocks -> 1; N rows > cap
+    bad_pairs = S.cosine_pairs_above(
+        emb, threshold=0.9, num_blocks=16, size_hint=1
+    )
+    with pytest.raises(Exception, match="size_hint safety cap"):
+        bad_pairs.collect()
+
+    # knn kernel: same contract
+    bad_knn = S.cosine_knn_all(emb, k=2, num_blocks=16, size_hint=1)
+    with pytest.raises(Exception, match="size_hint safety cap"):
+        bad_knn.collect()
+
+    # honest hint (>= true rows): shrink may trigger but sides stay
+    # under the real cap -> runs fine even with the tiny patched cap
+    # bypassed, because an unhinted call is never policed
+    monkeypatch.setattr(S, "SIZE_HINT_SIDE_CAP", 50)
+    ok = S.cosine_pairs_above(emb, threshold=0.99, num_blocks=16)
+    ok.collect()  # no hint -> no cap, regardless of panel size
