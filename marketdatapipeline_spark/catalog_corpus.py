@@ -985,6 +985,122 @@ def q_corpus_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hybrid-retrieval probe: the BM25 term set as a free-text query for
+#: the fuzzy trigram channel
+_RRF_QUERY = "spark data vector"
+_RRF_K = 60
+_RRF_TOP_N = 100
+
+
+def _rrf_sql() -> str:
+    from marketdatapipeline_spark.textops.corpus import query_trigram_hashes
+
+    pad = r"' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' '"
+    tf_cols = ", ".join(
+        f"CAST(len(regexp_extract_all({pad}, ' {t} ')) AS INT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, k1p1, one_b, b = repr(_K1), repr(_K1 + 1.0), repr(1.0 - _B), repr(_B)
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1p1})"
+        f" / (tf{i} + {k1} * ({one_b} + {b} * (dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    greatest = ", ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    qset = query_trigram_hashes(_RRF_QUERY)
+    qlist = "[" + ", ".join(str(v) for v in qset) + "]"
+    h3 = _H_SQL.format(x="substr(lower(text), CAST(i AS INT), 3)")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({_WS_SQL}) AS INT) AS dl,
+               {tf_cols}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+    ),
+    bm AS (
+        SELECT doc_id, round({score}, 6) AS s
+        FROM base, stats WHERE greatest({greatest}) > 0
+    ),
+    bmr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS ra
+        FROM bm
+    ),
+    tri AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, length(text) - 1), i -> {h3})) AS ts
+        FROM documents WHERE length(text) >= 3
+    ),
+    sim AS (
+        SELECT doc_id,
+               len(list_intersect(ts, {qlist})) AS i_n,
+               len(ts) AS nd
+        FROM tri
+    ),
+    simr AS (
+        SELECT doc_id,
+               round(i_n / CAST(nd + {len(qset)} - i_n AS DOUBLE), 6) AS j
+        FROM sim WHERE i_n > 0
+    ),
+    rb AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY j DESC, doc_id) AS rnk
+        FROM simr
+    ),
+    fused AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.ra, b.rnk
+        FROM (SELECT * FROM bmr WHERE ra <= {_RRF_TOP_N}) a
+        FULL JOIN (SELECT * FROM rb WHERE rnk <= {_RRF_TOP_N}) b
+          ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, CAST(ra AS INT) AS bm25_rank,
+           CAST(rnk AS INT) AS trigram_rank,
+           round(coalesce(1.0 / ({_RRF_K} + ra), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + rnk), 0.0), 6) + 0.0 AS rrf
+    FROM fused
+    ORDER BY coalesce(1.0 / ({_RRF_K} + ra), 0.0)
+             + coalesce(1.0 / ({_RRF_K} + rnk), 0.0) DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register_extended("corpus_hybrid_retrieval_rrf", _rrf_sql())
+def q_corpus_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, k=60): the
+    BM25 lexical channel and a hashed char-3-gram Jaccard fuzzy
+    channel against the literal query, each ranked on its ROUND-6
+    score (sub-ulp-proof rank parity) by the distributed global-rank
+    operator, fused as sum of 1/(60+rank) over the two top-100 lists.
+    The fused join and the final (rrf desc, id) cut are top-N-bounded
+    constants at any corpus size; the trigram set/intersection is
+    scan-side expressions against a literal hash array."""
+    from marketdatapipeline_spark.textops.corpus import hybrid_retrieval_rrf
+
+    docs = _docs(spark, sf_dir)
+    out = hybrid_retrieval_rrf(
+        docs,
+        _BM25_TERMS,
+        _RRF_QUERY,
+        top_n=_RRF_TOP_N,
+        rrf_k=_RRF_K,
+        k1=_K1,
+        b=_B,
+        size_hint=_pq_rows(spark, sf_dir, "documents"),
+    )
+    return out.select(
+        "doc_id", "bm25_rank", "trigram_rank", _r6(F.col("rrf")).alias("rrf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # market-data extensions (operators/vwap.py, operators/resample.py)
 # ---------------------------------------------------------------------------

@@ -52,6 +52,7 @@ __all__ = [
     "domain_mix_sample",
     "duplicate_clusters",
     "hash_sample",
+    "hybrid_retrieval_rrf",
     "pack_sequences",
     "pack_shards",
     "packing_waste",
@@ -62,6 +63,7 @@ __all__ = [
     "bigram_perplexity",
     "unigram_perplexity",
     "quality_screen",
+    "query_trigram_hashes",
     "systematic_weighted_sample",
     "zipf_fit",
 ]
@@ -1056,6 +1058,128 @@ def bm25_scores(
             "bm25",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion (BM25 + char-trigram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _md5_int_py(s: str) -> int:
+    """Python twin of :func:`md5_int` — first 32 bits of md5 as int,
+    for embedding literal query hash sets in plans and oracle SQL."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def query_trigram_hashes(query: str) -> list[int]:
+    """Sorted distinct hashed character 3-grams of the LOWERCASED
+    query string (the literal probe set for the trigram channel)."""
+    q = query.lower()
+    return sorted({_md5_int_py(q[i : i + 3]) for i in range(len(q) - 2)})
+
+
+def hybrid_retrieval_rrf(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    query: str,
+    top_n: int = 100,
+    final_n: int = 20,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_hint: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: fuse a lexical
+    BM25 channel (:func:`bm25_scores` on ``terms``) with a fuzzy
+    character-3-gram hashed-Jaccard channel against the literal
+    ``query`` string, RRF-scored as ``sum over channels of
+    1 / (rrf_k + rank)`` (Cormack et al.'s standard k=60) over each
+    channel's top-``top_n`` list. This is the retrieval shape behind
+    RAG corpus curation: two cheap channels with uncorrelated failure
+    modes beat either alone, and RRF needs no score calibration.
+
+    Ranking parity discipline: each channel ranks on its ROUND-6
+    score with the id tie-break, so cross-engine rank agreement never
+    hinges on sub-ulp double ordering; ranks use the distributed
+    global-rank operator (``operators/ranking.py``) — never a
+    single-task global window — with ``size_hint`` routing. The
+    trigram channel is scan-side expressions only (substr + md5 +
+    array_intersect against a literal hash array); the fused frame is
+    two ``top_n``-bounded lists, so the join and the final
+    (rrf desc, id) cut are constant-size regardless of corpus scale.
+
+    Returns the top-``final_n`` rows: ``id_col``, ``bm25_rank``,
+    ``trigram_rank`` (null = outside that channel's top list),
+    ``rrf`` (unrounded; catalog rounds at emission).
+    """
+    from marketdatapipeline_spark.operators.ranking import global_row_number
+
+    qset = query_trigram_hashes(query)
+    if not qset:
+        raise ValueError("query must contain at least one 3-gram")
+
+    # channel A: BM25, rank on the round-6 score
+    bm = bm25_scores(df, terms, k1=k1, b=b, id_col=id_col, text_col=text_col)
+    ra = (
+        global_row_number(
+            bm.select(id_col, F.round("bm25", 6).alias("_s")),
+            F.desc("_s"),
+            F.col(id_col),
+            out_col="bm25_rank",
+            size_hint=size_hint,
+        )
+        .filter(F.col("bm25_rank") <= top_n)
+        .select(id_col, "bm25_rank")
+    )
+
+    # channel B: hashed char-trigram Jaccard to the literal query set
+    s = F.lower(F.col(text_col))
+    n = F.length(s)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.array_distinct(
+        F.transform(idx, lambda i: md5_int(s.substr(i, F.lit(3))))
+    )
+    qlit = F.array(*[F.lit(v) for v in qset]).cast("array<bigint>")
+    inter = F.size(F.array_intersect(tri, qlit))
+    jac = (
+        inter / (F.size(tri) + F.lit(len(qset)) - inter).cast("double")
+    )
+    sim = (
+        df.select(F.col(id_col), inter.alias("_i"), jac.alias("_j"))
+        .filter(F.col("_i") > 0)
+        .select(id_col, F.round("_j", 6).alias("_j"))
+    )
+    rb = (
+        global_row_number(
+            sim, F.desc("_j"), F.col(id_col),
+            out_col="trigram_rank", size_hint=size_hint,
+        )
+        .filter(F.col("trigram_rank") <= top_n)
+        .select(id_col, "trigram_rank")
+    )
+
+    kf = float(rrf_k)
+    fused = ra.join(rb, id_col, "full").select(
+        id_col,
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        F.col("trigram_rank").cast("int").alias("trigram_rank"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(kf) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(kf) + F.col("trigram_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    # two <=top_n lists: the final cut is constant-size at any corpus
+    return fused.orderBy(F.desc("rrf"), F.col(id_col)).limit(final_n)
 
 
 # ---------------------------------------------------------------------------

@@ -859,3 +859,42 @@ def test_duplicate_clusters_driver_route_rejects_null_edge_ids(spark):
     with pytest.raises(Exception, match="NULL ids"):
         # small edge list -> driver union-find route
         duplicate_clusters(nodes, pairs).collect()
+
+
+def test_hybrid_retrieval_rrf_fuses_channels(spark, docs):
+    from marketdatapipeline_spark.textops.corpus import (
+        hybrid_retrieval_rrf,
+        query_trigram_hashes,
+    )
+
+    out = hybrid_retrieval_rrf(
+        docs, ("data", "alpha"), "alpha data text", top_n=10, final_n=50
+    ).collect()
+    assert out, "fixture must produce at least one retrieval hit"
+    for r in out:
+        # every row sits in at least one channel; ranks are in-band
+        assert r["bm25_rank"] is not None or r["trigram_rank"] is not None
+        for c in ("bm25_rank", "trigram_rank"):
+            assert r[c] is None or 1 <= r[c] <= 10
+        # rrf is self-consistent with the emitted ranks
+        want = (1.0 / (60 + r["bm25_rank"]) if r["bm25_rank"] else 0.0) + (
+            1.0 / (60 + r["trigram_rank"]) if r["trigram_rank"] else 0.0
+        )
+        assert r["rrf"] == want
+    # ordered by (rrf desc, doc_id)
+    key = [(-r["rrf"], r["doc_id"]) for r in out]
+    assert key == sorted(key)
+    # both channels actually contribute on this fixture
+    assert any(r["bm25_rank"] is not None for r in out)
+    assert any(r["trigram_rank"] is not None for r in out)
+
+    # deterministic under physical layout changes
+    again = hybrid_retrieval_rrf(
+        docs.repartition(7), ("data", "alpha"), "alpha data text",
+        top_n=10, final_n=50,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    with pytest.raises(ValueError):
+        hybrid_retrieval_rrf(docs, ("data",), "ab")  # no 3-gram
+    assert query_trigram_hashes("AbC") == query_trigram_hashes("abc")
