@@ -341,6 +341,35 @@ def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extended(
+    "corpus_packing_manifest",
+    "WITH RECURSIVE "
+    + _PACK_WALK.format(bpe=_PACK_BPE)
+    + """
+    SELECT bin_id,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY bin_offset, doc_id) AS doc_ids,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(eff) AS BIGINT) AS fill_tokens
+    FROM assignment GROUP BY bin_id
+    """,
+)
+def q_corpus_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin packing manifest (the shard-writer's input): documents
+    in bin order as a joined string, doc count, fill tokens. One
+    bin_id aggregation; in-bin order reconstructed from the offsets,
+    so it is scheduling-independent and oracle-exact."""
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+        packing_manifest,
+    )
+
+    docs = add_token_estimate(_docs(spark, sf_dir))
+    packed = pack_sequences(docs, context_tokens=_PACK_CAP, n_buckets=32)
+    return packing_manifest(packed, context_tokens=_PACK_CAP)
+
+
+@register_extended(
     "corpus_packing_waste",
     "WITH RECURSIVE "
     + _PACK_WALK.format(bpe=_PACK_BPE)

@@ -55,6 +55,7 @@ __all__ = [
     "hybrid_retrieval_rrf",
     "pack_sequences",
     "pack_shards",
+    "packing_manifest",
     "packing_waste",
     "redact_pii",
     "remove_boilerplate_lines",
@@ -538,6 +539,42 @@ def pack_sequences(
             (F.col("_local_bin") + F.col("_binoff")).cast("int").alias("bin_id"),
             "bin_offset",
             "truncated",
+        )
+    )
+
+
+def packing_manifest(
+    packed: DataFrame, context_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-bin manifest of a :func:`pack_sequences` assignment — the
+    row shape a training-shard writer consumes: ``bin_id``,
+    ``doc_ids`` (the documents IN BIN ORDER, comma-joined — offsets
+    make the order total), ``n_docs``, ``fill_tokens``.
+
+    One aggregation keyed by ``bin_id``; the in-bin order is
+    reconstructed by sorting the collected (offset, id) structs, so
+    the output is deterministic regardless of task scheduling. The
+    doc list is emitted as a joined string rather than an array so
+    the cross-engine value compare stays canonical.
+    """
+    eff = F.least(F.col("n_tokens"), F.lit(context_tokens))
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bin_offset", id_col))
+            ).alias("_s"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(eff).cast("long").alias("fill_tokens"),
+        )
+        .select(
+            "bin_id",
+            F.array_join(
+                F.transform(F.col("_s"), lambda x: x[id_col].cast("string")),
+                ",",
+            ).alias("doc_ids"),
+            "n_docs",
+            "fill_tokens",
         )
     )
 

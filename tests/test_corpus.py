@@ -898,3 +898,30 @@ def test_hybrid_retrieval_rrf_fuses_channels(spark, docs):
     with pytest.raises(ValueError):
         hybrid_retrieval_rrf(docs, ("data",), "ab")  # no 3-gram
     assert query_trigram_hashes("AbC") == query_trigram_hashes("abc")
+
+
+def test_packing_manifest_orders_docs_by_offset(spark, docs):
+    from marketdatapipeline_spark.textops.corpus import (
+        add_token_estimate,
+        pack_sequences,
+        packing_manifest,
+    )
+
+    cap = 64
+    packed = pack_sequences(add_token_estimate(docs), context_tokens=cap)
+    rows = packed.collect()
+    man = {r["bin_id"]: r for r in packing_manifest(packed, cap).collect()}
+    per_bin: dict[int, list] = {}
+    for r in rows:
+        per_bin.setdefault(r["bin_id"], []).append(r)
+    assert set(man) == set(per_bin)
+    for b, rws in per_bin.items():
+        want_ids = [
+            str(r["doc_id"])
+            for r in sorted(rws, key=lambda r: (r["bin_offset"], r["doc_id"]))
+        ]
+        assert man[b]["doc_ids"] == ",".join(want_ids)
+        assert man[b]["n_docs"] == len(rws)
+        assert man[b]["fill_tokens"] == sum(
+            min(r["n_tokens"], cap) for r in rws
+        )
