@@ -1173,24 +1173,37 @@ def hybrid_retrieval_rrf(
         .select(id_col, "bm25_rank")
     )
 
-    # channel B: hashed char-trigram Jaccard to the literal query set
+    # channel B: hashed char-trigram Jaccard to the literal query set.
+    # Explode positions and hash OUTSIDE any lambda: higher-order
+    # functions evaluate their lambdas interpreted per element, and
+    # ~550 interpreted md5 chains per document put this channel at
+    # 5+ s; the explode+project pipeline below is one whole-stage
+    # codegen pass (the duplicated text column never materializes —
+    # each exploded row projects straight to its 8-byte hash), and
+    # the (id, hash) distinct + counts stay partitioned by id, so
+    # nothing here shuffles text. Values are identical to the
+    # array_distinct/array_intersect formulation by construction.
     s = F.lower(F.col(text_col))
     n = F.length(s)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    tri = F.array_distinct(
-        F.transform(idx, lambda i: md5_int(s.substr(i, F.lit(3))))
+    ex = df.select(
+        F.col(id_col), s.alias("_s"), F.explode(idx).alias("_p")
+    ).select(
+        id_col, md5_int(F.col("_s").substr(F.col("_p"), F.lit(3))).alias("_h")
     )
-    qlit = F.array(*[F.lit(v) for v in qset]).cast("array<bigint>")
-    inter = F.size(F.array_intersect(tri, qlit))
-    jac = (
-        inter / (F.size(tri) + F.lit(len(qset)) - inter).cast("double")
+    dh = ex.groupBy(id_col, "_h").agg(F.lit(1).alias("_one"))
+    counts = dh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.count(F.when(F.col("_h").isin(qset), F.lit(1))).alias("_i"),
     )
+    jac = F.col("_i") / (
+        F.col("_nd") + F.lit(len(qset)) - F.col("_i")
+    ).cast("double")
     sim = (
-        df.select(F.col(id_col), inter.alias("_i"), jac.alias("_j"))
-        .filter(F.col("_i") > 0)
-        .select(id_col, F.round("_j", 6).alias("_j"))
+        counts.filter(F.col("_i") > 0)
+        .select(id_col, F.round(jac, 6).alias("_j"))
     )
     rb = (
         global_row_number(
