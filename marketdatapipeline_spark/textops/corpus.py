@@ -53,6 +53,7 @@ __all__ = [
     "duplicate_clusters",
     "hash_sample",
     "hybrid_retrieval_rrf",
+    "next_fit_walk",
     "pack_sequences",
     "pack_shards",
     "packing_manifest",
@@ -433,6 +434,27 @@ def add_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def next_fit_walk(tokens, cap: int) -> tuple[list[int], list[int]]:
+    """The pure next-fit walk :func:`pack_sequences` runs per bucket:
+    given token counts in walk order, return (bin indices from 0,
+    token offsets within each bin). A document joins the current bin
+    when it fits (``fill + eff <= cap``) and opens a new bin
+    otherwise; oversized documents clamp to ``cap`` (whole-bin
+    truncation). Module-level so the property tests exercise the
+    exact kernel logic."""
+    bins: list[int] = []
+    offs: list[int] = []
+    cur, fill = -1, cap  # force a new bin for the first row
+    for t in tokens:
+        eff = min(int(t), cap)
+        if fill + eff > cap:
+            cur, fill = cur + 1, 0
+        offs.append(fill)
+        bins.append(cur)
+        fill += eff
+    return bins, offs
+
+
 def pack_sequences(
     df: DataFrame,
     context_tokens: int,
@@ -492,16 +514,7 @@ def pack_sequences(
 
         pdf = pdf.sort_values(["_h", id_col], kind="mergesort")
         toks = pdf["n_tokens"].to_numpy()
-        bins, offs = [], []
-        cur_bin, fill = -1, cap  # force a new bin for the first row
-        for t in toks:
-            eff = min(int(t), cap)
-            if fill + eff > cap:
-                cur_bin += 1
-                fill = 0
-            offs.append(fill)
-            bins.append(cur_bin)
-            fill += eff
+        bins, offs = next_fit_walk(toks, cap)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].to_numpy(),

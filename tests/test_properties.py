@@ -246,3 +246,29 @@ def test_boilerplate_removal_idempotent(spark, doc_lines):
     a = {r["doc_id"]: r["text"] for r in once.collect()}
     b = {r["doc_id"]: r["text"] for r in twice.collect()}
     assert a == b
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    toks=st.lists(st.integers(1, 200), min_size=1, max_size=120),
+    cap=st.integers(8, 128),
+    buckets=st.integers(1, 8),
+)
+def test_next_fit_kernel_properties(toks, cap, buckets):
+    """The pack_sequences per-bucket walk, exercised as a pure
+    function over arbitrary token lists: no bin overflow, offsets are
+    the running fill, bins are dense from 0 and never left empty, and
+    oversized docs sit alone truncated."""
+    from marketdatapipeline_spark.textops.corpus import next_fit_walk
+
+    bins, offs = next_fit_walk(toks, cap)
+    assert bins[0] == 0 and offs[0] == 0
+    fills: dict[int, int] = {}
+    for t, b, o in zip(toks, bins, offs):
+        assert o == fills.get(b, 0)  # offset IS the running fill
+        fills[b] = fills.get(b, 0) + min(t, cap)
+    assert all(v <= cap for v in fills.values())  # never overflows
+    assert sorted(fills) == list(range(len(fills)))  # dense, none empty
+    for t, b in zip(toks, bins):
+        if t > cap:  # oversized -> alone in its bin
+            assert bins.count(b) == 1
