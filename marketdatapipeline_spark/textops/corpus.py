@@ -531,28 +531,33 @@ def pack_sequences(
     packed = scoped_persist(
         rows.groupBy("_b").applyInPandas(_next_fit, schema=out_schema)
     )
-    counts = packed.groupBy("_b").agg(
-        (F.max("_local_bin") + 1).alias("_nbins")
+    # globalize local bin ids with a LITERAL offset map: the
+    # per-bucket bin counts are n_buckets rows by construction (the
+    # legal bounded-manifest shape), so one collect — which also
+    # materializes the persisted kernel output — replaces the
+    # constant-key window + broadcast-join chain (3 AQE stages per
+    # consumer at small SF; values identical, the counts are exact).
+    cnt_rows = (
+        packed.groupBy("_b")
+        .agg((F.max("_local_bin") + 1).alias("_nbins"))
+        .collect()
     )
-    # one row per bucket — same constant-key window trick as
-    # pack_shards: the frame is n_buckets rows by construction
-    w_off = (
-        Window.partitionBy(F.col("_b") % 1)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    run = 0
+    pairs: list[int] = []
+    for r in sorted(cnt_rows, key=lambda r: r["_b"]):
+        pairs.extend((int(r["_b"]), run))
+        run += int(r["_nbins"])
+    off_map = (
+        F.create_map(*[F.lit(v) for v in pairs])
+        if pairs
+        else F.create_map(F.lit(0), F.lit(0))
     )
-    offsets = counts.withColumn(
-        "_binoff", F.coalesce(F.sum("_nbins").over(w_off), F.lit(0))
-    ).select("_b", "_binoff")
-    return (
-        packed.join(F.broadcast(offsets), "_b")
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("_local_bin") + F.col("_binoff")).cast("int").alias("bin_id"),
-            "bin_offset",
-            "truncated",
-        )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        (F.col("_local_bin") + off_map[F.col("_b")]).cast("int").alias("bin_id"),
+        "bin_offset",
+        "truncated",
     )
 
 
