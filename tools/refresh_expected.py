@@ -53,7 +53,13 @@ def default_inputs() -> list[str]:
     )[-2:]
     working = os.path.join(REPO, "bench_detail.json")
     if os.path.exists(working):
-        committed.append(working)
+        # a working file byte-identical to a committed record must not
+        # count twice — it would fake the >=2-record stability test
+        # for keys that have only one round of history
+        with open(working, "rb") as f:
+            wbytes = f.read()
+        if all(open(p, "rb").read() != wbytes for p in committed):
+            committed.append(working)
     return committed
 
 
