@@ -758,6 +758,22 @@ def _run_all(spark, sf_dir: str, st: _State) -> None:
     # omit the decades entirely.
     if os.environ.get("MDP_BENCH_SKIP_SCALING"):
         return
+    # Fresh session for the decade series (r13): after 235 catalog
+    # queries the JVM carries heap debt that reads 0.2-0.5 s high
+    # (the r6/r11 forensics), and the decades were inheriting it —
+    # 50M/100M already escaped via the proactive UDS restart below,
+    # leaving 5M/10M as the only heated measurements in the record
+    # (observed swinging 1.37M-1.80M rows/s run-to-run on identical
+    # code). One restart here puts every decade on the same clean-
+    # heap footing; each decade's warmup run re-JITs its plan shape.
+    try:
+        spark.stop()
+    except BaseException:
+        pass
+    from marketdatapipeline_spark.session import get_spark as _gs
+
+    spark = _gs(app_name="bench")
+    _WATCHDOG["spark"] = spark
     decades = [
         ("feature_pipeline_5m", 5, 3, 1),
         ("feature_pipeline_10m", 10, 3, 1),
