@@ -473,8 +473,10 @@ def pack_sequences(
     walking (hash, id) order, a document joins the current bin when it
     fits (``fill + tokens <= context_tokens``) and opens a new bin
     otherwise. Per-bucket local bin ids are made global by cumulating
-    the tiny per-bucket bin counts (one row per bucket, broadcast
-    join back) — never a global sort. Documents longer than the
+    the tiny per-bucket bin counts (one row per bucket by
+    construction, collected and folded into a literal offset map —
+    the bounded-manifest shape) — never a global sort. Documents
+    longer than the
     window occupy a whole bin alone, truncated to ``context_tokens``
     (``truncated`` flag; ``n_tokens`` keeps the true count).
 
