@@ -2669,6 +2669,58 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_similar_pairs(docs, threshold=0.4, n=3)
 
 
+#: exact-substring dedup gram width (chars): wide enough that a match
+#: means verbatim copying, narrow enough that this corpus (250-577
+#: char docs) still exercises the duplicated branch
+_SPAN_K = 40
+_SPAN_H = _H_SQL.format(x=f"substr(text, CAST(i AS INT), {_SPAN_K})")
+
+
+@register_extended(
+    "dedup_duplicate_spans",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1),
+                   i -> {_SPAN_H})) AS h
+        FROM documents
+    ),
+    pg AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY doc_id, h),
+    dg AS (SELECT h, count(*) AS nd FROM pg GROUP BY h),
+    dp AS (
+        SELECT pg.doc_id, sum(pg.c) AS dup_grams
+        FROM pg JOIN dg USING (h) WHERE dg.nd > 1 GROUP BY pg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(length(d.text) - {_SPAN_K - 1}, 0) AS BIGINT)
+               AS n_grams,
+           CAST(coalesce(dp.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CASE WHEN length(d.text) >= {_SPAN_K}
+                THEN round(coalesce(dp.dup_grams, 0)
+                           / CAST(greatest(length(d.text) - {_SPAN_K - 1}, 0)
+                                  AS DOUBLE), 6) + 0.0
+           END AS dup_frac
+    FROM documents d LEFT JOIN dp USING (doc_id)
+    """,
+)
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span duplication audit (Lee et al.'s
+    dedup-training-data signal, textops/dedup.py:duplicate_span_stats,
+    k=40 chars): per document, the fraction of character positions
+    whose 40-gram occurs verbatim in another document — the screen
+    that catches a pasted paragraph inside an otherwise-unique page,
+    which doc-level MinHash/Jaccard structurally miss. Grams hash to
+    bigints at the scan (no gram text in any exchange); one
+    repartition by gram hash feeds the multiplicity agg, the
+    distinct-doc count, and their join exchange-free. Integer counts;
+    round-6 ratio."""
+    from marketdatapipeline_spark.textops.dedup import duplicate_span_stats
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_span_stats(docs, k=_SPAN_K)
+
+
 from marketdatapipeline_spark.operators.drawdown import (  # noqa: E402
     drawdown_summary,
 )

@@ -678,3 +678,75 @@ def minhash_estimate_quality(
         est.alias("est_jaccard"),
         (est - F.col("jaccard")).alias("err"),
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document EXACT-substring duplication audit (the span-level
+    signal of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better"): for every character position, does the
+    ``k``-char gram starting there occur verbatim in ANY other
+    document? Returns ``id_col``, ``n_grams`` (positions =
+    ``len(text) - k + 1``), ``dup_grams`` (positions whose gram is
+    cross-document duplicated, multiplicity included), and
+    ``dup_frac``. Doc-level near-dup (MinHash/Jaccard) misses a
+    paragraph pasted into an otherwise-unique page; this is the
+    screen that catches it — high ``dup_frac`` marks boilerplate
+    carriers even when the whole document is unique.
+
+    Plan shape: grams hash to bigints AT THE SCAN (explode positions
+    + codegen substr/md5 — no higher-order-function lambdas, and no
+    gram text in any exchange); ONE repartition by gram hash then
+    feeds the (id, hash) multiplicity agg, the distinct-doc count,
+    and the equi-join between them exchange-free (hash(h) satisfies
+    every downstream clustering); only the final per-doc reduction
+    re-keys. Cross-document occurrence is judged on the 32-bit gram
+    hash — the module's hashed-set convention, collision odds
+    documented at :func:`md5_int`. ``n_grams`` is a pure length
+    expression, so short docs (< k chars) cost nothing and emit
+    ``dup_frac`` NULL.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    spark = df.sparkSession
+    text = F.col(text_col)
+    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    idx = F.when(
+        n_grams > 0, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        df.select(F.col(id_col), text.alias("_t"), F.explode(idx).alias("_p"))
+        .select(
+            id_col, md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "_h")
+    )
+    per_doc_gram = g.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
+    docs_per_gram = per_doc_gram.groupBy("_h").agg(
+        F.count("*").alias("_nd")
+    )
+    dup_positions = (
+        per_doc_gram.join(docs_per_gram, "_h")
+        .filter(F.col("_nd") > 1)
+        .groupBy(id_col)
+        .agg(F.sum("_c").cast("long").alias("dup_grams"))
+    )
+    base = df.select(F.col(id_col), n_grams.cast("long").alias("n_grams"))
+    out = base.join(dup_positions, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("dup_grams") / F.col("n_grams").cast("double"), 6
+            ),
+        ),
+    )

@@ -398,3 +398,46 @@ def test_language_id_eval_diagonal_dominant(spark):
     if "de" in by_lang:
         de_best = max(by_lang["de"], key=lambda r: r["n"])
         assert de_best["lang_pred"] in ("en", "de", "und")
+
+
+def test_duplicate_span_stats_matches_python_reference(spark):
+    """Exact-substring span audit vs a brute-force Python reference:
+    a pasted span is caught even when the carrier doc is unique, a
+    fully-unique doc reads 0, short docs (< k) emit NULL frac."""
+    from marketdatapipeline_spark.textops.dedup import duplicate_span_stats
+
+    k = 12
+    rows = [
+        (0, "AAAABBBBCCCCDDDD unique tail zero"),
+        (1, "prefix one AAAABBBBCCCCDDDD suffix"),   # shares a span with 0
+        (2, "totally different text with no overlap here"),
+        (3, "short"),                                 # < k chars -> NULL
+        (4, "AAAABBBBCCCCDDDD unique tail zero"),     # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, k=k).collect()
+    }
+    # python reference: position-level duplicated-gram counts
+    grams: dict[str, set[int]] = {}
+    for i, t in rows:
+        for p in range(max(len(t) - k + 1, 0)):
+            grams.setdefault(t[p : p + k], set()).add(i)
+    for i, t in rows:
+        n = max(len(t) - k + 1, 0)
+        dup = sum(
+            1 for p in range(n) if len(grams[t[p : p + k]]) > 1
+        )
+        assert out[i]["n_grams"] == n
+        assert out[i]["dup_grams"] == dup, (i, t)
+        if n:
+            assert out[i]["dup_frac"] == round(dup / n, 6)
+        else:
+            assert out[i]["dup_frac"] is None
+    # the planted structure actually holds
+    assert out[2]["dup_grams"] == 0
+    assert out[0]["dup_frac"] == 1.0  # exact dup of 4 -> fully covered
+    assert 0 < out[1]["dup_frac"] < 1  # carrier doc: partial coverage
+    with pytest.raises(ValueError):
+        duplicate_span_stats(df, k=1)
