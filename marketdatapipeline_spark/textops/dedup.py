@@ -700,30 +700,29 @@ def duplicate_span_stats(
 
     Plan shape: grams hash to bigints AT THE SCAN (explode positions
     + codegen substr/md5 — no higher-order-function lambdas, and no
-    gram text in any exchange); ONE repartition by gram hash then
-    feeds the (id, hash) multiplicity agg, the distinct-doc count,
-    and the equi-join between them exchange-free (hash(h) satisfies
-    every downstream clustering); only the final per-doc reduction
-    re-keys. Cross-document occurrence is judged on the 32-bit gram
-    hash — the module's hashed-set convention, collision odds
-    documented at :func:`md5_int`. ``n_grams`` is a pure length
+    gram text in any exchange); the (id, hash) multiplicity agg
+    shuffles map-combined 16-byte rows and AQE coalesces the rest.
+    (An explicit pre-repartition by gram hash — which would make the
+    downstream agg/join exchange-free — A/B-measured ~20% SLOWER at
+    sf0.1: it ships the raw exploded rows and forfeits the partial
+    aggregation; same lesson as the ngram audit's failed
+    ``_h``-repartition.) Cross-document occurrence is judged on the
+    32-bit gram hash — the module's hashed-set convention, collision
+    odds documented at :func:`md5_int`. ``n_grams`` is a pure length
     expression, so short docs (< k chars) cost nothing and emit
     ``dup_frac`` NULL.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    spark = df.sparkSession
     text = F.col(text_col)
     n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
     idx = F.when(
         n_grams > 0, F.sequence(F.lit(1), n_grams)
     ).otherwise(F.array().cast("array<int>"))
-    g = (
-        df.select(F.col(id_col), text.alias("_t"), F.explode(idx).alias("_p"))
-        .select(
-            id_col, md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h")
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "_h")
+    g = df.select(
+        F.col(id_col), text.alias("_t"), F.explode(idx).alias("_p")
+    ).select(
+        id_col, md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h")
     )
     per_doc_gram = g.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
     docs_per_gram = per_doc_gram.groupBy("_h").agg(
