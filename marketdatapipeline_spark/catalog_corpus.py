@@ -327,8 +327,9 @@ def q_corpus_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     context bins, deterministic next-fit in (hash-bucket, hash, id)
     order, no document split across bins. The Spark side walks each
     of 32 buckets in an Arrow kernel (exchange carries only
-    id/tokens/hash) and globalizes bin ids with a broadcast of the 32
-    per-bucket bin counts; the oracle replays the identical walk with
+    id/tokens/hash) and globalizes bin ids by collecting the 32
+    per-bucket bin counts into a literal offset map (the
+    bounded-manifest shape); the oracle replays the identical walk with
     a recursive CTE, pinning every (bin_id, bin_offset, truncated)
     cell."""
     from marketdatapipeline_spark.textops.corpus import (
@@ -2711,10 +2712,10 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose 40-gram occurs verbatim in another document — the screen
     that catches a pasted paragraph inside an otherwise-unique page,
     which doc-level MinHash/Jaccard structurally miss. Grams hash to
-    bigints at the scan (no gram text in any exchange); one
-    repartition by gram hash feeds the multiplicity agg, the
-    distinct-doc count, and their join exchange-free. Integer counts;
-    round-6 ratio."""
+    bigints at the scan (no gram text in any exchange); the (doc,
+    hash) aggregation is map-side combined and AQE plans the
+    follow-on exchanges (an explicit gram-hash repartition measured
+    ~20% slower and was dropped). Integer counts; round-6 ratio."""
     from marketdatapipeline_spark.textops.dedup import duplicate_span_stats
 
     docs = _docs(spark, sf_dir)

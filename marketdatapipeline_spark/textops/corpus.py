@@ -444,10 +444,13 @@ def next_fit_walk(tokens, cap: int) -> tuple[list[int], list[int]]:
     exact kernel logic."""
     bins: list[int] = []
     offs: list[int] = []
-    cur, fill = -1, cap  # force a new bin for the first row
+    cur, fill = -1, 0
     for t in tokens:
         eff = min(int(t), cap)
-        if fill + eff > cap:
+        # cur < 0 opens bin 0 unconditionally: a zero-token first row
+        # must still land at (bin 0, offset 0), matching the oracle
+        # walk's unconditional first-row pin.
+        if cur < 0 or fill + eff > cap:
             cur, fill = cur + 1, 0
         offs.append(fill)
         bins.append(cur)
@@ -506,8 +509,12 @@ def pack_sequences(
     )
 
     cap = context_tokens
+    # the kernel echoes the id column back, so its Arrow schema must
+    # carry the CALLER'S id type (string doc ids are legal), not an
+    # assumed bigint
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_tokens int, _b long, _local_bin int, "
+        f"{id_col} {id_type}, n_tokens int, _b long, _local_bin int, "
         "bin_offset int, truncated boolean"
     )
 

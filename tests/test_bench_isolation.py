@@ -471,3 +471,31 @@ def test_per_key_factor_override_tightens_band(monkeypatch, tmp_path):
     # same reading on a default-band key: inside 2.0 -> untouched
     bench.remeasure_scalar("noisy_key", lambda sp: 1.7, 1.8, exp, st)
     assert "noisy_key" not in st.remeasured
+
+
+def test_bench_expectations_cover_full_catalog_registry():
+    """r14 (VERDICT r13 item 1): `dedup_duplicate_spans` landed after
+    the r13 round-closing bench, so it had no committed median and no
+    expectation entry — the re-measure band was blind to it. This
+    invariant makes that failure mode a red test: every key in the
+    full catalog registry (REGISTRY + EXTENDED_REGISTRY — exactly the
+    set bench.py iterates) must carry an expectation in the committed
+    bench_expected.json. An operator that ships without re-running
+    the closing bench (tools/refresh_expected.py --write on a detail
+    record that includes it) fails here instead of silently skipping
+    the record."""
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY, REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench_expected.json")) as f:
+        expected = set(json.load(f)["expected"])
+    registry = set(REGISTRY) | set(EXTENDED_REGISTRY)
+    missing = sorted(registry - expected)
+    assert not missing, (
+        f"bench_expected.json lacks expectations for {missing}; run the "
+        "closing bench at HEAD and tools/refresh_expected.py --write"
+    )

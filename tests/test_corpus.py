@@ -736,10 +736,13 @@ def _next_fit_reference(items, cap):
     bin_base = 0
     for b in sorted(by_bucket):
         rows = sorted(by_bucket[b], key=lambda x: (x[2], x[0]))
-        cur, fill = -1, cap
+        cur, fill = -1, 0
         for doc_id, tok, _h, _b in rows:
             eff = min(tok, cap)
-            if fill + eff > cap:
+            # first row unconditionally opens bin 0 (even at eff=0),
+            # matching the oracle CTE's first-row pin — independent of
+            # the kernel's own init
+            if cur < 0 or fill + eff > cap:
                 cur, fill = cur + 1, 0
             out[doc_id] = (bin_base + cur, fill, tok > cap)
             fill += eff
@@ -820,6 +823,46 @@ def test_pack_sequences_truncates_oversized_docs(spark):
     assert not out[2]["truncated"] and not out[3]["truncated"]
     with pytest.raises(ValueError):
         pack_sequences(df, context_tokens=0)
+
+
+def test_pack_sequences_zero_token_docs(spark):
+    """Empty texts yield n_tokens=0; every such doc must still get a
+    non-negative 0-based bin id (a zero-token FIRST bucket row used to
+    land in bin -1 at offset cap) and zero-token docs never force a
+    new bin."""
+    from marketdatapipeline_spark.textops.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)] + [(9, 30), (10, 30)],
+        ["doc_id", "n_tokens_bpe"],
+    )
+    out = pack_sequences(df, context_tokens=64, n_buckets=4).collect()
+    assert len(out) == 10
+    assert all(r["bin_id"] >= 0 for r in out)
+    bins = sorted({r["bin_id"] for r in out})
+    assert bins == list(range(len(bins)))
+    assert not any(r["truncated"] for r in out)
+    # per-bucket fills never exceed the budget
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + min(r["n_tokens"], 64)
+    assert all(v <= 64 for v in fills.values())
+
+
+def test_pack_sequences_string_doc_ids(spark):
+    """id_col is a public parameter: string ids must round-trip the
+    Arrow kernel (the output schema derives the id type from the
+    input, not an assumed bigint)."""
+    from marketdatapipeline_spark.textops.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 30), ("b", 30), ("c", 50), ("d", 10)],
+        ["doc_id", "n_tokens_bpe"],
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, context_tokens=64).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["a"]["n_tokens"] == 30
+    assert all(r["bin_id"] >= 0 for r in out.values())
 
 
 def test_packing_waste_accounts_every_token(spark, docs):

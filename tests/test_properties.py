@@ -250,7 +250,7 @@ def test_boilerplate_removal_idempotent(spark, doc_lines):
 
 @settings(max_examples=30, deadline=None)
 @given(
-    toks=st.lists(st.integers(1, 200), min_size=1, max_size=120),
+    toks=st.lists(st.integers(0, 200), min_size=1, max_size=120),
     cap=st.integers(8, 128),
     buckets=st.integers(1, 8),
 )
@@ -270,5 +270,30 @@ def test_next_fit_kernel_properties(toks, cap, buckets):
     assert all(v <= cap for v in fills.values())  # never overflows
     assert sorted(fills) == list(range(len(fills)))  # dense, none empty
     for t, b in zip(toks, bins):
-        if t > cap:  # oversized -> alone in its bin
-            assert bins.count(b) == 1
+        if t > cap:  # oversized -> shares its bin only with
+            # zero-token docs (fill + 0 <= cap legally joins, in both
+            # the kernel and the oracle walk)
+            assert all(
+                t2 == 0 for t2, b2 in zip(toks, bins) if b2 == b and t2 != t
+            ) and sum(1 for t2, b2 in zip(toks, bins) if b2 == b and t2 > cap) == 1
+
+
+def test_next_fit_zero_token_first_row():
+    """A zero-effective-token FIRST row (empty text: no BPE matches)
+    must open bin 0 at offset 0 — the oracle's recursive CTE pins the
+    first bucket row there unconditionally. Expectations derived by
+    hand, NOT by mirroring the kernel: [0,5,0] with cap 8 packs as
+    bin 0 throughout at offsets 0,0,5."""
+    from marketdatapipeline_spark.textops.corpus import next_fit_walk
+
+    bins, offs = next_fit_walk([0, 5, 0], 8)
+    assert bins == [0, 0, 0]
+    assert offs == [0, 0, 5]
+    # zero-token doc after an exactly-full bin stays in that bin
+    bins, offs = next_fit_walk([8, 0, 3], 8)
+    assert bins == [0, 0, 1]
+    assert offs == [0, 8, 0]
+    # all-zero corpus: one bin, all at offset 0
+    bins, offs = next_fit_walk([0, 0, 0], 8)
+    assert bins == [0, 0, 0]
+    assert offs == [0, 0, 0]
