@@ -2722,6 +2722,88 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(docs, k=_SPAN_K)
 
 
+@register_extended(
+    "dedup_remove_spans",
+    f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1))
+                   AS i
+        FROM documents
+    ),
+    g AS (SELECT doc_id, CAST(i AS INT) AS i, {_SPAN_H} AS h FROM pos),
+    gs AS (
+        SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS keep
+        FROM g GROUP BY h
+    ),
+    dp AS (
+        SELECT g.doc_id, g.i FROM g JOIN gs USING (h)
+        WHERE gs.nd > 1 AND g.doc_id <> gs.keep
+    ),
+    rm AS (
+        SELECT DISTINCT doc_id, i + o AS c
+        FROM dp CROSS JOIN (SELECT unnest(range(0, {_SPAN_K})) AS o) offs
+    ),
+    stats AS (
+        SELECT doc_id,
+               count(*) AS chars_removed,
+               sum(CASE WHEN prev IS NULL OR c - prev > 1
+                        THEN 1 ELSE 0 END) AS n_spans
+        FROM (SELECT doc_id, c,
+                     lag(c) OVER (PARTITION BY doc_id ORDER BY c) AS prev
+              FROM rm)
+        GROUP BY doc_id
+    ),
+    chars AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS c
+        FROM documents
+    ),
+    kept AS (
+        SELECT ch.doc_id, ch.c, substr(ch.text, CAST(ch.c AS INT), 1) AS s
+        FROM chars ch LEFT JOIN rm ON rm.doc_id = ch.doc_id AND rm.c = ch.c
+        WHERE rm.c IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(s, '' ORDER BY c) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS INT) AS n_chars,
+           CAST(coalesce(st.chars_removed, 0) AS INT) AS chars_removed,
+           CAST(coalesce(st.n_spans, 0) AS INT) AS n_spans_removed,
+           md5(coalesce(r.clean, '')) AS clean_md5
+    FROM documents d
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (the operator half of Lee et
+    al.'s dedup, textops/dedup.py:remove_duplicate_spans, k=40,
+    keep_first): cross-document duplicated 40-gram runs merge into
+    maximal spans and are cut from every document except the
+    minimum-doc_id canonical carrier, which keeps the corpus's one
+    surviving copy. md5 of the cleaned text pins every surviving byte
+    and segment order; integer counts pin span accounting. The
+    oracle derives the same removed set independently via char-level
+    membership (gram start covers [i, i+k-1]) + island counting,
+    while the Spark side merges spans with higher-order folds — two
+    formulations, one answer."""
+    from marketdatapipeline_spark.textops.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = remove_duplicate_spans(docs, k=_SPAN_K)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "chars_removed",
+        "n_spans_removed",
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
 from marketdatapipeline_spark.operators.drawdown import (  # noqa: E402
     drawdown_summary,
 )
@@ -5114,10 +5196,33 @@ from marketdatapipeline_spark.textops.corpus import quality_screen  # noqa: E402
 
 @register_extended(
     "corpus_quality_screen",
-    r"""
+    rf"""
     WITH ch AS (
         SELECT doc_id, unnest(string_split(text, '')) AS c
         FROM documents
+    ),
+    sg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(length(text) - {_SPAN_K - 1}, 0) + 1),
+                   i -> {_SPAN_H})) AS h
+        FROM documents
+    ),
+    spg AS (SELECT doc_id, h, count(*) AS c FROM sg GROUP BY doc_id, h),
+    sdg AS (SELECT h, count(*) AS nd FROM spg GROUP BY h),
+    sdp AS (
+        SELECT spg.doc_id, sum(spg.c) AS dup
+        FROM spg JOIN sdg USING (h) WHERE sdg.nd > 1 GROUP BY spg.doc_id
+    ),
+    span AS (
+        SELECT d.doc_id,
+               CASE WHEN length(d.text) >= {_SPAN_K}
+                    THEN round(coalesce(sdp.dup, 0)
+                               / CAST(greatest(length(d.text)
+                                               - {_SPAN_K - 1}, 0)
+                                      AS DOUBLE), 6) + 0.0
+               END AS span_dup_frac
+        FROM documents d LEFT JOIN sdp USING (doc_id)
     ),
     cnt AS (
         SELECT doc_id, c, count(*) AS n
@@ -5153,32 +5258,39 @@ from marketdatapipeline_spark.textops.corpus import quality_screen  # noqa: E402
     )
     SELECT r.doc_id, r.n_words,
            round(e.char_entropy, 6) + 0.0 AS char_entropy, r.digit_ratio,
-           r.dup_line_frac,
+           r.dup_line_frac, s.span_dup_frac,
            r.n_words < 5 AS too_short,
            coalesce(e.char_entropy < 2.0, TRUE) AS low_entropy,
            coalesce(r.digit_ratio > 0.3, FALSE) AS digit_heavy,
            r.dup_line_frac > 0.3 AS repetitive,
+           coalesce(s.span_dup_frac > 0.5, FALSE) AS span_duplicated,
            NOT (r.n_words < 5) AND NOT coalesce(e.char_entropy < 2.0, TRUE)
            AND NOT coalesce(r.digit_ratio > 0.3, FALSE)
-           AND NOT (r.dup_line_frac > 0.3) AS keep
-    FROM r LEFT JOIN ent e USING (doc_id)
+           AND NOT (r.dup_line_frac > 0.3)
+           AND NOT coalesce(s.span_dup_frac > 0.5, FALSE) AS keep
+    FROM r LEFT JOIN ent e USING (doc_id) LEFT JOIN span s USING (doc_id)
     """,
 )
 def q_corpus_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed FineWeb-style keep/drop verdict
     (textops/corpus.py:quality_screen): length, character-entropy,
-    digit-density, and line-repetition screens stacked with the
-    per-reason flags preserved. Only the entropy shuffles; flags and
+    digit-density, line-repetition, and (r14) cross-document
+    exact-substring span-duplication screens stacked with the
+    per-reason flags preserved — dup_frac from the Lee-et-al span
+    audit is exactly the drop signal the within-document screens
+    miss (a mirrored page reads as clean prose to all four). The
+    entropy and the span audit's gram-hash agg shuffle; flags and
     the verdict are boolean algebra over already-oracled signals —
-    engine-exact (entropy round-6 feeds the comparison on BOTH
-    sides via the same rounded value)."""
+    engine-exact (entropy and span_dup_frac round-6 feed the
+    comparisons on BOTH sides via the same rounded values)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    out = quality_screen(docs)
+    out = quality_screen(docs, max_span_dup_frac=0.5, span_k=_SPAN_K)
     return out.select(
         "doc_id", "n_words",
         _r6(F.col("char_entropy")).alias("char_entropy"),
-        "digit_ratio", "dup_line_frac",
-        "too_short", "low_entropy", "digit_heavy", "repetitive", "keep",
+        "digit_ratio", "dup_line_frac", "span_dup_frac",
+        "too_short", "low_entropy", "digit_heavy", "repetitive",
+        "span_duplicated", "keep",
     )
 
 

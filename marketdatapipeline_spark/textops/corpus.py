@@ -1651,20 +1651,33 @@ def quality_screen(
     min_entropy: float = 2.0,
     max_digit_ratio: float = 0.3,
     max_dup_line_frac: float = 0.3,
+    max_span_dup_frac: float | None = None,
+    span_k: int = 40,
 ) -> DataFrame:
     """(id, n_words, char_entropy, digit_ratio, dup_line_frac,
-    too_short, low_entropy, digit_heavy, repetitive, keep): the
-    FineWeb-style composed quality verdict — four independent screens
-    (length, character entropy, digit density, line repetition)
-    stacked into one keep/drop decision WITH the per-reason flags
-    kept (a pipeline that can't say WHY it dropped a document can't
-    be tuned).
+    [span_dup_frac], too_short, low_entropy, digit_heavy, repetitive,
+    [span_duplicated], keep): the FineWeb-style composed quality
+    verdict — independent screens (length, character entropy, digit
+    density, line repetition, and optionally cross-document
+    exact-substring span duplication) stacked into one keep/drop
+    decision WITH the per-reason flags kept (a pipeline that can't
+    say WHY it dropped a document can't be tuned).
+
+    ``max_span_dup_frac`` (opt-in: it adds the corpus-wide gram-hash
+    aggregation of :func:`~marketdatapipeline_spark.textops.dedup.
+    duplicate_span_stats`) flags documents whose duplicated-position
+    fraction exceeds the bar — the Lee-et-al signal that catches a
+    pasted/mirrored page the four within-document screens miss.
+    Documents shorter than ``span_k`` have no grams (``span_dup_frac``
+    NULL) and are not flagged.
 
     Composition of operators already in the engine
     (textops/analysis.py char stats + entropy,
-    add_repetition_signals); the only shuffle is the entropy's
-    (doc, char) aggregation — everything else is scan-side, and the
-    flags/verdict are pure boolean algebra (engine-exact)."""
+    add_repetition_signals, textops/dedup.py span audit); the
+    shuffles are the entropy's (doc, char) aggregation and — when
+    enabled — the span audit's (doc, gram-hash) aggregation;
+    everything else is scan-side, and the flags/verdict are pure
+    boolean algebra (engine-exact)."""
     from marketdatapipeline_spark.textops.analysis import (
         add_char_stats,
         char_entropy,
@@ -1688,20 +1701,39 @@ def quality_screen(
         F.col("digit_ratio") > max_digit_ratio, F.lit(False)
     )
     repetitive = F.col("dup_line_frac") > max_dup_line_frac
-    return j.select(
+    cols = [
         id_col,
         "n_words",
         "char_entropy",
         "digit_ratio",
         "dup_line_frac",
+    ]
+    flags = [
         too_short.alias("too_short"),
         low_entropy.alias("low_entropy"),
         digit_heavy.alias("digit_heavy"),
         repetitive.alias("repetitive"),
-        (
-            ~too_short & ~low_entropy & ~digit_heavy & ~repetitive
-        ).alias("keep"),
-    )
+    ]
+    keep = ~too_short & ~low_entropy & ~digit_heavy & ~repetitive
+    if max_span_dup_frac is not None:
+        from marketdatapipeline_spark.textops.dedup import (
+            duplicate_span_stats,
+        )
+
+        span = duplicate_span_stats(
+            df.select(F.col(id_col), F.col(text_col)),
+            k=span_k,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(id_col, F.col("dup_frac").alias("span_dup_frac"))
+        j = j.join(span, id_col, "left")
+        span_duplicated = F.coalesce(
+            F.col("span_dup_frac") > max_span_dup_frac, F.lit(False)
+        )
+        cols.append("span_dup_frac")
+        flags.append(span_duplicated.alias("span_duplicated"))
+        keep = keep & ~span_duplicated
+    return j.select(*cols, *flags, keep.alias("keep"))
 
 
 # ---------------------------------------------------------------------------

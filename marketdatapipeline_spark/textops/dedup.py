@@ -749,3 +749,155 @@ def duplicate_span_stats(
             ),
         ),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Cut cross-document duplicated spans out of the text — the
+    operator half of Lee et al.'s exact-substring dedup
+    (:func:`duplicate_span_stats` is the audit half: it says HOW MUCH
+    is duplicated; this removes it). A character position is
+    duplicated when some ``k``-gram covering it occurs verbatim in
+    another document; runs of duplicated gram starts merge into
+    maximal spans (a gram at ``p`` covers ``[p, p+k-1]``), and the
+    surviving segments reassemble in original order.
+
+    ``keep_first=True`` (default, the curation-correct mode) keeps
+    one canonical copy of every duplicated gram: occurrences in the
+    minimum-``id_col`` document carrying that gram survive, so
+    content is deduplicated, not destroyed. ``keep_first=False``
+    replicates the Lee-et-al tooling's cut-every-copy behavior.
+
+    Returns ``id_col``, ``text_col`` (rewritten), ``n_chars``
+    (original length), ``chars_removed``, ``n_spans_removed``. A
+    document shorter than ``k`` has no grams and passes through
+    untouched; a fully-duplicated document comes back with empty
+    text, not a dropped row.
+
+    Plan shape: the same scan-side gram-hash explode as the audit
+    (codegen substr/md5 — no gram text in any exchange); one
+    map-combinable agg keyed by gram hash producing (distinct-doc
+    count, canonical doc); one hash join back to the exploded
+    positions; one groupBy(id) collecting the per-doc duplicated
+    positions (bounded by doc length); span merging and text surgery
+    are ``F.aggregate`` higher-order folds over that per-doc array —
+    JVM expression evaluation, no Python, no window, no global sort.
+    Cross-document occurrence is judged on the 32-bit gram hash (the
+    module convention, collision odds at :func:`md5_int`).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    text = F.col(text_col)
+    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    g = df.select(
+        F.col(id_col), text.alias("_t"), F.explode(idx).alias("_p")
+    ).select(
+        id_col,
+        "_p",
+        md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h"),
+    )
+    per_doc = g.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
+    gstats = per_doc.groupBy("_h").agg(
+        F.count("*").alias("_nd"), F.min(id_col).alias("_keep")
+    )
+    dup = g.join(gstats.filter(F.col("_nd") > 1), "_h")
+    if keep_first:
+        dup = dup.filter(F.col(id_col) != F.col("_keep"))
+    pos = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_p")).alias("_ps")
+    )
+
+    # merge sorted gram starts into maximal char spans [s, e]:
+    # fold state (sp: finished spans, cs/ce: open span bounds)
+    span_t = "array<struct<s:int,e:int>>"
+
+    def _merge(acc, p):
+        closed = F.concat(
+            acc["sp"], F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e")))
+        )
+        return (
+            F.when(
+                acc["cs"] < 0,
+                F.struct(
+                    acc["sp"].alias("sp"),
+                    p.alias("cs"),
+                    (p + F.lit(k - 1)).alias("ce"),
+                ),
+            )
+            .when(
+                p <= acc["ce"] + 1,
+                F.struct(
+                    acc["sp"].alias("sp"),
+                    acc["cs"].alias("cs"),
+                    (p + F.lit(k - 1)).alias("ce"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    closed.alias("sp"), p.alias("cs"), (p + F.lit(k - 1)).alias("ce")
+                )
+            )
+        )
+
+    spans = F.aggregate(
+        F.col("_ps"),
+        F.struct(
+            F.array().cast(span_t).alias("sp"),
+            F.lit(-1).alias("cs"),
+            F.lit(-1).alias("ce"),
+        ),
+        _merge,
+        lambda acc: F.when(acc["cs"] < 0, acc["sp"]).otherwise(
+            F.concat(
+                acc["sp"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            )
+        ),
+    )
+
+    # cut the spans: fold (txt: kept prefix, last: end of last cut)
+    cleaned = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit("").alias("t"), F.lit(0).alias("last")),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["t"],
+                text.substr(acc["last"] + 1, sp["s"] - acc["last"] - 1),
+            ).alias("t"),
+            sp["e"].alias("last"),
+        ),
+        lambda acc: F.concat(
+            acc["t"], text.substr(acc["last"] + 1, F.length(text) - acc["last"])
+        ),
+    )
+
+    out = (
+        df.join(pos, id_col, "left")
+        .withColumn(
+            "_spans",
+            F.when(F.col("_ps").isNotNull(), spans).otherwise(
+                F.array().cast(span_t)
+            ),
+        )
+        .withColumns(
+            {
+                "n_chars": F.length(text).cast("int"),
+                "chars_removed": F.aggregate(
+                    F.col("_spans"),
+                    F.lit(0),
+                    lambda acc, sp: acc + sp["e"] - sp["s"] + 1,
+                ).cast("int"),
+                "n_spans_removed": F.size("_spans").cast("int"),
+            }
+        )
+        .withColumn(text_col, cleaned)
+    )
+    return out.drop("_ps", "_spans")

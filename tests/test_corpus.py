@@ -612,6 +612,39 @@ def test_quality_screen_flags_each_reason(spark):
     assert out[3]["low_entropy"] and not out[3]["keep"]
     assert out[4]["digit_heavy"] and not out[4]["keep"]
     assert out[5]["repetitive"] and not out[5]["keep"]
+    # opt-out default: no span columns unless requested
+    assert "span_dup_frac" not in out[1].asDict()
+
+
+def test_quality_screen_span_duplication_reason(spark):
+    """r14: the Lee-et-al span signal as a fifth screen — a mirrored
+    document passes all four within-document screens but is flagged
+    span_duplicated; its canonical twin keeps one copy's worth of
+    dup_frac too (cross-doc duplication is symmetric in the AUDIT),
+    so both fall; a clean unique doc keeps; short docs (< span_k)
+    have NULL span_dup_frac and are not span-flagged."""
+    from marketdatapipeline_spark.textops.corpus import quality_screen
+
+    prose = ("The quick brown fox jumps over the lazy dog while seventeen "
+             "sailors watch from a distant harbor wall at dusk and the "
+             "tide slides out across the shingle beyond the old pier.")
+    other = ("A completely different passage describes mountain weather "
+             "patterns drifting eastward over granite ridges toward the "
+             "high meadow where marmots whistle warnings at noon.")
+    docs = spark.createDataFrame(
+        [(1, prose), (2, prose), (3, other), (4, "handful of words only here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_screen(docs, max_span_dup_frac=0.5).collect()
+    }
+    assert out[1]["span_duplicated"] and out[2]["span_duplicated"]
+    assert not out[1]["keep"] and not out[2]["keep"]
+    assert out[1]["span_dup_frac"] == 1.0
+    assert not out[3]["span_duplicated"] and out[3]["keep"]
+    assert out[4]["span_dup_frac"] is None
+    assert not out[4]["span_duplicated"]  # NULL never flags
 
 
 def test_training_shard_export_round_trip(spark, tmp_path):

@@ -441,3 +441,102 @@ def test_duplicate_span_stats_matches_python_reference(spark):
     assert 0 < out[1]["dup_frac"] < 1  # carrier doc: partial coverage
     with pytest.raises(ValueError):
         duplicate_span_stats(df, k=1)
+
+
+def _remove_spans_reference(rows, k, keep_first=True):
+    """Brute-force scalar reference for remove_duplicate_spans: real
+    gram strings (not hashes), char-level removed-set membership,
+    island counting — independently derived from the definition."""
+    gram_docs: dict[str, set[int]] = {}
+    for i, t in rows:
+        for p in range(max(len(t) - k + 1, 0)):
+            gram_docs.setdefault(t[p : p + k], set()).add(i)
+    out = {}
+    for i, t in rows:
+        removed: set[int] = set()
+        for p in range(max(len(t) - k + 1, 0)):
+            docs = gram_docs[t[p : p + k]]
+            if len(docs) > 1 and (not keep_first or i != min(docs)):
+                removed.update(range(p, p + k))
+        clean = "".join(c for j, c in enumerate(t) if j not in removed)
+        spans = sum(1 for j in removed if j - 1 not in removed)
+        out[i] = (clean, len(t), len(removed), spans)
+    return out
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """Span REMOVAL (the operator half of Lee et al.) vs the scalar
+    reference: canonical doc keeps its copy, carriers lose exactly
+    the shared span, uniques pass through byte-identical, short docs
+    (< k) are untouched, a full duplicate empties (keep_first)."""
+    from marketdatapipeline_spark.textops.dedup import (
+        remove_duplicate_spans,
+    )
+
+    k = 12
+    rows = [
+        (0, "AAAABBBBCCCCDDDD unique tail zero"),
+        (1, "prefix one AAAABBBBCCCCDDDD suffix"),
+        (2, "totally different text with no overlap here"),
+        (3, "short"),
+        (4, "AAAABBBBCCCCDDDD unique tail zero"),
+        (5, "two hits AAAABBBBCCCCDDDD mid AAAABBBBCCCCDDDD end"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for keep_first in (True, False):
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(
+                df, k=k, keep_first=keep_first
+            ).collect()
+        }
+        want = _remove_spans_reference(rows, k, keep_first)
+        for i, _ in rows:
+            wclean, wn, wrem, wspans = want[i]
+            assert got[i]["text"] == wclean, (keep_first, i)
+            assert got[i]["n_chars"] == wn
+            assert got[i]["chars_removed"] == wrem, (keep_first, i)
+            assert got[i]["n_spans_removed"] == wspans, (keep_first, i)
+    # planted structure: doc 0 is canonical -> survives intact under
+    # keep_first; its exact dup 4 empties; the carrier keeps its
+    # unique prefix/suffix; doc 5 has two separate cut spans... unless
+    # merged — the reference decides; uniques byte-identical
+    got = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got[0]["text"] == rows[0][1]
+    assert got[4]["text"] == ""
+    assert got[4]["chars_removed"] == len(rows[4][1])
+    assert got[2]["text"] == rows[2][1]
+    assert got[3]["text"] == "short"
+    assert got[6]["text"] == ""
+    assert "prefix one" in got[1]["text"] and "AAAA" not in got[1]["text"]
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, k=1)
+
+
+def test_remove_duplicate_spans_removal_is_idempotent(spark):
+    """After cutting, re-running the removal must change nothing:
+    duplicated grams are gone (keep_first leaves exactly one copy,
+    which by definition no longer cross-matches)... EXCEPT when the
+    cut itself manufactures a new duplicate by gluing boundary
+    fragments — so idempotence is asserted on a corpus where
+    boundaries stay distinct (realistic prose)."""
+    from marketdatapipeline_spark.textops.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, f"intro {i} distinct words here. {shared} outro {i} ends.")
+        for i in range(4)
+    ] + [(9, "a wholly different document with zero common substrings")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = remove_duplicate_spans(df, k=16).select("doc_id", "text")
+    twice = remove_duplicate_spans(once, k=16).select("doc_id", "text")
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+    # the shared sentence survives exactly once across the corpus
+    assert sum(shared in t for t in a.values()) == 1
