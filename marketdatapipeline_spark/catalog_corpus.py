@@ -13118,3 +13118,128 @@ def q_embeddings_knn_label_purity(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (r14) — textops/bpe.py
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of textops/bpe.py's flanked-separator symbol state and
+#: weighted pair counting. chr(31) = the SEP constant.
+_BPE_N_MERGES = 10
+
+
+def _bpe_base_sql() -> str:
+    return f"""
+    toks AS (
+        SELECT unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS w
+        FROM documents
+    ),
+    wf AS (
+        SELECT w, count(*) AS f FROM toks
+        WHERE strpos(w, chr(31)) = 0 GROUP BY w
+    ),
+    w0 AS (
+        SELECT chr(31) || array_to_string(string_split(w, ''),
+                                          chr(31) || chr(31))
+               || chr(31) AS s, f
+        FROM wf
+    )"""
+
+
+def _bpe_pairs_sql(i: int) -> str:
+    return f"""
+    p{i} AS (
+        SELECT (pp).l AS pl, (pp).r AS pr, sum(f) AS c
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(cs)),
+                       j -> struct_pack(l := cs[j], r := cs[j + 1])))
+                       AS pp, f
+            FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+                                      chr(31) || chr(31)) AS cs, f
+                  FROM w{i})
+        )
+        GROUP BY pl, pr
+    )"""
+
+
+def _bpe_merges_sql(n: int) -> str:
+    parts = ["WITH " + _bpe_base_sql()]
+    for i in range(n):
+        parts.append(_bpe_pairs_sql(i))
+        parts.append(
+            f"""
+    b{i} AS (SELECT pl, pr, c FROM p{i}
+             ORDER BY c DESC, pl, pr LIMIT 1)"""
+        )
+        if i < n - 1:
+            parts.append(
+                f"""
+    w{i + 1} AS (
+        SELECT replace(w.s,
+                       chr(31) || b.pl || chr(31) || chr(31) || b.pr
+                           || chr(31),
+                       chr(31) || b.pl || b.pr || chr(31)) AS s, w.f
+        FROM w{i} w CROSS JOIN b{i} b
+    )"""
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS merge_rank, pl AS pair_left, "
+        f"pr AS pair_right, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n)
+    )
+    return ",".join(parts) + "\n    " + union
+
+
+@register_extended(
+    "corpus_bpe_pair_counts",
+    f"""
+    WITH {_bpe_base_sql().split('w0 AS')[0]}
+    pc AS (
+        SELECT (pp).l AS pl, (pp).r AS pr, sum(f) AS c
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(cs)),
+                       j -> struct_pack(l := cs[j], r := cs[j + 1])))
+                       AS pp, f
+            FROM (SELECT string_split(w, '') AS cs, f FROM wf)
+        )
+        GROUP BY pl, pr
+    )
+    SELECT pl AS pair_left, pr AS pair_right, CAST(c AS BIGINT) AS pair_count
+    FROM pc ORDER BY c DESC, pl, pr LIMIT 50
+    """,
+)
+def q_corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-0 BPE merge candidates (textops/bpe.py:
+    bpe_pair_counts): adjacent character-pair counts over the
+    corpus's distinct pre-tokens, weighted by pre-token frequency —
+    the table the first merge is chosen from. One corpus-sized
+    pre-token explode + count; pair counting runs on the
+    vocabulary-sized table. Top-50 under a deterministic total order
+    (count desc, pair lex asc), so both engines pick the identical
+    set. Integer counts + strings — bit-exact."""
+    from marketdatapipeline_spark.textops.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
+@register_extended(
+    "corpus_bpe_merges",
+    _bpe_merges_sql(_BPE_N_MERGES),
+)
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 10 learned BPE merges (textops/bpe.py:
+    bpe_learn_merges): per iteration, the weighted argmax adjacent
+    pair (ties lexicographic) is merged greedily left-to-right via
+    the flanked-separator literal replace, and counts recompute on
+    the merged state — the ratchet a recursive walk can't shortcut.
+    The oracle unrolls the 10 iterations as chained CTEs over
+    DuckDB's identical replace semantics; every (rank, left, right,
+    count) cell pins the full merge trajectory. Spark's per-iteration
+    argmax is a distributed top-1 with a one-row collect (the
+    bounded-manifest shape)."""
+    from marketdatapipeline_spark.textops.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir), n_merges=_BPE_N_MERGES)

@@ -46,8 +46,14 @@ from marketdatapipeline_spark.textops.incremental import (
     LSHDedupStore,
     build_lsh_store,
 )
+from marketdatapipeline_spark.textops.bpe import (
+    bpe_learn_merges,
+    bpe_pair_counts,
+    bpe_word_freqs,
+)
 from marketdatapipeline_spark.textops.dedup import (
     deduplicate_exact,
+    duplicate_span_stats,
     exact_duplicate_groups,
     embedding_near_duplicates,
     jaccard_pairs_with_lsh_flag,
@@ -57,6 +63,7 @@ from marketdatapipeline_spark.textops.dedup import (
     minhash_estimate_quality,
     minhash_near_duplicates,
     minhash_signature,
+    remove_duplicate_spans,
     simhash,
     word_shingles,
 )
@@ -85,8 +92,13 @@ __all__ = [
     "add_language_id",
     "add_quality_signals",
     "add_token_count",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "bpe_word_freqs",
     "deduplicate_exact",
+    "duplicate_span_stats",
     "exact_duplicate_groups",
+    "remove_duplicate_spans",
     "embedding_near_duplicates",
     "jaccard_pairs_with_lsh_flag",
     "containment_similar_pairs",

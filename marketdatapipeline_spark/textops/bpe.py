@@ -1,0 +1,162 @@
+"""Distributed BPE-merge induction support — the tokenizer-training
+prep step (Sennrich et al., "Neural Machine Translation of Rare Words
+with Subword Units") a pretraining pipeline runs to turn a corpus
+into a trainable vocabulary. Adjacent-symbol pair counting and the
+iterative merge loop both operate on the corpus's DISTINCT pre-token
+frequency table (the classic word-frequency reduction: pair counts
+are weighted by word frequency, so the heavy tail of repeated words
+is aggregated once, not re-scanned per occurrence).
+
+Scale shape: the only corpus-sized pass is the pre-token explode +
+count (map-side combinable, keyed by the token string). Everything
+after runs on the distinct-vocabulary table — bounded by vocabulary
+size, not corpus size — and each merge iteration is one narrow
+pair-explode + one map-combinable agg + one distributed top-1
+(TakeOrderedAndProject, never a global sort). The per-iteration
+argmax collects exactly ONE row (the bounded-manifest shape).
+
+Merge application uses a flanked separator encoding: symbol state
+``SEP s1 SEP SEP s2 SEP ... SEP`` makes a merge a plain literal
+``replace`` (greedy, left-to-right, non-overlapping — exactly the
+reference BPE scan order), evaluated JVM-side with no Python and no
+per-symbol explode. Cross-engine: DuckDB's ``replace`` shares the
+same scan semantics, so the oracle replays identical merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from marketdatapipeline_spark.textops.corpus import BPE_TOKEN_PATTERN
+
+#: symbol-boundary separator (ASCII unit separator): never produced
+#: by keyboards or web text encoders as content; pre-tokens that do
+#: contain it are dropped with the same predicate on both engines
+#: (control-character tokens are corpus garbage, not vocabulary).
+SEP = "\x1f"
+
+
+def bpe_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct pre-token frequency table ``(word, freq)`` over
+    :data:`~marketdatapipeline_spark.textops.corpus.BPE_TOKEN_PATTERN`
+    matches — the word-frequency reduction every BPE implementation
+    starts from. One corpus-sized explode + one map-combinable count;
+    the result is vocabulary-sized."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("word")
+    )
+    return (
+        toks.filter(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _sym_init(word) -> "F.Column":
+    """Initial symbol state: every character flanked by SEP
+    (``SEP c1 SEP SEP c2 SEP ...``)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    return F.concat(
+        F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP)
+    )
+
+
+def _state_pairs(words: DataFrame) -> DataFrame:
+    """(pair_left, pair_right, pair_count) from a symbol-state table
+    ``(_s, freq)``: parse symbols off the flanked encoding, zip
+    adjacent, explode, weighted count (map-side combinable)."""
+    syms = F.split(
+        F.expr("substr(_s, 2, length(_s) - 2)"), SEP + SEP
+    )
+    pairs = F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda left, right: F.struct(left.alias("l"), right.alias("r")),
+    )
+    return (
+        words.select(F.explode(pairs).alias("_p"), "freq")
+        .groupBy(
+            F.col("_p.l").alias("pair_left"),
+            F.col("_p.r").alias("pair_right"),
+        )
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top-``top_k`` adjacent character-pair counts over the corpus's
+    pre-tokens, weighted by pre-token frequency — iteration 0 of BPE
+    merge learning, i.e. the candidate table the first merge is
+    chosen from. Deterministic total order (count desc, then pair
+    lexicographic) so both engines select the identical k.
+
+    Returns ``pair_left``, ``pair_right``, ``pair_count``.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    freqs = bpe_word_freqs(df, text_col)
+    state = freqs.select(_sym_init(F.col("word")).alias("_s"), "freq")
+    return (
+        _state_pairs(state)
+        .orderBy(
+            F.desc("pair_count"), "pair_left", "pair_right"
+        )
+        .limit(top_k)
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus: each
+    iteration counts adjacent-symbol pairs (weighted by pre-token
+    frequency), picks the argmax (ties broken lexicographically so
+    reruns and both engines agree), and applies the merge greedily
+    left-to-right via the flanked-separator literal replace.
+
+    Returns ``merge_rank`` (1-based), ``pair_left``, ``pair_right``,
+    ``pair_count`` (the pair's weighted count when chosen) — the
+    merge table a BPE tokenizer trains from, built as a driver-side
+    frame of ``n_merges`` rows (each iteration's argmax is a one-row
+    collect: the bounded-manifest shape; the data-scaled work stays
+    in the vocabulary-table aggregations).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    freqs = bpe_word_freqs(df, text_col)
+    words = scoped_persist(
+        freqs.select(_sym_init(F.col("word")).alias("_s"), "freq")
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _state_pairs(words)
+            .orderBy(F.desc("pair_count"), "pair_left", "pair_right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append(
+            (rank, b["pair_left"], b["pair_right"], b["pair_count"])
+        )
+        find = SEP + b["pair_left"] + SEP + SEP + b["pair_right"] + SEP
+        repl = SEP + b["pair_left"] + b["pair_right"] + SEP
+        words = words.withColumn(
+            "_s", F.replace("_s", F.lit(find), F.lit(repl))
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, pair_left string, pair_right string, "
+        "pair_count long",
+    )

@@ -540,3 +540,125 @@ def test_remove_duplicate_spans_removal_is_idempotent(spark):
     assert a == b
     # the shared sentence survives exactly once across the corpus
     assert sum(shared in t for t in a.values()) == 1
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python Sennrich-style BPE learner — independent of the
+    Spark implementation: explicit symbol tuples, greedy left-to-right
+    merge application, argmax with (count desc, pair lex asc) ties."""
+    import collections
+    import re
+
+    from marketdatapipeline_spark.textops.corpus import BPE_TOKEN_PATTERN
+
+    words = collections.Counter()
+    for t in texts:
+        for m in re.findall(BPE_TOKEN_PATTERN, t):
+            words[m] += 1
+    vocab = {w: (tuple(w), f) for w, f in words.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = collections.Counter()
+        for _, (syms, f) in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (tuple(out), f)
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """The distributed BPE merge loop vs the scalar reference on a
+    fixture with real merge dynamics: repeated words weight their
+    pairs, an early merge changes later pair counts (the ratchet),
+    and ties exercise the lexicographic break."""
+    from marketdatapipeline_spark.textops.bpe import (
+        bpe_learn_merges,
+        bpe_pair_counts,
+    )
+
+    texts = [
+        "the cat sat on the mat with the other cat",
+        "low lower lowest slower slowest",
+        "the the the banana bandana",
+        "aaaa bbbb aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    n = 12
+    want = _bpe_reference(texts, n)
+    got = [
+        (r["merge_rank"], r["pair_left"], r["pair_right"], r["pair_count"])
+        for r in bpe_learn_merges(df, n_merges=n)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    # iteration-0 candidates agree with the reference's first count
+    import collections
+
+    pairs = collections.Counter()
+    wf = collections.Counter()
+    import re
+
+    from marketdatapipeline_spark.textops.corpus import BPE_TOKEN_PATTERN
+
+    for t in texts:
+        for m in re.findall(BPE_TOKEN_PATTERN, t):
+            wf[m] += 1
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += f
+    want_top = sorted(
+        ((l, r, c) for (l, r), c in pairs.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:10]
+    got_top = [
+        (r["pair_left"], r["pair_right"], r["pair_count"])
+        for r in bpe_pair_counts(df, top_k=10).collect()
+    ]
+    assert got_top == want_top
+    with pytest.raises(ValueError):
+        bpe_learn_merges(df, n_merges=0)
+    with pytest.raises(ValueError):
+        bpe_pair_counts(df, top_k=0)
+
+
+def test_bpe_merge_application_greedy_overlap(spark):
+    """Overlapping pair runs merge left-to-right non-overlapping:
+    'aaaa' under merge (a,a) becomes [aa, aa], never [a, aa, a] —
+    and the learned merge table reflects post-merge recounts."""
+    from marketdatapipeline_spark.textops.bpe import bpe_learn_merges
+
+    df = spark.createDataFrame([(0, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    got = [
+        (r["pair_left"], r["pair_right"], r["pair_count"])
+        for r in bpe_learn_merges(df, n_merges=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # 'aaaa' x3: pairs (a,a) weight 3*3=9; ' aaaa' x2 (space-prefixed
+    # tokens): (' ','a') 2, (a,a) 2*3=6 -> total (a,a)=15? The scalar
+    # reference is authoritative; here pin the structural facts:
+    assert got[0][:2] == ("a", "a")
+    # after merging, 'aa'+'aa' is the dominant remaining pair
+    assert got[1][:2] == ("aa", "aa")
