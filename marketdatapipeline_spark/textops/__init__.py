@@ -51,6 +51,10 @@ from marketdatapipeline_spark.textops.bpe import (
     bpe_pair_counts,
     bpe_word_freqs,
 )
+from marketdatapipeline_spark.textops.packing_store import (
+    IncrementalPackingStore,
+    build_packing_store,
+)
 from marketdatapipeline_spark.textops.dedup import (
     deduplicate_exact,
     duplicate_span_stats,
@@ -70,9 +74,11 @@ from marketdatapipeline_spark.textops.dedup import (
 
 __all__ = [
     "BPE_TOKEN_PATTERN",
+    "IncrementalPackingStore",
     "LSHDedupStore",
     "PII_PATTERNS",
     "build_lsh_store",
+    "build_packing_store",
     "redact_pii",
     "add_repetition_signals",
     "add_token_estimate",

@@ -500,19 +500,41 @@ def pack_sequences(
     """
     if context_tokens <= 0:
         raise ValueError("context_tokens must be positive")
+    rows = pack_input_rows(df, id_col, tokens_col, n_buckets)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    from marketdatapipeline_spark.caching import scoped_persist
+
+    packed = scoped_persist(
+        walk_pack_buckets(rows, context_tokens, id_col, id_type)
+    )
+    return globalize_bins(packed, id_col)
+
+
+def pack_input_rows(
+    df: DataFrame, id_col: str, tokens_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, n_tokens, _h, _b): the bucketed walk-order input of
+    :func:`pack_sequences` — shared with the incremental packing
+    store so both derive the identical hash/bucket assignment."""
     h = md5_int(F.col(id_col).cast("string"))
-    rows = df.select(
+    return df.select(
         F.col(id_col),
         F.col(tokens_col).cast("int").alias("n_tokens"),
         h.alias("_h"),
         (h % n_buckets).alias("_b"),
     )
 
-    cap = context_tokens
-    # the kernel echoes the id column back, so its Arrow schema must
-    # carry the CALLER'S id type (string doc ids are legal), not an
-    # assumed bigint
-    id_type = df.schema[id_col].dataType.simpleString()
+
+def walk_pack_buckets(
+    rows: DataFrame, cap: int, id_col: str, id_type: str
+) -> DataFrame:
+    """Per-bucket next-fit walk (Arrow grouped kernel) over
+    ``(id, n_tokens, _h, _b)`` rows → local bin assignment
+    ``(id, n_tokens, _b, _local_bin, bin_offset, truncated)``.
+    The kernel echoes the id column back, so its Arrow schema must
+    carry the CALLER'S id type (string doc ids are legal), not an
+    assumed bigint."""
     out_schema = (
         f"{id_col} {id_type}, n_tokens int, _b long, _local_bin int, "
         "bin_offset int, truncated boolean"
@@ -535,17 +557,16 @@ def pack_sequences(
             }
         )
 
-    from marketdatapipeline_spark.caching import scoped_persist
+    return rows.groupBy("_b").applyInPandas(_next_fit, schema=out_schema)
 
-    packed = scoped_persist(
-        rows.groupBy("_b").applyInPandas(_next_fit, schema=out_schema)
-    )
-    # globalize local bin ids with a LITERAL offset map: the
-    # per-bucket bin counts are n_buckets rows by construction (the
-    # legal bounded-manifest shape), so one collect — which also
-    # materializes the persisted kernel output — replaces the
-    # constant-key window + broadcast-join chain (3 AQE stages per
-    # consumer at small SF; values identical, the counts are exact).
+
+def globalize_bins(packed: DataFrame, id_col: str) -> DataFrame:
+    """Globalize per-bucket local bin ids with a LITERAL offset map:
+    the per-bucket bin counts are n_buckets rows by construction (the
+    legal bounded-manifest shape), so one collect — which also
+    materializes a persisted kernel output — replaces the
+    constant-key window + broadcast-join chain (3 AQE stages per
+    consumer at small SF; values identical, the counts are exact)."""
     cnt_rows = (
         packed.groupBy("_b")
         .agg((F.max("_local_bin") + 1).alias("_nbins"))

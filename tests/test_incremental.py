@@ -372,3 +372,131 @@ def test_uncommitted_generation_is_invisible(spark, store):
     assert commit_after == commit_before + 1  # exactly one new commit
     # both tables committed together, atomically
     assert len(payload["keys"]) == len(payload["sets"])
+
+
+# ---------------------------------------------------------------------------
+# incremental packing store (r14) — textops/packing_store.py
+# ---------------------------------------------------------------------------
+
+
+def _pack_tuples(df):
+    return sorted(
+        (r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_offset"], r["truncated"])
+        for r in df.collect()
+    )
+
+
+def test_incremental_packing_matches_batch_under_reslicing(spark, tmp_path):
+    """The parity contract: after ANY random micro-batch slicing of
+    the corpus, the store's assignment is bit-identical to
+    pack_sequences over the union — the walk is a pure function of
+    the accepted set, and the store re-walks only touched buckets."""
+    import random
+
+    from marketdatapipeline_spark.textops.corpus import pack_sequences
+    from marketdatapipeline_spark.textops.packing_store import (
+        IncrementalPackingStore,
+    )
+
+    rng = random.Random(1414)
+    docs = [(i, rng.randint(1, 120)) for i in range(1, 161)]
+    full = spark.createDataFrame(docs, ["doc_id", "n_tokens_bpe"])
+    want = _pack_tuples(pack_sequences(full, context_tokens=96, n_buckets=8))
+
+    for trial in range(3):
+        order = docs[:]
+        rng.shuffle(order)
+        cuts = sorted(rng.sample(range(1, len(order)), rng.randint(1, 4)))
+        batches, prev = [], 0
+        for c in cuts + [len(order)]:
+            batches.append(order[prev:c])
+            prev = c
+        store = IncrementalPackingStore.create(
+            str(tmp_path / f"store{trial}"), 96, n_buckets=8, spark=spark
+        )
+        for b in batches:
+            store.ingest(
+                spark.createDataFrame(b, ["doc_id", "n_tokens_bpe"])
+            )
+        got = _pack_tuples(store.assignment(spark))
+        assert got == want, f"trial {trial} sliced {cuts}"
+
+
+def test_incremental_packing_redelivery_is_idempotent(spark, tmp_path):
+    """At-least-once semantics: re-ingesting a batch (and overlapping
+    slices) changes nothing; the counters report the skips."""
+    from marketdatapipeline_spark.textops.corpus import pack_sequences
+    from marketdatapipeline_spark.textops.packing_store import (
+        build_packing_store,
+    )
+
+    docs = [(i, 10 + (i * 7) % 90) for i in range(1, 61)]
+    full = spark.createDataFrame(docs, ["doc_id", "n_tokens_bpe"])
+    store = build_packing_store(
+        full, str(tmp_path / "store"), context_tokens=96, n_buckets=4
+    )
+    before = _pack_tuples(store.assignment(spark))
+    res = store.ingest(
+        spark.createDataFrame(docs[:20], ["doc_id", "n_tokens_bpe"])
+    )
+    assert res["n_new"] == 0 and res["n_redelivered"] == 20
+    assert _pack_tuples(store.assignment(spark)) == before
+    assert store.manifest["n_docs"] == 60
+    want = _pack_tuples(pack_sequences(full, context_tokens=96, n_buckets=4))
+    assert before == want
+
+
+def test_incremental_packing_foreach_batch_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: a file-source stream
+    drained one file per trigger into foreachBatch lands the same
+    assignment as the batch walk."""
+    from marketdatapipeline_spark.textops.corpus import pack_sequences
+    from marketdatapipeline_spark.textops.packing_store import (
+        IncrementalPackingStore,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = [(i, 5 + (i * 13) % 110) for i in range(1, 91)]
+    for part, lo, hi in ((0, 0, 30), (1, 30, 55), (2, 55, 90)):
+        spark.createDataFrame(
+            docs[lo:hi], ["doc_id", "n_tokens_bpe"]
+        ).coalesce(1).write.parquet(str(src / f"p{part}"))
+
+    store = IncrementalPackingStore.create(
+        str(tmp_path / "store"), 96, n_buckets=4, spark=spark
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens_bpe long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = spark.createDataFrame(docs, ["doc_id", "n_tokens_bpe"])
+    want = _pack_tuples(pack_sequences(full, context_tokens=96, n_buckets=4))
+    assert _pack_tuples(store.assignment(spark)) == want
+    assert store.manifest["n_docs"] == 90
+
+
+def test_incremental_packing_rejects_id_type_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from marketdatapipeline_spark.textops.packing_store import (
+        build_packing_store,
+    )
+
+    store = build_packing_store(
+        spark.createDataFrame([(1, 30)], ["doc_id", "n_tokens_bpe"]),
+        str(tmp_path / "store"),
+        context_tokens=64,
+    )
+    with _pytest.raises(ValueError):
+        store.ingest(
+            spark.createDataFrame([("a", 30)], ["doc_id", "n_tokens_bpe"])
+        )
