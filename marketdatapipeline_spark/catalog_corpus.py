@@ -13147,7 +13147,8 @@ def _bpe_base_sql() -> str:
     )"""
 
 
-def _bpe_pairs_sql(i: int) -> str:
+def _bpe_pairs_sql(i: int, src: str | None = None) -> str:
+    src = src or f"w{i}"
     return f"""
     p{i} AS (
         SELECT (pp).l AS pl, (pp).r AS pr, sum(f) AS c
@@ -13158,7 +13159,7 @@ def _bpe_pairs_sql(i: int) -> str:
                        AS pp, f
             FROM (SELECT string_split(substr(s, 2, length(s) - 2),
                                       chr(31) || chr(31)) AS cs, f
-                  FROM w{i})
+                  FROM {src})
         )
         GROUP BY pl, pr
     )"""
@@ -13243,3 +13244,90 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketdatapipeline_spark.textops.bpe import bpe_learn_merges
 
     return bpe_learn_merges(_docs(spark, sf_dir), n_merges=_BPE_N_MERGES)
+
+
+def _bpe_encode_sql(n: int) -> str:
+    """Encode-side oracle: the same merge trajectory, with the word
+    column carried through so the final vocabulary state joins back
+    to per-document pre-tokens."""
+    parts = [
+        "WITH " + _bpe_base_sql().split("w0 AS")[0].rstrip().rstrip(",")
+    ]
+    parts.append(
+        """
+    v0 AS (
+        SELECT w,
+               chr(31) || array_to_string(string_split(w, ''),
+                                          chr(31) || chr(31))
+               || chr(31) AS s, f
+        FROM wf
+    )"""
+    )
+    for i in range(n):
+        parts.append(_bpe_pairs_sql(i, src=f"v{i}"))
+        parts.append(
+            f"""
+    b{i} AS (SELECT pl, pr, c FROM p{i}
+             ORDER BY c DESC, pl, pr LIMIT 1)"""
+        )
+        parts.append(
+            f"""
+    v{i + 1} AS (
+        SELECT v.w,
+               replace(v.s,
+                       chr(31) || b.pl || chr(31) || chr(31) || b.pr
+                           || chr(31),
+                       chr(31) || b.pl || b.pr || chr(31)) AS s, v.f
+        FROM v{i} v CROSS JOIN b{i} b
+    )"""
+        )
+    parts.append(
+        f"""
+    vocab AS (
+        SELECT w, len(string_split(substr(s, 2, length(s) - 2),
+                                   chr(31) || chr(31))) AS nsym
+        FROM v{n}
+    ),
+    dt AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS w
+        FROM documents
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS np, sum(nsym) AS nv
+        FROM dt JOIN vocab USING (w)
+        WHERE strpos(w, chr(31)) = 0
+        GROUP BY doc_id
+    )"""
+    )
+    return (
+        ",".join(parts)
+        + """
+    SELECT d.doc_id,
+           CAST(coalesce(a.np, 0) AS INT) AS n_pretokens,
+           CAST(coalesce(a.nv, 0) AS BIGINT) AS n_tokens_vocab
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    )
+
+
+@register_extended(
+    "corpus_bpe_encoded_tokens",
+    _bpe_encode_sql(_BPE_N_MERGES),
+)
+def q_corpus_bpe_encoded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned 10-merge BPE
+    vocabulary (textops/bpe.py:bpe_encode_token_counts) — the budget
+    metric AFTER tokenizer induction (corpus_token_estimate's
+    pre-tokenizer count is the before). The merges are applied to the
+    DISTINCT vocabulary (10 chained literal replaces — one
+    vocabulary-sized projection), then one corpus-sized pre-token
+    explode joins each document's tokens to their symbol counts. The
+    oracle replays the identical trajectory with the word column
+    carried through its CTE chain. Integer counts — bit-exact."""
+    from marketdatapipeline_spark.textops.bpe import (
+        bpe_encode_token_counts,
+    )
+
+    return bpe_encode_token_counts(
+        _docs(spark, sf_dir), n_merges=_BPE_N_MERGES
+    )

@@ -47,6 +47,7 @@ from marketdatapipeline_spark.textops.incremental import (
     build_lsh_store,
 )
 from marketdatapipeline_spark.textops.bpe import (
+    bpe_encode_token_counts,
     bpe_learn_merges,
     bpe_pair_counts,
     bpe_word_freqs,
@@ -98,6 +99,7 @@ __all__ = [
     "add_language_id",
     "add_quality_signals",
     "add_token_count",
+    "bpe_encode_token_counts",
     "bpe_learn_merges",
     "bpe_pair_counts",
     "bpe_word_freqs",

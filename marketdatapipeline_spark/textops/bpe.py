@@ -129,13 +129,26 @@ def bpe_learn_merges(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    merges, _ = _learn(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, pair_left string, pair_right string, "
+        "pair_count long",
+    )
+
+
+def _learn(
+    df: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The merge loop shared by :func:`bpe_learn_merges` and
+    :func:`bpe_encode_token_counts`: returns (merge list, persisted
+    frequency table)."""
     from marketdatapipeline_spark.caching import scoped_persist
 
-    freqs = bpe_word_freqs(df, text_col)
+    freqs = scoped_persist(bpe_word_freqs(df, text_col))
     words = scoped_persist(
         freqs.select(_sym_init(F.col("word")).alias("_s"), "freq")
     )
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -150,13 +163,74 @@ def bpe_learn_merges(
         merges.append(
             (rank, b["pair_left"], b["pair_right"], b["pair_count"])
         )
-        find = SEP + b["pair_left"] + SEP + SEP + b["pair_right"] + SEP
-        repl = SEP + b["pair_left"] + b["pair_right"] + SEP
         words = words.withColumn(
-            "_s", F.replace("_s", F.lit(find), F.lit(repl))
+            "_s", _apply_merge(b["pair_left"], b["pair_right"])
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, pair_left string, pair_right string, "
-        "pair_count long",
+    return merges, freqs
+
+
+def _apply_merge(left: str, right: str, col: str = "_s") -> "F.Column":
+    """One learned merge as a literal replace on the flanked symbol
+    state — greedy, left-to-right, non-overlapping in both engines."""
+    find = SEP + left + SEP + SEP + right + SEP
+    repl = SEP + left + right + SEP
+    return F.replace(col, F.lit(find), F.lit(repl))
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under the learned ``n_merges``-merge
+    BPE vocabulary — the budget metric AFTER tokenizer induction
+    (``add_token_estimate``'s pre-tokenizer count is the before): how
+    many symbols each document costs once the corpus's own merges
+    compress it.
+
+    Learns the merges (same trajectory as :func:`bpe_learn_merges`),
+    applies them to the DISTINCT pre-token vocabulary (``n_merges``
+    chained literal replaces on the flanked symbol state — one
+    vocabulary-sized projection, never per-occurrence work), then one
+    corpus-sized pre-token explode joins each document's tokens to
+    their symbol counts. Returns ``id_col``, ``n_pretokens``,
+    ``n_tokens_vocab`` (both 0 for documents with no pre-tokens).
+    """
+    merges, freqs = _learn(df, n_merges, text_col)
+    state = _sym_init(F.col("word"))
+    for _, left, right, _c in merges:
+        find = SEP + left + SEP + SEP + right + SEP
+        repl = SEP + left + right + SEP
+        state = F.replace(state, F.lit(find), F.lit(repl))
+    n_sym = F.size(
+        F.split(state.substr(F.lit(2), F.length(state) - 2), SEP + SEP)
+    )
+    vocab = freqs.select("word", n_sym.alias("_nsym"))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("word"),
+    ).filter(~F.col("word").contains(SEP))
+    agg = (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_pretokens"),
+            F.sum("_nsym").cast("long").alias("n_tokens_vocab"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pretokens", F.lit(0)).alias("n_pretokens"),
+            F.coalesce("n_tokens_vocab", F.lit(0).cast("long")).alias(
+                "n_tokens_vocab"
+            ),
+        )
     )

@@ -662,3 +662,58 @@ def test_bpe_merge_application_greedy_overlap(spark):
     assert got[0][:2] == ("a", "a")
     # after merging, 'aa'+'aa' is the dominant remaining pair
     assert got[1][:2] == ("aa", "aa")
+
+
+def test_bpe_encode_token_counts_matches_python_reference(spark):
+    """Per-doc token counts under the learned vocabulary vs the
+    scalar reference: encode each doc's pre-tokens with the reference
+    merges and count symbols; empty docs read 0."""
+    import collections
+    import re
+
+    from marketdatapipeline_spark.textops.bpe import bpe_encode_token_counts
+    from marketdatapipeline_spark.textops.corpus import BPE_TOKEN_PATTERN
+
+    texts = [
+        "the cat sat on the mat with the other cat",
+        "low lower lowest slower slowest",
+        "the the the banana bandana",
+        "",
+    ]
+    n = 8
+    merges = [(l, r) for _, l, r, _ in _bpe_reference(texts, n)]
+
+    def encode(word):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for d, t in enumerate(texts):
+        ws = re.findall(BPE_TOKEN_PATTERN, t)
+        want[d] = (len(ws), sum(encode(w) for w in ws))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_tokens_vocab"])
+        for r in bpe_encode_token_counts(df, n_merges=n).collect()
+    }
+    assert got == want
+    # merges actually compress: vocab counts strictly below char counts
+    chars = {
+        d: sum(len(w) for w in re.findall(BPE_TOKEN_PATTERN, t))
+        for d, t in enumerate(texts)
+    }
+    assert all(got[d][1] < chars[d] for d in (0, 1, 2))
+    assert got[3] == (0, 0)
