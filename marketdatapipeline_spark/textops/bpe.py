@@ -111,8 +111,18 @@ def bpe_pair_counts(
     )
 
 
+#: vocabulary-size bar for the driver-routed merge loop: below it the
+#: distinct (word, freq) table collects (a few MB) and the loop runs
+#: locally in one job; above it the distributed loop runs. 0 disables
+#: the driver route (forced-route parity tests use this).
+DRIVER_ROUTE_MAX_WORDS = 200_000
+
+
 def bpe_learn_merges(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    driver_route_max_words: int | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus: each
     iteration counts adjacent-symbol pairs (weighted by pre-token
@@ -129,7 +139,7 @@ def bpe_learn_merges(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    merges, _ = _learn(df, n_merges, text_col)
+    merges, _ = _learn(df, n_merges, text_col, driver_route_max_words)
     return df.sparkSession.createDataFrame(
         merges,
         "merge_rank int, pair_left string, pair_right string, "
@@ -138,14 +148,37 @@ def bpe_learn_merges(
 
 
 def _learn(
-    df: DataFrame, n_merges: int, text_col: str
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    driver_route_max_words: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """The merge loop shared by :func:`bpe_learn_merges` and
     :func:`bpe_encode_token_counts`: returns (merge list, persisted
-    frequency table)."""
+    frequency table).
+
+    SIZE-ROUTED (the dedup-clusters / graph-family pattern): the loop
+    is inherently sequential — one global argmax per merge — so the
+    distributed form pays ~2 job launches per iteration. When the
+    distinct vocabulary is small (the probe count materializes the
+    persisted frequency table, work both routes need), the (word,
+    freq) pairs collect to the driver — a few MB, bounded by the
+    threshold — and the identical walk runs locally in zero extra
+    jobs. Forced-route tests pin both routes to the same merges.
+    Above the bar (hundreds of millions of distinct pre-tokens at
+    100 TB), the distributed loop is the only shape that fits.
+    """
     from marketdatapipeline_spark.caching import scoped_persist
 
     freqs = scoped_persist(bpe_word_freqs(df, text_col))
+    threshold = (
+        DRIVER_ROUTE_MAX_WORDS
+        if driver_route_max_words is None
+        else driver_route_max_words
+    )
+    if threshold > 0 and freqs.count() <= threshold:
+        wf = [(r["word"], r["freq"]) for r in freqs.collect()]
+        return _learn_driver(wf, n_merges), freqs
     words = scoped_persist(
         freqs.select(_sym_init(F.col("word")).alias("_s"), "freq")
     )
@@ -169,6 +202,50 @@ def _learn(
     return merges, freqs
 
 
+def _learn_driver(
+    wf: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-route twin of the distributed merge loop: same weighted
+    pair counts, same (count desc, pair lex asc) argmax, same greedy
+    left-to-right merge application — Python scalars instead of a
+    Spark plan, pinned equal by the forced-route parity test.
+    (Characters iterate as UTF-16 code units on the JVM side and code
+    points here — identical on BMP text, which both the corpus
+    convention and the oracle boundary already assume.)"""
+    import collections
+
+    vocab: dict[str, tuple[tuple[str, ...], int]] = {
+        w: (tuple(w), f) for w, f in wf
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: collections.Counter = collections.Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, int(cnt)))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (tuple(out), f)
+    return merges
+
+
 def _apply_merge(left: str, right: str, col: str = "_s") -> "F.Column":
     """One learned merge as a literal replace on the flanked symbol
     state — greedy, left-to-right, non-overlapping in both engines."""
@@ -182,6 +259,7 @@ def bpe_encode_token_counts(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_route_max_words: int | None = None,
 ) -> DataFrame:
     """Per-document token counts under the learned ``n_merges``-merge
     BPE vocabulary — the budget metric AFTER tokenizer induction
@@ -197,7 +275,7 @@ def bpe_encode_token_counts(
     their symbol counts. Returns ``id_col``, ``n_pretokens``,
     ``n_tokens_vocab`` (both 0 for documents with no pre-tokens).
     """
-    merges, freqs = _learn(df, n_merges, text_col)
+    merges, freqs = _learn(df, n_merges, text_col, driver_route_max_words)
     state = _sym_init(F.col("word"))
     for _, left, right, _c in merges:
         find = SEP + left + SEP + SEP + right + SEP

@@ -717,3 +717,33 @@ def test_bpe_encode_token_counts_matches_python_reference(spark):
     }
     assert all(got[d][1] < chars[d] for d in (0, 1, 2))
     assert got[3] == (0, 0)
+
+
+def test_bpe_learn_forced_route_parity(spark):
+    """Size routing must be invisible: the distributed loop
+    (driver_route_max_words=0) and the driver twin (default, fixture
+    far below the bar) emit the identical merge table, and encode
+    counts agree too."""
+    from marketdatapipeline_spark.textops.bpe import (
+        bpe_encode_token_counts,
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "the cat sat on the mat with the other cat",
+        "low lower lowest slower slowest",
+        "the the the banana bandana",
+        "aaaa bbbb aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    dist = rows(bpe_learn_merges(df, n_merges=12, driver_route_max_words=0))
+    drv = rows(bpe_learn_merges(df, n_merges=12))
+    assert dist == drv
+    dist_e = rows(
+        bpe_encode_token_counts(df, n_merges=8, driver_route_max_words=0)
+    )
+    drv_e = rows(bpe_encode_token_counts(df, n_merges=8))
+    assert dist_e == drv_e
