@@ -498,6 +498,65 @@ def q_corpus_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(nodes, pairs)
 
 
+@register_extended(
+    "dedup_near_removal",
+    f"""
+    WITH RECURSIVE {tokens3_cte("WHERE doc_id < 1000")},
+    th AS (SELECT DISTINCT doc_id, {_SH_H} AS h FROM tokens),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM th GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
+        UNION
+        SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+    ),
+    lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+    surv AS (
+        SELECT cluster_id AS doc_id,
+               CAST(count(*) AS INT) AS n_merged
+        FROM lab GROUP BY cluster_id
+    )
+    SELECT s.doc_id, s.n_merged, md5(d.text) AS text_md5
+    FROM surv s JOIN documents d USING (doc_id)
+    """,
+)
+def q_dedup_near_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-DEDUPLICATED corpus (textops/corpus.py:
+    deduplicate_near): one canonical (min-id) survivor per connected
+    near-duplicate cluster over the same hashed-Jaccard >= 0.5 pair
+    graph as corpus_dedup_clusters — the cleaned corpus a training
+    run reads, with n_merged recording how many documents each
+    survivor represents. md5 of the surviving text pins that the
+    RIGHT documents survived, not just the right count. The oracle's
+    recursive walk groups by its min label: survivors are exactly
+    the cluster ids."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    pairs = jaccard_similar_pairs(docs, threshold=0.5, n=3).select(
+        "id_a", "id_b"
+    )
+    from marketdatapipeline_spark.textops.corpus import deduplicate_near
+
+    out = deduplicate_near(docs, pairs)
+    return out.select(
+        "doc_id", "n_merged", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
 # DuckDB fragment: the canonical (id_a < id_b) semantic-similarity
 # graph the graph-analytics queries below run on — exact pairwise
 # cosine >= 0.2 over the module's standard deterministic 1-in-7

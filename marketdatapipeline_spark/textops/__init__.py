@@ -27,6 +27,7 @@ from marketdatapipeline_spark.textops.corpus import (
     bm25_scores,
     chunk_documents,
     decontaminate,
+    deduplicate_near,
     duplicate_clusters,
     hash_sample,
     pack_shards,
@@ -91,6 +92,7 @@ __all__ = [
     "bm25_scores",
     "chunk_documents",
     "decontaminate",
+    "deduplicate_near",
     "duplicate_clusters",
     "hash_sample",
     "pack_shards",

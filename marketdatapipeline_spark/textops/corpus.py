@@ -1048,6 +1048,39 @@ def _clusters_driver(
     )
 
 
+def deduplicate_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Emit the near-DEDUPLICATED corpus: one canonical document per
+    connected near-duplicate cluster (the minimum-id member — the
+    same keep-lowest-id convention as ``deduplicate_exact`` and the
+    embedding near-dup flags), everything else dropped. The step that
+    turns :func:`duplicate_clusters`' assignments into the cleaned
+    corpus a training run actually reads.
+
+    Returns the surviving rows of ``df`` (all columns) plus
+    ``n_merged`` — how many documents this canonical represents
+    (cluster size; 1 for docs with no near-duplicate). Row count =
+    number of clusters, Σ n_merged = input row count.
+
+    One components pass + one semi-join on id: the survivor test is
+    ``id == cluster_id`` (the propagated min label IS the canonical
+    id, so no extra ranking or window is needed).
+    """
+    clusters = duplicate_clusters(
+        df.select(F.col(id_col)), pairs, id_col=id_col,
+        a_col=a_col, b_col=b_col,
+    )
+    keep = clusters.filter(F.col("cluster_id") == F.col(id_col)).select(
+        id_col, F.col("cluster_size").alias("n_merged")
+    )
+    return df.join(keep, id_col)
+
+
 # ---------------------------------------------------------------------------
 # BM25 relevance scoring
 # ---------------------------------------------------------------------------

@@ -1001,3 +1001,33 @@ def test_packing_manifest_orders_docs_by_offset(spark, docs):
         assert man[b]["fill_tokens"] == sum(
             min(r["n_tokens"], cap) for r in rws
         )
+
+
+def test_deduplicate_near_keeps_one_canonical_per_cluster(spark):
+    """Survivor = min-id member of each connected cluster; n_merged
+    conservation: sum over survivors == input rows; non-duplicated
+    docs pass through with n_merged=1 and all columns intact."""
+    from marketdatapipeline_spark.textops.corpus import deduplicate_near
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", "s1"),
+            (2, "aab", "s1"),   # pair (1,2)
+            (3, "ccc", "s2"),   # pair (3,5) and (5,9) -> chain {3,5,9}
+            (5, "ccd", "s2"),
+            (9, "cce", "s2"),
+            (7, "zzz", "s3"),   # singleton
+        ],
+        ["doc_id", "text", "source"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 5), (5, 9)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r for r in deduplicate_near(docs, pairs).collect()}
+    assert set(out) == {1, 3, 7}
+    assert out[1]["n_merged"] == 2
+    assert out[3]["n_merged"] == 3
+    assert out[7]["n_merged"] == 1
+    assert sum(r["n_merged"] for r in out.values()) == 6
+    # original columns survive
+    assert out[3]["text"] == "ccc" and out[3]["source"] == "s2"
