@@ -53,6 +53,10 @@ from marketdatapipeline_spark.textops.bpe import (
     bpe_pair_counts,
     bpe_word_freqs,
 )
+from marketdatapipeline_spark.textops.span_store import (
+    SpanDedupStore,
+    build_span_store,
+)
 from marketdatapipeline_spark.textops.packing_store import (
     IncrementalPackingStore,
     build_packing_store,
@@ -79,8 +83,10 @@ __all__ = [
     "IncrementalPackingStore",
     "LSHDedupStore",
     "PII_PATTERNS",
+    "SpanDedupStore",
     "build_lsh_store",
     "build_packing_store",
+    "build_span_store",
     "redact_pii",
     "add_repetition_signals",
     "add_token_estimate",

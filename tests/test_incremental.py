@@ -500,3 +500,137 @@ def test_incremental_packing_rejects_id_type_drift(spark, tmp_path):
         store.ingest(
             spark.createDataFrame([("a", 30)], ["doc_id", "n_tokens_bpe"])
         )
+
+
+# ---------------------------------------------------------------------------
+# incremental span-contamination store (r14) — textops/span_store.py
+# ---------------------------------------------------------------------------
+
+
+def _span_tuples(df):
+    return sorted(
+        (r["doc_id"], r["n_grams"], r["dup_grams"], r["dup_frac"])
+        for r in df.collect()
+    )
+
+
+def test_span_store_prefix_union_contract(spark, tmp_path):
+    """One-pass contract under randomized slicing: each batch's
+    returned stats equal duplicate_span_stats over (prefix union)
+    restricted to that batch's docs — a doc is contaminated by
+    anything accepted before it or beside it, never by what arrives
+    after."""
+    import random
+
+    from marketdatapipeline_spark.textops.dedup import duplicate_span_stats
+    from marketdatapipeline_spark.textops.span_store import SpanDedupStore
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rng = random.Random(99)
+    docs = []
+    for i in range(1, 31):
+        if i % 3 == 0:
+            docs.append((i, f"intro {i} then {shared} outro {i}"))
+        else:
+            docs.append(
+                (i, f"unique document {i} " + " ".join(
+                    rng.choice("abcdefghij") * 3 for _ in range(12)
+                ) + f" end {i}")
+            )
+    k = 16
+    for trial in range(2):
+        order = docs[:]
+        rng.shuffle(order)
+        cuts = sorted(rng.sample(range(1, len(order)), 3))
+        batches, prev = [], 0
+        for c in cuts + [len(order)]:
+            batches.append(order[prev:c])
+            prev = c
+        store = SpanDedupStore.create(
+            str(tmp_path / f"s{trial}"), k=k, spark=spark
+        )
+        prefix: list = []
+        for b in batches:
+            bdf = spark.createDataFrame(b, ["doc_id", "text"])
+            got = _span_tuples(store.ingest(bdf))
+            prefix += b
+            union = spark.createDataFrame(prefix, ["doc_id", "text"])
+            bids = {i for i, _ in b}
+            want = [
+                t
+                for t in _span_tuples(duplicate_span_stats(union, k=k))
+                if t[0] in bids
+            ]
+            assert got == want, f"trial {trial} batch ending {len(prefix)}"
+        assert store.manifest["n_docs"] == 30
+        assert store.manifest["n_batches"] == len(batches)
+
+
+def test_span_store_later_copy_is_flagged_not_retroactive(spark, tmp_path):
+    """The asymmetry the contract promises: an original accepted
+    clean stays clean on its own record; a later verbatim copy
+    arrives fully duplicated."""
+    from marketdatapipeline_spark.textops.span_store import build_span_store
+
+    text = "some perfectly ordinary prose about harbors and weather systems"
+    store, first = build_span_store(
+        spark.createDataFrame([(1, text)], ["doc_id", "text"]),
+        str(tmp_path / "s"),
+        k=16,
+    )
+    f = {r["doc_id"]: r for r in first.collect()}
+    assert f[1]["dup_grams"] == 0 and f[1]["dup_frac"] == 0.0
+    second = store.ingest(
+        spark.createDataFrame([(2, text)], ["doc_id", "text"])
+    )
+    s = {r["doc_id"]: r for r in second.collect()}
+    assert s[2]["dup_frac"] == 1.0
+    # short doc: no grams, NULL frac, never flagged
+    third = store.ingest(
+        spark.createDataFrame([(3, "tiny")], ["doc_id", "text"])
+    )
+    t = {r["doc_id"]: r for r in third.collect()}
+    assert t[3]["n_grams"] == 0 and t[3]["dup_frac"] is None
+    # store state grew only by novel hashes (doc 2 contributed none)
+    assert store.manifest["n_gram_hashes"] == f[1]["n_grams"]
+
+
+def test_span_store_foreach_batch_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: after draining a
+    file-source stream one file per trigger, the store's accumulated
+    gram state equals the distinct grams of the whole corpus, and a
+    probe ingest of a copied document reads fully duplicated."""
+    from marketdatapipeline_spark.textops.span_store import SpanDedupStore
+
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = {
+        1: "first document about rivers and stones and morning fog",
+        2: "second document concerning metallurgy and blast furnaces",
+        3: "third document on glaciers and wind patterns at dusk",
+    }
+    for i, t in texts.items():
+        spark.createDataFrame([(i, t)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(src / f"p{i}"))
+
+    store = SpanDedupStore.create(str(tmp_path / "store"), k=16, spark=spark)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p*"))
+        .writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert store.manifest["n_docs"] == 3
+    # distinct grams accumulated == union of each doc's distinct grams
+    want_hashes = store._read_hashes(spark).count()
+    expect = sum(len({t[p : p + 16] for p in range(len(t) - 15)}) for t in texts.values())
+    assert want_hashes == expect  # corpora are mutually gram-disjoint
+    probe = store.ingest(
+        spark.createDataFrame([(9, texts[2])], ["doc_id", "text"])
+    )
+    assert probe.collect()[0]["dup_frac"] == 1.0
