@@ -222,6 +222,32 @@ class SpanDedupStore:
 
         return _sink
 
+    def compact(self, spark: SparkSession | None = None) -> int:
+        """Rewrite ``grams/`` into few files — every ingest appends a
+        wave of small part files and probe-join planning cost grows
+        with file count, not data. Hash rows are already distinct by
+        construction (the ingest anti-join), so this is purely a file
+        merge: the write-tmp → delete → rename swap and crash
+        contract of ``IVFIndex.compact``. Returns the hash count."""
+        spark = active_or(spark)
+        directory = os.path.join(self.path, "grams")
+        df = self._read_hashes(spark)
+        if df is None:
+            return 0
+        rows = df.count()
+        tmp = directory + "__compact_tmp"
+        df.coalesce(max(1, rows // 2_000_000 + 1)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p_old = jvm.org.apache.hadoop.fs.Path(directory)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = p_old.getFileSystem(conf)
+        fs.delete(p_old, True)
+        fs.rename(p_tmp, p_old)
+        return rows
+
     # -- internals ----------------------------------------------------
 
     def _read_hashes(self, spark: SparkSession) -> DataFrame | None:

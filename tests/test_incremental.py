@@ -634,3 +634,30 @@ def test_span_store_foreach_batch_stream(spark, tmp_path):
         spark.createDataFrame([(9, texts[2])], ["doc_id", "text"])
     )
     assert probe.collect()[0]["dup_frac"] == 1.0
+
+
+def test_span_store_compact_preserves_state(spark, tmp_path):
+    """Compaction merges part files without changing the hash set or
+    any future verdict."""
+    from marketdatapipeline_spark.textops.span_store import build_span_store
+
+    t1 = "first document about rivers and stones and morning fog"
+    t2 = "second document concerning metallurgy and blast furnaces"
+    store, _ = build_span_store(
+        spark.createDataFrame([(1, t1)], ["doc_id", "text"]),
+        str(tmp_path / "s"),
+        k=16,
+    )
+    store.ingest(spark.createDataFrame([(2, t2)], ["doc_id", "text"]))
+    before = {r["_h"] for r in store._read_hashes(spark).collect()}
+    n = store.compact(spark)
+    assert n == len(before)
+    after = {r["_h"] for r in store._read_hashes(spark).collect()}
+    assert after == before
+    import glob as _glob
+
+    assert len(_glob.glob(str(tmp_path / "s" / "grams" / "*.parquet"))) == 1
+    probe = store.ingest(
+        spark.createDataFrame([(9, t1)], ["doc_id", "text"])
+    ).collect()[0]
+    assert probe["dup_frac"] == 1.0
