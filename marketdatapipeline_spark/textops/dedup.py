@@ -698,17 +698,25 @@ def duplicate_span_stats(
     screen that catches it — high ``dup_frac`` marks boilerplate
     carriers even when the whole document is unique.
 
-    Plan shape: grams hash to bigints AT THE SCAN (explode positions
-    + codegen substr/md5 — no higher-order-function lambdas, and no
-    gram text in any exchange); the (id, hash) multiplicity agg
-    shuffles map-combined 16-byte rows and AQE coalesces the rest.
-    (An explicit pre-repartition by gram hash — which would make the
-    downstream agg/join exchange-free — A/B-measured ~20% SLOWER at
-    sf0.1: it ships the raw exploded rows and forfeits the partial
-    aggregation; same lesson as the ngram audit's failed
-    ``_h``-repartition.) Cross-document occurrence is judged on the
-    32-bit gram hash — the module's hashed-set convention, collision
-    odds documented at :func:`md5_int`. ``n_grams`` is a pure length
+    Plan shape (r14 optimization round): grams hash to bigints AT THE
+    SCAN (explode positions + codegen substr/md5 — no
+    higher-order-function lambdas, and no gram text in any exchange);
+    the (id, hash) multiplicity agg rides the upstream doc-id
+    partitioning (id determines the partition, so clustering by
+    (hash, id) is already satisfied — no exchange); the per-gram
+    cross-document count is a WINDOW count over the gram hash on that
+    aggregate, not a second aggregation joined back — the original
+    agg+self-join shape made the optimizer plan the scan+explode+md5
+    pass TWICE (once under each join input; projection pruning
+    defeats ReusedExchange because the two exchange subtrees carry
+    different columns), so every gram was hashed twice
+    (plans/r14/dedup_duplicate_spans_before.txt vs _after.txt: 2
+    Generate/md5 subtrees -> 1, 3 document scans -> 2). The window's
+    exchange carries the already-aggregated 24-byte (hash, id, count)
+    rows and its partitions are per-gram groups (tiny — no buffer
+    risk). Cross-document occurrence is judged on the 32-bit gram
+    hash — the module's hashed-set convention, collision odds
+    documented at :func:`md5_int`. ``n_grams`` is a pure length
     expression, so short docs (< k chars) cost nothing and emit
     ``dup_frac`` NULL.
     """
@@ -724,12 +732,13 @@ def duplicate_span_stats(
     ).select(
         id_col, md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h")
     )
+    from pyspark.sql import Window
+
     per_doc_gram = g.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
-    docs_per_gram = per_doc_gram.groupBy("_h").agg(
-        F.count("*").alias("_nd")
-    )
     dup_positions = (
-        per_doc_gram.join(docs_per_gram, "_h")
+        per_doc_gram.withColumn(
+            "_nd", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        )
         .filter(F.col("_nd") > 1)
         .groupBy(id_col)
         .agg(F.sum("_c").cast("long").alias("dup_grams"))
@@ -780,13 +789,18 @@ def remove_duplicate_spans(
     text, not a dropped row.
 
     Plan shape: the same scan-side gram-hash explode as the audit
-    (codegen substr/md5 — no gram text in any exchange); one
-    map-combinable agg keyed by gram hash producing (distinct-doc
-    count, canonical doc); one hash join back to the exploded
-    positions; one groupBy(id) collecting the per-doc duplicated
-    positions (bounded by doc length); span merging and text surgery
+    (codegen substr/md5 — no gram text in any exchange), aggregated
+    ONCE per (gram hash, doc) with the position list carried through;
+    the per-gram doc count and canonical (min-id) doc are WINDOW
+    aggregates over the gram hash on that aggregate — the r14
+    optimization round replaced the original agg+join-back shape,
+    which planned the explode+md5 pass twice (projection pruning
+    defeats ReusedExchange; see duplicate_span_stats). One
+    groupBy(id) flattens the per-doc duplicated positions
+    (bounded by doc length); span merging and text surgery
     are ``F.aggregate`` higher-order folds over that per-doc array —
-    JVM expression evaluation, no Python, no window, no global sort.
+    JVM expression evaluation, no Python, and the only window is
+    per-gram-hash partitioned (tiny groups, no global sort).
     Cross-document occurrence is judged on the 32-bit gram hash (the
     module convention, collision odds at :func:`md5_int`).
     """
@@ -804,15 +818,33 @@ def remove_duplicate_spans(
         "_p",
         md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h"),
     )
-    per_doc = g.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
-    gstats = per_doc.groupBy("_h").agg(
-        F.count("*").alias("_nd"), F.min(id_col).alias("_keep")
+    # r14 optimization round: positions ride the (hash, id) aggregate
+    # (collect_list instead of a bare count), so the duplicated-gram
+    # join probes the AGGREGATED table rather than re-scanning the raw
+    # gram explode — before this change the optimizer planned the
+    # scan+explode+md5 pass twice (once under gstats, once under the
+    # join; plans/r14/dedup_remove_spans_before.txt). The agg itself
+    # needs no exchange (upstream doc-id partitioning already clusters
+    # (hash, id)); the ONE explicit repartition by gram hash is shared
+    # by gstats and the join via ReusedExchange, the same shape as
+    # duplicate_span_stats above. Values unchanged: flattening the
+    # per-(hash, id) position lists yields the same position multiset
+    # the exploded join produced, and sort_array canonicalizes it.
+    from pyspark.sql import Window
+
+    w_h = Window.partitionBy("_h")
+    per_doc = g.groupBy("_h", id_col).agg(
+        F.collect_list("_p").alias("_pl")
     )
-    dup = g.join(gstats.filter(F.col("_nd") > 1), "_h")
+    dup = per_doc.withColumn(
+        "_nd", F.count(F.lit(1)).over(w_h)
+    ).withColumn("_keep", F.min(id_col).over(w_h)).filter(
+        F.col("_nd") > 1
+    )
     if keep_first:
         dup = dup.filter(F.col(id_col) != F.col("_keep"))
     pos = dup.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("_p")).alias("_ps")
+        F.sort_array(F.flatten(F.collect_list("_pl"))).alias("_ps")
     )
 
     # merge sorted gram starts into maximal char spans [s, e]:
