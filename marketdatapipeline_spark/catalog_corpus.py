@@ -4192,7 +4192,16 @@ def q_ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared edges — UNROUNDED."""
     from marketdatapipeline_spark.ml.preparation import chronological_split
 
-    bars = _bars_from_events_r8(spark, sf_dir)
+    # persisted (r14 optimization round — the r10 fix its siblings
+    # ml_standardize_split/ml_psi_drift already carry): the cutkey
+    # split's count/boundary jobs, the quantile fit, and both
+    # winsorized halves otherwise each re-derive bars (7 events scans
+    # in the before plan, 1 after)
+    bars = scoped_persist(
+        _bars_from_events_r8(spark, sf_dir).select(
+            "datetime", "bar_id", "close", "volume"
+        )
+    )
     train, test = chronological_split(
         bars,
         test_size=0.2,
