@@ -698,27 +698,29 @@ def duplicate_span_stats(
     screen that catches it — high ``dup_frac`` marks boilerplate
     carriers even when the whole document is unique.
 
-    Plan shape (r14 optimization round): grams hash to bigints AT THE
-    SCAN (explode positions + codegen substr/md5 — no
+    Plan shape (r14/r15 optimization rounds): grams hash to bigints AT
+    THE SCAN (explode positions + codegen substr/md5 — no
     higher-order-function lambdas, and no gram text in any exchange);
     the (id, hash) multiplicity agg rides the upstream doc-id
     partitioning (id determines the partition, so clustering by
-    (hash, id) is already satisfied — no exchange); the per-gram
-    cross-document count is a WINDOW count over the gram hash on that
-    aggregate, not a second aggregation joined back — the original
-    agg+self-join shape made the optimizer plan the scan+explode+md5
-    pass TWICE (once under each join input; projection pruning
-    defeats ReusedExchange because the two exchange subtrees carry
-    different columns), so every gram was hashed twice
-    (plans/r14/dedup_duplicate_spans_before.txt vs _after.txt: 2
-    Generate/md5 subtrees -> 1, 3 document scans -> 2). The window's
-    exchange carries the already-aggregated 24-byte (hash, id, count)
-    rows and its partitions are per-gram groups (tiny — no buffer
-    risk). Cross-document occurrence is judged on the 32-bit gram
-    hash — the module's hashed-set convention, collision odds
-    documented at :func:`md5_int`. ``n_grams`` is a pure length
-    expression, so short docs (< k chars) cost nothing and emit
-    ``dup_frac`` NULL.
+    (hash, id) is already satisfied — no exchange). The per-gram
+    cross-document stats then COMPLEMENT instead of attach: since
+    every gram position belongs to exactly one hash,
+    ``dup_grams = n_grams - (positions of this doc's single-document
+    grams)``, and the single-document side reduces per gram hash to
+    O(1) aggregate state (``count``, ``min(id)``, ``sum(c)``) — a
+    plain map-combinable groupBy, so a boilerplate gram carried by
+    millions of documents collapses to one partial row per map task
+    before the ``_h`` exchange (guide §2.5: no hot-key window
+    partition, no single-task buffer; the r14 window shape buffered
+    every (gram, doc) row of a hot gram in ONE task). The earlier
+    agg+self-join shape (pre-r14) planned the scan+explode+md5 pass
+    TWICE; this shape keeps the single Generate and needs neither a
+    window nor a join back to the gram table. Cross-document
+    occurrence is judged on the 32-bit gram hash — the module's
+    hashed-set convention, collision odds documented at
+    :func:`md5_int`. ``n_grams`` is a pure length expression, so
+    short docs (< k chars) cost nothing and emit ``dup_frac`` NULL.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -732,22 +734,26 @@ def duplicate_span_stats(
     ).select(
         id_col, md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h")
     )
-    from pyspark.sql import Window
-
     per_doc_gram = g.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
-    dup_positions = (
-        per_doc_gram.withColumn(
-            "_nd", F.count(F.lit(1)).over(Window.partitionBy("_h"))
-        )
-        .filter(F.col("_nd") > 1)
-        .groupBy(id_col)
-        .agg(F.sum("_c").cast("long").alias("dup_grams"))
+    gstats = per_doc_gram.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.min(id_col).alias("_kid"),
+        F.sum("_c").alias("_sc"),
+    )
+    # grams seen in exactly one document: (_kid, _sc) IS that
+    # document's (id, multiplicity) — sum them per doc and subtract
+    uniq_positions = (
+        gstats.filter(F.col("_nd") == 1)
+        .groupBy(F.col("_kid").alias(id_col))
+        .agg(F.sum("_sc").cast("long").alias("_uniq"))
     )
     base = df.select(F.col(id_col), n_grams.cast("long").alias("n_grams"))
-    out = base.join(dup_positions, id_col, "left").select(
+    out = base.join(uniq_positions, id_col, "left").select(
         id_col,
         "n_grams",
-        F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+        (F.col("n_grams") - F.coalesce("_uniq", F.lit(0)))
+        .cast("long")
+        .alias("dup_grams"),
     )
     return out.withColumn(
         "dup_frac",
@@ -788,19 +794,27 @@ def remove_duplicate_spans(
     untouched; a fully-duplicated document comes back with empty
     text, not a dropped row.
 
-    Plan shape: the same scan-side gram-hash explode as the audit
-    (codegen substr/md5 — no gram text in any exchange), aggregated
-    ONCE per (gram hash, doc) with the position list carried through;
-    the per-gram doc count and canonical (min-id) doc are WINDOW
-    aggregates over the gram hash on that aggregate — the r14
-    optimization round replaced the original agg+join-back shape,
-    which planned the explode+md5 pass twice (projection pruning
-    defeats ReusedExchange; see duplicate_span_stats). One
-    groupBy(id) flattens the per-doc duplicated positions
-    (bounded by doc length); span merging and text surgery
-    are ``F.aggregate`` higher-order folds over that per-doc array —
-    JVM expression evaluation, no Python, and the only window is
-    per-gram-hash partitioned (tiny groups, no global sort).
+    Plan shape (r15 optimization round): the same scan-side gram-hash
+    explode as the audit (codegen substr/md5 — no gram text in any
+    exchange), aggregated ONCE per (gram hash, doc) with the position
+    list carried through (rides the upstream doc-id partitioning — no
+    exchange). The removal set is then computed by COMPLEMENT: a
+    position is removed exactly when its gram's canonical (min-id)
+    carrier is a DIFFERENT document, so the per-doc kept positions
+    are the ``min_by(positions, id)`` of each gram — and ``count``/
+    ``min``/``min_by`` are all O(1)-state, map-combinable aggregates,
+    so the ``_h`` exchange ships one partial row per gram per map
+    task no matter how many documents carry a hot boilerplate gram
+    (guide §2.5; the r14 window shape buffered every (gram, doc) row
+    of a hot gram in one task's window buffer, and the pre-r14
+    agg+join-back shape planned the explode+md5 pass twice). The
+    kept-position lists regroup per KEPT doc (bounded by one
+    document's gram count), and the removal positions are
+    ``array_except(all positions, kept positions)`` — ascending by
+    construction, the same multiset the r14 shape produced by
+    flatten+sort. Span merging and text surgery are ``F.aggregate``
+    higher-order folds over that per-doc array — JVM expression
+    evaluation, no Python, no window anywhere in the plan.
     Cross-document occurrence is judged on the 32-bit gram hash (the
     module convention, collision odds at :func:`md5_int`).
     """
@@ -818,33 +832,20 @@ def remove_duplicate_spans(
         "_p",
         md5_int(F.col("_t").substr(F.col("_p"), F.lit(k))).alias("_h"),
     )
-    # r14 optimization round: positions ride the (hash, id) aggregate
-    # (collect_list instead of a bare count), so the duplicated-gram
-    # join probes the AGGREGATED table rather than re-scanning the raw
-    # gram explode — before this change the optimizer planned the
-    # scan+explode+md5 pass twice (once under gstats, once under the
-    # join; plans/r14/dedup_remove_spans_before.txt). The agg itself
-    # needs no exchange (upstream doc-id partitioning already clusters
-    # (hash, id)); the ONE explicit repartition by gram hash is shared
-    # by gstats and the join via ReusedExchange, the same shape as
-    # duplicate_span_stats above. Values unchanged: flattening the
-    # per-(hash, id) position lists yields the same position multiset
-    # the exploded join produced, and sort_array canonicalizes it.
-    from pyspark.sql import Window
-
-    w_h = Window.partitionBy("_h")
     per_doc = g.groupBy("_h", id_col).agg(
         F.collect_list("_p").alias("_pl")
     )
-    dup = per_doc.withColumn(
-        "_nd", F.count(F.lit(1)).over(w_h)
-    ).withColumn("_keep", F.min(id_col).over(w_h)).filter(
-        F.col("_nd") > 1
+    gstats = per_doc.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.min(id_col).alias("_kid"),
+        F.min_by("_pl", F.col(id_col)).alias("_kpl"),
     )
-    if keep_first:
-        dup = dup.filter(F.col(id_col) != F.col("_keep"))
-    pos = dup.groupBy(id_col).agg(
-        F.sort_array(F.flatten(F.collect_list("_pl"))).alias("_ps")
+    # keep_first: the min-id carrier keeps its positions for EVERY
+    # gram (singleton or duplicated); cut-every-copy keeps only
+    # positions of grams seen in exactly one document.
+    kept_src = gstats if keep_first else gstats.filter(F.col("_nd") == 1)
+    kept = kept_src.groupBy(F.col("_kid").alias(id_col)).agg(
+        F.flatten(F.collect_list("_kpl")).alias("_kept")
     )
 
     # merge sorted gram starts into maximal char spans [s, e]:
@@ -912,13 +913,20 @@ def remove_duplicate_spans(
     )
 
     out = (
-        df.join(pos, id_col, "left")
+        df.join(kept, id_col, "left")
+        # positions to cut = all gram starts minus the kept ones;
+        # array_except preserves the (ascending) sequence order, so
+        # the span-merge fold sees the same sorted positions the r14
+        # flatten+sort produced. A doc absent from ``kept`` (every
+        # gram's canonical copy lives elsewhere) cuts everything.
         .withColumn(
-            "_spans",
-            F.when(F.col("_ps").isNotNull(), spans).otherwise(
-                F.array().cast(span_t)
+            "_ps",
+            F.array_except(
+                idx,
+                F.coalesce(F.col("_kept"), F.array().cast("array<int>")),
             ),
         )
+        .withColumn("_spans", spans)
         .withColumns(
             {
                 "n_chars": F.length(text).cast("int"),
@@ -932,4 +940,4 @@ def remove_duplicate_spans(
         )
         .withColumn(text_col, cleaned)
     )
-    return out.drop("_ps", "_spans")
+    return out.drop("_kept", "_ps", "_spans")

@@ -499,3 +499,42 @@ def test_bench_expectations_cover_full_catalog_registry():
         f"bench_expected.json lacks expectations for {missing}; run the "
         "closing bench at HEAD and tools/refresh_expected.py --write"
     )
+
+
+def test_committed_bench_detail_has_nonnull_median_for_every_key():
+    """r15 (VERDICT r14 item 2): the r14 coverage invariant guarded
+    *expectations* only, so `dedup_near_removal` shipped with a seeded
+    expectation but a null median in the committed detail record —
+    the exact r13 hole with a new key. This closes it: every key in
+    the full catalog registry must carry a NON-NULL median in the
+    newest committed BENCH_DETAIL_r*.json. A code-touching commit
+    that lands after the round-closing bench (without re-running it)
+    fails here instead of leaving an unmeasured key in the record."""
+    import re
+
+    import marketdatapipeline_spark.catalog_corpus  # noqa: F401
+    import marketdatapipeline_spark.catalog_multimodal  # noqa: F401
+    import marketdatapipeline_spark.catalog_operators  # noqa: F401
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401
+    from marketdatapipeline_spark.catalog import EXTENDED_REGISTRY, REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = []
+    for name in os.listdir(repo):
+        m = re.match(r"BENCH_DETAIL_r(\d+)(?:_run(\d+))?\.json$", name)
+        if m:
+            records.append(
+                (int(m.group(1)), int(m.group(2) or 99), name)
+            )
+    assert records, "no committed BENCH_DETAIL_r*.json record found"
+    newest = max(records)[2]
+    with open(os.path.join(repo, newest)) as f:
+        med = json.load(f).get("queries_med", {})
+    registry = set(REGISTRY) | set(EXTENDED_REGISTRY)
+    holes = sorted(k for k in registry if med.get(k) is None)
+    assert not holes, (
+        f"{newest} has null/missing medians for {holes}; re-run the "
+        "closing bench at HEAD so every registry key has a committed "
+        "median (the bench+sweep must be the round's last "
+        "code-affecting act)"
+    )
