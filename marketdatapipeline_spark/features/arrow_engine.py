@@ -56,6 +56,140 @@ PI_LITERAL = 3.14159
 #: transport-level cure (no TCP window machinery at all).
 TARGET_ROWS_PER_TASK = 750_000
 
+#: upper bound on block count for the plan-time-boundary layout in
+#: :func:`_range_block_layout`. Above it (≈ 67M rows at the default
+#: 64 KiB block) the driver-side sample and the generated search tree
+#: stop being "tiny" and the engine keeps Spark's repartitionByRange,
+#: whose per-action sampling cost amortizes at that scale anyway.
+MAX_LITERAL_BLOCKS = 1024
+
+#: fixed sampling seed: boundaries must be identical across plan
+#: re-executions and task retries (the reason repartitionByRange's
+#: per-action resampling is a hazard here — see _range_block_layout).
+_BOUNDARY_SEED = 20260818
+
+
+def _lex_gt(key_cols: list, values: tuple):
+    """Codegen expression: lexicographic (key_cols...) > (values...)."""
+    from pyspark.sql import functions as F
+
+    head, *rest = key_cols
+    v = F.lit(values[0])
+    gt = F.col(head) > v
+    if not rest:
+        return gt
+    return gt | ((F.col(head) == v) & _lex_gt(rest, values[1:]))
+
+
+def _block_search_tree(key_cols: list, boundaries: list, leaves: list):
+    """Binary-search WHEN-tree: returns ``leaves[i]`` where i is the
+    number of ``boundaries`` strictly below the row's key (boundaries
+    sorted ascending; depth ceil(log2(len+1)) comparisons per row)."""
+    from pyspark.sql import functions as F
+
+    def build(lo: int, hi: int):
+        # invariant: boundaries[:lo] < key, key <= boundaries[hi:]
+        if lo == hi:
+            return F.lit(leaves[lo])
+        mid = (lo + hi) // 2
+        return F.when(
+            _lex_gt(key_cols, boundaries[mid]), build(mid + 1, hi)
+        ).otherwise(build(lo, mid))
+
+    return build(0, len(boundaries))
+
+
+def _range_block_layout(df: DataFrame, key_cols: list[str], nb: int, n: int):
+    """Contiguous-range layout into exactly ``nb`` partitions with
+    boundaries fixed at PLAN TIME — partition i holds the i-th key
+    range, sorted within, like ``repartitionByRange(nb, *key_cols)``
+    but without its two costs (guide §2.4/§1.1):
+
+    - **No per-action sampling pass.** RangePartitioner re-samples its
+      child on EVERY action, so each materialization of the chunked
+      engine executed the full upstream (scan + derivation) one extra
+      time just to rediscover boundaries. Here the boundaries come
+      from ONE plan-time sample job over the key columns only
+      (column-pruned child); every action then pays only the real
+      exchange. On the 1M-row single-symbol pipeline the per-action
+      sampling pass was ~0.3-0.4 s of every ~1.8 s run.
+    - **Deterministic layout.** Plan-time boundary literals make the
+      row-to-partition map stable across actions AND task retries —
+      RangePartitioner's per-action reseeding (from the RDD id) is
+      exactly the hazard documented at the block tagger below.
+
+    Mechanics: sample ~128 keys per block (fixed seed), sort on the
+    driver, take equi-rank boundaries, and assign each row its block
+    with a generated binary-search WHEN-tree over the boundary
+    literals (log2(nb) lexicographic comparisons per row, all
+    codegen). The tree's leaves emit REMAPPED int values chosen so
+    that ``pmod(murmur3(value), nb) == block index``, so a plain hash
+    ``repartition(nb, _rblk)`` places block i exactly in partition i
+    (pinned against spark_partition_id in tests) and the downstream
+    partition-relative tagging is unchanged.
+
+    Non-empty guarantee: boundaries are sampled DATA keys at ranks
+    >= 2 apart, so every range holds at least one real row; block
+    sizes concentrate at n/nb (sampling error ~1/sqrt(128) per
+    boundary), keeping the tagger's size margin (non-final partitions
+    >= halo+fwd rows) as ample as the range sampler's.
+
+    Falls back to ``repartitionByRange`` (identical layout semantics,
+    the pre-r15 shape) when nb is 1 or exceeds MAX_LITERAL_BLOCKS
+    (driver sample and plan size stop being tiny), when the sample is
+    too thin for nb distinct equi-rank boundaries, when sampled keys
+    contain NULLs (lexicographic literal comparison would null out),
+    or when the residue-class remap fails to cover every partition."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    fallback_cols = [F.col(c) for c in key_cols]
+    if nb <= 1 or nb > MAX_LITERAL_BLOCKS:
+        return df.repartitionByRange(nb, *fallback_cols).sortWithinPartitions(
+            *fallback_cols
+        )
+
+    frac = min(1.0, (128.0 * nb) / max(n, 1))
+    sampled = (
+        df.select(*key_cols)
+        .sample(withReplacement=False, fraction=frac, seed=_BOUNDARY_SEED)
+        .collect()
+    )
+    keys = sorted(tuple(r) for r in sampled)
+    m = len(keys)
+    ok = m >= 2 * nb and all(v is not None for k in keys for v in k)
+    boundaries: list[tuple] = []
+    if ok:
+        # rank step >= 2 by the m >= 2*nb guard; strict ascent holds
+        # unless the sample drew duplicate keys (possible only when
+        # the data itself has duplicate composite keys) — fall back.
+        boundaries = [keys[(i * m) // nb] for i in range(1, nb)]
+        ok = all(a < b for a, b in zip(boundaries, boundaries[1:]))
+    # residue-class remap: leaf value v_i with murmur3(v_i) % nb == i.
+    # Murmur3 is evaluated by Spark itself (one trivial local job) so
+    # the mapping can never drift from the engine's hash partitioner.
+    remap: list[int | None] = [None] * nb
+    if ok:
+        cand = spark.range(64 * nb).select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(nb)).alias("p"),
+        )
+        for row in cand.collect():
+            if remap[row["p"]] is None:
+                remap[row["p"]] = row["v"]
+        ok = all(v is not None for v in remap)
+    if not ok:
+        return df.repartitionByRange(nb, *fallback_cols).sortWithinPartitions(
+            *fallback_cols
+        )
+    blk = _block_search_tree(key_cols, boundaries, remap)
+    return (
+        df.withColumn("_rblk", blk)
+        .repartition(nb, F.col("_rblk"))
+        .drop("_rblk")
+        .sortWithinPartitions(*fallback_cols)
+    )
+
 
 def _feature_frame(
     pdf: pd.DataFrame,
@@ -392,14 +526,18 @@ def compute_all_features_chunked(
     #
     # Assumptions (same class the previous emit design documented):
     # every non-final range partition holds >= halo + fwd rows — the
-    # 4x-halo floor on eff_block gives the range sampler ample margin,
-    # and order keys are unique so sampled boundaries stay distinct
+    # 4x-halo floor on eff_block gives the boundary sampler ample
+    # margin, and order keys are unique so boundaries stay distinct
     # (no empty partitions). Cross-symbol duplicates are harmless: a
     # different-symbol copy lands in a pure-halo (symbol, block) group
     # whose rows are all dropped after the kernel runs.
-    src = df.repartitionByRange(nb, symbol_col, *order).sortWithinPartitions(
-        symbol_col, *order
-    )
+    #
+    # r15: the layout comes from _range_block_layout — plan-time
+    # boundary literals instead of repartitionByRange, which re-ran
+    # the full upstream as a sampling pass on EVERY action and
+    # re-seeded its boundaries per action (the hazard the paragraph
+    # above documents). Same contiguous-range-per-partition contract.
+    src = _range_block_layout(df, [symbol_col, *order], nb, n)
     # Materialize the id ONCE, then split bits in a second projection:
     # embedding the same MonotonicallyIncreasingID instance in two
     # output columns is only safe under codegen (each occurrence gets

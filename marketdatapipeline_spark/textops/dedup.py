@@ -278,11 +278,24 @@ def lsh_candidate_pairs(
     """Candidate pairs whose signatures collide in >= 1 LSH band.
 
     Signature columns are split into ``bands`` contiguous slices; the
-    band key is the concatenated slice (prefixed with the band index so
-    slices never collide across bands). All band keys are emitted in
-    ONE explode and matched in ONE self-equi-join — one shuffle on
-    band_key regardless of band count, instead of a join+union per
-    band. Probability of collision ~ 1-(1-j^r)^b for Jaccard j.
+    band key is the ``xxhash64`` of the slice (seeded with the band
+    index so identical slices never collide across bands). All band
+    keys are emitted in ONE explode and matched in ONE self-equi-join
+    — one shuffle on band_key regardless of band count, instead of a
+    join+union per band. Probability of collision ~ 1-(1-j^r)^b for
+    Jaccard j.
+
+    The 8-byte hashed key replaces the r14 string key (band index +
+    ``r`` decimal-printed 61-bit signature values concat-ws'd: ~80
+    bytes) — ~10x narrower band-shuffle payload and a bigint join key
+    instead of string equality (guide §2.3 "narrower types"/"shuffle
+    keys instead of payloads"). Two slices joining here but not under
+    the string key would need an xxhash64 collision between distinct
+    (band, slice) tuples — the module's hashed-key convention (see
+    :func:`md5_int`; 64-bit space, ~1e-11 odds at 1e4 keys), and a
+    false CANDIDATE is additionally filtered by the exact-Jaccard
+    verification every consumer applies. Value-checked cell-exact
+    against the oracle at three scale tiers.
     """
     mh_cols = sorted(
         (c for c in signatures.columns if c.startswith("mh_")),
@@ -297,8 +310,7 @@ def lsh_candidate_pairs(
     rows_per_band = len(mh_cols) // bands
     band_keys = F.array(
         *[
-            F.concat_ws(
-                "_",
+            F.xxhash64(
                 F.lit(b),
                 *[
                     F.col(c)

@@ -81,14 +81,17 @@ def _band_key_rows(
     doc_table: DataFrame, num_hashes: int, bands: int, id_col: str
 ) -> DataFrame:
     """(id, band_key) — one row per band, same key layout as
-    lsh_candidate_pairs (band index prefix so bands never collide)."""
+    lsh_candidate_pairs (r15: xxhash64 of the slice seeded with the
+    band index — 8-byte bigint keys in the stored ``keys/`` parquet
+    and in every candidate equi-join, instead of ~80-byte decimal
+    strings; collision/verification argument at
+    :func:`~marketdatapipeline_spark.textops.dedup.lsh_candidate_pairs`)."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rpb = num_hashes // bands
     keys = F.array(
         *[
-            F.concat_ws(
-                "_",
+            F.xxhash64(
                 F.lit(b),
                 *[F.col(f"mh_{i}") for i in range(b * rpb, (b + 1) * rpb)],
             )

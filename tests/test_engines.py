@@ -277,3 +277,83 @@ def test_arrow_engine_rows_per_task_cap(spark, bars_df):
             assert ok.all(), col
         else:
             assert (x.to_numpy() == y.to_numpy()).all(), col
+
+
+def test_range_block_layout_identity_placement(spark):
+    """r15: the plan-time-boundary layout must (a) place block i in
+    physical partition i (the tagger's adjacency contract), (b) keep
+    every partition a contiguous range of the key order, and (c) keep
+    partitions non-empty — the properties repartitionByRange gave,
+    now without its per-action sampling pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from marketdatapipeline_spark.features.arrow_engine import (
+        _range_block_layout,
+    )
+
+    n, nb = 50_000, 8
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * n,
+            "datetime": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "bar_id": range(n),
+            "close": 100.0 + np.sin(np.arange(n) * 0.37),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)  # scrambled input
+    out = _range_block_layout(df, ["symbol", "datetime", "bar_id"], nb, n)
+    got = (
+        out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("bar_id").alias("lo"),
+            F.max("bar_id").alias("hi"),
+        )
+        .orderBy("_pid")
+        .collect()
+    )
+    assert len(got) == nb and [r["_pid"] for r in got] == list(range(nb))
+    assert all(r["cnt"] > 0 for r in got)
+    assert sum(r["cnt"] for r in got) == n
+    # contiguous, ordered, non-overlapping ranges in partition order
+    for a, b in zip(got, got[1:]):
+        assert a["hi"] + 1 == b["lo"], (a, b)
+    # the layout is deterministic across actions (plan-time literals):
+    again = (
+        out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.min("bar_id").alias("lo"))
+        .orderBy("_pid")
+        .collect()
+    )
+    assert [r["lo"] for r in again] == [r["lo"] for r in got]
+
+
+def test_range_block_layout_fallbacks(spark):
+    """nb=1 and nb>MAX_LITERAL_BLOCKS take the repartitionByRange
+    fallback; duplicate composite keys (non-strict boundaries) must
+    also fall back rather than emit an unbalanced literal tree."""
+    import pandas as pd
+
+    from marketdatapipeline_spark.features.arrow_engine import (
+        MAX_LITERAL_BLOCKS,
+        _range_block_layout,
+    )
+
+    n = 4_000
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * n,
+            "bar_id": [7] * n,  # every composite key identical
+            "close": np.arange(n, dtype="float64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    dup = _range_block_layout(df, ["symbol", "bar_id"], 4, n)
+    assert dup.count() == n  # fallback path, values intact
+    one = _range_block_layout(df, ["symbol", "bar_id"], 1, n)
+    assert one.rdd.getNumPartitions() == 1
+    big = _range_block_layout(df, ["symbol", "bar_id"], MAX_LITERAL_BLOCKS + 1, n)
+    assert big.count() == n
