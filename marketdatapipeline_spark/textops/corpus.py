@@ -1611,6 +1611,18 @@ def bigram_perplexity(
     p = lamc * (F.col("_cb").cast("double") / F.col("_c1")) + (
         F.lit(1.0) - lamc
     ) * ((F.col("_cw") + a) / (F.col("_n") + a * F.col("_v")))
+    # r15 A/B note: a "model-first" restructure (assemble bm(h1, h2,
+    # log p) from cb ⋈ c1 ⋈ cw ⋈ totals, then ONE tf ⋈ bm join, so the
+    # big per-doc table crosses one join instead of three) was built,
+    # oracle-verified at 3 tiers, and REVERTED: interleaved same-
+    # session A/B read OLD 1.337 vs NEW 1.656 s median at sf0.1. At
+    # this tier every count-table join is a broadcast, so tf streams
+    # through three pipelined hash probes inside one codegen stage and
+    # pays no exchange at all — the restructure only added a bm
+    # materialization+broadcast barrier (guide §1.1: the ideal plan is
+    # usually slower; the chained shape IS the local ideal while the
+    # count tables broadcast, and they broadcast here by 4 orders of
+    # magnitude of margin).
     term = (
         tf.join(cb, ["h1", "h2"])
         .join(c1, "h1")
