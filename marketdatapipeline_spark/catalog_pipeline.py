@@ -101,12 +101,29 @@ _TOKENS3_CTE = tokens3_cte()
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup summary (hash-groupBy). The synthetic corpus has no
     duplicate texts, so every tenth doc is re-injected under a new id:
-    the operator must collapse those groups to the original id."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    the operator must collapse those groups to the original id.
+
+    r15 (guide §2.3/§2.4): the duplicate injection is one scan-side
+    explode — id, plus id+100000 when doc_id % 10 == 0 — instead of a
+    self-union through ``_docs``'s repartition. The old shape planned
+    the documents scan TWICE and shipped full text through TWO
+    repartition exchanges before md5 ever ran; now the only exchange
+    in the plan is the aggregation's, and it carries (md5, doc_id) —
+    document text never crosses the wire, which is the whole point of
+    hash-based exact dedup at 100 TB. Row-for-row identical to the
+    union (same multiset of (text, doc_id) pairs; oracle SQL
+    unchanged)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    withdups = docs.select(
+        "text",
+        F.explode(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + 100000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
     )
-    return exact_duplicate_groups(docs.unionByName(dups))
+    return exact_duplicate_groups(withdups)
 
 
 def _jaccard_pairs_sql(tokens_cte: str) -> str:

@@ -157,6 +157,27 @@ def test_curation_window_shuffle_never_carries_text(spark):
             assert "text" not in line, line
 
 
+def test_dedup_exact_single_scan_no_text_exchange(spark):
+    """dedup_exact_groups must plan ONE documents scan (the duplicate
+    injection is a scan-side explode, not a self-union that plans the
+    scan twice) and ONE hash exchange — the aggregation's, carrying
+    (md5, doc_id) partials. The r14 shape shipped full document text
+    through two repartition exchanges before md5 ever ran (the classic
+    shuffle-the-payload scale killer, guide §2.3)."""
+    import marketdatapipeline_spark.catalog_pipeline  # noqa: F401 — registers
+    from marketdatapipeline_spark.catalog import REGISTRY
+
+    df = REGISTRY["dedup_exact_groups"].fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan
+    # the one exchange partitions on the projected hash, never on text
+    assert "text_hash" in exchanges[0], exchanges[0]
+
+
 def test_asof_join_single_window_exchange(spark):
     """asof_join is one union + one window: exactly one hash exchange
     on the by-key, and the carry is a single struct column (one
