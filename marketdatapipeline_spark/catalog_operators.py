@@ -325,7 +325,17 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic order segments vs only one. Spark plans these as
     left-semi/anti joins over the distinct inputs — same shuffle shape
     as the semi_anti_join query — checked against DuckDB's native set
-    operators."""
+    operators.
+
+    r15 negative result (guide §7.2/§1.1): each key set feeds THREE
+    set operations and differing expression ids defeat ReusedExchange,
+    so the plan holds six orders scans and six distinct exchanges.
+    Scoped-persisting the two distinct-key tables (scans 6 -> 2) was
+    built and interleaved-A/B'd at sf0.1: 0.543 -> 0.729 s median —
+    the cache-materialization barrier costs more than the cheap
+    parallel scans it saves, at this tier and at any tier where
+    orders fits page cache. REVERTED; do not retry without a
+    cluster-scale measurement."""
     orders = load_table(spark, sf_dir, "orders")
     even_k = (
         orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").distinct()
